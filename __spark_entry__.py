@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship pipeline on /root/testdata/sf0.001.
+queries()       — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()    — DuckDB-equivalent SQL per query (correctness gate).
+
+The geo fixtures (images/zones/sites) carry no geo columns in the
+input; the engine derives them deterministically from row ids via an
+LCG rule that is expressible in BOTH Spark Column math and ANSI SQL
+(gdal_spark/fixtures/georef.py) — so every spatial operator has an
+independent SQL oracle over the same parquet inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +16,422 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from gdal_spark.fixtures import georef
+from gdal_spark.fixtures.images import build_images
+from gdal_spark.fixtures.sites import build_sites
+from gdal_spark.fixtures.zones import build_zones
+from gdal_spark.operators.knn import knn_join
+from gdal_spark.operators.spatial_join import pip_join
+from gdal_spark.operators.tiling import assign_tiles
+from gdal_spark.tiles import tilemath as tm
+
+SF001 = "/root/testdata/sf0.001"
+
+TILE_Z = 12       # native anchor zoom for tile assignment
+COUNT_Z = 6       # coarse zoom for tile-count aggregation
+KNN_K = 5
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _image_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("i"))
+
+
+def _zone_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("fid"))
+
+
+def _site_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "customer").select(F.col("c_custkey").alias("i"))
+
+
+def _images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return build_images(spark, ids_df=_image_ids(spark, sf_dir), with_payload=False)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — derive geo, PIP-join zones, assign tiles, count
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    images = _images_geo(spark, SF001)
+    zones = build_zones(spark, ids_df=_zone_ids(spark, SF001))
+    pairs = pip_join(images, zones, broadcast_zones=True)
+    assigned = assign_tiles(images, TILE_Z)
+    tiles = assigned.groupBy("tile_z", "tile_x", "tile_y").agg(
+        F.count("*").alias("n_images")
+    )
+    joined = pairs.groupBy("fid").agg(F.count("*").alias("n_in_zone"))
+    # flagship result: per-tile image counts + total zone-hit summary col
+    return tiles.withColumn(
+        "zone_hits", F.lit(None).cast("long")
+    ).unionByName(
+        joined.select(
+            F.lit(-1).alias("tile_z"),
+            F.col("fid").cast("int").alias("tile_x"),
+            F.lit(-1).alias("tile_y"),
+            F.col("n_in_zone").alias("n_images"),
+            F.col("n_in_zone").alias("zone_hits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = assign_tiles(_images_geo(spark, sf_dir), TILE_Z)
+    return df.select(
+        "image_id",
+        F.col("tile_z").cast("int").alias("tile_z"),
+        F.col("tile_x").cast("int").alias("tile_x"),
+        F.col("tile_y").cast("int").alias("tile_y"),
+    )
+
+
+def q_tile_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Center-point tile counts at a coarse zoom (overview-style agg)."""
+    img = _images_geo(spark, sf_dir)
+    tx, ty = tm.tile_xy_cols(F.col("cx"), F.col("cy"), COUNT_Z)
+    return (
+        img.withColumn("tile_x", tx)
+        .withColumn("tile_y", ty)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n_images"))
+        .select(
+            F.col("tile_x").cast("int"),
+            F.col("tile_y").cast("int"),
+            F.col("n_images").cast("long"),
+        )
+    )
+
+
+def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadkey encode of each image's center tile at z=9."""
+    img = _images_geo(spark, sf_dir)
+    tx, ty = tm.tile_xy_cols(F.col("cx"), F.col("cy"), 9)
+    return img.select(
+        "image_id", tm.quadkey_col(tx, ty, 9).alias("quadkey")
+    )
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = _images_geo(spark, sf_dir)
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    return pip_join(images, zones).select(
+        "image_id", F.col("fid").cast("long").alias("fid")
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    images = _images_geo(spark, sf_dir)
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir))
+    out = knn_join(sites, images, KNN_K)
+    return out.select(
+        "site_id",
+        F.col("rank").cast("int").alias("rank"),
+        "image_id",
+        F.floor(F.col("dist_m")).cast("long").alias("dist_m_floor"),
+    )
+
+
+def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL summary mode: whole-table aggregates (ogr_swq.h:67-75,
+    executor ogr_gensql.cpp:846-1200)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("std_disc"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+def q_ogr_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR DISTINCT-list mode (SWQM_DISTINCT_LIST)."""
+    return (
+        _read(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("mktsegment"))
+        .distinct()
+    )
+
+
+def q_ogr_first_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL LEFT JOIN takes the FIRST matching secondary feature
+    only (ogr_gensql.cpp:1497-1527); 'first' made deterministic as
+    min secondary FID (here l_linenumber)."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    first_li = (
+        li.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    return orders.join(
+        first_li, orders.o_orderkey == first_li.l_orderkey, "left"
+    ).select(
+        "o_orderkey",
+        F.col("l_partkey").alias("first_partkey"),
+        F.round(F.col("l_quantity"), 2).alias("first_qty"),
+    )
+
+
+def q_ogr_where_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE + ORDER BY + LIMIT/OFFSET (ogr_gensql.cpp:605-628,
+    2185-2404); deterministic tiebreak on the key."""
+    part = _read(spark, sf_dir, "part")
+    return (
+        part.where((F.col("p_size") >= 10) & (F.col("p_size") <= 20))
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        .offset(10)
+        .limit(50)
+    )
+
+
+def q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL by name (OGRUnionLayer, swq_parser.y:840)."""
+    c = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 100 == 0)
+        .select(F.col("c_name").alias("name"), F.lit("customer").alias("src"))
+    )
+    s = (
+        _read(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") % 10 == 0)
+        .select(F.col("s_name").alias("name"), F.lit("supplier").alias("src"))
+    )
+    return c.unionByName(s)
+
+
+def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OGR SQL scalar op set: LIKE/IN/BETWEEN/CAST/CONCAT/SUBSTR
+    (ogr/swq_op_registrar.cpp:28-61)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.where(
+            F.col("o_orderstatus").isin("F", "O")
+            & F.col("o_orderpriority").like("1%")
+            & F.col("o_totalprice").between(1000.0, 100000.0)
+        )
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.col("o_orderstatus"), F.lit("-"), F.substring("o_orderpriority", 1, 8)
+            ).alias("status_prio"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("price_int"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "quadkey": q_quadkey,
+        "pip_join": q_pip_join,
+        "knn": q_knn,
+        "ogr_summary": q_ogr_summary,
+        "ogr_distinct": q_ogr_distinct,
+        "ogr_first_match_join": q_ogr_first_match_join,
+        "ogr_where_orderby_limit": q_ogr_where_orderby_limit,
+        "ogr_union_all": q_ogr_union_all,
+        "ogr_scalar_ops": q_ogr_scalar_ops,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
+
+def _o_tile_assign() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    return f"""
+WITH img AS ({img})
+SELECT image_id, {TILE_Z} AS tile_z,
+       t.min_tx + gx.dx AS tile_x, t.min_ty + gy.dy AS tile_y
+FROM (
+  SELECT image_id,
+    {tm.sql_tile_x('xmin', TILE_Z)} AS min_tx,
+    {tm.sql_tile_x('xmax', TILE_Z)} AS max_tx,
+    {tm.sql_tile_y('ymax', TILE_Z)} AS min_ty,
+    {tm.sql_tile_y('ymin', TILE_Z)} AS max_ty
+  FROM img
+) t, range(0, 8) AS gx(dx), range(0, 8) AS gy(dy)
+WHERE t.min_tx + gx.dx <= t.max_tx AND t.min_ty + gy.dy <= t.max_ty
+"""
+
+
+def _o_tile_counts() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    return f"""
+WITH img AS ({img})
+SELECT {tm.sql_tile_x('cx', COUNT_Z)} AS tile_x,
+       {tm.sql_tile_y('cy', COUNT_Z)} AS tile_y,
+       count(*) AS n_images
+FROM img GROUP BY 1, 2
+"""
+
+
+def _o_quadkey() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    z = 9
+    digits = []
+    for i in range(z, 0, -1):
+        shift = 1 << (i - 1)
+        digits.append(
+            f"cast(cast(floor(tx / {shift}) as bigint) % 2 "
+            f"+ 2 * (cast(floor(ty / {shift}) as bigint) % 2) as varchar)"
+        )
+    concat = " || ".join(digits)
+    return f"""
+WITH img AS ({img}),
+t AS (
+  SELECT image_id,
+    {tm.sql_tile_x('cx', z)} AS tx,
+    {tm.sql_tile_y('cy', z)} AS ty
+  FROM img
+)
+SELECT image_id, {concat} AS quadkey FROM t
+"""
+
+
+def _zone_edges_cte(radius_col: str) -> str:
+    """Edges of the convex k-gon at the given radius column; vertices
+    CCW at angles 2*pi*j/k."""
+    return f"""
+  SELECT z.fid, g.j,
+    z.lon0 + z.{radius_col} * cos(2 * pi() * g.j / z.k) AS x1,
+    z.lat0 + z.{radius_col} * sin(2 * pi() * g.j / z.k) AS y1,
+    z.lon0 + z.{radius_col} * cos(2 * pi() * ((g.j + 1) % z.k) / z.k) AS x2,
+    z.lat0 + z.{radius_col} * sin(2 * pi() * ((g.j + 1) % z.k) / z.k) AS y2
+  FROM zn z, range(0, 8) AS g(j)
+  WHERE g.j < z.k
+"""
+
+
+def _o_pip_join() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH img AS ({img}),
+zn AS ({zn}),
+outer_edges AS ({_zone_edges_cte('r')}),
+hole_edges AS ({_zone_edges_cte('hole_r')}),
+cand AS (
+  SELECT i.image_id, i.lon_c, i.lat_c, z.fid, z.has_hole
+  FROM img i JOIN zn z
+    ON i.lon_c BETWEEN z.lon0 - z.r AND z.lon0 + z.r
+   AND i.lat_c BETWEEN z.lat0 - z.r AND z.lat0 + z.r
+),
+in_outer AS (
+  SELECT c.image_id, c.fid, c.has_hole, c.lon_c, c.lat_c
+  FROM cand c JOIN outer_edges e ON e.fid = c.fid
+  GROUP BY c.image_id, c.fid, c.has_hole, c.lon_c, c.lat_c
+  HAVING min((e.x2 - e.x1) * (c.lat_c - e.y1) - (e.y2 - e.y1) * (c.lon_c - e.x1)) >= 0
+),
+in_hole AS (
+  SELECT c.image_id, c.fid
+  FROM in_outer c JOIN hole_edges e ON e.fid = c.fid
+  WHERE c.has_hole
+  GROUP BY c.image_id, c.fid
+  HAVING min((e.x2 - e.x1) * (c.lat_c - e.y1) - (e.y2 - e.y1) * (c.lon_c - e.x1)) >= 0
+)
+SELECT o.image_id, o.fid FROM in_outer o
+ANTI JOIN in_hole h ON h.image_id = o.image_id AND h.fid = o.fid
+"""
+
+
+def _o_knn() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    smx = tm.sql_merc_x("s.slon")
+    smy = tm.sql_merc_y("s.slat")
+    return f"""
+WITH img AS ({img}),
+st AS ({st}),
+d AS (
+  SELECT s.site_id, i.image_id,
+    sqrt( ({smx} - i.cx) * ({smx} - i.cx)
+        + ({smy} - i.cy) * ({smy} - i.cy) ) AS dist,
+    row_number() OVER (
+      PARTITION BY s.site_id
+      ORDER BY sqrt( ({smx} - i.cx) * ({smx} - i.cx)
+                   + ({smy} - i.cy) * ({smy} - i.cy) ) ASC, i.image_id ASC
+    ) AS rnk
+  FROM st s CROSS JOIN img i
+)
+SELECT site_id, cast(rnk as int) AS rank, image_id,
+       cast(floor(dist) as bigint) AS dist_m_floor
+FROM d WHERE rnk <= {KNN_K}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign": _o_tile_assign(),
+        "tile_counts": _o_tile_counts(),
+        "quadkey": _o_quadkey(),
+        "pip_join": _o_pip_join(),
+        "knn": _o_knn(),
+        "ogr_summary": """
+SELECT count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(stddev_pop(l_discount), 6) AS std_disc,
+       count(DISTINCT l_returnflag) AS n_flags
+FROM lineitem
+""",
+        "ogr_distinct": "SELECT DISTINCT c_mktsegment AS mktsegment FROM customer",
+        "ogr_first_match_join": """
+WITH first_li AS (
+  SELECT l_orderkey, l_partkey, l_quantity,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_linenumber, l_partkey, l_suppkey
+         ) AS rn
+  FROM lineitem
+)
+SELECT o.o_orderkey, f.l_partkey AS first_partkey,
+       round(f.l_quantity, 2) AS first_qty
+FROM orders o LEFT JOIN first_li f
+  ON o.o_orderkey = f.l_orderkey AND f.rn = 1
+""",
+        "ogr_where_orderby_limit": """
+SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+ORDER BY p_retailprice DESC, p_partkey ASC
+LIMIT 50 OFFSET 10
+""",
+        "ogr_union_all": """
+SELECT c_name AS name, 'customer' AS src FROM customer WHERE c_custkey % 100 = 0
+UNION ALL
+SELECT s_name AS name, 'supplier' AS src FROM supplier WHERE s_suppkey % 10 = 0
+""",
+        "ogr_scalar_ops": """
+SELECT o_orderkey,
+       o_orderstatus || '-' || substr(o_orderpriority, 1, 8) AS status_prio,
+       cast(floor(o_totalprice) as bigint) AS price_int
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+  AND o_orderpriority LIKE '1%'
+  AND o_totalprice BETWEEN 1000.0 AND 100000.0
+""",
+    }

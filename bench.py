@@ -1,0 +1,111 @@
+"""Headline benchmark: spatial-join + tile-assignment throughput.
+
+Runs the flagship pipeline (derive geo -> PIP join zones -> tile
+assignment at z=12 -> per-tile counts) plus kNN on the sf parquet dir
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "images_per_sec": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.fixtures.sites import build_sites
+    from gdal_spark.fixtures.zones import build_zones
+    from gdal_spark.operators.knn import knn_join
+    from gdal_spark.operators.spatial_join import pip_join
+    from gdal_spark.operators.tiling import assign_tiles
+    from gdal_spark.session import get_spark
+
+    spark = get_spark("gdal-spark-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    image_ids = orders.select(F.col("o_orderkey").alias("i"))
+    n_images = image_ids.count()
+    images = build_images(spark, ids_df=image_ids, with_payload=False)
+    zones = build_zones(spark, ids_df=supplier.select(F.col("s_suppkey").alias("fid")))
+    sites = build_sites(spark, ids_df=customer.select(F.col("c_custkey").alias("i")))
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # warm the JVM/Arrow paths once so timings measure steady state
+    images.limit(10).agg(F.count("*")).collect()
+
+    timed(
+        "tile_assign",
+        lambda: assign_tiles(images, 12)
+        .agg(F.count("*").alias("n"), F.sum("tile_x").alias("sx"))
+        .collect(),
+    )
+    timed(
+        "pip_join",
+        lambda: pip_join(images, zones).agg(F.count("*")).collect(),
+    )
+    timed(
+        "knn",
+        lambda: knn_join(sites, images, 5, n_points_hint=n_images)
+        .agg(F.count("*"))
+        .collect(),
+    )
+    timed(
+        "pipeline",
+        lambda: (
+            assign_tiles(images, 12)
+            .groupBy("tile_z", "tile_x", "tile_y")
+            .agg(F.count("*").alias("n_images"))
+            .agg(F.count("*"), F.sum("n_images"))
+            .collect(),
+            pip_join(images, zones).agg(F.count("*")).collect(),
+        ),
+    )
+
+    total = round(sum(timings.values()), 3)
+    images_per_sec = round(n_images / timings["pipeline"], 1)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tile_assign_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "n_images": n_images,
+                "images_per_sec": images_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,49 @@
+"""Format dispatch: the Spark analog of GDAL's driver registry.
+
+GDALOpenEx identifies a driver by header bytes then calls its open
+hook (gcore/gdaldataset.cpp:3610,3809-3862). Here the `fmt` column
+plays the driver name; `sniff_format` replicates the header-bytes
+identify loop for robustness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_spark.raster.jpeg import decode_jpeg, encode_jpeg
+from gdal_spark.raster.png import decode_png, encode_png
+from gdal_spark.raster.tiff import decode_tiff, encode_tiff
+
+LOSSLESS = {"png", "tiff"}
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    raise ValueError("unknown image format")
+
+
+def encode_image(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    fmt = fmt.lower()
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt in ("jpeg", "jpg"):
+        return encode_jpeg(arr, quality=quality)
+    if fmt in ("tiff", "tif"):
+        return encode_tiff(arr)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
+    fmt = (fmt or sniff_format(bytes(data[:8]))).lower()
+    if fmt == "png":
+        return decode_png(data)
+    if fmt in ("jpeg", "jpg"):
+        return decode_jpeg(data)
+    if fmt in ("tiff", "tif"):
+        return decode_tiff(data)
+    raise ValueError(f"unsupported format: {fmt}")

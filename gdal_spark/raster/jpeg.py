@@ -1,0 +1,441 @@
+"""Pure-numpy baseline JPEG codec (SOF0, 4:4:4, standard Annex K tables).
+
+From-scratch stand-in for the reference's libjpeg driver
+(frmts/jpeg/jpgdataset.cpp:1452,2175). Lossy: parity criterion is
+PSNR >= 40 dB (the same criterion BASELINE.json sets for lossy
+formats), which quality-90 quantization comfortably meets on
+natural/gradient content.
+
+DCT / quantization / zigzag are fully vectorized numpy; only the
+entropy (Huffman) stage is a per-block Python loop, which is fine
+because it runs inside Spark's Arrow-batched UDF workers, already
+parallelized across tasks.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- standard quantization tables (ITU-T T.81 Annex K.1) -------------------
+_Q_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+_Q_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# --- zigzag -----------------------------------------------------------------
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+_IZZ = np.argsort(_ZZ)
+
+# --- standard Huffman tables (Annex K.3) ------------------------------------
+_DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_L_VALS = list(range(12))
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+_AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _build_codes(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_ENC_DC = (_build_codes(_DC_L_BITS, _DC_L_VALS), _build_codes(_DC_C_BITS, _DC_C_VALS))
+_ENC_AC = (_build_codes(_AC_L_BITS, _AC_L_VALS), _build_codes(_AC_C_BITS, _AC_C_VALS))
+
+# orthonormal DCT-II basis
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+_C *= np.sqrt(2.0 / 8.0)
+_C[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((table * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H, W multiples of 8 -> (n_blocks, 8, 8) in scan order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _unblockify(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (
+        blocks.reshape(h8 // 8, w8 // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h8, w8)
+    )
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category and value bits."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    if arr.ndim == 2:
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.dtype != np.uint8 or arr.shape[2] != 3:
+        raise ValueError("jpeg codec: uint8 RGB only")
+    h, w, _ = arr.shape
+    qt = (_quality_scale(_Q_LUMA, quality), _quality_scale(_Q_CHROMA, quality))
+
+    ycc = _rgb_to_ycbcr(arr) - 128.0
+    pad_h = (-h) % 8
+    pad_w = (-w) % 8
+    if pad_h or pad_w:
+        ycc = np.pad(ycc, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+
+    comp_coeffs = []
+    for ci in range(3):
+        blocks = _blockify(ycc[:, :, ci])
+        dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        q = qt[0] if ci == 0 else qt[1]
+        quant = np.sign(dct) * np.floor(np.abs(dct) / q + 0.5)
+        zz = quant.reshape(-1, 64)[:, _ZZ].astype(np.int32)
+        comp_coeffs.append(zz)
+
+    bw = _BitWriter()
+    n_blocks = comp_coeffs[0].shape[0]
+    prev_dc = [0, 0, 0]
+    for bi in range(n_blocks):
+        for ci in range(3):
+            tsel = 0 if ci == 0 else 1
+            dc_codes = _ENC_DC[tsel]
+            ac_codes = _ENC_AC[tsel]
+            zz = comp_coeffs[ci][bi]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s, bits = _magnitude(diff)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(bits, s)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(bits, s)
+                run = 0
+            if last < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in enumerate(qt):
+        zzq = q.reshape(-1)[_ZZ].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += struct.pack("BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
+    for tclass, tid, bits, vals in (
+        (0, 0, _DC_L_BITS, _DC_L_VALS),
+        (1, 0, _AC_L_BITS, _AC_L_VALS),
+        (0, 1, _DC_C_BITS, _DC_C_VALS),
+        (1, 1, _AC_C_BITS, _AC_C_VALS),
+    ):
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += struct.pack("BB", cid, tsel)
+    out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    """Fast reader over a destuffed entropy segment.
+
+    Decoding peeks 16 bits at a time against a flat 2^16 lookup table
+    — O(1) Python work per Huffman symbol instead of per bit.
+    """
+
+    def __init__(self, data: bytes):
+        # destuff 0xFF00 -> 0xFF once, up front
+        self.data = data.replace(b"\xff\x00", b"\xff") + b"\xff\xff\xff"
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        byte, off = divmod(self.bitpos, 8)
+        d = self.data
+        v = (d[byte] << 24) | (d[byte + 1] << 16) | (d[byte + 2] << 8) | d[byte + 3]
+        return (v >> (16 - off)) & 0xFFFF
+
+    def read_bits(self, n: int) -> int:
+        v = self.peek16() >> (16 - n)
+        self.bitpos += n
+        return v
+
+
+def _build_decode_table(bits, vals):
+    """Flat 16-bit-peek table: index -> (symbol << 5) | code_length."""
+    table = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            base = code << (16 - length)
+            entry = (vals[k] << 5) | length
+            for i in range(1 << (16 - length)):
+                table[base + i] = entry
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    entry = table[br.peek16()]
+    if entry == 0:
+        raise ValueError("jpeg codec: bad Huffman code")
+    br.bitpos += entry & 31
+    return entry >> 5
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg codec: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps = []  # (cid, tq)
+    scan_sel = {}  # cid -> (dc_tid, ac_tid)
+    scan_order = []
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg codec: marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            continue
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq_tq = body[bpos]
+                if pq_tq >> 4 != 0:
+                    raise ValueError("jpeg codec: 16-bit qtable unsupported")
+                tbl = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
+                q = np.zeros(64)
+                q[_ZZ] = tbl
+                qtables[pq_tq & 0xF] = q.reshape(8, 8).astype(np.float64)
+                bpos += 65
+        elif marker == 0xC0:
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            for ci in range(nc):
+                cid, samp, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
+                if samp != 0x11:
+                    raise ValueError("jpeg codec: only 4:4:4 supported")
+                comps.append((cid, tq))
+        elif marker == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc_th = body[bpos]
+                bits = list(body[bpos + 1 : bpos + 17])
+                nvals = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nvals])
+                htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(bits, vals)
+                bpos += 17 + nvals
+        elif marker == 0xDA:
+            ns = body[0]
+            for si in range(ns):
+                cid, tsel = struct.unpack_from("BB", body, 1 + 2 * si)
+                scan_sel[cid] = (tsel >> 4, tsel & 0xF)
+                scan_order.append(cid)
+            pos += seglen
+            break
+        elif marker == 0xC2 or (0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)):
+            raise ValueError("jpeg codec: only baseline SOF0 supported")
+        pos += seglen
+
+    h8 = h + ((-h) % 8)
+    w8 = w + ((-w) % 8)
+    n_blocks = (h8 // 8) * (w8 // 8)
+    coeffs = {cid: np.zeros((n_blocks, 64), dtype=np.float64) for cid, _ in comps}
+
+    br = _BitReader(data[pos:])
+    prev_dc = {cid: 0 for cid, _ in comps}
+    for bi in range(n_blocks):
+        for cid in scan_order:
+            dc_t = htables[(0, scan_sel[cid][0])]
+            ac_t = htables[(1, scan_sel[cid][1])]
+            zz = coeffs[cid][bi]
+            s = _huff_decode(br, dc_t)
+            diff = _extend(br.read_bits(s), s) if s else 0
+            prev_dc[cid] += diff
+            zz[0] = prev_dc[cid]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                zz[k] = _extend(br.read_bits(s), s)
+                k += 1
+
+    planes = []
+    for cid, tq in comps:
+        q = qtables[tq]
+        blocks = np.zeros((n_blocks, 64))
+        blocks[:, _ZZ] = coeffs[cid]
+        blocks = blocks.reshape(-1, 8, 8) * q
+        pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
+        planes.append(_unblockify(pix, h8, w8)[:h, :w])
+    return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the engine.
+
+Local mode stands in for a multi-executor cluster; every setting here
+is chosen so the same code scales to 1000 executors:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+  replaces GDAL's fixed 64 MiB warp chunking
+  (reference: alg/gdalwarpoperation.cpp:599-601) with adaptive sizing.
+- Arrow execution on: all pandas UDF traffic is Arrow-batched
+  (the reference's own columnar fast path is its Arrow bridge,
+  ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp).
+- shuffle.partitions defaults to 2x cores locally; on a real cluster
+  set it to ~2-3x total executor cores (AQE coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gdal-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
