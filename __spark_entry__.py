@@ -22,6 +22,7 @@ from gdal_spark.fixtures import georef
 from gdal_spark.fixtures.images import build_images
 from gdal_spark.fixtures.sites import build_sites
 from gdal_spark.fixtures.zones import build_zones
+from gdal_spark.operators import rasterize as rz
 from gdal_spark.operators.knn import knn_join
 from gdal_spark.operators.spatial_join import pip_join
 from gdal_spark.operators.tiling import assign_tiles
@@ -32,6 +33,8 @@ SF001 = "/root/testdata/sf0.001"
 TILE_Z = 12       # native anchor zoom for tile assignment
 COUNT_Z = 6       # coarse zoom for tile-count aggregation
 KNN_K = 5
+RAST_Z = 5            # burn grid zoom for count / ADD queries
+RAST_CHECKSUM_Z = 4   # tile-checksum burn zoom (pixel-level oracle)
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -141,6 +144,41 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rasterize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize burn-in: per-zone burned-pixel count on the
+    global WebMercator zoom-5 grid (scanline semantics from
+    alg/llrasterize.cpp:58-209)."""
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    return rz.rasterize_burn_counts(zones, RAST_Z).select(
+        F.col("fid").cast("long"), F.col("burned_px").cast("long")
+    )
+
+
+def q_rasterize_tile_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE_ALG=ADD (alg/gdalrasterize.cpp:800-817) aggregated per
+    zoom-5 tile: sum over pixels of covering-zone count."""
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    return rz.rasterize_tile_add(zones, RAST_Z).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("burn_sum").cast("long"),
+    )
+
+
+def q_rasterize_tile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute burn (-a eas_id, REPLACE in ascending-fid order) into
+    256x256 zoom-4 tiles; per-tile GDAL 16-bit checksum — the
+    reference's golden-output primitive (alg/gdalchecksum.cpp:48-175)."""
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    out = rz.rasterize_tiles(zones, RAST_CHECKSUM_Z, value_col="eas_id")
+    return out.where(F.col("burned_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("burned_px").cast("long"),
+        F.col("checksum").cast("int"),
+    )
+
+
 def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR SQL summary mode: whole-table aggregates (ogr_swq.h:67-75,
     executor ogr_gensql.cpp:846-1200)."""
@@ -245,6 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": q_quadkey,
         "pip_join": q_pip_join,
         "knn": q_knn,
+        "rasterize_count": q_rasterize_count,
+        "rasterize_tile_add": q_rasterize_tile_add,
+        "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -381,8 +422,80 @@ FROM d WHERE rnk <= {KNN_K}
 """
 
 
+def _rast_ctes(z: int) -> str:
+    """Shared CTE scaffold: zones -> pixel-space edges -> scanline
+    runs (outer and hole), at zoom z."""
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    n = 256 * (1 << z)
+    return f"""
+WITH zn AS ({zn}),
+outer_edges AS ({rz.sql_pixel_edges_cte(z, 'r')}),
+hole_edges AS ({rz.sql_pixel_edges_cte(z, 'hole_r', only_holes=True)}),
+spans AS ({rz.sql_spans_cte()}),
+scan AS ({rz.sql_scan_cte(n)}),
+oruns AS ({rz.sql_runs_cte('outer_edges')}),
+hruns AS ({rz.sql_runs_cte('hole_edges')})"""
+
+
+def _o_rasterize_count() -> str:
+    return f"""{_rast_ctes(RAST_Z)},
+oc AS (SELECT fid, sum(xe - xs) AS c FROM oruns GROUP BY fid),
+hc AS (SELECT fid, sum(xe - xs) AS c FROM hruns GROUP BY fid)
+SELECT z.fid, cast(coalesce(oc.c, 0) - coalesce(hc.c, 0) as bigint) AS burned_px
+FROM zn z LEFT JOIN oc ON oc.fid = z.fid LEFT JOIN hc ON hc.fid = z.fid
+"""
+
+
+def _o_rasterize_tile_add() -> str:
+    nt = 1 << RAST_Z
+    return f"""{_rast_ctes(RAST_Z)},
+contrib AS (
+  SELECT fid, y, xs, xe, 1 AS sgn FROM oruns
+  UNION ALL
+  SELECT fid, y, xs, xe, -1 AS sgn FROM hruns
+),
+parts AS (
+  SELECT cast(t.tx as int) AS tile_x, cast(c.y // 256 as int) AS tile_y,
+         c.sgn * (least(c.xe, (t.tx + 1) * 256) - greatest(c.xs, t.tx * 256)) AS px
+  FROM contrib c JOIN range(0, {nt}) AS t(tx)
+    ON t.tx >= c.xs // 256 AND t.tx <= (c.xe - 1) // 256
+  WHERE c.xe > c.xs
+)
+SELECT tile_x, tile_y, cast(sum(px) as bigint) AS burn_sum
+FROM parts GROUP BY 1, 2 HAVING sum(px) > 0
+"""
+
+
+def _o_rasterize_tile_checksum() -> str:
+    primes = "[7,11,13,17,19,23,29,31,37,41,43]"
+    return f"""{_rast_ctes(RAST_CHECKSUM_Z)},
+pix_outer AS (
+  SELECT r.fid, r.y, r.xs + g.i AS x
+  FROM oruns r JOIN range(0, 128) AS g(i) ON g.i < r.xe - r.xs
+),
+pix_hole AS (
+  SELECT r.fid, r.y, r.xs + g.i AS x
+  FROM hruns r JOIN range(0, 128) AS g(i) ON g.i < r.xe - r.xs
+),
+pix AS (
+  SELECT o.fid, o.y, o.x FROM pix_outer o
+  ANTI JOIN pix_hole h ON h.fid = o.fid AND h.y = o.y AND h.x = o.x
+),
+vals AS (
+  SELECT x, y, 158 + max(fid) AS val FROM pix GROUP BY x, y
+)
+SELECT cast(x // 256 as int) AS tile_x, cast(y // 256 as int) AS tile_y,
+       count(*) AS burned_px,
+       cast(sum(val % ({primes})[((y % 256) * 256 + (x % 256)) % 11 + 1]) % 65536 as int) AS checksum
+FROM vals GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "rasterize_count": _o_rasterize_count(),
+        "rasterize_tile_add": _o_rasterize_tile_add(),
+        "rasterize_tile_checksum": _o_rasterize_tile_checksum(),
         "tile_assign": _o_tile_assign(),
         "tile_counts": _o_tile_counts(),
         "quadkey": _o_quadkey(),

@@ -1,0 +1,283 @@
+"""Distributed gdal_rasterize: burn polygon layers into WebMercator
+pixel grids / tile rasters.
+
+Semantics (re-derived from the reference, not ported):
+- pixel-center scanline fill with dy = y + 0.5 and floor(x + 0.5)
+  intersection rounding           [alg/llrasterize.cpp:58-209]
+- burn value from an attribute column (the `-a` path,
+  alg/gdalrasterize.cpp:781) or a constant
+- MERGE_ALG REPLACE (last writer wins, deterministic ascending-fid
+  burn order) | ADD               [alg/gdalrasterize.cpp:800-817]
+- output grid = WebMercatorQuad at zoom z (global pixel space
+  px = (merc_x + ORIGIN)/res(z), py = (ORIGIN - merc_y)/res(z))
+
+Scale shape (100 TB story):
+- `rasterize_burn_counts` / `rasterize_tile_add` are a single narrow
+  Arrow-batched pass over the polygon table emitting runs -- no pixel
+  buffers, no shuffle except the final per-tile sum. Polygons never
+  co-reside: each task burns only its own rows.
+- `rasterize_tiles` is the compositing path: polygons explode to the
+  tiles their envelope covers (Column math, no UDF), one shuffle on
+  (tile_x, tile_y), then applyInPandas burns each 256x256 tile. Hot
+  tiles (many polygons) are the skew case -> callers can salt or rely
+  on AQE skew splitting; per-tile work is bounded by 256*256 pixels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.geo.wkb import parse_wkb
+from gdal_spark.raster.checksum import gdal_checksum
+from gdal_spark.raster.rasterize import fill_polygon_runs
+from gdal_spark.tiles import tilemath as tm
+
+TILE = tm.TILE_SIZE
+
+
+def _pixel_rings(wkb: bytes, z: int) -> list[np.ndarray]:
+    """WKB polygon (EPSG:4326 degrees) -> rings in global pixel coords
+    of the WebMercatorQuad zoom-z grid."""
+    geom = parse_wkb(wkb)
+    res = tm.resolution(z)
+    out = []
+    flat = [ring for rings in geom.all_rings() for ring in rings]
+    for ring in flat:
+        lon = ring[:, 0]
+        lat = np.clip(ring[:, 1], -tm.MAX_LAT, tm.MAX_LAT)
+        mx = tm.EARTH_RADIUS * np.radians(lon)
+        my = tm.EARTH_RADIUS * np.log(np.tan(np.pi / 4.0 + np.radians(lat) / 2.0))
+        px = (mx + tm.ORIGIN) / res
+        py = (tm.ORIGIN - my) / res
+        out.append(np.column_stack([px, py]))
+    return out
+
+
+def _clip_runs(runs, n: int):
+    for y, xa, xb in runs:
+        xa = max(xa, 0)
+        xb = min(xb, n)
+        if 0 <= y < n and xb > xa:
+            yield y, xa, xb
+
+
+def rasterize_burn_counts(zones: DataFrame, z: int) -> DataFrame:
+    """Per-polygon burned-pixel count on the global zoom-z grid.
+
+    Narrow mapInPandas (Arrow batches); no shuffle at all.
+    """
+    n = TILE * (1 << z)
+    schema = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("burned_px", T.LongType()),
+        ]
+    )
+
+    def burn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = []
+            for wkb in pdf["geometry"]:
+                rings = _pixel_rings(bytes(wkb), z)
+                runs = fill_polygon_runs(rings, n)
+                counts.append(sum(xb - xa for _, xa, xb in _clip_runs(runs, n)))
+            yield pd.DataFrame({"fid": pdf["fid"].astype("int64"), "burned_px": counts})
+
+    return zones.select("fid", "geometry").mapInPandas(burn, schema)
+
+
+def rasterize_tile_add(zones: DataFrame, z: int) -> DataFrame:
+    """MERGE_ALG=ADD with burn value 1: per-tile sum over pixels of the
+    number of polygons covering each pixel.
+
+    Emits run/tile overlaps from a narrow pass, then one groupBy(tile)
+    sum — the shuffle payload is runs (tiny), never pixels.
+    """
+    n = TILE * (1 << z)
+    schema = T.StructType(
+        [
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("px", T.LongType()),
+        ]
+    )
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            txs, tys, pxs = [], [], []
+            for wkb in pdf["geometry"]:
+                rings = _pixel_rings(bytes(wkb), z)
+                for y, xa, xb in _clip_runs(fill_polygon_runs(rings, n), n):
+                    ty = y // TILE
+                    for tx in range(xa // TILE, (xb - 1) // TILE + 1):
+                        lo = max(xa, tx * TILE)
+                        hi = min(xb, (tx + 1) * TILE)
+                        txs.append(tx)
+                        tys.append(ty)
+                        pxs.append(hi - lo)
+            yield pd.DataFrame(
+                {"tile_x": np.array(txs, dtype=np.int32),
+                 "tile_y": np.array(tys, dtype=np.int32),
+                 "px": np.array(pxs, dtype=np.int64)}
+            )
+
+    return (
+        zones.select("geometry")
+        .mapInPandas(emit, schema)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.sum("px").alias("burn_sum"))
+    )
+
+
+def covering_tiles(
+    zones: DataFrame,
+    z: int,
+    bbox: tuple[str, str, str, str] = ("zxmin", "zymin", "zxmax", "zymax"),
+) -> DataFrame:
+    """Explode each polygon to the zoom-z tiles its envelope covers
+    (pure Column math on the envelope columns; GetTileIndices rule)."""
+    xmin, ymin, xmax, ymax = bbox
+    mx_min = tm.merc_x(F.col(xmin))
+    mx_max = tm.merc_x(F.col(xmax))
+    my_min = tm.merc_y(F.greatest(F.col(ymin), F.lit(-tm.MAX_LAT)))
+    my_max = tm.merc_y(F.least(F.col(ymax), F.lit(tm.MAX_LAT)))
+    min_tx, min_ty, max_tx, max_ty = tm.tile_range_cols(mx_min, my_min, mx_max, my_max, z)
+    return (
+        zones.withColumn("_tx", F.explode(F.sequence(min_tx, max_tx)))
+        .withColumn("tile_y", F.explode(F.sequence(min_ty, max_ty)))
+        .withColumnRenamed("_tx", "tile_x")
+    )
+
+
+def rasterize_tiles(
+    zones: DataFrame,
+    z: int,
+    value_col: str = "eas_id",
+    merge_alg: str = "replace",
+    with_data: bool = False,
+) -> DataFrame:
+    """Composite attribute-burn into 256x256 tile rasters.
+
+    Burn order is ascending fid (deterministic REPLACE: last writer =
+    max fid covering the pixel). Returns per-tile burned-pixel count
+    and the GDAL 16-bit checksum of the tile raster (the reference's
+    golden-output primitive, alg/gdalchecksum.cpp:48-175).
+    """
+    fields = [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("burned_px", T.LongType()),
+        T.StructField("checksum", T.IntegerType()),
+    ]
+    if with_data:
+        fields.append(T.StructField("data", T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        buf = np.zeros((TILE, TILE), dtype=np.int64)
+        burned = np.zeros((TILE, TILE), dtype=bool)
+        off_x, off_y = tx * TILE, ty * TILE
+        for _, row in pdf.sort_values("fid").iterrows():
+            rings = _pixel_rings(bytes(row["geometry"]), z)
+            local = [r - np.array([off_x, off_y]) for r in rings]
+            val = int(row[value_col])
+            for y, xa, xb in fill_polygon_runs(local, TILE):
+                xa = max(xa, 0)
+                xb = min(xb, TILE)
+                if xb > xa:
+                    if merge_alg == "add":
+                        buf[y, xa:xb] += val
+                    else:
+                        buf[y, xa:xb] = val
+                    burned[y, xa:xb] = True
+        rec = {
+            "tile_x": tx,
+            "tile_y": ty,
+            "burned_px": int(burned.sum()),
+            "checksum": gdal_checksum(buf),
+        }
+        if with_data:
+            rec["data"] = buf.astype("<i4").tobytes()
+        return pd.DataFrame([rec])
+
+    cols = ["tile_x", "tile_y", "fid", value_col, "geometry"]
+    return (
+        covering_tiles(zones, z)
+        .select(*cols)
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(composite, schema)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders (scanline rule expressed in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+def sql_pixel_edges_cte(z: int, radius_col: str, only_holes: bool = False) -> str:
+    """Edges of the zone k-gon at `radius_col`, vertices converted from
+    degrees to global zoom-z pixel coordinates. Expects a `zn` CTE with
+    (fid, lon0, lat0, k, r, hole_r, has_hole)."""
+    res = tm.resolution(z)
+
+    def px(lon: str) -> str:
+        return f"(({tm.sql_merc_x(lon)}) + {tm.sql_double(tm.ORIGIN)}) / {tm.sql_double(res)}"
+
+    def py(lat: str) -> str:
+        return f"({tm.sql_double(tm.ORIGIN)} - ({tm.sql_merc_y(lat)})) / {tm.sql_double(res)}"
+
+    vx1 = f"(z.lon0 + z.{radius_col} * cos(2 * pi() * g.j / z.k))"
+    vy1 = f"(z.lat0 + z.{radius_col} * sin(2 * pi() * g.j / z.k))"
+    vx2 = f"(z.lon0 + z.{radius_col} * cos(2 * pi() * ((g.j + 1) % z.k) / z.k))"
+    vy2 = f"(z.lat0 + z.{radius_col} * sin(2 * pi() * ((g.j + 1) % z.k) / z.k))"
+    return f"""
+  SELECT z.fid,
+    {px(vx1)} AS x1, {py(vy1)} AS y1,
+    {px(vx2)} AS x2, {py(vy2)} AS y2
+  FROM zn z, range(0, 8) AS g(j)
+  WHERE g.j < z.k{" AND z.has_hole" if only_holes else ""}
+"""
+
+
+def sql_spans_cte() -> str:
+    """Per-zone integer scanline span from the outer-ring edges."""
+    return """
+  SELECT fid,
+    cast(floor(min(least(y1, y2))) as bigint) AS ymin,
+    cast(ceil(max(greatest(y1, y2))) as bigint) AS ymax
+  FROM outer_edges GROUP BY fid
+"""
+
+
+def sql_scan_cte(n: int) -> str:
+    """(fid, y) scanline rows: each zone's integer span, via an
+    inequality join against the global pixel-row range."""
+    return f"""
+  SELECT sp.fid, g.y
+  FROM spans sp JOIN range(0, {n}) AS g(y)
+    ON g.y >= sp.ymin AND g.y <= sp.ymax
+"""
+
+
+def sql_runs_cte(edges_cte_name: str) -> str:
+    """Per (fid, scanline y) burn run [xs, xe) from convex-ring edges:
+    dy = y + 0.5; an edge contributes iff least(y1,y2) <= dy <
+    greatest(y1,y2) (the half-open vertex rule, llrasterize.cpp:138);
+    intersection x rounded floor(x + 0.5) (:193); a y-monotone convex
+    chain pair yields exactly two intersections -> min = left edge,
+    max = right edge of the run."""
+    ix = "e.x1 + (s.y + 0.5 - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)"
+    return f"""
+  SELECT e.fid, s.y,
+    cast(floor(min({ix}) + 0.5) as bigint) AS xs,
+    cast(floor(max({ix}) + 0.5) as bigint) AS xe
+  FROM scan s JOIN {edges_cte_name} e ON e.fid = s.fid
+  WHERE (s.y + 0.5) >= least(e.y1, e.y2) AND (s.y + 0.5) < greatest(e.y1, e.y2)
+  GROUP BY e.fid, s.y
+"""
