@@ -23,6 +23,7 @@ from gdal_spark.fixtures.images import build_images
 from gdal_spark.fixtures.sites import build_sites
 from gdal_spark.fixtures.zones import build_zones
 from gdal_spark.operators import rasterize as rz
+from gdal_spark.operators import render
 from gdal_spark.operators.knn import knn_join
 from gdal_spark.operators.spatial_join import pip_join
 from gdal_spark.operators.tiling import assign_tiles
@@ -35,6 +36,7 @@ COUNT_Z = 6       # coarse zoom for tile-count aggregation
 KNN_K = 5
 RAST_Z = 5            # burn grid zoom for count / ADD queries
 RAST_CHECKSUM_Z = 4   # tile-checksum burn zoom (pixel-level oracle)
+RENDER_MOD = 499      # image-id subset modulus for render parity
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -179,6 +181,42 @@ def q_rasterize_tile_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _render_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image subset for pixel-level render parity
+    (bounded oracle cost: ~30 images at sf0.01)."""
+    return _images_geo(spark, sf_dir).where(F.col("i") % RENDER_MOD == 0)
+
+
+def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp-style nearest warp + mosaic composite into 256x256
+    zoom-12 tiles; per-band GDAL checksum (gdalwarpkernel.cpp nearest
+    rule; composite last-writer = max image id)."""
+    out = render.render_tiles(_render_subset(spark, sf_dir), TILE_Z)
+    return out.where(F.col("n_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("n_px").cast("long"),
+    )
+
+
+def q_tile_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview pyramid step: z-1 tiles from 4 children via 2x2
+    round-half-up average (overview.cpp:1667; per-level loop
+    apps/gdalalg_raster_tile.cpp:3080)."""
+    rendered = render.render_tiles(
+        _render_subset(spark, sf_dir), TILE_Z, with_data=True
+    ).where(F.col("n_px") > 0)
+    out = render.overview_tiles(rendered)
+    return out.select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("checksum").cast("int"),
+    )
+
+
 def q_ogr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR SQL summary mode: whole-table aggregates (ogr_swq.h:67-75,
     executor ogr_gensql.cpp:846-1200)."""
@@ -286,6 +324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_count": q_rasterize_count,
         "rasterize_tile_add": q_rasterize_tile_add,
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
+        "tile_render": q_tile_render,
+        "tile_overview": q_tile_overview,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -491,8 +531,83 @@ FROM vals GROUP BY 1, 2
 """
 
 
+_PRIMES_SQL = "[7,11,13,17,19,23,29,31,37,41,43]"
+
+
+def _render_win_ctes() -> str:
+    """Shared CTEs: image subset -> covering zoom-12 tiles -> per-dst-
+    pixel source index (nearest) -> last-writer composite `win`
+    (one row per covered dst pixel with base = ix + iy + max_i)."""
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0)"
+    )
+    z = TILE_Z
+    res_z = tm.sql_double(tm.resolution(z))
+    res0 = tm.sql_double(georef.RES0)
+    org = tm.sql_double(tm.ORIGIN)
+    nt = 1 << z
+    return f"""
+WITH img AS ({img}),
+cover AS (
+  SELECT m.i, m.w, m.h, m.xmin, m.ymax, tx.tx, ty.ty
+  FROM (
+    SELECT i, w, h, xmin, ymax,
+      {tm.sql_tile_x('xmin', z)} AS min_tx, {tm.sql_tile_x('xmax', z)} AS max_tx,
+      {tm.sql_tile_y('ymax', z)} AS min_ty, {tm.sql_tile_y('ymin', z)} AS max_ty
+    FROM img
+  ) m
+  JOIN range(0, {nt}) AS tx(tx) ON tx.tx BETWEEN m.min_tx AND m.max_tx
+  JOIN range(0, {nt}) AS ty(ty) ON ty.ty BETWEEN m.min_ty AND m.max_ty
+),
+pix AS (
+  SELECT c.i, c.w, c.h, c.tx, c.ty, gx.px, gy.py,
+    cast(floor(((({org} * -1) + (c.tx * 256 + gx.px + 0.5) * {res_z}) - c.xmin) / {res0}) as bigint) AS ix,
+    cast(floor((c.ymax - ({org} - (c.ty * 256 + gy.py + 0.5) * {res_z})) / {res0}) as bigint) AS iy
+  FROM cover c, range(0, 256) AS gx(px), range(0, 256) AS gy(py)
+),
+win AS (
+  SELECT tx, ty, px, py, max_by(ix + iy + i, i) AS base
+  FROM pix
+  WHERE ix >= 0 AND ix < w AND iy >= 0 AND iy < h
+  GROUP BY tx, ty, px, py
+),
+bands AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM range(0, 3) AS b(band)
+)"""
+
+
+def _o_tile_render() -> str:
+    return f"""{_render_win_ctes()}
+SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
+       cast(b.band as int) AS band,
+       cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum,
+       count(*) AS n_px
+FROM win w CROSS JOIN bands b
+GROUP BY 1, 2, 3
+"""
+
+
+def _o_tile_overview() -> str:
+    return f"""{_render_win_ctes()},
+pvals AS (
+  SELECT (w.tx * 256 + w.px) // 2 AS gx2, (w.ty * 256 + w.py) // 2 AS gy2,
+         b.band AS band,
+         cast(floor(sum((w.base + b.phase) % 256) / 4.0 + 0.5) as bigint) AS val
+  FROM win w CROSS JOIN bands b
+  GROUP BY 1, 2, 3
+)
+SELECT cast(gx2 // 256 as int) AS tile_x, cast(gy2 // 256 as int) AS tile_y,
+       cast(band as int) AS band,
+       cast(sum(val % ({_PRIMES_SQL})[(((gy2 % 256) * 256 + (gx2 % 256)) % 11) + 1]) % 65536 as int) AS checksum
+FROM pvals GROUP BY 1, 2, 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "tile_render": _o_tile_render(),
+        "tile_overview": _o_tile_overview(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),

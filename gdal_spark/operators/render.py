@@ -1,0 +1,163 @@
+"""Distributed tile rendering (gdalwarp + gdal raster tile semantics)
+and overview-pyramid construction.
+
+Pipeline shape (SURVEY.md §2.10, §3.3; apps/gdalalg_raster_tile.cpp):
+
+  images -> covering tiles (Column math)        -- no UDF, no shuffle
+         -> groupBy(tile_x, tile_y)             -- the ONE shuffle
+         -> applyInPandas warp+composite        -- 256x256 buffers
+         -> tiles table (checksum / png bytes)
+  z-1 pass: groupBy(parent tile) of 4 children -> 2x2 average
+
+Warp semantics per gdalwarpkernel.cpp (see raster/resample.py).
+Composite order: ascending image id, last writer wins (mirrors
+gdalbuildvrt default source order, apps/gdalbuildvrt_lib.cpp).
+
+Scale notes: per-tile work is bounded (<= 256*256 px x images-on-
+tile); hot tiles (many overlapping images) are the skew axis ->
+AQE skew-join splitting plus optional salting upstream. The z-1
+overview pass shuffles only rendered tile payloads (256KB/tile),
+grouped 4->1 per level, mirroring the reference's per-level barrier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.fixtures import georef
+from gdal_spark.raster.checksum import gdal_checksum
+from gdal_spark.raster import resample as rs
+from gdal_spark.tiles import tilemath as tm
+
+TILE = tm.TILE_SIZE
+BANDS = 3
+
+
+def covering_tiles(images: DataFrame, z: int) -> DataFrame:
+    """Tiles whose extent the image footprint covers, via the
+    GetTileIndices rule on the EPSG:3857 bbox columns."""
+    min_tx, min_ty, max_tx, max_ty = tm.tile_range_cols(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"), z
+    )
+    return (
+        images.withColumn("_tx", F.explode(F.sequence(min_tx, max_tx)))
+        .withColumn("tile_y", F.explode(F.sequence(min_ty, max_ty)))
+        .withColumnRenamed("_tx", "tile_x")
+    )
+
+
+def render_tiles(
+    images: DataFrame,
+    z: int,
+    resampling: str = "near",
+    with_data: bool = False,
+    src_res: float | None = None,
+) -> DataFrame:
+    """Warp-composite images into 256x256x3 tile rasters at zoom z.
+
+    `images` needs columns (i, xmin, ymax, w, h) — i is the synthetic
+    content seed; pixels come from the deterministic formula
+    value(x,y,c) = (x+y+i+phase_c) % 256 (georef.np_image_pixels).
+    Returns one row per (tile, band) with the GDAL 16-bit checksum
+    and the count of source-covered pixels.
+    """
+    res0 = src_res if src_res is not None else georef.RES0
+    res_z = tm.resolution(z)
+    fields = [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+    if with_data:
+        fields.append(T.StructField("data", T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        buf = np.zeros((TILE, TILE, BANDS), dtype=np.uint8)
+        covered = np.zeros((TILE, TILE), dtype=bool)
+        for _, row in pdf.sort_values("i").iterrows():
+            i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
+            src = georef.np_image_pixels(i, w, h)
+            dfx, dfy = rs.inverse_grid(
+                tx, ty, z, float(row["xmin"]), float(row["ymax"]),
+                res0, tm.ORIGIN, res_z,
+            )
+            if resampling == "bilinear":
+                vals, mask = rs.sample_bilinear(src, dfx, dfy)
+                vals = rs.round_to_byte(vals)
+            else:
+                vals, mask = rs.sample_nearest(src, dfx, dfy)
+            buf[mask] = vals[mask]
+            covered |= mask
+        n_px = int(covered.sum())
+        recs = []
+        for b in range(BANDS):
+            rec = {
+                "tile_x": tx, "tile_y": ty, "band": b,
+                "checksum": gdal_checksum(buf[:, :, b]), "n_px": n_px,
+            }
+            if with_data:
+                rec["data"] = buf[:, :, b].tobytes()
+            recs.append(rec)
+        return pd.DataFrame(recs)
+
+    return (
+        covering_tiles(images, z)
+        .select("tile_x", "tile_y", "i", "w", "h", "xmin", "ymax")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(composite, schema)
+    )
+
+
+def overview_tiles(tiles: DataFrame, with_data: bool = False) -> DataFrame:
+    """One overview level: z-1 tiles from their (up to) 4 children by
+    2x2 round-half-up average (overview.cpp:1667 semantics; missing
+    children contribute zeros, mirroring the reference's
+    MosaicDataset over already-written tiles,
+    apps/gdalalg_raster_tile.cpp:930-1023).
+
+    Input needs (tile_x, tile_y, band, data). Iterating this operator
+    z_max -> z_min is the reference's per-level loop (:3080).
+    """
+    fields = [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+    ]
+    if with_data:
+        fields.append(T.StructField("data", T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ptx, pty, band = int(key[0]), int(key[1]), int(key[2])
+        mosaic = np.zeros((2 * TILE, 2 * TILE), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            cx, cy = int(row["tile_x"]), int(row["tile_y"])
+            arr = np.frombuffer(row["data"], dtype=np.uint8).reshape(TILE, TILE)
+            mosaic[
+                (cy - 2 * pty) * TILE : (cy - 2 * pty + 1) * TILE,
+                (cx - 2 * ptx) * TILE : (cx - 2 * ptx + 1) * TILE,
+            ] = arr
+        parent = rs.average_2x2(mosaic)
+        rec = {
+            "tile_x": ptx, "tile_y": pty, "band": band,
+            "checksum": gdal_checksum(parent),
+        }
+        if with_data:
+            rec["data"] = parent.tobytes()
+        return pd.DataFrame([rec])
+
+    return (
+        tiles.withColumn("ptx", (F.col("tile_x") / 2).cast("int"))
+        .withColumn("pty", (F.col("tile_y") / 2).cast("int"))
+        .groupBy("ptx", "pty", "band")
+        .applyInPandas(build, schema)
+    )

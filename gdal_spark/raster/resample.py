@@ -1,0 +1,95 @@
+"""Warp resampling kernels (numpy), re-derived from the reference:
+
+- coordinate convention: dst pixel CENTER (ix + 0.5) is inverse-
+  transformed to continuous source pixel space where integer values
+  lie on pixel EDGES (alg/gdalwarpkernel.cpp:4951, 5008-5021)
+- nearest: src index = floor(dfSrc); valid iff 0 <= dfSrc <= size
+  (with the 1e-10 guard)            [gdalwarpkernel.cpp:4985-5025]
+- bilinear 4-sample: iSrc = (int)(dfSrc - 0.5),
+  ratio = 1.5 - (dfSrc - iSrc); out-of-bounds neighbors get weight 0
+  and the total renormalizes        [gdalwarpkernel.cpp:2989-3060]
+- byte output rounding: (int)(v + 0.5), clamped
+- 2x overview "average" for integer types:
+  (T)(sum/weight + 0.5) i.e. round-half-up of the 2x2 mean
+                                    [gcore/overview.cpp:1667]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def inverse_grid(
+    tile_x: int, tile_y: int, z: int, ulx: float, uly: float, res_src: float,
+    origin: float, res_z: float, tile_size: int = 256,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Continuous source pixel coords (dfSrcX, dfSrcY) of every dst
+    pixel center in tile (tile_x, tile_y) at zoom z, for a source
+    image with top-left world corner (ulx, uly) at res_src m/px."""
+    px = np.arange(tile_size, dtype=np.float64)
+    wx = -origin + (tile_x * tile_size + px + 0.5) * res_z
+    wy = origin - (tile_y * tile_size + px + 0.5) * res_z
+    dfx = (wx[None, :] - ulx) / res_src
+    dfy = (uly - wy[:, None]) / res_src
+    return np.broadcast_to(dfx, (tile_size, tile_size)), np.broadcast_to(
+        dfy, (tile_size, tile_size)
+    )
+
+
+def sample_nearest(
+    src: np.ndarray, dfx: np.ndarray, dfy: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(values, mask): nearest-neighbour sample of src (h, w[, c]) at
+    continuous coords; mask False where the coord is off-image."""
+    h, w = src.shape[:2]
+    ix = np.floor(dfx).astype(np.int64)
+    iy = np.floor(dfy).astype(np.int64)
+    mask = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ixc = np.clip(ix, 0, w - 1)
+    iyc = np.clip(iy, 0, h - 1)
+    return src[iyc, ixc], mask
+
+
+def sample_bilinear(
+    src: np.ndarray, dfx: np.ndarray, dfy: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bilinear 4-sample with edge renormalization; byte rounding is
+    the caller's job (use round_to_byte)."""
+    h, w = src.shape[:2]
+    fx = dfx - 0.5
+    fy = dfy - 0.5
+    ix = np.floor(fx).astype(np.int64)
+    iy = np.floor(fy).astype(np.int64)
+    rx = 1.0 - (fx - ix)  # weight of the left column
+    ry = 1.0 - (fy - iy)
+    vals = np.zeros(dfx.shape + src.shape[2:], dtype=np.float64)
+    wsum = np.zeros(dfx.shape, dtype=np.float64)
+    for dy_, wy_ in ((0, ry), (1, 1.0 - ry)):
+        for dx_, wx_ in ((0, rx), (1, 1.0 - rx)):
+            sx = ix + dx_
+            sy = iy + dy_
+            ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+            wgt = np.where(ok, wx_ * wy_, 0.0)
+            sxc = np.clip(sx, 0, w - 1)
+            syc = np.clip(sy, 0, h - 1)
+            pix = src[syc, sxc].astype(np.float64)
+            vals += pix * (wgt[..., None] if pix.ndim > wgt.ndim else wgt)
+            wsum += wgt
+    mask = wsum > 0
+    safe = np.where(wsum > 0, wsum, 1.0)
+    vals = vals / (safe[..., None] if vals.ndim > safe.ndim else safe)
+    return vals, mask
+
+
+def round_to_byte(vals: np.ndarray) -> np.ndarray:
+    """GDAL float->Byte: (int)(v + 0.5) clamped to [0, 255]."""
+    return np.clip(np.floor(vals + 0.5), 0, 255).astype(np.uint8)
+
+
+def average_2x2(block: np.ndarray) -> np.ndarray:
+    """Integer-type 2x downsample: round-half-up mean of each 2x2
+    window (overview.cpp:1667 Byte/UInt16 path)."""
+    h, w = block.shape[:2]
+    b = block.astype(np.float64)
+    s = b[0::2, 0::2] + b[0::2, 1::2] + b[1::2, 0::2] + b[1::2, 1::2]
+    return np.floor(s / 4.0 + 0.5).astype(block.dtype)

@@ -1,0 +1,98 @@
+"""Warp/resample kernel + tile render tests (gdalwarpkernel.cpp,
+overview.cpp semantics)."""
+
+import numpy as np
+
+from gdal_spark.fixtures import georef
+from gdal_spark.raster import resample as rs
+from gdal_spark.raster.checksum import gdal_checksum
+from gdal_spark.tiles import tilemath as tm
+
+
+def test_nearest_identity():
+    # same-resolution aligned grid: dst pixel k center -> src coord
+    # k + 0.5 -> floor = k (identity copy)
+    src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    dfx, dfy = np.meshgrid(np.arange(8) + 0.5, np.arange(8) + 0.5)
+    vals, mask = rs.sample_nearest(src, dfx, dfy)
+    assert mask.all()
+    assert (vals == src).all()
+
+
+def test_nearest_out_of_bounds_masked():
+    src = np.ones((4, 4), dtype=np.uint8)
+    dfx = np.array([[-0.2, 1.0, 4.2]])
+    dfy = np.array([[1.0, -0.5, 1.0]])
+    _, mask = rs.sample_nearest(src, dfx, dfy)
+    assert mask.tolist() == [[False, False, False]]
+
+
+def test_bilinear_center_exact():
+    # at a source pixel center (i+0.5) bilinear returns that pixel
+    src = np.arange(16, dtype=np.float64).reshape(4, 4)
+    dfx = np.array([[2.5]])
+    dfy = np.array([[1.5]])
+    vals, mask = rs.sample_bilinear(src, dfx, dfy)
+    assert mask.all()
+    assert vals[0, 0] == src[1, 2]
+
+
+def test_bilinear_midpoint_average():
+    src = np.array([[0.0, 10.0], [20.0, 30.0]])
+    vals, _ = rs.sample_bilinear(src, np.array([[1.0]]), np.array([[1.0]]))
+    assert vals[0, 0] == 15.0
+
+
+def test_bilinear_edge_renormalizes():
+    src = np.array([[4.0, 8.0]])
+    # dfy = 0.2 -> row -1 missing, weight renormalizes to row 0 only
+    vals, mask = rs.sample_bilinear(src, np.array([[1.0]]), np.array([[0.2]]))
+    assert mask.all()
+    assert abs(vals[0, 0] - 6.0) < 1e-12
+
+
+def test_average_2x2_round_half_up():
+    block = np.array(
+        [[0, 1, 2, 2], [0, 0, 2, 3], [255, 255, 0, 0], [255, 254, 0, 1]],
+        dtype=np.uint8,
+    )
+    out = rs.average_2x2(block)
+    # means: 0.25 -> 0 (floor(0.75)); 2.25 -> 2; 254.75 -> 255; 0.25 -> 0
+    assert out.tolist() == [[0, 2], [255, 0]]
+
+
+def test_round_to_byte_matches_gdal_cast():
+    v = np.array([-3.0, -0.4, 0.49, 0.5, 254.5, 255.7])
+    assert rs.round_to_byte(v).tolist() == [0, 0, 0, 1, 255, 255]
+
+
+def test_render_tile_against_bruteforce(spark):
+    """Distributed render == per-pixel brute force for one image."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.operators.render import render_tiles
+
+    images = build_images(spark, n=3, with_payload=False)
+    out = render_tiles(images, 12, with_data=True).where(F.col("n_px") > 0)
+    rows = out.collect()
+    assert rows
+    geo = {r["i"]: r.asDict() for r in images.collect()}
+    res0 = georef.RES0
+    res_z = tm.resolution(12)
+    # verify every returned tile against a direct numpy warp
+    by_tile: dict = {}
+    for r in rows:
+        by_tile.setdefault((r["tile_x"], r["tile_y"], r["band"]), r)
+    for (tx, ty, band), r in by_tile.items():
+        buf = np.zeros((256, 256), dtype=np.uint8)
+        for i, g in sorted(geo.items()):
+            src = georef.np_image_pixels(i, g["w"], g["h"])[:, :, band]
+            dfx, dfy = rs.inverse_grid(
+                tx, ty, 12, g["xmin"], g["ymax"], res0, tm.ORIGIN, res_z
+            )
+            vals, mask = rs.sample_nearest(src, dfx, dfy)
+            buf[mask] = vals[mask]
+        assert gdal_checksum(buf) == r["checksum"]
+        got = np.frombuffer(r["data"], dtype=np.uint8).reshape(256, 256)
+        assert (got == buf).all()
