@@ -24,6 +24,9 @@ from gdal_spark.fixtures.sites import build_sites
 from gdal_spark.fixtures.zones import build_zones
 from gdal_spark.operators import rasterize as rz
 from gdal_spark.operators import render
+from gdal_spark.operators import similarity as sim
+from gdal_spark.text import analysis as txt_analysis
+from gdal_spark.text import dedup as txt_dedup
 from gdal_spark.operators.knn import knn_join
 from gdal_spark.operators.spatial_join import pip_join
 from gdal_spark.operators.tiling import assign_tiles
@@ -314,6 +317,73 @@ def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops: documents (text) + embeddings (vectors)
+# ---------------------------------------------------------------------------
+
+ANN_K = 10
+ANN_QUERY_MOD = 16  # vec_id % 16 == 0 -> query subset
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, quality scoring, order-sensitive document
+    fingerprint — Column math only (whole-stage codegen)."""
+    return txt_analysis.token_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language scorer (argmax + alphabetical
+    tiebreak)."""
+    return txt_analysis.lang_id(_read(spark, sf_dir, "documents"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content digest + per-digest copy counts."""
+    return txt_dedup.exact_dups(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(8x2) candidates verified by exact token-set
+    Jaccard >= 0.5; oracle replicates the full pipeline in SQL."""
+    return txt_dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash values per document."""
+    return txt_dedup.simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs at hamming distance <= 2 via 3-band equi-join
+    (pigeonhole-exact recall) vs brute-force SQL oracle."""
+    return txt_dedup.simhash_pairs(_read(spark, sf_dir, "documents"))
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (broadcast queries, JVM dot products,
+    window re-rank)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _ann_queries(spark, sf_dir), ANN_K)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (equi-join candidates)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, _ann_queries(spark, sf_dir), ANN_K, bucketed=True)
+
+
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise centroid of the embedding vectors."""
+    return sim.label_centroids(_read(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -326,6 +396,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "tile_render": q_tile_render,
         "tile_overview": q_tile_overview,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "exact_dedup": q_exact_dedup,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embed_centroid": q_embed_centroid,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -608,6 +687,19 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
         "tile_overview": _o_tile_overview(),
+        "text_stats": txt_analysis.sql_token_stats(),
+        "lang_id": txt_analysis.sql_lang_id(),
+        "exact_dedup": txt_dedup.sql_exact_dups(),
+        "minhash_pairs": txt_dedup.sql_minhash_lsh_pairs(),
+        "simhash": txt_dedup.sql_simhash(),
+        "simhash_pairs": txt_dedup.sql_simhash_pairs(),
+        "ann_topk": sim.sql_cosine_topk(
+            f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K
+        ),
+        "ann_lsh": sim.sql_cosine_topk(
+            f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True
+        ),
+        "embed_centroid": sim.sql_label_centroids(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),

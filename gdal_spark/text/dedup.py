@@ -1,0 +1,236 @@
+"""Deduplication operators: exact (content hash), MinHash+LSH
+near-dup, SimHash near-dup.
+
+Shapes for 10^12-row scale:
+- exact: md5 groupBy — one shuffle on the digest, metadata-light.
+- MinHash+LSH: signatures are per-row Column math (no shuffle);
+  candidates come from an equi-join on (band, bucket) — never a
+  cross join; verification joins token sets only for candidates.
+- SimHash: banded equi-join with a pigeonhole guarantee: splitting
+  16 bits into 3 bands means any pair at hamming distance <= 2
+  shares at least one intact band -> banded recall is exactly 100%
+  and the oracle (brute-force in SQL) must match row-for-row.
+
+Everything is expressible in DuckDB SQL (hashing.py constants are
+inlined), so every operator is value-verified, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.text import hashing as H
+
+# 16-bit simhash split into 3 bands (6+5+5): hamming<=2 pigeonhole
+SIMHASH_BANDS = ((0, 63), (6, 31), (11, 31))
+
+
+def with_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """tokens, per-token hashes (ordered), distinct-token hashes."""
+    return (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("hs", F.expr(H.spark_token_hashes("toks")))
+        .withColumn("dtoks", F.array_distinct("toks"))
+        .withColumn("dhs", F.expr(H.spark_token_hashes("dtoks")))
+    )
+
+
+def exact_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content-hash dedup: md5 digest + copy count per digest."""
+    d = df.withColumn("text_md5", F.md5(F.col(text_col)))
+    counts = d.groupBy("text_md5").agg(F.count(F.lit(1)).alias("n_copies"))
+    return d.join(counts, "text_md5").select("doc_id", "text_md5", "n_copies")
+
+
+def minhash_signature(df: DataFrame) -> DataFrame:
+    """N_PERM minhash columns mh0..mh15 over the distinct-token set."""
+    out = with_hashes(df)
+    for j in range(H.N_PERM):
+        out = out.withColumn(f"mh{j}", F.expr(H.spark_minhash("dhs", j)))
+    return out
+
+
+def lsh_band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket): bucket packs the band's 2 minhashes."""
+    parts = []
+    for b in range(H.BANDS):
+        j0, j1 = 2 * b, 2 * b + 1
+        parts.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                (F.col(f"mh{j0}") * F.lit(H.MOD) + F.col(f"mh{j1}")).alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
+    """Near-dup pairs: LSH candidates (shared band bucket) verified by
+    exact token-set Jaccard >= 0.5 (integer test 2*|A∩B| >= |A∪B|).
+    Returns (doc_a, doc_b, j_milli)."""
+    sig = minhash_signature(df)
+    buckets = lsh_band_buckets(sig)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = sig.select("doc_id", "dtoks")
+    pairs = (
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("dtoks", "ta"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("dtoks", "tb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .withColumn("uni", (F.size("ta") + F.size("tb")).cast("long") - F.col("inter"))
+        .where(F.lit(2) * F.col("inter") >= F.col("uni"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.lit(1000.0) * F.col("inter") / F.col("uni")).cast("long").alias("j_milli"),
+    )
+
+
+def simhash(df: DataFrame) -> DataFrame:
+    """16-bit SimHash over per-token hashes (with multiplicity):
+    bit k set iff sum over tokens of (2*bit_k(h) - 1) >= 0."""
+    out = with_hashes(df)
+    terms = []
+    for k in range(H.SIMHASH_BITS):
+        s = f"aggregate(hs, cast(0 as bigint), (acc, x) -> acc + (2 * ((x >> {k}) & 1) - 1))"
+        terms.append(f"IF({s} >= 0, cast({1 << k} as bigint), cast(0 as bigint))")
+    return out.select(
+        "doc_id", F.expr(" + ".join(terms)).alias("simhash")
+    )
+
+
+def simhash_pairs(df: DataFrame, max_dist: int = 2) -> DataFrame:
+    """All pairs at simhash hamming distance <= max_dist via the
+    3-band equi-join (exact recall for max_dist <= 2 by pigeonhole)."""
+    sh = simhash(df)
+    parts = []
+    for bi, (shift, mask) in enumerate(SIMHASH_BANDS):
+        parts.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.lit(bi).alias("band"),
+                F.expr(f"(simhash >> {shift}) & {mask}").alias("bucket"),
+            )
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hdist"),
+        )
+        .where(F.col("hdist") <= max_dist)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+def _duck_sig_cte(src: str) -> str:
+    mh_cols = ", ".join(
+        f"{H.duck_minhash('dhs', j)} AS mh{j}" for j in range(H.N_PERM)
+    )
+    return f"""
+t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM {src}
+),
+hh AS (
+  SELECT doc_id, dtoks, {H.duck_token_hashes('dtoks')} AS dhs FROM t
+),
+sig AS (
+  SELECT doc_id, dtoks, {mh_cols} FROM hh
+)"""
+
+
+def sql_exact_dups(src: str = "documents") -> str:
+    return f"""
+WITH d AS (SELECT doc_id, md5(text) AS text_md5 FROM {src})
+SELECT d.doc_id, d.text_md5, c.n_copies
+FROM d JOIN (
+  SELECT text_md5, count(*) AS n_copies FROM d GROUP BY text_md5
+) c USING (text_md5)
+"""
+
+
+def sql_minhash_lsh_pairs(src: str = "documents") -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2*b} * {H.MOD} + mh{2*b+1} AS bucket FROM sig"
+        for b in range(H.BANDS)
+    )
+    return f"""
+WITH {_duck_sig_cte(src)},
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+    cast(len(list_intersect(sa.dtoks, sb.dtoks)) as bigint) AS inter,
+    cast(len(sa.dtoks) + len(sb.dtoks) as bigint)
+      - cast(len(list_intersect(sa.dtoks, sb.dtoks)) as bigint) AS uni
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       cast(floor(1000.0 * inter / uni) as bigint) AS j_milli
+FROM j WHERE 2 * inter >= uni
+"""
+
+
+def _duck_simhash_cte(src: str) -> str:
+    terms = []
+    for k in range(H.SIMHASH_BITS):
+        s = f"list_sum(list_transform(hs, x -> 2 * ((x >> {k}) & 1) - 1))"
+        terms.append(f"CASE WHEN cast({s} as bigint) >= 0 THEN cast({1 << k} as bigint) ELSE cast(0 as bigint) END")
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+hh AS (SELECT doc_id, {H.duck_token_hashes('toks')} AS hs FROM t),
+sh AS (SELECT doc_id, {' + '.join(terms)} AS simhash FROM hh)"""
+
+
+def sql_simhash(src: str = "documents") -> str:
+    return f"WITH {_duck_simhash_cte(src)} SELECT doc_id, simhash FROM sh"
+
+
+def sql_simhash_pairs(src: str = "documents", max_dist: int = 2) -> str:
+    return f"""
+WITH {_duck_simhash_cte(src)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hdist
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
+"""

@@ -1,0 +1,76 @@
+"""Deterministic text hashing shared by dedup/fingerprint operators.
+
+The polynomial character hash (h = fold(chars, acc*31 + ascii) mod
+2^31-1) is chosen over murmur/xxhash because it is expressible in
+BOTH Spark SQL and DuckDB list algebra — every dedup operator gets an
+independent SQL oracle. Widths are bounded so all intermediates fit
+int64: acc < 2^31, acc*31 + 255 < 2^36; minhash a*h + b < 2^62.
+"""
+
+from __future__ import annotations
+
+MOD = 2147483647  # 2^31 - 1
+
+N_PERM = 16          # minhash permutations
+BANDS = 8            # LSH bands (2 rows each)
+ROWS_PER_BAND = N_PERM // BANDS
+
+SIMHASH_BITS = 16
+
+
+def perm_constants() -> list[tuple[int, int]]:
+    """(a, b) pairs for the minhash permutations h' = (a*h + b) mod M;
+    a odd, deterministic (documented so oracles can inline them)."""
+    out = []
+    for j in range(N_PERM):
+        a = 2 * ((j * 2654435761 + 101) % (MOD // 2)) + 1
+        b = (j * 40503 + 7919) % MOD
+        out.append((a, b))
+    return out
+
+
+# --- expression text builders (Spark SQL dialect) ---------------------------
+
+def spark_token_hashes(toks: str) -> str:
+    """Array of per-token polynomial hashes from an array<string>."""
+    return (
+        f"transform({toks}, t -> aggregate("
+        f"transform(split(t, ''), c -> cast(ascii(c) as bigint)), "
+        f"cast(0 as bigint), (acc, x) -> (acc * 31 + x) % {MOD}))"
+    )
+
+
+def spark_minhash(hashes: str, j: int) -> str:
+    a, b = perm_constants()[j]
+    return f"array_min(transform({hashes}, h -> ({a} * h + {b}) % {MOD}))"
+
+
+def spark_fingerprint(hashes: str) -> str:
+    """Order-sensitive document fingerprint: fold of token hashes."""
+    return (
+        f"aggregate({hashes}, cast(0 as bigint), "
+        f"(acc, x) -> (acc * 1000003 + x) % {MOD})"
+    )
+
+
+# --- DuckDB twins -----------------------------------------------------------
+
+def duck_token_hashes(toks: str) -> str:
+    return (
+        f"list_transform({toks}, t -> list_reduce("
+        f"list_prepend(cast(0 as bigint), "
+        f"list_transform(string_split(t, ''), c -> cast(ascii(c) as bigint))), "
+        f"(acc, x) -> (acc * 31 + x) % {MOD}))"
+    )
+
+
+def duck_minhash(hashes: str, j: int) -> str:
+    a, b = perm_constants()[j]
+    return f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {MOD}))"
+
+
+def duck_fingerprint(hashes: str) -> str:
+    return (
+        f"list_reduce(list_prepend(cast(0 as bigint), {hashes}), "
+        f"(acc, x) -> (acc * 1000003 + x) % {MOD})"
+    )

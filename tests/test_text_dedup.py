@@ -1,0 +1,115 @@
+"""Text analysis / dedup / similarity operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.text import analysis, dedup, hashing
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the fast big table"),
+        (1, "the fast big table"),            # exact dup of 0
+        (2, "the fast big table scan"),       # near dup of 0/1
+        (3, "window merge batch join query"),
+        (4, "stream data filter row sort"),
+        (5, "a a a a a a"),                   # low quality (repetition)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_stats(docs):
+    got = {r["doc_id"]: r.asDict() for r in analysis.token_stats(docs).collect()}
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["n_distinct"] == 4
+    assert got[5]["n_tokens"] == 6
+    assert got[5]["n_distinct"] == 1
+    # identical text -> identical fingerprint; different -> different
+    assert got[0]["fingerprint"] == got[1]["fingerprint"]
+    assert got[0]["fingerprint"] != got[2]["fingerprint"]
+    # repetitive doc scores below a diverse doc
+    assert got[5]["quality_milli"] < got[4]["quality_milli"]
+
+
+def test_lang_id_profiles(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in analysis.lang_id(docs).collect()}
+    assert got[0] == "en"   # the/fast/big are en markers
+    assert got[3] == "zh"   # window/merge/batch/join
+    assert got[4] == "es"   # data/stream/filter/row
+
+
+def test_exact_dups(docs):
+    got = {r["doc_id"]: r["n_copies"] for r in dedup.exact_dups(docs).collect()}
+    assert got[0] == 2 and got[1] == 2
+    assert got[2] == 1
+
+
+def test_minhash_pairs_finds_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["j_milli"]
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1000  # identical
+    assert (0, 2) in pairs and pairs[(0, 2)] == 800   # 4/5 jaccard
+    assert (3, 4) not in pairs
+
+
+def test_simhash_identical_and_distance(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < (1 << hashing.SIMHASH_BITS)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hdist"]
+        for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_simhash_banding_is_exact(spark):
+    """Banded join must equal brute force for hamming <= 2
+    (pigeonhole over 3 bands)."""
+    import itertools
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{(i*7)%19} tok{(i*3)%11} tok{(i*5)%13}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sh), 2)
+        if bin(sh[a] ^ sh[b]).count("1") <= 2
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(docs).collect()
+    }
+    assert banded == brute
+
+
+def test_ann_brute_force_and_lsh(spark):
+    import numpy as np
+
+    from gdal_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(80, 16)).astype("float32")
+    vecs[1] = vecs[0] + rng.normal(scale=1e-3, size=16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    top = sim.cosine_topk(emb, q, 5).collect()
+    assert top[0]["vec_id"] == 1  # the planted near-duplicate wins
+    assert top[0]["rank"] == 1
+    # brute-force check of the full ranking
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    order = [i for i in np.argsort(-sims) if i != 0][:5]
+    assert [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])] == order
+    # LSH path returns a subset of the same ranking within the bucket
+    lsh = sim.cosine_topk(emb, q, 5, bucketed=True).collect()
+    assert all(r["query_id"] == 0 for r in lsh)
+    assert lsh and lsh[0]["vec_id"] == 1
