@@ -24,6 +24,7 @@ from gdal_spark.fixtures.sites import build_sites
 from gdal_spark.fixtures.zones import build_zones
 from gdal_spark.operators import rasterize as rz
 from gdal_spark.operators import render
+from gdal_spark import multimodal
 from gdal_spark.operators import similarity as sim
 from gdal_spark.text import analysis as txt_analysis
 from gdal_spark.text import dedup as txt_dedup
@@ -384,6 +385,28 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.label_centroids(_read(spark, sf_dir, "embeddings"))
 
 
+IMG_STATS_MOD = 997  # image subset for the decode-stats oracle
+
+
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path: encode->parquet-free roundtrip through the
+    engine's pure-numpy PNG/TIFF codecs, then per-band stats +
+    checksum (ComputeStatistics analog, gcore/gdalrasterband.cpp:6478).
+    Lossless subset only (JPEG parity is PSNR-gated in tests)."""
+    ids = _image_ids(spark, sf_dir).where(
+        (F.col("i") % IMG_STATS_MOD == 0) & (F.col("i") % 3 != 1)
+    )
+    images = build_images(spark, ids_df=ids, with_payload=True)
+    return multimodal.image_stats(images).select(
+        "image_id",
+        F.col("band").cast("int"),
+        F.col("mean_e2").cast("long"),
+        F.col("vmin").cast("int"),
+        F.col("vmax").cast("int"),
+        F.col("checksum").cast("int"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
@@ -405,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "embed_centroid": q_embed_centroid,
+        "image_stats": q_image_stats,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -683,6 +707,35 @@ FROM pvals GROUP BY 1, 2, 3
 """
 
 
+def _o_image_stats() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {IMG_STATS_MOD} = 0"
+        " AND o_orderkey % 3 <> 1)",
+    )
+    return f"""
+WITH img AS ({img}),
+bands AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM range(0, 3) AS b(band)
+),
+px AS (
+  SELECT i.image_id, b.band,
+    (gx.x + gy.y + i.i + b.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands b
+)
+SELECT image_id, cast(band as int) AS band,
+  cast((100 * sum(val)) // count(*) as bigint) AS mean_e2,
+  cast(min(val) as int) AS vmin, cast(max(val) as int) AS vmax,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int) AS checksum
+FROM px GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
@@ -700,6 +753,7 @@ def oracle_sql() -> dict[str, str]:
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True
         ),
         "embed_centroid": sim.sql_label_centroids(),
+        "image_stats": _o_image_stats(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),

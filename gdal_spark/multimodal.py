@@ -1,0 +1,208 @@
+"""Multimodal column handling: opaque binary payloads + typed
+metadata, decoded and feature-extracted inside Arrow-batched UDFs.
+
+Images are REAL end-to-end here (the engine ships pure-numpy
+PNG/TIFF/JPEG codecs — raster/codecs.py, the Spark analog of GDAL's
+driver registry gcore/gdaldataset.cpp:3609-3862). Audio/video decode
+needs codec libraries this container does not ship, so those decode
+steps are deterministic STUBS behind the same plumbing (schema,
+batching, partition shape are real and tested; swap `_decode_*_stub`
+for a real decoder in production).
+
+Batch shape: mapInPandas with bounded Arrow batches; one decoded
+image lives at a time per worker loop iteration — peak memory is
+O(batch_rows x metadata) + O(one decoded image), never O(batch
+pixels). At 10^12 rows this is a narrow pass, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.raster.checksum import gdal_checksum
+from gdal_spark.raster.codecs import decode_image
+from gdal_spark.raster.resample import sample_nearest
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("mean_e2", T.LongType()),
+        T.StructField("vmin", T.IntegerType()),
+        T.StructField("vmax", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+    ]
+)
+
+
+def image_stats(images: DataFrame) -> DataFrame:
+    """Decode payload bytes (fmt-dispatched) and emit per-band stats +
+    GDAL checksum. mean_e2 = floor(mean * 100) so a SQL oracle can
+    reproduce it exactly from the synthetic pixel formula.
+
+    Mirrors GDALRasterBand::ComputeStatistics
+    (gcore/gdalrasterband.cpp:6478) as a per-image vectorized op.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"])
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                for b in range(arr.shape[2]):
+                    band = arr[:, :, b]
+                    s = int(band.sum(dtype=np.int64))
+                    n = band.size
+                    recs.append(
+                        {
+                            "image_id": row["image_id"],
+                            "band": b,
+                            "mean_e2": (100 * s) // n,
+                            "vmin": int(band.min()),
+                            "vmax": int(band.max()),
+                            "checksum": gdal_checksum(band),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in IMAGE_STATS_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        stats, IMAGE_STATS_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour thumbnail (gdal_translate -outsize
+    semantics: dst pixel center maps to src at the size ratio,
+    gcore/rasterio.cpp decimated-read path)."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"])
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                h, w = arr.shape[:2]
+                dfx = (np.arange(out_w) + 0.5)[None, :] * (w / out_w)
+                dfy = (np.arange(out_h) + 0.5)[:, None] * (h / out_h)
+                dfx = np.broadcast_to(dfx, (out_h, out_w))
+                dfy = np.broadcast_to(dfy, (out_h, out_w))
+                vals, _ = sample_nearest(arr, dfx, dfy)
+                for b in range(vals.shape[2]):
+                    recs.append(
+                        {
+                            "image_id": row["image_id"],
+                            "out_w": out_w,
+                            "out_h": out_h,
+                            "band": b,
+                            "checksum": gdal_checksum(vals[:, :, b]),
+                            "data": vals[:, :, b].tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        resize, RESIZE_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# audio / video: real plumbing, stubbed decode
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms_e6", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _decode_audio_stub(data: bytes) -> np.ndarray:
+    """STUB: no audio codec in this container. Deterministic fake:
+    interpret payload bytes as int8 PCM. Replace with soundfile/ffmpeg
+    in production — the surrounding plumbing is unchanged."""
+    return np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+
+
+def audio_features(clips: DataFrame, id_col: str = "clip_id", payload_col: str = "bytes") -> DataFrame:
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                pcm = _decode_audio_stub(bytes(row[payload_col]))
+                sgn = np.signbit(pcm)
+                recs.append(
+                    {
+                        "clip_id": row[id_col],
+                        "n_samples": len(pcm),
+                        "rms_e6": int(np.floor(1e6 * np.sqrt(np.mean(pcm**2)))) if len(pcm) else 0,
+                        "zero_crossings": int((sgn[1:] != sgn[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in AUDIO_FEATURES_SCHEMA])
+
+    return clips.select(
+        F.col(id_col).alias("clip_id"), F.col(payload_col)
+    ).mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(videos: DataFrame, every_n: int = 10,
+                        id_col: str = "video_id", payload_col: str = "bytes") -> DataFrame:
+    """STUB decode: treats the payload as a concatenation of fixed
+    64-byte 'frames' and emits every n-th — the real operator swaps in
+    an ffmpeg GOP-aware reader; partitioning/explode shape is what
+    matters here (1 input row -> many frame rows, still a narrow op).
+    """
+    frame_size = 64
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                data = bytes(row[payload_col])
+                n_frames = len(data) // frame_size
+                for fi in range(0, n_frames, every_n):
+                    recs.append(
+                        {
+                            "video_id": row[id_col],
+                            "frame_idx": fi,
+                            "frame_bytes": data[fi * frame_size : (fi + 1) * frame_size],
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+
+    return videos.select(
+        F.col(id_col).alias("video_id"), F.col(payload_col)
+    ).mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
