@@ -26,6 +26,8 @@ from gdal_spark.operators import rasterize as rz
 from gdal_spark.operators import render
 from gdal_spark import multimodal
 from gdal_spark.operators import similarity as sim
+from gdal_spark.operators import translate as trans
+from gdal_spark.operators import zonal
 from gdal_spark.text import analysis as txt_analysis
 from gdal_spark.text import dedup as txt_dedup
 from gdal_spark.operators.knn import knn_join
@@ -318,6 +320,86 @@ def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRANSLATE_SRCWIN = (3, 2, 12, 9)   # -srcwin xoff yoff w h (fits 20x20)
+TRANSLATE_BANDS = [2, 0]           # -b 3 -b 1 (0-based here)
+TRANSLATE_SCALE = (10.0, 240.0, 0.0, 255.0)
+
+
+def _payload_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _image_ids(spark, sf_dir).where(
+        (F.col("i") % IMG_STATS_MOD == 0) & (F.col("i") % 3 != 1)
+    )
+    return build_images(spark, ids_df=ids, with_payload=True)
+
+
+def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate: -srcwin crop + band reorder + -scale linear
+    rescale with GDAL byte rounding (gdal_translate_lib.cpp:655-1001)
+    over the REAL decode path."""
+    out = trans.translate(
+        _payload_subset(spark, sf_dir),
+        srcwin=TRANSLATE_SRCWIN,
+        bands=TRANSLATE_BANDS,
+        scale=TRANSLATE_SCALE,
+    )
+    return out.select(
+        "image_id",
+        F.col("band").cast("int"),
+        F.col("out_w").cast("int"),
+        F.col("out_h").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("vsum").cast("long"),
+    )
+
+
+def q_pixel_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRT pixel functions (pixelfunctions.cpp): sum/diff/mul/
+    reclassify over decoded bands; per-op checksum + value sum."""
+    out = trans.pixel_calc(_payload_subset(spark, sf_dir))
+    return out.select(
+        "image_id", "op",
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
+INTERP_Z = 4  # footprint zoom for the point-query join (big footprints)
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (rasterize-masked accumulation) of the
+    synthetic surface f(x,y)=(x+y)%256 over each zone's scanline
+    footprint at zoom 5."""
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    return zonal.zonal_stats(zones, RAST_Z).select(
+        F.col("fid").cast("long"),
+        F.col("n_px").cast("long"),
+        F.col("vsum").cast("long"),
+        F.col("vmin").cast("long"),
+        F.col("vmax").cast("long"),
+        F.col("mean_e2").cast("long"),
+    )
+
+
+def q_interpolate_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdallocationinfo as a join: bilinear interpolate each image's
+    surface at each site inside its footprint
+    (GDALRasterInterpolateAtPoint, gcore/gdalrasterband.cpp:9998)."""
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir))
+    img = _images_geo(spark, sf_dir)
+    res4 = tm.resolution(INTERP_Z)
+    half_w = F.col("w").cast("double") * F.lit(res4 / 2.0)
+    half_h = F.col("h").cast("double") * F.lit(res4 / 2.0)
+    img4 = (
+        img.withColumn("xmin", F.col("cx") - half_w)
+        .withColumn("xmax", F.col("cx") + half_w)
+        .withColumn("ymin", F.col("cy") - half_h)
+        .withColumn("ymax", F.col("cy") + half_h)
+    )
+    return zonal.interpolate_at_points(sites, img4, INTERP_Z).select(
+        "site_id", "image_id", F.col("v_e2").cast("long")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline ops: documents (text) + embeddings (vectors)
 # ---------------------------------------------------------------------------
@@ -429,6 +511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embed_centroid": q_embed_centroid,
         "image_stats": q_image_stats,
+        "translate": q_translate,
+        "pixel_calc": q_pixel_calc,
+        "zonal_stats": q_zonal_stats,
+        "interpolate_point": q_interpolate_point,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -707,6 +793,68 @@ FROM pvals GROUP BY 1, 2, 3
 """
 
 
+def _subset_img_cte() -> str:
+    return georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {IMG_STATS_MOD} = 0"
+        " AND o_orderkey % 3 <> 1)",
+    )
+
+
+def _o_translate() -> str:
+    x0, y0, w, h = TRANSLATE_SRCWIN
+    smin, smax, dmin, dmax = TRANSLATE_SCALE
+    ratio = f"({tm.sql_double(dmax)} - {tm.sql_double(dmin)}) / ({tm.sql_double(smax)} - {tm.sql_double(smin)})"
+    phases = {0: 0, 1: 85, 2: 170}
+    band_sel = ", ".join(
+        f"({ob}, {phases[sb]})" for ob, sb in enumerate(TRANSLATE_BANDS)
+    )
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+bands (band, phase) AS (VALUES {band_sel}),
+px AS (
+  SELECT i.image_id, b.band,
+    least(255.0, greatest(0.0, floor(
+      (cast((({x0} + gx.x) + ({y0} + gy.y) + i.i + b.phase) % 256 as double)
+       - {tm.sql_double(smin)}) * ({ratio}) + {tm.sql_double(dmin)} + 0.5
+    ))) AS val,
+    gy.y * {w} + gx.x AS pidx
+  FROM img i, range(0, {w}) AS gx(x), range(0, {h}) AS gy(y), bands b
+)
+SELECT image_id, cast(band as int) AS band,
+  {w} AS out_w, {h} AS out_h,
+  cast(sum(cast(val as bigint) % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(cast(val as bigint)) as bigint) AS vsum
+FROM px GROUP BY 1, 2
+"""
+
+
+def _o_pixel_calc() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS b0,
+    (gx.x + gy.y + i.i + 85) % 256 AS b1,
+    (gx.x + gy.y + i.i + 170) % 256 AS b2,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+vals AS (
+  SELECT image_id, 'sum' AS op, b0 + b1 + b2 AS v, pidx FROM px
+  UNION ALL SELECT image_id, 'diff', b0 - b1, pidx FROM px
+  UNION ALL SELECT image_id, 'mul', b0 * b1, pidx FROM px
+  UNION ALL SELECT image_id, 'reclassify', CASE WHEN b0 < 128 THEN 0 ELSE 255 END, pidx FROM px
+)
+SELECT image_id, op,
+  cast((((sum(v % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536) as int) AS checksum,
+  cast(sum(v) as bigint) AS vsum
+FROM vals GROUP BY 1, 2
+"""
+
+
 def _o_image_stats() -> str:
     img = georef.sql_images_cte(
         "o_orderkey",
@@ -736,6 +884,70 @@ FROM px GROUP BY 1, 2
 """
 
 
+def _o_zonal_stats() -> str:
+    return f"""{_rast_ctes(RAST_Z)},
+pix_outer AS (
+  SELECT r.fid, r.y, r.xs + g.i AS x
+  FROM oruns r JOIN range(0, 256) AS g(i) ON g.i < r.xe - r.xs
+),
+pix_hole AS (
+  SELECT r.fid, r.y, r.xs + g.i AS x
+  FROM hruns r JOIN range(0, 256) AS g(i) ON g.i < r.xe - r.xs
+),
+pix AS (
+  SELECT o.fid, o.y, o.x, (o.x + o.y) % 256 AS v FROM pix_outer o
+  ANTI JOIN pix_hole h ON h.fid = o.fid AND h.y = o.y AND h.x = o.x
+)
+SELECT fid, count(*) AS n_px, cast(sum(v) as bigint) AS vsum,
+       cast(min(v) as bigint) AS vmin, cast(max(v) as bigint) AS vmax,
+       cast((100 * sum(v)) // count(*) as bigint) AS mean_e2
+FROM pix GROUP BY fid
+"""
+
+
+def _o_interpolate_point() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    res4 = tm.sql_double(tm.resolution(INTERP_Z))
+    smx = tm.sql_merc_x("s.slon")
+    smy = tm.sql_merc_y("s.slat")
+    half = f"{res4} / 2.0"
+    fvals = {}
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        fvals[(dx, dy)] = (
+            f"cast((greatest(0, least(c.w - 1, c.ix + {dx}))"
+            f" + greatest(0, least(c.h - 1, c.iy + {dy})) + c.i) % 256 as double)"
+        )
+    v = (
+        f"{fvals[(0,0)]} * (1 - c.fx) * (1 - c.fy)"
+        f" + {fvals[(1,0)]} * c.fx * (1 - c.fy)"
+        f" + {fvals[(0,1)]} * (1 - c.fx) * c.fy"
+        f" + {fvals[(1,1)]} * c.fx * c.fy"
+    )
+    return f"""
+WITH img AS ({img}),
+st AS ({st}),
+raw AS (
+  SELECT s.site_id, i.image_id, i.i, i.w, i.h,
+    (({smx}) - (i.cx - i.w * {half})) / {res4} AS px,
+    ((i.cy + i.h * {half}) - ({smy})) / {res4} AS py
+  FROM st s, img i
+),
+cand AS (
+  SELECT site_id, image_id, i, w, h, px, py,
+    cast(floor(px - 0.5) as bigint) AS ix,
+    cast(floor(py - 0.5) as bigint) AS iy,
+    px - 0.5 - floor(px - 0.5) AS fx,
+    py - 0.5 - floor(py - 0.5) AS fy
+  FROM raw
+  WHERE px >= 0 AND px < w AND py >= 0 AND py < h
+)
+SELECT c.site_id, c.image_id,
+       cast(floor(({v}) * 100) as bigint) AS v_e2
+FROM cand c
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
@@ -754,6 +966,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embed_centroid": sim.sql_label_centroids(),
         "image_stats": _o_image_stats(),
+        "translate": _o_translate(),
+        "pixel_calc": _o_pixel_calc(),
+        "zonal_stats": _o_zonal_stats(),
+        "interpolate_point": _o_interpolate_point(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),

@@ -87,6 +87,48 @@ def main():
         ),
     )
 
+    # raster ops: burn-in + warp render on bounded subsets
+    from gdal_spark.operators.rasterize import rasterize_tile_add
+    from gdal_spark.operators.render import render_tiles
+
+    timed(
+        "rasterize",
+        lambda: rasterize_tile_add(zones, 6).agg(F.count("*"), F.sum("burn_sum")).collect(),
+    )
+    render_subset = images.where(F.col("i") % 1999 == 0)
+    timed(
+        "tile_render",
+        lambda: render_tiles(render_subset, 12)
+        .agg(F.count("*"), F.sum("checksum"))
+        .collect(),
+    )
+
+    # training-data ops: dedup + ANN on documents/embeddings
+    from gdal_spark.operators.similarity import cosine_topk
+    from gdal_spark.text.dedup import minhash_lsh_pairs, simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the synthetic corpus shares one tiny vocabulary, so most random
+    # pairs hover near the 0.5 Jaccard threshold -> quadratic
+    # candidate explosion unrelated to the operator; bound the slice
+    docs_slice = docs.where(F.col("doc_id") % 2 == 0)
+    timed(
+        "minhash_dedup",
+        lambda: minhash_lsh_pairs(docs_slice).agg(F.count("*")).collect(),
+    )
+    timed(
+        "simhash_dedup",
+        lambda: simhash_pairs(docs).agg(F.count("*")).collect(),
+    )
+    ann_q = emb.where(F.col("vec_id") % 16 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    timed(
+        "ann_topk",
+        lambda: cosine_topk(emb, ann_q, 10).agg(F.count("*")).collect(),
+    )
+
     total = round(sum(timings.values()), 3)
     images_per_sec = round(n_images / timings["pipeline"], 1)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -14,9 +14,18 @@ broadcast or shuffle-hash, AQE splits skewed cells. Points land in
 exactly one cell (no dedupe needed); polygons explode to their
 covering cells.
 
-At 10^12 rows: the cell join is the only shuffle; the refine stage is
-a narrow Arrow-batched pass with per-partition prepared-geometry
-caching (mirrors ogrlayer.cpp:2168's prepared-geometry reuse).
+At 10^12 rows: the cell join is the only shuffle. Two refine
+implementations:
+
+- "edges" (default): polygon edges are exploded ONCE into a tiny
+  (zone, edge) table, broadcast, and the even-odd crossing test runs
+  as pure Column math with map-side partial aggregation — the whole
+  join stays inside whole-stage codegen, scales linearly with cores.
+- "prepared": Arrow-batched mapInPandas with per-partition prepared-
+  geometry caching (mirrors ogrlayer.cpp:2168's prepared-geometry
+  reuse); candidates are sorted by zone within partitions so each
+  polygon is prepared once per task. Use when polygons are huge
+  (1000s of vertices) and the edge fan-out would dominate.
 """
 
 from __future__ import annotations
@@ -85,12 +94,50 @@ def _refine_factory(pk: str, zk: str, px: str, py: str):
                 prep = cache.get(zid)
                 if prep is None:
                     prep = PreparedPolygon(bytes(pdf["geometry"].iloc[idx[0]]))
-                    if len(cache) < 4096:
+                    if len(cache) < 65536:
                         cache[zid] = prep
                 keep[idx] = prep.contains_points(xs[idx], ys[idx])
             yield pdf.loc[keep, [pk, zk]]
 
     return refine
+
+
+_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("_zk", T.LongType()),
+        T.StructField("ex1", T.DoubleType()),
+        T.StructField("ey1", T.DoubleType()),
+        T.StructField("ex2", T.DoubleType()),
+        T.StructField("ey2", T.DoubleType()),
+    ]
+)
+
+
+def zone_edges(zones_df: DataFrame, zone_key: str = "fid") -> DataFrame:
+    """Explode polygon WKB into one row per ring edge (all rings —
+    even-odd parity over the full edge set handles holes for free).
+    Runs once over the polygon table; output is metadata-sized."""
+    from gdal_spark.geo.wkb import parse_wkb
+
+    def explode_edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            zks, x1s, y1s, x2s, y2s = [], [], [], [], []
+            for zk, wkb in zip(pdf[zone_key], pdf["geometry"]):
+                geom = parse_wkb(bytes(wkb))
+                for rings in geom.all_rings():
+                    for ring in rings:
+                        zks.extend([int(zk)] * (len(ring) - 1))
+                        x1s.extend(ring[:-1, 0])
+                        y1s.extend(ring[:-1, 1])
+                        x2s.extend(ring[1:, 0])
+                        y2s.extend(ring[1:, 1])
+            yield pd.DataFrame(
+                {"_zk": zks, "ex1": x1s, "ey1": y1s, "ex2": x2s, "ey2": y2s}
+            )
+
+    return zones_df.select(zone_key, "geometry").mapInPandas(
+        explode_edges, _EDGE_SCHEMA
+    )
 
 
 def pip_join(
@@ -103,32 +150,53 @@ def pip_join(
     zone_bbox: tuple[str, str, str, str] = ("zxmin", "zymin", "zxmax", "zymax"),
     index_zoom: int = DEFAULT_INDEX_ZOOM,
     broadcast_zones: bool = False,
+    method: str = "edges",
 ) -> DataFrame:
     """Point-in-polygon join -> DataFrame(point_key, zone_key).
 
     zones_df needs (zone_key, geometry WKB, bbox columns in degrees).
+    method: "edges" (all-JVM even-odd crossing parity, default) or
+    "prepared" (Arrow-batched prepared-geometry refine).
     """
     zxmin, zymin, zxmax, zymax = zone_bbox
     pts = with_point_cell(points_df, point_lon, point_lat, index_zoom).select(
         point_key, point_lon, point_lat, "cell"
     )
+    # the edges path never ships WKB through the candidate join
+    zcols = [zone_key, *zone_bbox] if method == "edges" else [zone_key, "geometry", *zone_bbox]
     zn = with_bbox_cells(
-        zones_df.select(zone_key, "geometry", *zone_bbox),
-        zxmin, zymin, zxmax, zymax, index_zoom,
+        zones_df.select(*zcols), zxmin, zymin, zxmax, zymax, index_zoom,
     )
     if broadcast_zones:
         zn = F.broadcast(zn)
     cand = pts.join(zn, "cell")
-    # ladder step 1: columnar bbox reject before any Python
+    # ladder step 1: columnar bbox reject before any exact test
     cand = cand.where(
         (F.col(point_lon) >= F.col(zxmin))
         & (F.col(point_lon) <= F.col(zxmax))
         & (F.col(point_lat) >= F.col(zymin))
         & (F.col(point_lat) <= F.col(zymax))
     )
+    if method == "edges":
+        cand = cand.select(point_key, point_lon, point_lat, zone_key)
+        edges = F.broadcast(zone_edges(zones_df, zone_key))
+        px, py = F.col(point_lon), F.col(point_lat)
+        straddles = (F.col("ey1") > py) != (F.col("ey2") > py)
+        xint = F.col("ex1") + (py - F.col("ey1")) * (
+            F.col("ex2") - F.col("ex1")
+        ) / (F.col("ey2") - F.col("ey1"))
+        crossing = F.when(straddles & (px < xint), F.lit(1)).otherwise(F.lit(0))
+        joined = cand.join(edges, cand[zone_key] == edges["_zk"])
+        return (
+            joined.groupBy(point_key, zone_key)
+            .agg(F.sum(crossing).alias("_crossings"))
+            .where(F.col("_crossings") % 2 == 1)
+            .select(point_key, zone_key)
+        )
     cand = cand.select(point_key, point_lon, point_lat, zone_key, "geometry")
     out_schema = T.StructType(
         [cand.schema[point_key], cand.schema[zone_key]]
     )
     refine = _refine_factory(point_key, zone_key, point_lon, point_lat)
-    return cand.mapInPandas(refine, schema=out_schema)
+    # cluster candidates by zone so each task prepares a polygon once
+    return cand.sortWithinPartitions(zone_key).mapInPandas(refine, schema=out_schema)
