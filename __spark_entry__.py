@@ -365,6 +365,28 @@ def q_pixel_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERP_Z = 4  # footprint zoom for the point-query join (big footprints)
 
 
+def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR geometry measures via registered ST_* functions
+    (get_Area ogr/ogrsurface.cpp:18, get_Length, Centroid
+    ogrgeometry.cpp:6106, IsValid :2297) over the WKB column."""
+    from gdal_spark.geo.st_functions import register_st_functions
+
+    register_st_functions(spark)
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    zones.createOrReplaceTempView("zones_geom")
+    return spark.sql(
+        """
+        SELECT fid,
+               cast(floor(ST_Area(geometry) * 1e6) as bigint) AS area_e6,
+               cast(floor(ST_Length(geometry) * 1e6) as bigint) AS perim_e6,
+               cast(floor(ST_X(ST_Centroid(geometry)) * 1e4) as bigint) AS cx_e4,
+               cast(floor(ST_Y(ST_Centroid(geometry)) * 1e4) as bigint) AS cy_e4,
+               ST_IsValid(geometry) AS valid
+        FROM zones_geom
+        """
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (rasterize-masked accumulation) of the
     synthetic surface f(x,y)=(x+y)%256 over each zone's scanline
@@ -515,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_calc": q_pixel_calc,
         "zonal_stats": q_zonal_stats,
         "interpolate_point": q_interpolate_point,
+        "geom_measures": q_geom_measures,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -884,6 +907,37 @@ FROM px GROUP BY 1, 2
 """
 
 
+def _o_geom_measures() -> str:
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH zn AS ({zn}),
+outer_edges AS ({_zone_edges_cte('r')}),
+hole_edges AS ({_zone_edges_cte('hole_r')}),
+oa AS (
+  SELECT fid,
+    abs(sum(x1 * y2 - x2 * y1)) / 2 AS area,
+    sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))) AS perim,
+    sum((x1 + x2) * (x1 * y2 - x2 * y1)) / (6 * (sum(x1 * y2 - x2 * y1) / 2)) AS cx,
+    sum((y1 + y2) * (x1 * y2 - x2 * y1)) / (6 * (sum(x1 * y2 - x2 * y1) / 2)) AS cy
+  FROM outer_edges GROUP BY fid
+),
+ha AS (
+  SELECT e.fid,
+    abs(sum(e.x1 * e.y2 - e.x2 * e.y1)) / 2 AS area,
+    sum(sqrt((e.x2 - e.x1) * (e.x2 - e.x1) + (e.y2 - e.y1) * (e.y2 - e.y1))) AS perim
+  FROM hole_edges e JOIN zn z ON z.fid = e.fid
+  WHERE z.has_hole GROUP BY e.fid
+)
+SELECT o.fid,
+  cast(floor((o.area - coalesce(h.area, 0)) * 1e6) as bigint) AS area_e6,
+  cast(floor((o.perim + coalesce(h.perim, 0)) * 1e6) as bigint) AS perim_e6,
+  cast(floor(o.cx * 1e4) as bigint) AS cx_e4,
+  cast(floor(o.cy * 1e4) as bigint) AS cy_e4,
+  TRUE AS valid
+FROM oa o LEFT JOIN ha h ON h.fid = o.fid
+"""
+
+
 def _o_zonal_stats() -> str:
     return f"""{_rast_ctes(RAST_Z)},
 pix_outer AS (
@@ -970,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "pixel_calc": _o_pixel_calc(),
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
+        "geom_measures": _o_geom_measures(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),

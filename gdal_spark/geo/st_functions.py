@@ -1,0 +1,184 @@
+"""ST_* scalar geometry functions registered into Spark SQL.
+
+Mirrors the reference's SQLite-dialect function registry
+(ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:627-933): the same
+names work in `spark.sql(...)` once `register_st_functions(spark)`
+runs. All are Arrow-batched pandas UDFs over WKB binary columns
+(never per-row Python UDFs); geometry semantics come from the
+pure-numpy kernels in geo/geom.py and geo/ops.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.geo import ops
+from gdal_spark.geo.geom import points_in_polygon, polygon_area, polygon_centroid
+from gdal_spark.geo.wkb import (
+    WKB_LINESTRING,
+    WKB_POINT,
+    WKB_POLYGON,
+    Geometry,
+    geometry_to_wkb,
+    parse_wkb,
+    wkb_point,
+    wkb_polygon,
+)
+from gdal_spark.geo.wkt import from_wkt, to_wkt
+
+
+def _rings(g: Geometry) -> list[np.ndarray]:
+    all_r = g.all_rings()
+    return [r for rings in all_r for r in rings]
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: polygon_area(_rings(parse_wkb(bytes(b)))))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_length(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            return ops.line_length(g.parts[0])
+        return ops.polygon_perimeter(_rings(g))
+
+    return wkb.map(f)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_centroid(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        cx, cy = polygon_centroid(_rings(parse_wkb(bytes(b))))
+        return wkb_point(cx, cy)
+
+    return wkb.map(f)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    for b, px, py in zip(wkb, x, y):
+        rings = _rings(parse_wkb(bytes(b)))
+        out.append(bool(points_in_polygon([float(px)], [float(py)], rings)[0]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_astext(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: to_wkt(parse_wkb(bytes(b))))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext(wkt: pd.Series) -> pd.Series:
+    return wkt.map(lambda s: geometry_to_wkb(from_wkt(s)))
+
+
+@F.pandas_udf(T.BooleanType())
+def st_isvalid(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        rs = _rings(g)
+        return bool(rs) and all(ops.is_valid_ring(r) for r in rs)
+
+    return wkb.map(f)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_convexhull(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        pts = np.vstack(_rings(g) or g.parts)
+        return wkb_polygon([ops.convex_hull(pts)])
+
+    return wkb.map(f)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    def f(b, t):
+        t = float(t)
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            return geometry_to_wkb(
+                Geometry(WKB_LINESTRING, parts=[ops.douglas_peucker(g.parts[0], t)])
+            )
+        rings = [ops.douglas_peucker(r, t) for r in _rings(g)]
+        return wkb_polygon(rings)
+
+    return pd.Series([f(b, t) for b, t in zip(wkb, tol)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
+    def f(b, m):
+        m = float(m)
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            return geometry_to_wkb(
+                Geometry(WKB_LINESTRING, parts=[ops.segmentize(g.parts[0], m)])
+            )
+        return wkb_polygon([ops.segmentize(r, m) for r in _rings(g)])
+
+    return pd.Series([f(b, m) for b, m in zip(wkb, max_len)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
+    def f(b, d):
+        d = float(d)
+        g = parse_wkb(bytes(b))
+        outer = _rings(g)[0] if _rings(g) else g.parts[0]
+        return wkb_polygon([ops.buffer_convex(outer, d)])
+
+    return pd.Series([f(b, d) for b, d in zip(wkb, dist)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_pointonsurface(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        x, y = ops.point_on_surface(_rings(parse_wkb(bytes(b))))
+        return wkb_point(x, y)
+
+    return wkb.map(f)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_x(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: float(parse_wkb(bytes(b)).parts[0][0][0]))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_y(wkb: pd.Series) -> pd.Series:
+    return wkb.map(lambda b: float(parse_wkb(bytes(b)).parts[0][0][1]))
+
+
+_REGISTRY = {
+    "ST_Area": st_area,
+    "ST_Length": st_length,
+    "ST_Centroid": st_centroid,
+    "ST_Contains_Point": st_contains_point,
+    "ST_AsText": st_astext,
+    "ST_GeomFromText": st_geomfromtext,
+    "ST_IsValid": st_isvalid,
+    "ST_ConvexHull": st_convexhull,
+    "ST_Simplify": st_simplify,
+    "ST_Segmentize": st_segmentize,
+    "ST_Buffer": st_buffer,
+    "ST_PointOnSurface": st_pointonsurface,
+    "ST_X": st_x,
+    "ST_Y": st_y,
+}
+
+
+def register_st_functions(spark: SparkSession) -> None:
+    """Make the ST_* names usable from spark.sql, mirroring
+    OGRSQLiteRegisterSQLFunctions."""
+    for name, udf in _REGISTRY.items():
+        spark.udf.register(name, udf)

@@ -149,3 +149,28 @@ def _parse_one(buf: bytes, off: int) -> tuple[Geometry, int]:
 def parse_wkb(buf: bytes) -> Geometry:
     g, _ = _parse_one(bytes(buf), 0)
     return g
+
+
+def geometry_to_wkb(geom: Geometry) -> bytes:
+    t = geom.type_id
+    if t == WKB_POINT:
+        x, y = geom.parts[0][0]
+        return wkb_point(float(x), float(y))
+    if t == WKB_LINESTRING:
+        return wkb_linestring(geom.parts[0])
+    if t == WKB_POLYGON:
+        return wkb_polygon(geom.parts)
+    if t == WKB_MULTIPOLYGON:
+        return wkb_multipolygon(geom.polys)
+    if t == WKB_MULTIPOINT:
+        pts = geom.parts[0]
+        out = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))]
+        for x, y in pts:
+            out.append(wkb_point(float(x), float(y)))
+        return b"".join(out)
+    if t == WKB_MULTILINESTRING:
+        out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(geom.parts))]
+        for line in geom.parts:
+            out.append(wkb_linestring(line))
+        return b"".join(out)
+    raise ValueError(f"wkb: unsupported type {t}")

@@ -1,0 +1,103 @@
+"""Geometry ops, WKT io, ST_* function registration tests."""
+
+import numpy as np
+
+from gdal_spark.geo import ops
+from gdal_spark.geo.wkb import parse_wkb, wkb_polygon, geometry_to_wkb
+from gdal_spark.geo.wkt import from_wkt, to_wkt
+
+SQUARE = np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0], [0.0, 0.0]])
+
+
+def test_wkt_roundtrip_polygon():
+    wkb = wkb_polygon([SQUARE])
+    txt = to_wkt(parse_wkb(wkb))
+    assert txt == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    back = geometry_to_wkb(from_wkt(txt))
+    g = parse_wkb(back)
+    assert np.allclose(g.parts[0], SQUARE)
+
+
+def test_wkt_point_and_linestring():
+    assert to_wkt(from_wkt("POINT (1.5 -2)")) == "POINT (1.5 -2)"
+    ls = from_wkt("LINESTRING (0 0, 1 1, 2 0)")
+    assert ops.line_length(ls.parts[0]) == 2 * np.sqrt(2.0)
+
+
+def test_segmentize_preserves_vertices_and_bounds():
+    line = np.array([[0.0, 0.0], [10.0, 0.0]])
+    out = ops.segmentize(line, 3.0)
+    # 10/3 -> 4 segments of 2.5
+    assert len(out) == 5
+    assert np.allclose(np.diff(out[:, 0]), 2.5)
+    sq = ops.segmentize(SQUARE, 1.0)
+    assert len(sq) == 17
+    # original corners survive
+    for v in SQUARE:
+        assert (np.abs(sq - v).sum(axis=1) < 1e-12).any()
+
+
+def test_douglas_peucker():
+    line = np.array([[0.0, 0.0], [1.0, 0.05], [2.0, 0.0], [3.0, 2.0], [4.0, 0.0]])
+    out = ops.douglas_peucker(line, 0.1)
+    # the 0.05 bump collapses, the 2.0 spike stays
+    assert [list(p) for p in out] == [[0, 0], [2, 0], [3, 2], [4, 0]]
+
+
+def test_convex_hull():
+    pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1], [0.5, 0.5]], dtype=float)
+    hull = ops.convex_hull(pts)
+    assert len(hull) == 5  # 4 corners + closure
+    assert abs(ops.line_length(hull) - 8.0) < 1e-12
+
+
+def test_buffer_convex_area():
+    hull = ops.buffer_convex(SQUARE, 1.0, quad_segs=16)
+    from gdal_spark.geo.geom import polygon_area
+
+    area = polygon_area([hull])
+    # square(16) + 4 edges*4*1 + pi*1^2, slightly under pi due to arcs
+    assert 16 + 16 + 3.10 < area <= 16 + 16 + np.pi + 1e-9
+
+
+def test_is_valid_ring():
+    assert ops.is_valid_ring(SQUARE)
+    bowtie = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)
+    assert not ops.is_valid_ring(bowtie)
+
+
+def test_point_on_surface_inside():
+    from gdal_spark.geo.geom import points_in_polygon
+
+    ring = SQUARE
+    hole = np.array([[1.0, 1.0], [1.0, 3.0], [3.0, 3.0], [3.0, 1.0], [1.0, 1.0]])
+    x, y = ops.point_on_surface([ring, hole])
+    assert points_in_polygon([x], [y], [ring, hole])[0]
+
+
+def test_st_functions_sql(spark):
+    from pyspark.sql import functions as F
+
+    from gdal_spark.geo.st_functions import register_st_functions
+
+    register_st_functions(spark)
+    df = spark.createDataFrame([(1, bytearray(wkb_polygon([SQUARE])))], ["id", "geometry"])
+    df.createOrReplaceTempView("g")
+    row = spark.sql(
+        """
+        SELECT ST_Area(geometry) a, ST_Length(geometry) l,
+               ST_AsText(ST_Centroid(geometry)) c,
+               ST_IsValid(geometry) v,
+               ST_Contains_Point(geometry, 2.0, 2.0) inside,
+               ST_Contains_Point(geometry, 9.0, 2.0) outside,
+               ST_AsText(ST_Simplify(ST_Segmentize(geometry, 1.0), 0.5)) s
+        FROM g
+        """
+    ).collect()[0]
+    assert row["a"] == 16.0
+    assert row["l"] == 16.0
+    assert row["c"] == "POINT (2 2)"
+    assert row["v"] is True
+    assert row["inside"] is True and row["outside"] is False
+    # segmentize adds vertices, simplify removes the collinear ones
+    assert row["s"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
