@@ -365,6 +365,26 @@ def q_pixel_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERP_Z = 4  # footprint zoom for the point-query join (big footprints)
 
 
+DEM_METRICS = ["slope", "aspect", "tri", "tpi", "roughness"]
+DEM_TILES = [(tx, ty) for tx in range(8, 14) for ty in range(4, 10)]
+
+
+def q_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope/aspect/TRI/TPI/roughness via distributed halo
+    exchange over surface tiles (apps/gdaldem_lib.cpp window
+    semantics); border-correct results prove the sliver shuffle."""
+    from gdal_spark.operators import stencil
+
+    tiles = stencil.surface_tiles(spark, DEM_TILES)
+    out = stencil.stencil_metrics(tiles, DEM_METRICS)
+    return out.select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        "metric",
+        F.col("checksum").cast("int"),
+    )
+
+
 def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR geometry measures via registered ST_* functions
     (get_Area ogr/ogrsurface.cpp:18, get_Length, Centroid
@@ -538,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "interpolate_point": q_interpolate_point,
         "geom_measures": q_geom_measures,
+        "dem_metrics": q_dem_metrics,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -907,6 +928,61 @@ FROM px GROUP BY 1, 2
 """
 
 
+def _o_dem_metrics() -> str:
+    # interior tiles of the DEM_TILES window (all 8 neighbors present)
+    txs = sorted({t[0] for t in DEM_TILES})[1:-1]
+    tys = sorted({t[1] for t in DEM_TILES})[1:-1]
+
+    def d(i: int, j: int) -> str:
+        return f"(((3 * (X + {i}) + 5 * (Y + {j})) % 512) / 2.0)"
+
+    # window: a b c / e0 center f / g h i2  (row-major NW..SE)
+    a, b, c = d(-1, -1), d(0, -1), d(1, -1)
+    e0, ctr, f = d(-1, 0), d(0, 0), d(1, 0)
+    g, hh, i2 = d(-1, 1), d(0, 1), d(1, 1)
+    dx_s = f"(({a} + 2 * {e0} + {g}) - ({c} + 2 * {f} + {i2}))"
+    dy_s = f"(({g} + 2 * {hh} + {i2}) - ({a} + 2 * {b} + {c}))"
+    slope = f"degrees(atan(sqrt({dx_s} * {dx_s} + {dy_s} * {dy_s}) / 8.0))"
+    dx2 = f"(({c} + 2 * {f} + {i2}) - ({a} + 2 * {e0} + {g}))"
+    asp_raw = f"degrees(atan2({dy_s}, -({dx2})))"
+    asp_az = f"(CASE WHEN {asp_raw} > 90.0 THEN 450.0 - {asp_raw} ELSE 90.0 - {asp_raw} END)"
+    aspect = (
+        f"(CASE WHEN {dx2} = 0 AND {dy_s} = 0 THEN -9999.0 "
+        f"WHEN {asp_az} = 360.0 THEN 0.0 ELSE {asp_az} END)"
+    )
+    nbrs = [a, b, c, e0, f, g, hh, i2]
+    tri = "((" + " + ".join(f"abs({n} - {ctr})" for n in nbrs) + ") / 8.0)"
+    tpi = f"({ctr} - (" + " + ".join(nbrs) + ") * 0.125)"
+    rough = (
+        f"(greatest({ctr}, " + ", ".join(nbrs) + ")"
+        f" - least({ctr}, " + ", ".join(nbrs) + "))"
+    )
+    return f"""
+WITH px AS (
+  SELECT t.tx, t.ty,
+    t.tx * 256 + gx.x AS X, t.ty * 256 + gy.y AS Y,
+    gy.y * 256 + gx.x AS pidx
+  FROM (SELECT tx.v AS tx, ty.v AS ty
+        FROM (VALUES {", ".join(f"({t})" for t in txs)}) tx(v),
+             (VALUES {", ".join(f"({t})" for t in tys)}) ty(v)) t,
+       range(0, 256) AS gx(x), range(0, 256) AS gy(y)
+),
+vals AS (
+  SELECT tx, ty, pidx, 'slope' AS metric, {slope} AS v FROM px
+  UNION ALL SELECT tx, ty, pidx, 'aspect', {aspect} FROM px
+  UNION ALL SELECT tx, ty, pidx, 'tri', {tri} FROM px
+  UNION ALL SELECT tx, ty, pidx, 'tpi', {tpi} FROM px
+  UNION ALL SELECT tx, ty, pidx, 'roughness', {rough} FROM px
+),
+ints AS (
+  SELECT tx, ty, pidx, metric, cast(floor(v + 0.5) as bigint) AS iv FROM vals
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y, metric,
+  cast((((sum(iv % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536) as int) AS checksum
+FROM ints GROUP BY 1, 2, 3
+"""
+
+
 def _o_geom_measures() -> str:
     zn = georef.sql_zones_cte("s_suppkey", "supplier")
     return f"""
@@ -1025,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
+        "dem_metrics": _o_dem_metrics(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),
