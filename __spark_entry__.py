@@ -365,6 +365,65 @@ def q_pixel_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
 INTERP_Z = 4  # footprint zoom for the point-query join (big footprints)
 
 
+GRID_W, GRID_H = 90, 45
+GRID_BOUNDS = (-180.0, -90.0, 180.0, 90.0)
+GRID_RADIUS = 10.0
+PROX_TILE = 64
+PROX_MOD = 157
+PROX_MAX_DIST = 25.0
+CONTOUR_LEVELS = [40.0, 120.0, 200.0]
+
+
+def q_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalgrid algorithm family (invdist pow2 / nearest / average /
+    metrics, alg/gdalgrid.cpp) as one Column-math aggregation over
+    pixel x broadcast-points candidates."""
+    from gdal_spark.operators.gridded import grid_interpolate
+
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir)).select(
+        F.col("slon").alias("px"),
+        F.col("slat").alias("py"),
+        (F.col("i") % 256).cast("long").alias("pv"),
+    )
+    return grid_interpolate(
+        spark, sites, GRID_W, GRID_H, GRID_BOUNDS, GRID_RADIUS
+    )
+
+
+def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_proximity distance raster (alg/gdalproximity.cpp): exact
+    euclidean distance to broadcast global targets, capped."""
+    import numpy as np
+
+    from gdal_spark.operators.gridded import proximity_tiles
+
+    n = 2 * PROX_TILE
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    sel = (7 * xs + 11 * ys) % PROX_MOD == 0
+    targets = np.column_stack([xs[sel], ys[sel]])
+    out = proximity_tiles(
+        spark, [(0, 0), (1, 0), (0, 1), (1, 1)], PROX_TILE, targets, PROX_MAX_DIST
+    )
+    return out.select(
+        F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col("n_valid").cast("long"), F.col("dist_sum_e2").cast("long"),
+        F.col("checksum").cast("int"),
+    )
+
+
+def q_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares iso-segment counts per tile/level
+    (alg/contour.cpp case analysis; saddles count twice)."""
+    from gdal_spark.operators import stencil
+    from gdal_spark.operators.gridded import contour_cell_counts
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    return contour_cell_counts(tiles, CONTOUR_LEVELS, stencil.TILE).select(
+        F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col("level").cast("int"), F.col("n_segments").cast("long"),
+    )
+
+
 DEM_METRICS = ["slope", "aspect", "tri", "tpi", "roughness"]
 DEM_TILES = [(tx, ty) for tx in range(8, 14) for ty in range(4, 10)]
 
@@ -559,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_point": q_interpolate_point,
         "geom_measures": q_geom_measures,
         "dem_metrics": q_dem_metrics,
+        "grid_interp": q_grid_interp,
+        "proximity": q_proximity,
+        "contour_cells": q_contour_cells,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -928,6 +990,95 @@ FROM px GROUP BY 1, 2
 """
 
 
+def _o_grid_interp() -> str:
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    resx = (GRID_BOUNDS[2] - GRID_BOUNDS[0]) / GRID_W
+    resy = (GRID_BOUNDS[3] - GRID_BOUNDS[1]) / GRID_H
+    r2 = tm.sql_double(GRID_RADIUS * GRID_RADIUS)
+    return f"""
+WITH st AS ({st}),
+pts AS (SELECT slon AS px, slat AS py, cast(i % 256 as bigint) AS pv FROM st),
+grid AS (
+  SELECT cast(r.id % {GRID_W} as int) AS gx, cast(r.id // {GRID_W} as int) AS gy,
+    {tm.sql_double(GRID_BOUNDS[0])} + (r.id % {GRID_W} + 0.5) * {tm.sql_double(resx)} AS cx,
+    {tm.sql_double(GRID_BOUNDS[3])} - (r.id // {GRID_W} + 0.5) * {tm.sql_double(resy)} AS cy
+  FROM range(0, {GRID_W * GRID_H}) AS r(id)
+),
+j AS (
+  SELECT g.gx, g.gy, p.pv,
+    (g.cx - p.px) * (g.cx - p.px) + (g.cy - p.py) * (g.cy - p.py) AS d2
+  FROM grid g, pts p
+  WHERE (g.cx - p.px) * (g.cx - p.px) + (g.cy - p.py) * (g.cy - p.py) <= {r2}
+)
+SELECT gx, gy, count(*) AS cnt,
+  min(pv) AS vmin, max(pv) AS vmax,
+  arg_min(pv, d2) AS nearest_v,
+  cast(floor((sum(pv / d2) / sum(1.0 / d2)) * 1e4) as bigint) AS invdist_e4,
+  cast(floor(avg(pv) * 1e4) as bigint) AS avg_e4
+FROM j GROUP BY 1, 2
+"""
+
+
+def _o_proximity() -> str:
+    n = 2 * PROX_TILE
+    md = tm.sql_double(PROX_MAX_DIST)
+    return f"""
+WITH targets AS (
+  SELECT x.v AS txp, y.v AS typ
+  FROM range(0, {n}) AS x(v), range(0, {n}) AS y(v)
+  WHERE (7 * x.v + 11 * y.v) % {PROX_MOD} = 0
+),
+px AS (
+  SELECT t.tx, t.ty, t.tx * {PROX_TILE} + gx.x AS X, t.ty * {PROX_TILE} + gy.y AS Y,
+         gy.y * {PROX_TILE} + gx.x AS pidx
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, {PROX_TILE}) AS gx(x), range(0, {PROX_TILE}) AS gy(y)
+),
+d AS (
+  SELECT p.tx, p.ty, p.pidx,
+    sqrt(cast(min((p.X - t.txp) * (p.X - t.txp) + (p.Y - t.typ) * (p.Y - t.typ)) as double)) AS dist
+  FROM px p, targets t GROUP BY 1, 2, 3
+),
+o AS (
+  SELECT tx, ty, pidx, dist,
+    CASE WHEN dist <= {md} THEN dist ELSE 65535.0 END AS outv
+  FROM d
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(count(*) FILTER (WHERE dist <= {md}) as bigint) AS n_valid,
+  cast(coalesce(sum(cast(floor(dist * 100) as bigint)) FILTER (WHERE dist <= {md}), 0) as bigint) AS dist_sum_e2,
+  cast((((sum(cast(floor(outv + 0.5) as bigint) % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536) as int) AS checksum
+FROM o GROUP BY 1, 2
+"""
+
+
+def _o_contour_cells() -> str:
+    def d(i: int, j: int) -> str:
+        return f"(((3 * (X + {i}) + 5 * (Y + {j})) % 512) / 2.0)"
+
+    lvls = ", ".join(f"({v})" for v in CONTOUR_LEVELS)
+    case = (
+        f"(CASE WHEN {d(0,0)} >= lvl THEN 1 ELSE 0 END"
+        f" + CASE WHEN {d(1,0)} >= lvl THEN 2 ELSE 0 END"
+        f" + CASE WHEN {d(1,1)} >= lvl THEN 4 ELSE 0 END"
+        f" + CASE WHEN {d(0,1)} >= lvl THEN 8 ELSE 0 END)"
+    )
+    return f"""
+WITH cells AS (
+  SELECT t.tx, t.ty, l.lvl,
+    t.tx * 256 + gx.x AS X, t.ty * 256 + gy.y AS Y
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       (VALUES {lvls}) AS l(lvl),
+       range(0, 255) AS gx(x), range(0, 255) AS gy(y)
+),
+cased AS (SELECT tx, ty, lvl, {case} AS cs FROM cells)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(lvl as int) AS level,
+  cast(sum(CASE cs WHEN 0 THEN 0 WHEN 15 THEN 0 WHEN 5 THEN 2 WHEN 10 THEN 2 ELSE 1 END) as bigint) AS n_segments
+FROM cased GROUP BY 1, 2, 3
+"""
+
+
 def _o_dem_metrics() -> str:
     # interior tiles of the DEM_TILES window (all 8 neighbors present)
     txs = sorted({t[0] for t in DEM_TILES})[1:-1]
@@ -1102,6 +1253,9 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
         "dem_metrics": _o_dem_metrics(),
+        "grid_interp": _o_grid_interp(),
+        "proximity": _o_proximity(),
+        "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
         "rasterize_tile_add": _o_rasterize_tile_add(),
         "rasterize_tile_checksum": _o_rasterize_tile_checksum(),
