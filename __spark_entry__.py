@@ -424,6 +424,34 @@ def q_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygonize component counting (alg/polygonize.cpp, 4-conn
+    union-find) on the quantized surface; the diagonal-strip input
+    structure gives the labeler an exact SQL oracle."""
+    from gdal_spark.operators import stencil
+    from gdal_spark.operators.vectorize import polygonize_tiles
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    return polygonize_tiles(tiles, stencil.TILE).select(
+        F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col("value").cast("int"), F.col("n_components").cast("long"),
+        F.col("n_px").cast("long"),
+    )
+
+
+def q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_footprint valid-mask extraction over decoded payloads
+    (apps/gdal_footprint_lib.cpp): count + valid-pixel bbox."""
+    from gdal_spark.operators.vectorize import footprint
+
+    out = footprint(_payload_subset(spark, sf_dir))
+    return out.select(
+        "image_id", F.col("n_valid").cast("long"),
+        F.col("vxmin").cast("int"), F.col("vymin").cast("int"),
+        F.col("vxmax").cast("int"), F.col("vymax").cast("int"),
+    )
+
+
 DEM_METRICS = ["slope", "aspect", "tri", "tpi", "roughness"]
 DEM_TILES = [(tx, ty) for tx in range(8, 14) for ty in range(4, 10)]
 
@@ -621,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_interp": q_grid_interp,
         "proximity": q_proximity,
         "contour_cells": q_contour_cells,
+        "polygonize": q_polygonize,
+        "footprint": q_footprint,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
@@ -1079,6 +1109,38 @@ FROM cased GROUP BY 1, 2, 3
 """
 
 
+def _o_polygonize() -> str:
+    return """
+WITH px AS (
+  SELECT t.tx, t.ty,
+    (3 * (t.tx * 256 + gx.x) + 5 * (t.ty * 256 + gy.y)) AS s
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, 256) AS gx(x), range(0, 256) AS gy(y)
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast((s % 512) // 128 as int) AS value,
+  cast(count(DISTINCT s // 512) as bigint) AS n_components,
+  count(*) AS n_px
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+def _o_footprint() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id, gx.x, gy.y, (gx.x + gy.y + i.i) % 256 AS v
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id, cast(count(*) as bigint) AS n_valid,
+  cast(min(x) as int) AS vxmin, cast(min(y) as int) AS vymin,
+  cast(max(x) as int) AS vxmax, cast(max(y) as int) AS vymax
+FROM px WHERE v <> 0 GROUP BY image_id
+"""
+
+
 def _o_dem_metrics() -> str:
     # interior tiles of the DEM_TILES window (all 8 neighbors present)
     txs = sorted({t[0] for t in DEM_TILES})[1:-1]
@@ -1253,6 +1315,8 @@ def oracle_sql() -> dict[str, str]:
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
         "dem_metrics": _o_dem_metrics(),
+        "polygonize": _o_polygonize(),
+        "footprint": _o_footprint(),
         "grid_interp": _o_grid_interp(),
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),

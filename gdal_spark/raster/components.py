@@ -1,0 +1,140 @@
+"""Connected-component raster ops: polygonize-style labeling, sieve
+filtering, nodata filling.
+
+Semantics re-derived from:
+- polygonize (alg/polygonize.cpp + gdalrasterpolygonenumerator.cpp):
+  components of EQUAL pixel value, 4- or 8-connectivity.
+- sieve (alg/gdalsievefilter.cpp): components smaller than the
+  threshold are merged into their largest neighbouring component
+  (by pixel count), iterating until stable.
+- fillnodata (alg/rasterfill.cpp): inverse-distance-weighted fill of
+  nodata pixels from valid pixels found within a search distance
+  (GDAL searches along rays; here a full-window IDW over valid
+  pixels within the chebyshev search radius — same contract:
+  deterministic, distance-weighted, only fills within reach).
+
+All pure numpy; per-tile usage mirrors the other raster kernels.
+Cross-tile component dissolve is a planned v2 (edge-label
+equivalence join iterated to fixpoint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def label_components(arr: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Label connected components of equal value (row-scan union-find;
+    labels are arbitrary but dense, starting at 0)."""
+    h, w = arr.shape
+    labels = -np.ones((h, w), dtype=np.int64)
+    parent: list[int] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for y in range(h):
+        for x in range(w):
+            v = arr[y, x]
+            neighbors = []
+            if x > 0 and arr[y, x - 1] == v:
+                neighbors.append(labels[y, x - 1])
+            if y > 0 and arr[y - 1, x] == v:
+                neighbors.append(labels[y - 1, x])
+            if connectivity == 8 and y > 0:
+                if x > 0 and arr[y - 1, x - 1] == v:
+                    neighbors.append(labels[y - 1, x - 1])
+                if x + 1 < w and arr[y - 1, x + 1] == v:
+                    neighbors.append(labels[y - 1, x + 1])
+            if not neighbors:
+                labels[y, x] = len(parent)
+                parent.append(len(parent))
+            else:
+                m = min(neighbors)
+                labels[y, x] = m
+                for n in neighbors:
+                    union(m, int(n))
+    # flatten + densify
+    flat = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
+    dense = -np.ones(len(parent), dtype=np.int64)
+    nxt = 0
+    for i, r in enumerate(flat):
+        if dense[r] < 0:
+            dense[r] = nxt
+            nxt += 1
+        flat[i] = dense[r]
+    return flat[labels]
+
+
+def component_sizes(labels: np.ndarray) -> np.ndarray:
+    return np.bincount(labels.ravel())
+
+
+def sieve_filter(arr: np.ndarray, threshold: int, connectivity: int = 4) -> np.ndarray:
+    """Merge components smaller than threshold px into their largest
+    neighbour component's value; repeats until no small component
+    remains or no neighbour exists."""
+    out = arr.copy()
+    for _ in range(arr.size):  # bounded; terminates much earlier
+        labels = label_components(out, connectivity)
+        sizes = component_sizes(labels)
+        small = np.where(sizes < threshold)[0]
+        if len(small) == 0:
+            return out
+        changed = False
+        for lbl in small:
+            mask = labels == lbl
+            # neighbouring labels via dilation by one
+            ys, xs = np.nonzero(mask)
+            neigh: dict[int, int] = {}
+            for y, x in zip(ys, xs):
+                for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < out.shape[0] and 0 <= nx < out.shape[1]:
+                        nl = int(labels[ny, nx])
+                        if nl != lbl:
+                            neigh[nl] = int(sizes[nl])
+            if not neigh:
+                continue
+            best = max(neigh.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            by, bx = np.nonzero(labels == best)
+            out[mask] = out[by[0], bx[0]]
+            changed = True
+        if not changed:
+            return out
+    return out
+
+
+def fill_nodata(
+    arr: np.ndarray, nodata: float, max_search_dist: int = 16
+) -> np.ndarray:
+    """IDW fill of nodata pixels from valid pixels within the search
+    radius (chebyshev window); unfillable pixels stay nodata."""
+    out = arr.astype(np.float64).copy()
+    mask = arr == nodata
+    if not mask.any():
+        return out
+    h, w = arr.shape
+    ys, xs = np.nonzero(mask)
+    vy, vx = np.nonzero(~mask)
+    vvals = arr[~mask].astype(np.float64)
+    for y, x in zip(ys, xs):
+        y0, y1 = max(0, y - max_search_dist), min(h, y + max_search_dist + 1)
+        x0, x1 = max(0, x - max_search_dist), min(w, x + max_search_dist + 1)
+        win = arr[y0:y1, x0:x1]
+        wmask = win != nodata
+        if not wmask.any():
+            continue
+        wy, wx = np.nonzero(wmask)
+        d2 = (wy + y0 - y) ** 2.0 + (wx + x0 - x) ** 2.0
+        wgt = 1.0 / d2
+        out[y, x] = float((win[wmask] * wgt).sum() / wgt.sum())
+    return out
