@@ -537,6 +537,65 @@ ANN_K = 10
 ANN_QUERY_MOD = 16  # vec_id % 16 == 0 -> query subset
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour rollup per event_type (the batch twin of the
+    streaming windowed aggregation in gdal_spark/streaming)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("day"),
+            (F.floor(F.hour("ts") / 6) * 6).cast("int").alias("hour6"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            # integer cents: order-insensitive, engine-neutral
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "hour6", "event_type",
+            F.col("n").cast("long"),
+            F.col("sum_cents").cast("long"),
+            F.col("n_users").cast("long"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h inactivity splits) via window
+    functions: per user, session count + largest session size."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 3600), 1).otherwise(0),
+    ).withColumn("sess_id", F.sum("new_sess").over(w))
+    per_sess = marked.groupBy("user_id", "sess_id").agg(
+        F.count("*").alias("sz")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.max("sz").cast("long").alias("max_session_events"),
+    )
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction (regex, engine-neutral) + bucket rollup."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") / 10).cast("int").alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.max("k").cast("long").alias("k_max"))
+        .select("k_bucket", F.col("n").cast("long"), "k_max")
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, quality scoring, order-sensitive document
     fingerprint — Column math only (whole-stage codegen)."""
@@ -630,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "tile_render": q_tile_render,
         "tile_overview": q_tile_overview,
+        "events_windowed": q_events_windowed,
+        "events_sessionize": q_events_sessionize,
+        "events_props": q_events_props,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
@@ -1295,6 +1357,42 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
         "tile_overview": _o_tile_overview(),
+        "events_windowed": """
+SELECT cast(cast(ts as date) as varchar) AS day,
+       cast((hour(ts) // 6) * 6 as int) AS hour6,
+       event_type,
+       count(*) AS n,
+       cast(sum(cast(round(value * 100) as bigint)) as bigint) AS sum_cents,
+       cast(count(DISTINCT user_id) as bigint) AS n_users
+FROM events GROUP BY 1, 2, 3
+""",
+        "events_sessionize": """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('second', lag(ts) OVER w, ts) > 3600
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sess_id, count(*) AS sz FROM sess GROUP BY 1, 2
+)
+SELECT user_id, cast(count(*) as bigint) AS n_sessions,
+       cast(max(sz) as bigint) AS max_session_events
+FROM per_sess GROUP BY user_id
+""",
+        "events_props": """
+SELECT cast(cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) as bigint) // 10 as int) AS k_bucket,
+       count(*) AS n,
+       cast(max(cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) as bigint)) as bigint) AS k_max
+FROM events GROUP BY 1
+""",
         "text_stats": txt_analysis.sql_token_stats(),
         "lang_id": txt_analysis.sql_lang_id(),
         "exact_dedup": txt_dedup.sql_exact_dups(),

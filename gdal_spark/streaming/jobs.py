@@ -1,0 +1,105 @@
+"""Structured Streaming jobs: incremental tile ingestion + windowed
+event rollups.
+
+The reference is a batch library (SURVEY.md §2.11) — its
+"streaming-shaped" obligations are resumable long jobs and
+incremental snapshots. Here they are expressed natively:
+
+- incremental_tile_counts: images arrive as parquet files; each
+  micro-batch derives georef (Column math), assigns zoom-z tiles and
+  upserts per-tile counts. Trigger(availableNow=True) + a checkpoint
+  dir give exactly-once incremental processing: re-running after new
+  files arrive processes ONLY the new files (the streaming twin of
+  the anti-join resume in operators/scale.py, and of the reference's
+  tile-exists skip, apps/gdalalg_raster_tile.cpp:377).
+- windowed_event_rollup: event-time tumbling windows with a watermark
+  for late data — the streaming twin of q_events_windowed.
+
+Both run foreachBatch parquet appends so results live in plain
+tables the batch engine can read back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gdal_spark.fixtures import georef
+from gdal_spark.tiles import tilemath as tm
+
+
+def incremental_tile_counts(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    z: int = 6,
+    id_schema: str = "i long",
+) -> None:
+    """Process all currently-available new files, then stop."""
+    stream = spark.readStream.schema(id_schema).parquet(input_dir)
+    geo = georef.with_image_geo(stream, "i")
+    tx, ty = tm.tile_xy_cols(F.col("cx"), F.col("cy"), z)
+    assigned = geo.select(
+        F.lit(z).alias("tile_z"), tx.alias("tile_x"), ty.alias("tile_y")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        counts = batch_df.groupBy("tile_z", "tile_x", "tile_y").agg(
+            F.count("*").alias("n_images")
+        )
+        counts.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        assigned.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_tile_counts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge the per-batch partial counts into current totals."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(F.sum("n_images").alias("n_images"))
+    )
+
+
+def windowed_event_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "6 hours",
+    watermark: str = "1 day",
+) -> None:
+    """Event-time tumbling windows with a watermark; append mode emits
+    only finalized windows."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "sum_cents",
+        )
+    )
+    (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

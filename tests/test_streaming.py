@@ -1,0 +1,83 @@
+"""Structured Streaming: incremental tile ingestion with checkpoint
+resume, and watermark-windowed event rollups."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from gdal_spark.streaming.jobs import (
+    incremental_tile_counts,
+    read_tile_counts,
+    windowed_event_rollup,
+)
+
+
+def test_incremental_tile_counts_resume(tmp_path, spark):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.range(0, 500).selectExpr("id as i").write.parquet(inp, mode="append")
+    incremental_tile_counts(spark, inp, out, ckpt)
+    total1 = read_tile_counts(spark, out).agg(F.sum("n_images")).collect()[0][0]
+    assert total1 == 500
+
+    # second run with NO new files: checkpoint says nothing to do
+    incremental_tile_counts(spark, inp, out, ckpt)
+    total2 = read_tile_counts(spark, out).agg(F.sum("n_images")).collect()[0][0]
+    assert total2 == 500
+
+    # new arrivals -> only the delta is processed, totals now 800
+    spark.range(500, 800).selectExpr("id as i").write.parquet(inp, mode="append")
+    incremental_tile_counts(spark, inp, out, ckpt)
+    merged = read_tile_counts(spark, out)
+    assert merged.agg(F.sum("n_images")).collect()[0][0] == 800
+
+    # incremental result == batch-from-scratch result per tile
+    from gdal_spark.fixtures import georef
+    from gdal_spark.tiles import tilemath as tm
+
+    batch = (
+        georef.with_image_geo(spark.range(800).selectExpr("id as i"), "i")
+        .select(*tm.tile_xy_cols(F.col("cx"), F.col("cy"), 6))
+        .toDF("tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
+        .count()
+    )
+    got = {
+        (r["tile_x"], r["tile_y"]): r["n_images"] for r in merged.collect()
+    }
+    want = {(r["tile_x"], r["tile_y"]): r["count"] for r in batch.collect()}
+    assert got == want
+
+
+def test_windowed_event_rollup(tmp_path, spark):
+    inp = str(tmp_path / "ev")
+    out = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ck")
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i % 30), i % 5, "click" if i % 2 else "view",
+         float(i), "{}")
+        for i in range(200)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+    # a far-future row advances the watermark so earlier windows close
+    spark.createDataFrame(
+        [(999, base + dt.timedelta(days=10), 0, "view", 0.0, "{}")], schema
+    ).write.parquet(inp, mode="append")
+    windowed_event_rollup(spark, inp, out, ckpt)
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    # every finalized 6h window count matches the batch group-by
+    batch = (
+        spark.read.parquet(inp)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in res.collect()}
+    want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    for k, v in got.items():
+        assert want[k] == v
