@@ -537,6 +537,13 @@ ANN_K = 10
 ANN_QUERY_MOD = 16  # vec_id % 16 == 0 -> query subset
 
 
+def q_caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row caption invariant (BASELINE input_hint: exact caption
+    equality end-to-end): engine-derived captions value-hash-compared
+    against an independent SQL construction."""
+    return _images_geo(spark, sf_dir).select("image_id", "caption")
+
+
 def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour rollup per event_type (the batch twin of the
     streaming windowed aggregation in gdal_spark/streaming)."""
@@ -689,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "tile_render": q_tile_render,
         "tile_overview": q_tile_overview,
+        "caption_check": q_caption_check,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
@@ -1171,6 +1179,19 @@ FROM cased GROUP BY 1, 2, 3
 """
 
 
+def _o_caption_check() -> str:
+    u1, u2 = georef.sql_lcg("o_orderkey")
+    adj = georef._sql_case_cycle(u1, georef.CAPTION_ADJ, quote=True)
+    noun = georef._sql_case_cycle(u2, georef.CAPTION_NOUN, quote=True)
+    place = georef._sql_case_cycle(f"{u1} + {u2}", georef.CAPTION_PLACE, quote=True)
+    return f"""
+SELECT 'img_' || lpad(cast(o_orderkey as varchar), 12, '0') AS image_id,
+  'synthetic scene ' || cast(o_orderkey as varchar) || ': '
+    || {adj} || ' ' || {noun} || ' over ' || {place} AS caption
+FROM orders
+"""
+
+
 def _o_polygonize() -> str:
     return """
 WITH px AS (
@@ -1357,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
         "tile_overview": _o_tile_overview(),
+        "caption_check": _o_caption_check(),
         "events_windowed": """
 SELECT cast(cast(ts as date) as varchar) AS day,
        cast((hour(ts) // 6) * 6 as int) AS hour6,
