@@ -537,6 +537,25 @@ ANN_K = 10
 ANN_QUERY_MOD = 16  # vec_id % 16 == 0 -> query subset
 
 
+def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer x layer overlay join (Intersection/Clip/Erase/Union
+    measures; ogrlayer.cpp:3345-5806) between the supplier-keyed and
+    part-keyed polygon families — cell-join candidates, convex-clip
+    refine."""
+    from gdal_spark.operators.overlay import overlay_join
+
+    za = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    zb = build_zones(
+        spark,
+        ids_df=_read(spark, sf_dir, "part").select(F.col("p_partkey").alias("fid")),
+    )
+    return overlay_join(za, zb).select(
+        F.col("fid_a").cast("long"), F.col("fid_b").cast("long"),
+        F.col("inter_e4").cast("long"), F.col("a_only_e4").cast("long"),
+        F.col("union_e4").cast("long"),
+    )
+
+
 def q_caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row caption invariant (BASELINE input_hint: exact caption
     equality end-to-end): engine-derived captions value-hash-compared
@@ -696,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "tile_render": q_tile_render,
         "tile_overview": q_tile_overview,
+        "overlay": q_overlay,
         "caption_check": q_caption_check,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -1179,6 +1199,106 @@ FROM cased GROUP BY 1, 2, 3
 """
 
 
+def _o_overlay() -> str:
+    za = georef.sql_zones_cte("s_suppkey", "supplier")
+    zb = georef.sql_zones_cte("p_partkey", "part")
+
+    def edges(src: str, fid_as: str) -> str:
+        return f"""
+  SELECT z.fid AS {fid_as}, g.j,
+    z.lon0 + z.r * cos(2 * pi() * g.j / z.k) AS x1,
+    z.lat0 + z.r * sin(2 * pi() * g.j / z.k) AS y1,
+    z.lon0 + z.r * cos(2 * pi() * ((g.j + 1) % z.k) / z.k) AS x2,
+    z.lat0 + z.r * sin(2 * pi() * ((g.j + 1) % z.k) / z.k) AS y2
+  FROM {src} z, range(0, 8) AS g(j) WHERE g.j < z.k
+"""
+
+    return f"""
+WITH za AS ({za}), zb AS ({zb}),
+ea AS ({edges('za', 'fa')}),
+eb AS ({edges('zb', 'fb')}),
+pairs AS (
+  SELECT a.fid AS fa, b.fid AS fb
+  FROM za a, zb b
+  WHERE abs(a.lon0 - b.lon0) <= a.r + b.r AND abs(a.lat0 - b.lat0) <= a.r + b.r
+),
+-- vertices of A inside B (CCW convex: all edge crosses >= 0)
+va AS (
+  SELECT p.fa, p.fb, e.x1 AS x, e.y1 AS y FROM pairs p JOIN ea e ON e.fa = p.fa
+),
+va_in AS (
+  SELECT v.fa, v.fb, v.x, v.y
+  FROM va v JOIN eb e ON e.fb = v.fb
+  GROUP BY v.fa, v.fb, v.x, v.y
+  HAVING min((e.x2 - e.x1) * (v.y - e.y1) - (e.y2 - e.y1) * (v.x - e.x1)) >= 0
+),
+vb AS (
+  SELECT p.fa, p.fb, e.x1 AS x, e.y1 AS y FROM pairs p JOIN eb e ON e.fb = p.fb
+),
+vb_in AS (
+  SELECT v.fa, v.fb, v.x, v.y
+  FROM vb v JOIN ea e ON e.fa = v.fa
+  GROUP BY v.fa, v.fb, v.x, v.y
+  HAVING min((e.x2 - e.x1) * (v.y - e.y1) - (e.y2 - e.y1) * (v.x - e.x1)) >= 0
+),
+crossings AS (
+  SELECT p.fa, p.fb,
+    a.x1 + ((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1))
+      / ((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1)) * (a.x2 - a.x1) AS x,
+    a.y1 + ((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1))
+      / ((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1)) * (a.y2 - a.y1) AS y,
+    ((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1))
+      / ((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1)) AS t,
+    ((b.x1 - a.x1) * (a.y2 - a.y1) - (b.y1 - a.y1) * (a.x2 - a.x1))
+      / ((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1)) AS u
+  FROM pairs p
+  JOIN ea a ON a.fa = p.fa
+  JOIN eb b ON b.fb = p.fb
+  WHERE (a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1) <> 0
+),
+pts AS (
+  SELECT fa, fb, x, y FROM va_in
+  UNION ALL SELECT fa, fb, x, y FROM vb_in
+  UNION ALL SELECT fa, fb, x, y FROM crossings WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1
+),
+ctr AS (
+  SELECT fa, fb, avg(x) AS cx, avg(y) AS cy, count(*) AS np
+  FROM pts GROUP BY fa, fb HAVING count(*) >= 3
+),
+ordered AS (
+  SELECT p.fa, p.fb, p.x, p.y,
+    atan2(p.y - c.cy, p.x - c.cx) AS ang
+  FROM pts p JOIN ctr c ON c.fa = p.fa AND c.fb = p.fb
+),
+shoelace AS (
+  SELECT fa, fb,
+    x * coalesce(lead(y) OVER w, first_value(y) OVER w2)
+      - coalesce(lead(x) OVER w, first_value(x) OVER w2) * y AS term
+  FROM ordered
+  WINDOW w AS (PARTITION BY fa, fb ORDER BY ang, x, y),
+         w2 AS (PARTITION BY fa, fb ORDER BY ang, x, y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+areas AS (
+  SELECT fa, fb, abs(sum(term)) / 2 AS inter FROM shoelace GROUP BY fa, fb
+),
+poly_area_a AS (
+  SELECT fa, abs(sum(x1 * y2 - x2 * y1)) / 2 AS area FROM ea GROUP BY fa
+),
+poly_area_b AS (
+  SELECT fb, abs(sum(x1 * y2 - x2 * y1)) / 2 AS area FROM eb GROUP BY fb
+)
+SELECT i.fa AS fid_a, i.fb AS fid_b,
+  cast(floor(i.inter * 1e4) as bigint) AS inter_e4,
+  greatest(0, cast(floor((pa.area - i.inter) * 1e4) as bigint)) AS a_only_e4,
+  cast(floor((pa.area + pb.area - i.inter) * 1e4) as bigint) AS union_e4
+FROM areas i
+JOIN poly_area_a pa ON pa.fa = i.fa
+JOIN poly_area_b pb ON pb.fb = i.fb
+WHERE i.inter > 0
+"""
+
+
 def _o_caption_check() -> str:
     u1, u2 = georef.sql_lcg("o_orderkey")
     adj = georef._sql_case_cycle(u1, georef.CAPTION_ADJ, quote=True)
@@ -1378,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
         "tile_overview": _o_tile_overview(),
+        "overlay": _o_overlay(),
         "caption_check": _o_caption_check(),
         "events_windowed": """
 SELECT cast(cast(ts as date) as varchar) AS day,
