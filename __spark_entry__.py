@@ -207,6 +207,25 @@ def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AVG_Z = 11  # 2x downsample from the native anchor zoom
+
+
+def q_tile_render_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warp 'average' resampler at a 2x downsample: unweighted mean
+    of source pixels whose centers fall in each dst pixel's source
+    footprint (GWKAverageOrMode contract), byte round-half-up."""
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir), AVG_Z, resampling="average"
+    )
+    return out.where(F.col("n_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("n_px").cast("long"),
+    )
+
+
 def q_tile_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overview pyramid step: z-1 tiles from 4 children via 2x2
     round-half-up average (overview.cpp:1667; per-level loop
@@ -714,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tile_add": q_rasterize_tile_add,
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "tile_render": q_tile_render,
+        "tile_render_avg": q_tile_render_avg,
         "tile_overview": q_tile_overview,
         "overlay": q_overlay,
         "caption_check": q_caption_check,
@@ -1000,6 +1020,64 @@ SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
        count(*) AS n_px
 FROM win w CROSS JOIN bands b
 GROUP BY 1, 2, 3
+"""
+
+
+def _o_tile_render_avg() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0)"
+    )
+    z = AVG_Z
+    res_z = tm.sql_double(tm.resolution(z))
+    res0 = tm.sql_double(georef.RES0)
+    org = tm.sql_double(tm.ORIGIN)
+    nt = 1 << z
+    return f"""
+WITH img AS ({img}),
+cover AS (
+  SELECT m.i, m.w, m.h, m.xmin, m.ymax, tx.tx, ty.ty
+  FROM (
+    SELECT i, w, h, xmin, ymax,
+      {tm.sql_tile_x('xmin', z)} AS min_tx, {tm.sql_tile_x('xmax', z)} AS max_tx,
+      {tm.sql_tile_y('ymax', z)} AS min_ty, {tm.sql_tile_y('ymin', z)} AS max_ty
+    FROM img
+  ) m
+  JOIN range(0, {nt}) AS tx(tx) ON tx.tx BETWEEN m.min_tx AND m.max_tx
+  JOIN range(0, {nt}) AS ty(ty) ON ty.ty BETWEEN m.min_ty AND m.max_ty
+),
+pix AS (
+  SELECT c.i, c.w, c.h, c.tx, c.ty, gx.px, gy.py,
+    cast(ceil(((({org} * -1) + (c.tx * 256 + gx.px) * {res_z}) - c.xmin) / {res0} - 0.5) as bigint) AS sx0,
+    cast(ceil((c.ymax - ({org} - (c.ty * 256 + gy.py) * {res_z})) / {res0} - 0.5) as bigint) AS sy0
+  FROM cover c, range(0, 256) AS gx(px), range(0, 256) AS gy(py)
+),
+taps AS (
+  SELECT i, tx, ty, px, py, sx0 + t.dx AS sx, sy0 + t.dy AS sy
+  FROM pix, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(dx, dy)
+  WHERE sx0 + t.dx >= 0 AND sx0 + t.dx < w AND sy0 + t.dy >= 0 AND sy0 + t.dy < h
+),
+per_img AS (
+  SELECT tx, ty, px, py, i, count(*) AS n,
+    sum((sx + sy + i) % 256) AS s0,
+    sum((sx + sy + i + 85) % 256) AS s1,
+    sum((sx + sy + i + 170) % 256) AS s2
+  FROM taps GROUP BY 1, 2, 3, 4, 5
+),
+win AS (
+  SELECT tx, ty, px, py,
+    max_by(struct_pack(s0 := s0, s1 := s1, s2 := s2, n := n), i) AS st
+  FROM per_img GROUP BY 1, 2, 3, 4
+),
+vals AS (
+  SELECT tx, ty, px, py, b.band,
+    cast(floor(CASE b.band WHEN 0 THEN st.s0 WHEN 1 THEN st.s1 ELSE st.s2 END / st.n + 0.5) as bigint) AS v
+  FROM win CROSS JOIN (SELECT band FROM range(0, 3) AS r(band)) b
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(band as int) AS band,
+  cast(sum(v % ({_PRIMES_SQL})[((py * 256 + px) % 11) + 1]) % 65536 as int) AS checksum,
+  count(*) AS n_px
+FROM vals GROUP BY 1, 2, 3
 """
 
 
@@ -1497,6 +1575,7 @@ FROM cand c
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
+        "tile_render_avg": _o_tile_render_avg(),
         "tile_overview": _o_tile_overview(),
         "overlay": _o_overlay(),
         "caption_check": _o_caption_check(),

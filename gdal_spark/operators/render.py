@@ -92,6 +92,19 @@ def render_tiles(
             if resampling == "bilinear":
                 vals, mask = rs.sample_bilinear(src, dfx, dfy)
                 vals = rs.round_to_byte(vals)
+            elif resampling == "cubic":
+                vals, mask = rs.sample_cubic(src, dfx, dfy)
+                vals = rs.round_to_byte(vals)
+            elif resampling == "average":
+                px = np.arange(TILE, dtype=np.float64)
+                wx0 = -tm.ORIGIN + (tx * TILE + px) * res_z
+                wy_top = tm.ORIGIN - (ty * TILE + px) * res_z
+                x0 = np.broadcast_to(((wx0 - float(row["xmin"])) / res0)[None, :], (TILE, TILE))
+                x1 = x0 + res_z / res0
+                y0 = np.broadcast_to(((float(row["ymax"]) - wy_top) / res0)[:, None], (TILE, TILE))
+                y1 = y0 + res_z / res0
+                vals, mask = rs.sample_average(src, x0, x1, y0, y1)
+                vals = rs.round_to_byte(vals)
             else:
                 vals, mask = rs.sample_nearest(src, dfx, dfy)
             buf[mask] = vals[mask]

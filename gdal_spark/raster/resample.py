@@ -81,6 +81,83 @@ def sample_bilinear(
     return vals, mask
 
 
+def cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom a=-0.5 (alg/gdalresamplingkernels.h:23-44)."""
+    ax = np.abs(x)
+    x2 = x * x
+    w = np.where(
+        ax <= 1.0,
+        x2 * (1.5 * ax - 2.5) + 1.0,
+        np.where(ax <= 2.0, x2 * (-0.5 * ax + 2.5) - 4.0 * ax + 2.0, 0.0),
+    )
+    return w
+
+
+def sample_cubic(
+    src: np.ndarray, dfx: np.ndarray, dfy: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """4x4 Catmull-Rom resample (GWKCubicResample semantics: anchor
+    iSrc = floor(dfSrc - 0.5), taps iSrc-1..iSrc+2, per-tap kernel
+    weights of the fractional offset; edge taps clamp and weights
+    renormalize)."""
+    h, w = src.shape[:2]
+    fx = dfx - 0.5
+    fy = dfy - 0.5
+    ix = np.floor(fx).astype(np.int64)
+    iy = np.floor(fy).astype(np.int64)
+    tx = fx - ix  # in [0, 1)
+    ty = fy - iy
+    vals = np.zeros(dfx.shape + src.shape[2:], dtype=np.float64)
+    wsum = np.zeros(dfx.shape, dtype=np.float64)
+    for dy_ in (-1, 0, 1, 2):
+        wy = cubic_kernel(ty - dy_)
+        for dx_ in (-1, 0, 1, 2):
+            wx = cubic_kernel(tx - dx_)
+            sx = ix + dx_
+            sy = iy + dy_
+            ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+            wgt = np.where(ok, wx * wy, 0.0)
+            pix = src[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)].astype(np.float64)
+            vals += pix * (wgt[..., None] if pix.ndim > wgt.ndim else wgt)
+            wsum += wgt
+    mask = wsum > 0
+    safe = np.where(mask, wsum, 1.0)
+    vals = vals / (safe[..., None] if vals.ndim > safe.ndim else safe)
+    return vals, mask
+
+
+def sample_average(
+    src: np.ndarray, x0: np.ndarray, x1: np.ndarray, y0: np.ndarray, y1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Warp 'average': unweighted mean of source pixels whose CENTERS
+    fall in the dst pixel's source-space footprint [x0, x1) x [y0, y1)
+    (GWKAverageOrMode center-inclusion contract). Footprints here are
+    small (downsample factors <= 8); loops run over the bounded tap
+    window, vectorized across dst pixels."""
+    h, w = src.shape[:2]
+    # first source index whose center (s + 0.5) >= x0  ->  ceil(x0 - 0.5)
+    sx0 = np.ceil(x0 - 0.5).astype(np.int64)
+    sy0 = np.ceil(y0 - 0.5).astype(np.int64)
+    max_taps_x = int(np.max(np.floor(x1 - 0.5) - sx0 + 1)) if x1.size else 0
+    max_taps_y = int(np.max(np.floor(y1 - 0.5) - sy0 + 1)) if y1.size else 0
+    vals = np.zeros(x0.shape + src.shape[2:], dtype=np.float64)
+    cnt = np.zeros(x0.shape, dtype=np.float64)
+    for dy_ in range(max(0, max_taps_y)):
+        sy = sy0 + dy_
+        in_y = (sy + 0.5 < y1) & (sy + 0.5 >= y0) & (sy >= 0) & (sy < h)
+        for dx_ in range(max(0, max_taps_x)):
+            sx = sx0 + dx_
+            ok = in_y & (sx + 0.5 < x1) & (sx + 0.5 >= x0) & (sx >= 0) & (sx < w)
+            pix = src[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)].astype(np.float64)
+            wgt = ok.astype(np.float64)
+            vals += pix * (wgt[..., None] if pix.ndim > wgt.ndim else wgt)
+            cnt += wgt
+    mask = cnt > 0
+    safe = np.where(mask, cnt, 1.0)
+    vals = vals / (safe[..., None] if vals.ndim > safe.ndim else safe)
+    return vals, mask
+
+
 def round_to_byte(vals: np.ndarray) -> np.ndarray:
     """GDAL float->Byte: (int)(v + 0.5) clamped to [0, 255]."""
     return np.clip(np.floor(vals + 0.5), 0, 255).astype(np.uint8)

@@ -96,3 +96,41 @@ def test_render_tile_against_bruteforce(spark):
         assert gdal_checksum(buf) == r["checksum"]
         got = np.frombuffer(r["data"], dtype=np.uint8).reshape(256, 256)
         assert (got == buf).all()
+
+
+def test_cubic_kernel_properties():
+    # partition of unity at any phase; exact at source centers
+    for t in (0.0, 0.2, 0.5, 0.9):
+        w = rs.cubic_kernel(np.array([t + 1, t, t - 1, t - 2]))
+        assert abs(w.sum() - 1.0) < 1e-12
+    src = np.arange(36, dtype=np.float64).reshape(6, 6)
+    dfx = np.array([[3.5]])
+    dfy = np.array([[2.5]])
+    vals, mask = rs.sample_cubic(src, dfx, dfy)
+    assert mask.all()
+    assert abs(vals[0, 0] - src[2, 3]) < 1e-9
+
+
+def test_cubic_linear_surface_exact():
+    # Catmull-Rom reproduces linear ramps exactly (away from edges)
+    src = np.add.outer(np.arange(10.0), np.arange(10.0) * 2)
+    dfx = np.array([[4.3, 5.7], [3.1, 6.9]])
+    dfy = np.array([[4.8, 3.2], [5.5, 2.6]])
+    vals, _ = rs.sample_cubic(src, dfx, dfy)
+    # value at continuous (x, y): row + 2*col with centers at k+0.5
+    expect = (dfy - 0.5) + 2 * (dfx - 0.5)
+    assert np.allclose(vals, expect, atol=1e-9)
+
+
+def test_average_window_counts():
+    src = np.full((8, 8), 10.0)
+    src[0, 0] = 50.0
+    x0 = np.array([[0.0]]); x1 = np.array([[2.0]])
+    y0 = np.array([[0.0]]); y1 = np.array([[2.0]])
+    vals, mask = rs.sample_average(src, x0, x1, y0, y1)
+    assert mask.all()
+    assert vals[0, 0] == (50 + 10 + 10 + 10) / 4.0
+    # off-edge window: only in-bounds centers counted
+    vals2, _ = rs.sample_average(src, np.array([[-1.0]]), np.array([[1.0]]),
+                                 np.array([[0.0]]), np.array([[2.0]]))
+    assert vals2[0, 0] == (50 + 10) / 2.0
