@@ -575,6 +575,24 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLIP_BBOX = (-60.0, -40.0, 60.0, 40.0)
+
+
+def q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal vector pipeline: filter (kind='park') -> clip --bbox ->
+    ST_Area, i.e. apps/gdalalg_vector_{filter,clip}.cpp chained as
+    lazy DataFrame steps."""
+    from gdal_spark.geo.st_functions import st_area
+    from gdal_spark.operators import vector_pipeline as vp
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    out = vp.step_clip(vp.step_filter(zones, "kind = 'park'"), CLIP_BBOX)
+    return out.select(
+        F.col("fid").cast("long"),
+        F.floor(st_area(F.col("geometry")) * 1e4).cast("long").alias("clip_area_e4"),
+    )
+
+
 def q_caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row caption invariant (BASELINE input_hint: exact caption
     equality end-to-end): engine-derived captions value-hash-compared
@@ -736,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_avg": q_tile_render_avg,
         "tile_overview": q_tile_overview,
         "overlay": q_overlay,
+        "vector_clip": q_vector_clip,
         "caption_check": q_caption_check,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
@@ -1377,6 +1396,73 @@ WHERE i.inter > 0
 """
 
 
+def _o_vector_clip() -> str:
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    x0, y0, x1, y1 = CLIP_BBOX
+    return f"""
+WITH za AS (SELECT * FROM ({zn}) WHERE fid % 4 = 0),  -- kind='park' cycle
+ea AS (
+  SELECT z.fid, g.j,
+    z.lon0 + z.r * cos(2 * pi() * g.j / z.k) AS vx1,
+    z.lat0 + z.r * sin(2 * pi() * g.j / z.k) AS vy1,
+    z.lon0 + z.r * cos(2 * pi() * ((g.j + 1) % z.k) / z.k) AS vx2,
+    z.lat0 + z.r * sin(2 * pi() * ((g.j + 1) % z.k) / z.k) AS vy2
+  FROM za z, range(0, 8) AS g(j) WHERE g.j < z.k
+),
+re (rx1, ry1, rx2, ry2) AS (VALUES
+  ({x0}, {y0}, {x1}, {y0}), ({x1}, {y0}, {x1}, {y1}),
+  ({x1}, {y1}, {x0}, {y1}), ({x0}, {y1}, {x0}, {y0})
+),
+va_in AS (
+  SELECT fid, vx1 AS x, vy1 AS y FROM ea
+  WHERE vx1 BETWEEN {x0} AND {x1} AND vy1 BETWEEN {y0} AND {y1}
+),
+corners (cx, cy) AS (VALUES ({x0}, {y0}), ({x1}, {y0}), ({x1}, {y1}), ({x0}, {y1})),
+corner_in AS (
+  SELECT e.fid, c.cx AS x, c.cy AS y
+  FROM corners c JOIN ea e ON TRUE
+  GROUP BY e.fid, c.cx, c.cy
+  HAVING min((e.vx2 - e.vx1) * (c.cy - e.vy1) - (e.vy2 - e.vy1) * (c.cx - e.vx1)) >= 0
+),
+crossings AS (
+  SELECT e.fid,
+    e.vx1 + ((r.rx1 - e.vx1) * (r.ry2 - r.ry1) - (r.ry1 - e.vy1) * (r.rx2 - r.rx1))
+      / ((e.vx2 - e.vx1) * (r.ry2 - r.ry1) - (e.vy2 - e.vy1) * (r.rx2 - r.rx1)) * (e.vx2 - e.vx1) AS x,
+    ((r.rx1 - e.vx1) * (r.ry2 - r.ry1) - (r.ry1 - e.vy1) * (r.rx2 - r.rx1))
+      / ((e.vx2 - e.vx1) * (r.ry2 - r.ry1) - (e.vy2 - e.vy1) * (r.rx2 - r.rx1)) AS t,
+    ((r.rx1 - e.vx1) * (e.vy2 - e.vy1) - (r.ry1 - e.vy1) * (e.vx2 - e.vx1))
+      / ((e.vx2 - e.vx1) * (r.ry2 - r.ry1) - (e.vy2 - e.vy1) * (r.rx2 - r.rx1)) AS u,
+    e.vy1 + ((r.rx1 - e.vx1) * (r.ry2 - r.ry1) - (r.ry1 - e.vy1) * (r.rx2 - r.rx1))
+      / ((e.vx2 - e.vx1) * (r.ry2 - r.ry1) - (e.vy2 - e.vy1) * (r.rx2 - r.rx1)) * (e.vy2 - e.vy1) AS y
+  FROM ea e, re r
+  WHERE (e.vx2 - e.vx1) * (r.ry2 - r.ry1) - (e.vy2 - e.vy1) * (r.rx2 - r.rx1) <> 0
+),
+pts AS (
+  SELECT fid, x, y FROM va_in
+  UNION ALL SELECT fid, x, y FROM corner_in
+  UNION ALL SELECT fid, x, y FROM crossings WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1
+),
+ctr AS (
+  SELECT fid, avg(x) AS mx, avg(y) AS my FROM pts GROUP BY fid HAVING count(*) >= 3
+),
+ordered AS (
+  SELECT p.fid, p.x, p.y, atan2(p.y - c.my, p.x - c.mx) AS ang
+  FROM pts p JOIN ctr c ON c.fid = p.fid
+),
+shoelace AS (
+  SELECT fid,
+    x * coalesce(lead(y) OVER w, first_value(y) OVER w2)
+      - coalesce(lead(x) OVER w, first_value(x) OVER w2) * y AS term
+  FROM ordered
+  WINDOW w AS (PARTITION BY fid ORDER BY ang, x, y),
+         w2 AS (PARTITION BY fid ORDER BY ang, x, y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT fid, cast(floor((abs(sum(term)) / 2) * 1e4) as bigint) AS clip_area_e4
+FROM shoelace GROUP BY fid HAVING abs(sum(term)) > 0
+"""
+
+
 def _o_caption_check() -> str:
     u1, u2 = georef.sql_lcg("o_orderkey")
     adj = georef._sql_case_cycle(u1, georef.CAPTION_ADJ, quote=True)
@@ -1578,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_render_avg": _o_tile_render_avg(),
         "tile_overview": _o_tile_overview(),
         "overlay": _o_overlay(),
+        "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),
         "events_windowed": """
 SELECT cast(cast(ts as date) as varchar) AS day,

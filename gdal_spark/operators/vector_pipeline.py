@@ -1,0 +1,156 @@
+"""`gdal vector <step>` pipeline equivalents as chainable DataFrame
+transformations.
+
+The reference's vector CLI family (apps/gdalalg_vector_{filter,
+select,sql,geom,buffer,simplify,swap_xy,segmentize,
+explode_collections,set_geom_type,concat,clip,...}.cpp) are streamed
+per-feature steps over OGRLayer pull iterators; each maps 1:1 to a
+lazy DataFrame transformation here, so a pipeline is just function
+composition — Catalyst fuses the chain exactly as the reference's
+pull pipeline does (apps/gdalalg_vector_pipeline.cpp:918-941).
+
+Steps needing geometry math use the ST_* pandas UDFs
+(geo/st_functions.py); pure-attribute steps stay Column-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.geo.wkb import (
+    WKB_MULTIPOLYGON,
+    WKB_POLYGON,
+    Geometry,
+    geometry_to_wkb,
+    parse_wkb,
+    wkb_polygon,
+)
+
+GEOM = "geometry"
+
+
+def step_filter(df: DataFrame, predicate: str) -> DataFrame:
+    """gdal vector filter — attribute WHERE."""
+    return df.where(F.expr(predicate))
+
+
+def step_select(df: DataFrame, cols: list[str]) -> DataFrame:
+    """gdal vector select — field list (geometry passthrough)."""
+    keep = cols + ([GEOM] if GEOM in df.columns and GEOM not in cols else [])
+    return df.select(*keep)
+
+
+@F.pandas_udf(T.BinaryType())
+def _swap_xy_udf(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        for part in g.parts:
+            part[:, [0, 1]] = part[:, [1, 0]]
+        for rings in g.polys:
+            for r in rings:
+                r[:, [0, 1]] = r[:, [1, 0]]
+        return geometry_to_wkb(g)
+
+    return wkb.map(f)
+
+
+def step_swap_xy(df: DataFrame) -> DataFrame:
+    """gdal vector swap-xy — exchange coordinate order."""
+    return df.withColumn(GEOM, _swap_xy_udf(F.col(GEOM)))
+
+
+def step_segmentize(df: DataFrame, max_length: float) -> DataFrame:
+    from gdal_spark.geo.st_functions import st_segmentize
+
+    return df.withColumn(GEOM, st_segmentize(F.col(GEOM), F.lit(max_length)))
+
+
+def step_simplify(df: DataFrame, tolerance: float) -> DataFrame:
+    from gdal_spark.geo.st_functions import st_simplify
+
+    return df.withColumn(GEOM, st_simplify(F.col(GEOM), F.lit(tolerance)))
+
+
+def step_buffer(df: DataFrame, distance: float) -> DataFrame:
+    from gdal_spark.geo.st_functions import st_buffer
+
+    return df.withColumn(GEOM, st_buffer(F.col(GEOM), F.lit(distance)))
+
+
+@F.pandas_udf(T.BinaryType())
+def _bbox_clip_udf(wkb: pd.Series, xmin: pd.Series, ymin: pd.Series,
+                   xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+    from gdal_spark.geo.clip import clip_convex
+
+    out = []
+    for b, x0, y0, x1, y1 in zip(wkb, xmin, ymin, xmax, ymax):
+        g = parse_wkb(bytes(b))
+        rect = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+        ring = g.all_rings()[0][0]
+        clipped = clip_convex(ring, rect)
+        out.append(wkb_polygon([clipped]) if len(clipped) else None)
+    return pd.Series(out)
+
+
+def step_clip(df: DataFrame, bbox: tuple[float, float, float, float]) -> DataFrame:
+    """gdal vector clip --bbox: geometry clipped to the rect; rows
+    with empty results dropped (reference drops empty features)."""
+    x0, y0, x1, y1 = bbox
+    out = df.withColumn(
+        GEOM,
+        _bbox_clip_udf(
+            F.col(GEOM), F.lit(float(x0)), F.lit(float(y0)),
+            F.lit(float(x1)), F.lit(float(y1)),
+        ),
+    )
+    return out.where(F.col(GEOM).isNotNull())
+
+
+@F.pandas_udf(T.ArrayType(T.BinaryType()))
+def _explode_udf(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_MULTIPOLYGON:
+            return [wkb_polygon(rings) for rings in g.polys]
+        return [bytes(b)]
+
+    return wkb.map(f)
+
+
+def step_explode_collections(df: DataFrame) -> DataFrame:
+    """gdal vector explode-collections — one row per collection part."""
+    return (
+        df.withColumn("_parts", _explode_udf(F.col(GEOM)))
+        .withColumn(GEOM, F.explode("_parts"))
+        .drop("_parts")
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def _promote_multi_udf(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_POLYGON:
+            return geometry_to_wkb(Geometry(WKB_MULTIPOLYGON, polys=[g.parts]))
+        return bytes(b)
+
+    return wkb.map(f)
+
+
+def step_set_geom_type_multi(df: DataFrame) -> DataFrame:
+    """gdal vector set-geom-type --multi (PROMOTE_TO_MULTI)."""
+    return df.withColumn(GEOM, _promote_multi_udf(F.col(GEOM)))
+
+
+def step_concat(dfs: list[DataFrame]) -> DataFrame:
+    """gdal vector concat — schema-union by name (OGRUnionLayer)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

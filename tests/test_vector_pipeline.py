@@ -1,0 +1,78 @@
+"""gdal vector pipeline step tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdal_spark.geo.wkb import (
+    WKB_MULTIPOLYGON,
+    parse_wkb,
+    wkb_multipolygon,
+    wkb_polygon,
+)
+from gdal_spark.operators import vector_pipeline as vp
+
+SQ1 = [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]])]
+SQ2 = [np.array([[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]])]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "park", bytearray(wkb_polygon(SQ1))),
+            (2, "farm", bytearray(wkb_polygon(SQ2))),
+            (3, "park", bytearray(wkb_multipolygon([SQ1, SQ2]))),
+        ],
+        ["fid", "kind", "geometry"],
+    )
+
+
+def test_filter_select(spark):
+    df = _df(spark)
+    out = vp.step_select(vp.step_filter(df, "kind = 'park'"), ["fid"])
+    assert {r["fid"] for r in out.collect()} == {1, 3}
+    assert out.columns == ["fid", "geometry"]
+
+
+def test_swap_xy_roundtrip(spark):
+    df = _df(spark).where("fid = 1")
+    once = vp.step_swap_xy(df)
+    twice = vp.step_swap_xy(once)
+    g1 = parse_wkb(bytes(once.collect()[0]["geometry"]))
+    g2 = parse_wkb(bytes(twice.collect()[0]["geometry"]))
+    assert np.allclose(g1.parts[0], SQ1[0][:, ::-1])
+    assert np.allclose(g2.parts[0], SQ1[0])
+
+
+def test_clip_drops_outside(spark):
+    df = _df(spark).where("fid <= 2")
+    out = vp.step_clip(df, (-1.0, -1.0, 1.0, 1.0)).collect()
+    assert [r["fid"] for r in out] == [1]
+    ring = parse_wkb(bytes(out[0]["geometry"])).parts[0]
+    assert ring[:, 0].max() <= 1.0 and ring[:, 1].max() <= 1.0
+
+
+def test_explode_and_promote(spark):
+    df = _df(spark)
+    exploded = vp.step_explode_collections(df)
+    assert exploded.count() == 4  # 1 + 1 + 2 parts
+    promoted = vp.step_set_geom_type_multi(df.where("fid = 1"))
+    g = parse_wkb(bytes(promoted.collect()[0]["geometry"]))
+    assert g.type_id == WKB_MULTIPOLYGON
+
+
+def test_concat_schema_union(spark):
+    a = spark.createDataFrame([(1, "x")], ["fid", "name"])
+    b = spark.createDataFrame([(2, 9.0)], ["fid", "score"])
+    out = vp.step_concat([a, b])
+    assert set(out.columns) == {"fid", "name", "score"}
+    assert out.count() == 2
+
+
+def test_segmentize_buffer_chain(spark):
+    df = _df(spark).where("fid = 1")
+    out = vp.step_buffer(vp.step_segmentize(df, 0.5), 1.0)
+    ring = parse_wkb(bytes(out.collect()[0]["geometry"])).parts[0]
+    from gdal_spark.geo.geom import polygon_area
+
+    area = polygon_area([ring])
+    assert 4 + 8 + 3.0 < area <= 4 + 8 + np.pi + 1e-9
