@@ -458,6 +458,33 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tile polygonize dissolve: global components over a 2x2
+    tile block (per-tile union-find + border label-graph merge);
+    verified against strip-count SQL on the structured surface."""
+    from gdal_spark.operators import stencil
+    from gdal_spark.operators.dissolve import global_components
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    comp = global_components(tiles, stencil.TILE)
+    return (
+        comp.groupBy("value")
+        .agg(
+            F.count("*").alias("n_components"),
+            F.sum("n_px").alias("total_px"),
+            F.max("n_px").alias("max_px"),
+            F.min("n_px").alias("min_px"),
+        )
+        .select(
+            F.col("value").cast("int"),
+            F.col("n_components").cast("long"),
+            F.col("total_px").cast("long"),
+            F.col("max_px").cast("long"),
+            F.col("min_px").cast("long"),
+        )
+    )
+
+
 def q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_footprint valid-mask extraction over decoded payloads
     (apps/gdal_footprint_lib.cpp): count + valid-pixel bbox."""
@@ -779,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "contour_cells": q_contour_cells,
         "polygonize": q_polygonize,
+        "dissolve": q_dissolve,
         "footprint": q_footprint,
         "ogr_summary": q_ogr_summary,
         "ogr_distinct": q_ogr_distinct,
@@ -1492,6 +1520,26 @@ FROM px GROUP BY 1, 2, 3
 """
 
 
+def _o_dissolve() -> str:
+    return """
+WITH px AS (
+  SELECT (3 * (t.tx * 256 + gx.x) + 5 * (t.ty * 256 + gy.y)) AS s
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, 256) AS gx(x), range(0, 256) AS gy(y)
+),
+strips AS (
+  SELECT cast((s % 512) // 128 as int) AS value, s // 512 AS strip,
+         count(*) AS n_px
+  FROM px GROUP BY 1, 2
+)
+SELECT value, cast(count(*) as bigint) AS n_components,
+       cast(sum(n_px) as bigint) AS total_px,
+       cast(max(n_px) as bigint) AS max_px,
+       cast(min(n_px) as bigint) AS min_px
+FROM strips GROUP BY value
+"""
+
+
 def _o_footprint() -> str:
     return f"""
 WITH img AS ({_subset_img_cte()}),
@@ -1723,6 +1771,7 @@ FROM events GROUP BY 1
         "geom_measures": _o_geom_measures(),
         "dem_metrics": _o_dem_metrics(),
         "polygonize": _o_polygonize(),
+        "dissolve": _o_dissolve(),
         "footprint": _o_footprint(),
         "grid_interp": _o_grid_interp(),
         "proximity": _o_proximity(),

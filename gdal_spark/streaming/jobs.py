@@ -70,6 +70,60 @@ def read_tile_counts(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def stateful_user_stats(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals (event count, value cents) carried in GroupState
+    across micro-batches — the applyInPandasWithState analog of a
+    keyed accumulator; emits one row per user per batch with the
+    running totals so far."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    out_type = "user_id long, total_events long, total_cents long"
+    state_type = "total_events long, total_cents long"
+
+    def update(key, pdfs, state: GroupState):
+        total_events, total_cents = (
+            state.get if state.exists else (0, 0)
+        )
+        for pdf in pdfs:
+            total_events += len(pdf)
+            # per-row integer cents: deterministic across batchings
+            total_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((total_events, total_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [total_events],
+                "total_cents": [total_cents],
+            }
+        )
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        out.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def windowed_event_rollup(
     spark: SparkSession,
     input_dir: str,

@@ -81,3 +81,38 @@ def test_windowed_event_rollup(tmp_path, spark):
     want = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_stateful_user_stats(tmp_path, spark):
+    """GroupState persists across micro-batches and restarts."""
+    from gdal_spark.streaming.jobs import stateful_user_stats
+
+    inp = str(tmp_path / "sin")
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sck")
+    base = dt.datetime(2024, 2, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def mk(rows):
+        spark.createDataFrame(rows, schema).write.parquet(inp, mode="append")
+
+    mk([(i, base, i % 3, "view", 1.5, "{}") for i in range(30)])
+    stateful_user_stats(spark, inp, out, ckpt)
+    # second wave: state must carry the first wave's totals
+    mk([(100 + i, base, i % 3, "click", 2.25, "{}") for i in range(12)])
+    stateful_user_stats(spark, inp, out, ckpt)
+
+    res = spark.read.parquet(out)
+    latest = (
+        res.groupBy("user_id")
+        .agg(F.max("batch_id").alias("b"))
+        .join(res, ["user_id"])
+        .where("batch_id = b")
+    )
+    got = {
+        r["user_id"]: (r["total_events"], r["total_cents"])
+        for r in latest.collect()
+    }
+    assert got[0] == (10 + 4, 10 * 150 + 4 * 225)
+    assert got[1] == (10 + 4, 10 * 150 + 4 * 225)
+    assert got[2] == (10 + 4, 10 * 150 + 4 * 225)
