@@ -540,6 +540,26 @@ def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band 256-bucket histogram over decoded payloads
+    (GetHistogram Byte defaults, gcore/gdalrasterband.cpp:4133)."""
+    out = multimodal.image_histogram(_payload_subset(spark, sf_dir))
+    return out.select(
+        "image_id", F.col("band").cast("int"),
+        F.col("bucket").cast("int"), F.col("n").cast("long"),
+    )
+
+
+def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief over decoded band 0 (linear ramp
+    interpolation, apps/gdaldem_lib.cpp:1756-1773)."""
+    out = multimodal.image_color_relief(_payload_subset(spark, sf_dir))
+    return out.select(
+        "image_id", F.col("channel").cast("int"),
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (rasterize-masked accumulation) of the
     synthetic surface f(x,y)=(x+y)%256 over each zone's scanline
@@ -798,6 +818,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "translate": q_translate,
         "pixel_calc": q_pixel_calc,
+        "histogram": q_histogram,
+        "color_relief": q_color_relief,
         "zonal_stats": q_zonal_stats,
         "interpolate_point": q_interpolate_point,
         "geom_measures": q_geom_measures,
@@ -1202,6 +1224,65 @@ vals AS (
 SELECT image_id, op,
   cast((((sum(v % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536) as int) AS checksum,
   cast(sum(v) as bigint) AS vsum
+FROM vals GROUP BY 1, 2
+"""
+
+
+def _o_histogram() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+bands AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM range(0, 3) AS b(band)
+),
+px AS (
+  SELECT i.image_id, b.band, (gx.x + gy.y + i.i + b.phase) % 256 AS v
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands b
+)
+SELECT image_id, cast(band as int) AS band, cast(v as int) AS bucket,
+       count(*) AS n
+FROM px GROUP BY 1, 2, 3
+"""
+
+
+def _o_color_relief() -> str:
+    from gdal_spark.raster.dem import DEFAULT_RAMP
+
+    def chan_case(c: int) -> str:
+        parts = []
+        lows = [e[0] for e in DEFAULT_RAMP]
+        cols = [e[1][c] for e in DEFAULT_RAMP]
+        parts.append(f"WHEN v <= {lows[0]} THEN cast({cols[0]} as double)")
+        for i in range(1, len(DEFAULT_RAMP)):
+            parts.append(f"WHEN v = {lows[i]} THEN cast({cols[i]} as double)")
+            parts.append(
+                f"WHEN v > {lows[i-1]} AND v < {lows[i]} THEN "
+                f"{cols[i-1]} + ((v - {tm.sql_double(lows[i-1])}) / {tm.sql_double(lows[i] - lows[i-1])}) * ({cols[i]} - {cols[i-1]})"
+            )
+        parts.append(f"WHEN v >= {lows[-1]} THEN cast({cols[-1]} as double)")
+        return "CASE " + " ".join(parts) + " END"
+
+    chans = " UNION ALL ".join(
+        f"SELECT image_id, {c} AS channel, "
+        f"least(255, greatest(0, cast(floor(0.5 + ({chan_case(c)})) as bigint))) AS bval, pidx FROM px"
+        for c in range(3)
+    )
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id, cast((gx.x + gy.y + i.i) % 256 as double) AS v,
+         gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+vals AS ({chans})
+SELECT image_id, cast(channel as int) AS channel,
+  cast(sum(bval % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(bval) as bigint) AS vsum
 FROM vals GROUP BY 1, 2
 """
 
@@ -1764,6 +1845,8 @@ FROM events GROUP BY 1
         ),
         "embed_centroid": sim.sql_label_centroids(),
         "image_stats": _o_image_stats(),
+        "histogram": _o_histogram(),
+        "color_relief": _o_color_relief(),
         "translate": _o_translate(),
         "pixel_calc": _o_pixel_calc(),
         "zonal_stats": _o_zonal_stats(),

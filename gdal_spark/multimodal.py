@@ -78,6 +78,85 @@ def image_stats(images: DataFrame) -> DataFrame:
     )
 
 
+HISTOGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def image_histogram(images: DataFrame) -> DataFrame:
+    """Per-band 256-bucket histogram over [-0.5, 255.5] (the Byte
+    default of GDALRasterBand::GetHistogram, gcore/gdalrasterband.cpp
+    :4133): bucket == pixel value; only non-empty buckets emitted."""
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"])
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                for b in range(arr.shape[2]):
+                    counts = np.bincount(arr[:, :, b].ravel(), minlength=256)
+                    for bucket in np.nonzero(counts)[0]:
+                        recs.append(
+                            {
+                                "image_id": row["image_id"],
+                                "band": b,
+                                "bucket": int(bucket),
+                                "n": int(counts[bucket]),
+                            }
+                        )
+            yield pd.DataFrame(recs, columns=[f.name for f in HISTOGRAM_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        hist, HISTOGRAM_SCHEMA
+    )
+
+
+COLOR_RELIEF_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("vsum", T.LongType()),
+    ]
+)
+
+
+def image_color_relief(images: DataFrame, band: int = 0) -> DataFrame:
+    """gdaldem color-relief of one decoded band -> RGB; per-channel
+    checksum + sum (apps/gdaldem_lib.cpp:1756-1773 interpolation)."""
+    from gdal_spark.raster.dem import color_relief
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"])
+                if arr.ndim == 3:
+                    arr = arr[:, :, band]
+                rgb = color_relief(arr.astype(np.float64))
+                for c in range(3):
+                    recs.append(
+                        {
+                            "image_id": row["image_id"],
+                            "channel": c,
+                            "checksum": gdal_checksum(rgb[:, :, c]),
+                            "vsum": int(rgb[:, :, c].sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in COLOR_RELIEF_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, COLOR_RELIEF_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

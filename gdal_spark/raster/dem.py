@@ -97,6 +97,39 @@ def hillshade(
     return np.clip(out, 1, 255).astype(np.uint8)
 
 
+DEFAULT_RAMP = [
+    (0.0, (0, 0, 255)),
+    (100.0, (0, 255, 0)),
+    (200.0, (255, 255, 0)),
+    (255.0, (255, 0, 0)),
+]
+
+
+def color_relief(vals: np.ndarray, ramp=None) -> np.ndarray:
+    """gdaldem color-relief linear interpolation
+    (apps/gdaldem_lib.cpp:1756-1773): ratio between surrounding ramp
+    entries, per-channel clamp(int(0.5 + lo + ratio*(hi-lo)), 0, 255);
+    values outside the ramp clamp to the end entries."""
+    ramp = ramp or DEFAULT_RAMP
+    v = np.asarray(vals, dtype=np.float64)
+    out = np.zeros(v.shape + (3,), dtype=np.uint8)
+    lows = np.array([e[0] for e in ramp])
+    for c in range(3):
+        cols = np.array([e[1][c] for e in ramp], dtype=np.float64)
+        res = np.empty(v.shape, dtype=np.float64)
+        res[v <= lows[0]] = cols[0]
+        res[v >= lows[-1]] = cols[-1]
+        for i in range(1, len(ramp)):
+            sel = (v > lows[i - 1]) & (v < lows[i])
+            ratio = (v[sel] - lows[i - 1]) / (lows[i] - lows[i - 1])
+            res[sel] = cols[i - 1] + ratio * (cols[i] - cols[i - 1])
+        # exact-entry values take the entry color
+        for i, lo in enumerate(lows):
+            res[v == lo] = cols[i]
+        out[..., c] = np.clip(np.floor(0.5 + res), 0, 255).astype(np.uint8)
+    return out
+
+
 KERNELS = {
     "slope": slope_horn,
     "aspect": aspect,
