@@ -129,6 +129,41 @@ def render_tiles(
     )
 
 
+def build_pyramid(
+    images: DataFrame,
+    z_max: int,
+    z_min: int,
+    out_dir: str | None = None,
+    resampling: str = "near",
+) -> dict[int, DataFrame]:
+    """Full overview pyramid: render the base level, then derive each
+    coarser level from its children (the reference's per-level loop,
+    apps/gdalalg_raster_tile.cpp:3080; gdal2tiles generate_overview_
+    tiles). Each level is a stage barrier, exactly as in the
+    reference. If out_dir is given, every level commits through the
+    resumable snapshot writer (restart skips finished tiles — the
+    tile-exists rule :377)."""
+    spark = images.sparkSession
+    levels: dict[int, DataFrame] = {}
+    current = render_tiles(images, z_max, resampling=resampling, with_data=True)
+    current = current.where(F.col("n_px") > 0).drop("n_px")
+    for z in range(z_max, z_min - 1, -1):
+        if out_dir is not None:
+            from gdal_spark.operators.scale import ResumableWriter
+
+            writer = ResumableWriter(
+                spark, f"{out_dir}/z={z}", keys=["tile_x", "tile_y", "band"]
+            )
+            writer.run(current)
+            current = spark.read.parquet(f"{out_dir}/z={z}").select(
+                "tile_x", "tile_y", "band", "checksum", "data"
+            )
+        levels[z] = current
+        if z > z_min:
+            current = overview_tiles(current, with_data=True)
+    return levels
+
+
 def overview_tiles(tiles: DataFrame, with_data: bool = False) -> DataFrame:
     """One overview level: z-1 tiles from their (up to) 4 children by
     2x2 round-half-up average (overview.cpp:1667 semantics; missing

@@ -134,3 +134,31 @@ def test_average_window_counts():
     vals2, _ = rs.sample_average(src, np.array([[-1.0]]), np.array([[1.0]]),
                                  np.array([[0.0]]), np.array([[2.0]]))
     assert vals2[0, 0] == (50 + 10) / 2.0
+
+
+def test_build_pyramid_levels(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.operators.render import build_pyramid, overview_tiles, render_tiles
+
+    images = build_images(spark, n=2, with_payload=False)
+    out = str(tmp_path / "pyr")
+    levels = build_pyramid(images, 12, 10, out_dir=out)
+    assert set(levels) == {10, 11, 12}
+    # level z-1 equals a directly derived overview of level z
+    direct = {
+        (r["tile_x"], r["tile_y"], r["band"]): r["checksum"]
+        for r in overview_tiles(levels[12], with_data=False).collect()
+    }
+    stored = {
+        (r["tile_x"], r["tile_y"], r["band"]): r["checksum"]
+        for r in levels[11].select("tile_x", "tile_y", "band", "checksum").collect()
+    }
+    assert direct == stored
+    # resume: second build writes zero new rows at every level
+    from gdal_spark.operators.scale import ResumableWriter
+
+    w = ResumableWriter(spark, f"{out}/z=12", keys=["tile_x", "tile_y", "band"])
+    base = render_tiles(images, 12, with_data=True).where(F.col("n_px") > 0).drop("n_px")
+    assert w.run(base)["rows"] == 0
