@@ -129,6 +129,45 @@ def render_tiles(
     )
 
 
+def encode_png_tiles(tiles: DataFrame, z: int, convention: str = "xyz") -> DataFrame:
+    """Tile sink (apps/gdalalg_raster_tile.cpp:358 GenerateTile):
+    assemble the 3 band planes of each tile and encode a PNG payload;
+    `path` follows the {z}/{x}/{fileY}.png layout with the XYZ/TMS
+    y-convention (:348-352). Input: render_tiles(..., with_data=True)
+    rows."""
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_z", T.IntegerType()),
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("png", T.BinaryType()),
+        ]
+    )
+
+    def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from gdal_spark.raster.png import encode_png
+
+        tx, ty = int(key[0]), int(key[1])
+        arr = np.zeros((TILE, TILE, BANDS), dtype=np.uint8)
+        for _, row in pdf.iterrows():
+            arr[:, :, int(row["band"])] = np.frombuffer(
+                row["data"], dtype=np.uint8
+            ).reshape(TILE, TILE)
+        file_y = ty if convention == "xyz" else (1 << z) - 1 - ty
+        return pd.DataFrame(
+            [
+                {
+                    "tile_z": z, "tile_x": tx, "tile_y": ty,
+                    "path": f"{z}/{tx}/{file_y}.png",
+                    "png": encode_png(arr),
+                }
+            ]
+        )
+
+    return tiles.groupBy("tile_x", "tile_y").applyInPandas(encode, out_schema)
+
+
 def build_pyramid(
     images: DataFrame,
     z_max: int,

@@ -162,3 +162,29 @@ def test_build_pyramid_levels(tmp_path, spark):
     w = ResumableWriter(spark, f"{out}/z=12", keys=["tile_x", "tile_y", "band"])
     base = render_tiles(images, 12, with_data=True).where(F.col("n_px") > 0).drop("n_px")
     assert w.run(base)["rows"] == 0
+
+
+def test_encode_png_tiles(spark):
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.operators.render import encode_png_tiles, render_tiles
+    from gdal_spark.raster.png import decode_png
+
+    images = build_images(spark, n=1, with_payload=False)
+    rendered = render_tiles(images, 12, with_data=True).where(F.col("n_px") > 0)
+    out = encode_png_tiles(rendered, 12).collect()
+    assert out
+    r = out[0]
+    assert r["path"] == f"12/{r['tile_x']}/{r['tile_y']}.png"
+    arr = decode_png(bytes(r["png"]))
+    assert arr.shape == (256, 256, 3)
+    # encoded payload decodes back to the rendered band planes
+    band0 = {
+        b["band"]: np.frombuffer(b["data"], dtype=np.uint8).reshape(256, 256)
+        for b in rendered.where(
+            (F.col("tile_x") == r["tile_x"]) & (F.col("tile_y") == r["tile_y"])
+        ).collect()
+    }
+    assert (arr[:, :, 0] == band0[0]).all()
+    assert (arr[:, :, 2] == band0[2]).all()
