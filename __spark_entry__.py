@@ -304,6 +304,27 @@ def q_ogr_where_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ogr_ilike_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR ILIKE (case-insensitive LIKE, swq_op_general.cpp:1090-1128)
+    + SELECT * EXCLUDE column exclusion (swq_parser.y:865-867)."""
+    c = _read(spark, sf_dir, "customer")
+    return (
+        c.where(F.col("c_mktsegment").ilike("%build%"))
+        .drop("c_acctbal", "c_nationkey")
+    )
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (type-7) per event_type —
+    engine-level addition beyond OGR's aggregate set."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 100).cast("long").alias("p50_cents"),
+        F.floor(F.expr("percentile(value, 0.9)") * 100).cast("long").alias("p90_cents"),
+        F.count("*").alias("n"),
+    ).select("event_type", "p50_cents", "p90_cents", F.col("n").cast("long"))
+
+
 def q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL by name (OGRUnionLayer, swq_parser.y:840)."""
     c = (
@@ -834,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
         "ogr_where_orderby_limit": q_ogr_where_orderby_limit,
+        "ogr_ilike_exclude": q_ogr_ilike_exclude,
+        "events_quantiles": q_events_quantiles,
         "ogr_union_all": q_ogr_union_all,
         "ogr_scalar_ops": q_ogr_scalar_ops,
     }
@@ -1898,6 +1921,17 @@ FROM part
 WHERE p_size BETWEEN 10 AND 20
 ORDER BY p_retailprice DESC, p_partkey ASC
 LIMIT 50 OFFSET 10
+""",
+        "ogr_ilike_exclude": """
+SELECT * EXCLUDE (c_acctbal, c_nationkey)
+FROM customer WHERE c_mktsegment ILIKE '%build%'
+""",
+        "events_quantiles": """
+SELECT event_type,
+  cast(floor(quantile_cont(value, 0.5) * 100) as bigint) AS p50_cents,
+  cast(floor(quantile_cont(value, 0.9) * 100) as bigint) AS p90_cents,
+  count(*) AS n
+FROM events GROUP BY event_type
 """,
         "ogr_union_all": """
 SELECT c_name AS name, 'customer' AS src FROM customer WHERE c_custkey % 100 = 0
