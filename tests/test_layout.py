@@ -1,0 +1,46 @@
+"""Z-order layout tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gdal_spark.operators.layout import morton_key, write_spatially_clustered
+
+
+def _morton_ref(x: int, y: int) -> int:
+    out = 0
+    for b in range(16):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_morton_key_matches_reference(spark):
+    rng = np.random.default_rng(11)
+    pts = [(int(a), int(b)) for a, b in rng.integers(0, 1 << 16, size=(50, 2))]
+    df = spark.createDataFrame(pts, "tx long, ty long")
+    got = {
+        (r["tx"], r["ty"]): r["k"]
+        for r in df.select("tx", "ty", morton_key(F.col("tx"), F.col("ty")).alias("k")).collect()
+    }
+    for (x, y), k in got.items():
+        assert k == _morton_ref(x, y)
+
+
+def test_clustered_write_sorted(tmp_path, spark):
+    from gdal_spark.fixtures import georef
+
+    images = georef.with_image_geo(spark.range(5000).selectExpr("id as i"), "i")
+    out = str(tmp_path / "clustered")
+    write_spatially_clustered(
+        images.select("i", "lon_c", "lat_c"), out, "lon_c", "lat_c",
+        zoom=8, partitions=4,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    # keys are globally range-partitioned + sorted within partitions
+    rows = back.select(F.spark_partition_id().alias("p"), "_zkey").collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p"], []).append(r["_zkey"])
+    for ks in by_part.values():
+        assert ks == sorted(ks)
