@@ -43,6 +43,8 @@ KNN_K = 5
 RAST_Z = 5            # burn grid zoom for count / ADD queries
 RAST_CHECKSUM_Z = 4   # tile-checksum burn zoom (pixel-level oracle)
 RENDER_MOD = 499      # image-id subset modulus for render parity
+UTM_MOD = 1997        # tighter subset for the UTM warp oracle (exp-heavy SQL)
+UTM_Z = 11            # warp target zoom for the UTM query
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -217,6 +219,23 @@ def q_tile_render_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = render.render_tiles(
         _render_subset(spark, sf_dir), AVG_Z, resampling="average"
     )
+    return out.where(F.col("n_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("n_px").cast("long"),
+    )
+
+
+def q_tile_render_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reprojection warp UTM zone-31 -> WebMercator tiles:
+    21-point suggested-output sampling + GenImgProj transformer chain
+    (SURVEY.md §3.2; the reference's own benchmark workload shape,
+    autotest/benchmark/test_gdalwarp.py)."""
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % UTM_MOD == 0)
+    images = render.utm_image_geo(ids)
+    out = render.render_tiles_utm(images, UTM_Z)
     return out.where(F.col("n_px") > 0).select(
         F.col("tile_x").cast("int"),
         F.col("tile_y").cast("int"),
@@ -820,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
         "tile_render": q_tile_render,
         "tile_render_avg": q_tile_render_avg,
+        "tile_render_utm": q_tile_render_utm,
         "tile_overview": q_tile_overview,
         "overlay": q_overlay,
         "vector_clip": q_vector_clip,
@@ -1170,6 +1190,131 @@ SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
   cast(sum(v % ({_PRIMES_SQL})[((py * 256 + px) % 11) + 1]) % 65536 as int) AS checksum,
   count(*) AS n_px
 FROM vals GROUP BY 1, 2, 3
+"""
+
+
+def _o_tile_render_utm() -> str:
+    from gdal_spark.geo import crs
+    from gdal_spark.operators.render import UTM_RES
+
+    zone = 31
+    z = UTM_Z
+    res_z = tm.sql_double(tm.resolution(z))
+    org = tm.sql_double(tm.ORIGIN)
+    R = tm.sql_double(tm.EARTH_RADIUS)
+    nt = 1 << z
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {UTM_MOD} = 0)"
+    )
+    lon_inv, lat_inv = crs.sql_utm_inverse("s.E", "s.N", zone)
+    # forward series constants (staged columns mirror crs.utm_forward)
+    ecc = float((crs.WGS84_F * (2.0 - crs.WGS84_F)) ** 0.5)
+    lon0 = float(__import__("math").radians(zone * 6.0 - 183.0))
+    kA = crs.K0 * crs._A
+    a1, a2, a3 = crs._ALPHA
+
+    def sinh(x: str) -> str:
+        return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+    def cosh(x: str) -> str:
+        return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+    def atanh(x: str) -> str:
+        return f"(ln((1.0 + ({x})) / (1.0 - ({x}))) / 2.0)"
+
+    return f"""
+WITH geo AS (
+  SELECT i, w, h,
+    300000.0 + (i % 997) * 400.0 AS e0,
+    3800000.0 + ((i * 7) % 1009) * 400.0 AS n0
+  FROM ({img})
+),
+samples AS (
+  SELECT g.i, g.w, g.h, g.e0, g.n0,
+    CASE e.e
+      WHEN 0 THEN g.e0 + (k.k / 20.0) * g.w * {UTM_RES}
+      WHEN 1 THEN g.e0 + g.w * {UTM_RES}
+      WHEN 2 THEN g.e0 + (1.0 - k.k / 20.0) * g.w * {UTM_RES}
+      ELSE g.e0 END AS E,
+    CASE e.e
+      WHEN 0 THEN g.n0
+      WHEN 1 THEN g.n0 - (k.k / 20.0) * g.h * {UTM_RES}
+      WHEN 2 THEN g.n0 - g.h * {UTM_RES}
+      ELSE g.n0 - (1.0 - k.k / 20.0) * g.h * {UTM_RES} END AS N
+  FROM geo g, range(0, 4) AS e(e), range(0, 21) AS k(k)
+),
+sampled AS (
+  SELECT s.i,
+    {R} * radians({lon_inv}) AS mx,
+    {R} * ln(tan(pi() / 4.0 + radians({lat_inv}) / 2.0)) AS my
+  FROM samples s
+),
+bbox AS (
+  SELECT g.i, g.w, g.h, g.e0, g.n0,
+    b.xmin, b.ymin, b.xmax, b.ymax
+  FROM geo g JOIN (
+    SELECT i, min(mx) AS xmin, min(my) AS ymin, max(mx) AS xmax, max(my) AS ymax
+    FROM sampled GROUP BY i
+  ) b ON b.i = g.i
+),
+cover AS (
+  SELECT m.i, m.w, m.h, m.e0, m.n0, tx.tx, ty.ty
+  FROM (
+    SELECT i, w, h, e0, n0,
+      {tm.sql_tile_x('xmin', z)} AS min_tx, {tm.sql_tile_x('xmax', z)} AS max_tx,
+      {tm.sql_tile_y('ymax', z)} AS min_ty, {tm.sql_tile_y('ymin', z)} AS max_ty
+    FROM bbox
+  ) m
+  JOIN range(0, {nt}) AS tx(tx) ON tx.tx BETWEEN m.min_tx AND m.max_tx
+  JOIN range(0, {nt}) AS ty(ty) ON ty.ty BETWEEN m.min_ty AND m.max_ty
+),
+pixa AS (
+  SELECT c.i, c.w, c.h, c.e0, c.n0, c.tx, c.ty, gx.px, gy.py,
+    radians(degrees((({org} * -1) + (c.tx * 256 + gx.px + 0.5) * {res_z}) / {R})) - {tm.sql_double(lon0)} AS lam,
+    2.0 * atan(exp(({org} - (c.ty * 256 + gy.py + 0.5) * {res_z}) / {R})) - pi() / 2.0 AS phi
+  FROM cover c, range(0, 256) AS gx(px), range(0, 256) AS gy(py)
+),
+pixb AS (
+  SELECT *, {sinh(f"{atanh('sin(phi)')} - {tm.sql_double(ecc)} * {atanh(f'{tm.sql_double(ecc)} * sin(phi)')}")} AS t
+  FROM pixa
+),
+pixc AS (
+  SELECT *, atan2(t, cos(lam)) AS xi,
+    {atanh("sin(lam) / sqrt(1.0 + t * t)")} AS eta
+  FROM pixb
+),
+pixd AS (
+  SELECT *,
+    (eta + {tm.sql_double(a1)} * cos(2 * xi) * {sinh("2 * eta")}
+         + {tm.sql_double(a2)} * cos(4 * xi) * {sinh("4 * eta")}
+         + {tm.sql_double(a3)} * cos(6 * xi) * {sinh("6 * eta")}) AS es
+  FROM pixc
+),
+pixe AS (
+  SELECT i, w, h, tx, ty, px, py,
+    cast(floor((({tm.sql_double(crs.FALSE_EASTING)} + {tm.sql_double(kA)} * es) - e0) / {UTM_RES}) as bigint) AS sx,
+    cast(floor((n0 - ({tm.sql_double(kA)} *
+      (xi + {tm.sql_double(a1)} * sin(2 * xi) * {cosh("2 * eta")}
+          + {tm.sql_double(a2)} * sin(4 * xi) * {cosh("4 * eta")}
+          + {tm.sql_double(a3)} * sin(6 * xi) * {cosh("6 * eta")}))) / {UTM_RES}) as bigint) AS sy
+  FROM pixd
+),
+win AS (
+  SELECT tx, ty, px, py, max_by(sx + sy + i, i) AS base
+  FROM pixe
+  WHERE sx >= 0 AND sx < w AND sy >= 0 AND sy < h
+  GROUP BY tx, ty, px, py
+),
+bands AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM range(0, 3) AS b(band)
+)
+SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
+       cast(b.band as int) AS band,
+       cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum,
+       count(*) AS n_px
+FROM win w CROSS JOIN bands b
+GROUP BY 1, 2, 3
 """
 
 
@@ -1814,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
         "tile_render_avg": _o_tile_render_avg(),
+        "tile_render_utm": _o_tile_render_utm(),
         "tile_overview": _o_tile_overview(),
         "overlay": _o_overlay(),
         "vector_clip": _o_vector_clip(),

@@ -70,6 +70,65 @@ def utm_forward(lon, lat, zone: int):
     return easting, northing
 
 
+# ---------------------------------------------------------------------------
+# SQL twins (DuckDB oracles) — hyperbolics via exp/ln
+# ---------------------------------------------------------------------------
+
+def _d(x: float) -> str:
+    return f"cast({x!r} as double)"
+
+
+def _sinh(x: str) -> str:
+    return f"((exp({x}) - exp(-({x}))) / 2.0)"
+
+
+def _cosh(x: str) -> str:
+    return f"((exp({x}) + exp(-({x}))) / 2.0)"
+
+
+def _atanh(x: str) -> str:
+    return f"(ln((1.0 + ({x})) / (1.0 - ({x}))) / 2.0)"
+
+
+def sql_utm_forward(lon_deg: str, lat_deg: str, zone: int) -> tuple[str, str]:
+    """(easting, northing) SQL expressions from degree expressions.
+    Mirrors utm_forward term for term."""
+    e = float(np.sqrt(WGS84_F * (2.0 - WGS84_F)))
+    lon0 = float(np.radians(zone * 6.0 - 183.0))
+    lam = f"(radians({lon_deg}) - {_d(lon0)})"
+    phi = f"radians({lat_deg})"
+    sphi = f"sin({phi})"
+    t = _sinh(f"{_atanh(sphi)} - {_d(e)} * {_atanh(f'{_d(e)} * {sphi}')}")
+    xi = f"atan2({t}, cos({lam}))"
+    eta = _atanh(f"sin({lam}) / sqrt(1.0 + ({t}) * ({t}))")
+    xs = f"({xi})"
+    es = f"({eta})"
+    for j, a in enumerate(_ALPHA, start=1):
+        xs = f"({xs} + {_d(a)} * sin({2*j} * ({xi})) * {_cosh(f'{2*j} * ({eta})')})"
+        es = f"({es} + {_d(a)} * cos({2*j} * ({xi})) * {_sinh(f'{2*j} * ({eta})')})"
+    easting = f"({_d(FALSE_EASTING)} + {_d(K0 * _A)} * {es})"
+    northing = f"({_d(K0 * _A)} * {xs})"
+    return easting, northing
+
+
+def sql_utm_inverse(easting: str, northing: str, zone: int) -> tuple[str, str]:
+    """(lon_deg, lat_deg) SQL expressions; mirrors utm_inverse."""
+    xi = f"(({northing}) / {_d(K0 * _A)})"
+    eta = f"((({easting}) - {_d(FALSE_EASTING)}) / {_d(K0 * _A)})"
+    xs = xi
+    es = eta
+    for j, b in enumerate(_BETA, start=1):
+        xs = f"({xs} - {_d(b)} * sin({2*j} * {xi}) * {_cosh(f'{2*j} * {eta}')})"
+        es = f"({es} - {_d(b)} * cos({2*j} * {xi}) * {_sinh(f'{2*j} * {eta}')})"
+    chi = f"asin(sin({xs}) / {_cosh(es)})"
+    lat = chi
+    for j, d in enumerate(_DELTA, start=1):
+        lat = f"({lat} + {_d(d)} * sin({2*j} * {chi}))"
+    lon0 = zone * 6.0 - 183.0
+    lon = f"({_d(lon0)} + degrees(atan2({_sinh(es)}, cos({xs}))))"
+    return lon, f"degrees({lat})"
+
+
 def utm_inverse(easting, northing, zone: int, northern: bool = True):
     """UTM (easting, northing) -> (lon, lat) degrees on WGS84."""
     easting = np.asarray(easting, dtype=np.float64)

@@ -129,6 +129,134 @@ def render_tiles(
     )
 
 
+UTM_RES = 30.0  # m/px of the synthetic UTM sources (Landsat-ish)
+
+
+def utm_image_geo(ids_df: DataFrame, id_col: str = "i") -> DataFrame:
+    """Synthetic UTM-georeferenced sources (zone-31 northern band):
+    deterministic top-left (e0, n0) from the row id — SQL-expressible
+    so the full reprojection warp has a value-level oracle."""
+    i = F.col(id_col).cast("long")
+    df = georef.with_image_geo(ids_df, id_col).select(id_col, "w", "h")
+    return (
+        df.withColumn("e0", F.lit(300000.0) + (i % 997).cast("double") * F.lit(400.0))
+        .withColumn("n0", F.lit(3800000.0) + ((i * 7) % 1009).cast("double") * F.lit(400.0))
+    )
+
+
+def render_tiles_utm(
+    images: DataFrame, z: int, zone: int = 31, with_data: bool = False
+) -> DataFrame:
+    """Full reprojection warp: UTM sources -> WebMercator tiles.
+
+    Mirrors the gdalwarp lifecycle (SURVEY.md §3.2): (1) suggested
+    output extent by 21-point boundary sampling through the inverse
+    transformer chain (GDALSuggestedWarpOutput2,
+    alg/gdaltransformer.cpp:3031); (2) covering-tile explode; (3) per
+    tile, dst pixel centers run dstPixel->merc->lonlat->UTM->srcPixel
+    (the GenImgProj chain, :2187) with nearest sampling.
+    """
+    from gdal_spark.geo import crs
+
+    res_z = tm.resolution(z)
+    bbox_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("e0", T.DoubleType()),
+            T.StructField("n0", T.DoubleType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+
+    def suggest(batches):
+        ts = np.linspace(0.0, 1.0, 21)
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
+                e0, n0 = float(row["e0"]), float(row["n0"])
+                ew, nh = w * UTM_RES, h * UTM_RES
+                es, ns = [], []
+                for (ea, na), (eb, nb) in (
+                    ((e0, n0), (e0 + ew, n0)),
+                    ((e0 + ew, n0), (e0 + ew, n0 - nh)),
+                    ((e0 + ew, n0 - nh), (e0, n0 - nh)),
+                    ((e0, n0 - nh), (e0, n0)),
+                ):
+                    es.append(ea + ts * (eb - ea))
+                    ns.append(na + ts * (nb - na))
+                lon, lat = crs.utm_inverse(np.concatenate(es), np.concatenate(ns), zone)
+                mx = tm.EARTH_RADIUS * np.radians(lon)
+                my = tm.EARTH_RADIUS * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2))
+                recs.append(
+                    {
+                        "i": i, "w": w, "h": h, "e0": e0, "n0": n0,
+                        "xmin": float(mx.min()), "ymin": float(my.min()),
+                        "xmax": float(mx.max()), "ymax": float(my.max()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in bbox_schema])
+
+    boxed = images.select("i", "w", "h", "e0", "n0").mapInPandas(suggest, bbox_schema)
+    fields = [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+    if with_data:
+        fields.append(T.StructField("data", T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from gdal_spark.raster.checksum import gdal_checksum as cks
+
+        tx, ty = int(key[0]), int(key[1])
+        buf = np.zeros((TILE, TILE, BANDS), dtype=np.uint8)
+        covered = np.zeros((TILE, TILE), dtype=bool)
+        px = np.arange(TILE, dtype=np.float64)
+        wx = -tm.ORIGIN + (tx * TILE + px + 0.5) * res_z
+        wy = tm.ORIGIN - (ty * TILE + px + 0.5) * res_z
+        lon = np.degrees(wx / tm.EARTH_RADIUS)
+        lat = np.degrees(2 * np.arctan(np.exp(wy / tm.EARTH_RADIUS)) - np.pi / 2)
+        LON = np.broadcast_to(lon[None, :], (TILE, TILE))
+        LAT = np.broadcast_to(lat[:, None], (TILE, TILE))
+        E, N = crs.utm_forward(LON, LAT, zone)
+        for _, row in pdf.sort_values("i").iterrows():
+            i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
+            sx = np.floor((E - float(row["e0"])) / UTM_RES).astype(np.int64)
+            sy = np.floor((float(row["n0"]) - N) / UTM_RES).astype(np.int64)
+            mask = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+            base = (sx + sy + i) % 256
+            for b, phase in enumerate((0, 85, 170)):
+                buf[:, :, b][mask] = ((base[mask] + phase) % 256).astype(np.uint8)
+            covered |= mask
+        n_px = int(covered.sum())
+        recs = []
+        for b in range(BANDS):
+            rec = {
+                "tile_x": tx, "tile_y": ty, "band": b,
+                "checksum": cks(buf[:, :, b]), "n_px": n_px,
+            }
+            if with_data:
+                rec["data"] = buf[:, :, b].tobytes()
+            recs.append(rec)
+        return pd.DataFrame(recs)
+
+    return (
+        covering_tiles(boxed, z)
+        .select("tile_x", "tile_y", "i", "w", "h", "e0", "n0")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(composite, schema)
+    )
+
+
 def encode_png_tiles(tiles: DataFrame, z: int, convention: str = "xyz") -> DataFrame:
     """Tile sink (apps/gdalalg_raster_tile.cpp:358 GenerateTile):
     assemble the 3 band planes of each tile and encode a PNG payload;
