@@ -103,6 +103,19 @@ def main():
         .collect(),
     )
 
+    from gdal_spark.operators.overlay import overlay_join
+    from gdal_spark.operators.render import render_tiles_utm, utm_image_geo
+
+    timed(
+        "overlay",
+        lambda: overlay_join(zones, zones).agg(F.count("*"), F.sum("inter_e4")).collect(),
+    )
+    utm_imgs = utm_image_geo(images.where(F.col("i") % 1999 == 0).select("i"))
+    timed(
+        "utm_warp",
+        lambda: render_tiles_utm(utm_imgs, 11).agg(F.count("*"), F.sum("checksum")).collect(),
+    )
+
     # training-data ops: dedup + ANN on documents/embeddings
     from gdal_spark.operators.similarity import cosine_topk
     from gdal_spark.text.dedup import minhash_lsh_pairs, simhash_pairs

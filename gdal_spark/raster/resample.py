@@ -170,3 +170,36 @@ def average_2x2(block: np.ndarray) -> np.ndarray:
     b = block.astype(np.float64)
     s = b[0::2, 0::2] + b[0::2, 1::2] + b[1::2, 0::2] + b[1::2, 1::2]
     return np.floor(s / 4.0 + 0.5).astype(block.dtype)
+
+
+def rms_2x2(block: np.ndarray) -> np.ndarray:
+    """'rms' overview: integer sqrt(mean of squares) + 0.5 rounding
+    (overview.cpp ComputeIntegerRMS / :1759)."""
+    b = block.astype(np.float64)
+    s = (
+        b[0::2, 0::2] ** 2 + b[0::2, 1::2] ** 2
+        + b[1::2, 0::2] ** 2 + b[1::2, 1::2] ** 2
+    )
+    return np.floor(np.sqrt(s / 4.0) + 0.5).astype(block.dtype)
+
+
+def mode_2x2(block: np.ndarray) -> np.ndarray:
+    """'mode' overview: most frequent of the 4 samples; ties resolve
+    to the first-seen value in scan order (overview.cpp mode path
+    keeps the first max-count entry)."""
+    h, w = block.shape[:2]
+    quads = np.stack(
+        [block[0::2, 0::2], block[0::2, 1::2], block[1::2, 0::2], block[1::2, 1::2]],
+        axis=-1,
+    )
+    out = np.empty((h // 2, w // 2), dtype=block.dtype)
+    for i in range(h // 2):
+        for j in range(w // 2):
+            vals, counts = np.unique(quads[i, j], return_counts=True)
+            best = counts.max()
+            # first-seen in scan order among max-count values
+            for v in quads[i, j]:
+                if counts[vals == v][0] == best:
+                    out[i, j] = v
+                    break
+    return out

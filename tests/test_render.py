@@ -188,3 +188,18 @@ def test_encode_png_tiles(spark):
     }
     assert (arr[:, :, 0] == band0[0]).all()
     assert (arr[:, :, 2] == band0[2]).all()
+
+
+def test_rms_and_mode_overviews():
+    block = np.array(
+        [[3, 4, 7, 7], [0, 0, 7, 2], [9, 9, 1, 1], [9, 5, 1, 2]], dtype=np.uint8
+    )
+    rms = rs.rms_2x2(block)
+    # quad (0,0)=[3,4,0,0]: sqrt(25/4)=2.5 -> 3; (0,1)=[7,7,7,2]: sqrt(37.75) -> 6
+    # (1,0)=[9,9,9,5]: sqrt(67) ~ 8.19 -> 8
+    assert rms[0, 0] == 3 and rms[0, 1] == 6 and rms[1, 0] == 8
+    mode = rs.mode_2x2(block)
+    assert mode[0, 0] == 0          # 0 appears twice
+    assert mode[0, 1] == 7          # 7 appears 3x
+    assert mode[1, 0] == 9          # 9 appears 3x
+    assert mode[1, 1] == 1          # 1 appears 2x beats 2
