@@ -480,6 +480,7 @@ def q_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contour_cell_counts(tiles, CONTOUR_LEVELS, stencil.TILE).select(
         F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
         F.col("level").cast("int"), F.col("n_segments").cast("long"),
+        F.col("total_len_e4").cast("long"),
     )
 
 
@@ -1557,6 +1558,25 @@ def _o_contour_cells() -> str:
         f" + CASE WHEN {d(1,1)} >= lvl THEN 4 ELSE 0 END"
         f" + CASE WHEN {d(0,1)} >= lvl THEN 8 ELSE 0 END)"
     )
+    # edge-interpolated crossing points (cell-local coords)
+    pts = {
+        "T": ("((lvl - va) / (vb - va))", "0.0"),
+        "R": ("1.0", "((lvl - vb) / (vc - vb))"),
+        "B": ("((lvl - vd) / (vc - vd))", "1.0"),
+        "L": ("0.0", "((lvl - va) / (vd - va))"),
+    }
+
+    def seg(e1: str, e2: str) -> str:
+        x1, y1 = pts[e1]
+        x2, y2 = pts[e2]
+        return f"sqrt(({x1} - {x2}) * ({x1} - {x2}) + ({y1} - {y2}) * ({y1} - {y2}))"
+
+    from gdal_spark.operators.gridded import _CASE_EDGES
+
+    branches = " ".join(
+        f"WHEN {cs} THEN " + " + ".join(seg(a, b) for a, b in pairs)
+        for cs, pairs in sorted(_CASE_EDGES.items())
+    )
     return f"""
 WITH cells AS (
   SELECT t.tx, t.ty, l.lvl,
@@ -1565,11 +1585,21 @@ WITH cells AS (
        (VALUES {lvls}) AS l(lvl),
        range(0, 255) AS gx(x), range(0, 255) AS gy(y)
 ),
-cased AS (SELECT tx, ty, lvl, {case} AS cs FROM cells)
+vals AS (
+  SELECT tx, ty, lvl, {case} AS cs,
+    {d(0,0)} AS va, {d(1,0)} AS vb, {d(1,1)} AS vc, {d(0,1)} AS vd
+  FROM cells
+),
+lens AS (
+  SELECT tx, ty, lvl, cs,
+    CASE cs {branches} ELSE 0.0 END AS seg_len
+  FROM vals
+)
 SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
   cast(lvl as int) AS level,
-  cast(sum(CASE cs WHEN 0 THEN 0 WHEN 15 THEN 0 WHEN 5 THEN 2 WHEN 10 THEN 2 ELSE 1 END) as bigint) AS n_segments
-FROM cased GROUP BY 1, 2, 3
+  cast(sum(CASE cs WHEN 0 THEN 0 WHEN 15 THEN 0 WHEN 5 THEN 2 WHEN 10 THEN 2 ELSE 1 END) as bigint) AS n_segments,
+  cast(floor(sum(seg_len) * 1e4) as bigint) AS total_len_e4
+FROM lens GROUP BY 1, 2, 3
 """
 
 

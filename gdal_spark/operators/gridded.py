@@ -147,12 +147,22 @@ def proximity_tiles(
 # segments per case index (bit0=NW, bit1=NE, bit2=SE, bit3=SW >= level)
 _SEGMENTS = np.array([0, 1, 1, 1, 1, 2, 1, 1, 1, 1, 2, 1, 1, 1, 1, 0])
 
+# per-case edge pairs (T=top, R=right, B=bottom, L=left); saddle
+# cases 5/10 use the fixed two-segment resolution
+_CASE_EDGES = {
+    1: [("T", "L")], 2: [("T", "R")], 4: [("R", "B")], 8: [("B", "L")],
+    3: [("L", "R")], 6: [("T", "B")], 12: [("L", "R")], 9: [("T", "B")],
+    7: [("B", "L")], 11: [("R", "B")], 13: [("T", "R")], 14: [("T", "L")],
+    5: [("T", "L"), ("R", "B")], 10: [("T", "R"), ("B", "L")],
+}
+
 CONTOUR_SCHEMA = T.StructType(
     [
         T.StructField("tile_x", T.IntegerType()),
         T.StructField("tile_y", T.IntegerType()),
         T.StructField("level", T.IntegerType()),
         T.StructField("n_segments", T.LongType()),
+        T.StructField("total_len_e4", T.LongType()),
     ]
 )
 
@@ -160,35 +170,57 @@ CONTOUR_SCHEMA = T.StructType(
 def contour_cell_counts(
     tiles_df: DataFrame, levels: list[float], tile_size: int
 ) -> DataFrame:
-    """Iso-segment counts per (tile, level) over the tile's interior
-    2x2 cells (cell corners all within the tile)."""
+    """Marching squares per (tile, level) over the tile's interior
+    2x2 cells: segment count AND total polyline length with
+    edge-interpolated endpoints (alg/contour.cpp geometry; the
+    reference interpolates crossings the same way)."""
 
     def count(batches):
         for pdf in batches:
             recs = []
             for tx, ty, data in zip(pdf["tile_x"], pdf["tile_y"], pdf["data"]):
                 arr = np.frombuffer(data, dtype="<f8").reshape(tile_size, tile_size)
-                nw = arr[:-1, :-1]
-                ne = arr[:-1, 1:]
-                se = arr[1:, 1:]
-                sw = arr[1:, :-1]
+                a = arr[:-1, :-1]   # NW
+                b = arr[:-1, 1:]    # NE
+                c2 = arr[1:, 1:]    # SE
+                d = arr[1:, :-1]    # SW
                 for lvl in levels:
                     case = (
-                        (nw >= lvl).astype(np.int8)
-                        | ((ne >= lvl).astype(np.int8) << 1)
-                        | ((se >= lvl).astype(np.int8) << 2)
-                        | ((sw >= lvl).astype(np.int8) << 3)
+                        (a >= lvl).astype(np.int8)
+                        | ((b >= lvl).astype(np.int8) << 1)
+                        | ((c2 >= lvl).astype(np.int8) << 2)
+                        | ((d >= lvl).astype(np.int8) << 3)
                     )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        pts = {
+                            "T": ((lvl - a) / (b - a), np.zeros_like(a)),
+                            "R": (np.ones_like(a), (lvl - b) / (c2 - b)),
+                            "B": ((lvl - d) / (c2 - d), np.ones_like(a)),
+                            "L": (np.zeros_like(a), (lvl - a) / (d - a)),
+                        }
+                    total = 0.0
+                    nseg = 0
+                    for cs, pairs in _CASE_EDGES.items():
+                        sel = case == cs
+                        if not sel.any():
+                            continue
+                        for e1, e2 in pairs:
+                            dx = pts[e1][0][sel] - pts[e2][0][sel]
+                            dy = pts[e1][1][sel] - pts[e2][1][sel]
+                            total += float(np.hypot(dx, dy).sum())
+                            nseg += int(sel.sum())
                     recs.append(
                         {
                             "tile_x": int(tx),
                             "tile_y": int(ty),
                             "level": int(lvl),
-                            "n_segments": int(_SEGMENTS[case].sum()),
+                            "n_segments": nseg,
+                            "total_len_e4": int(np.floor(total * 1e4)),
                         }
                     )
             yield pd.DataFrame(
-                recs, columns=["tile_x", "tile_y", "level", "n_segments"]
+                recs,
+                columns=["tile_x", "tile_y", "level", "n_segments", "total_len_e4"],
             )
 
     return tiles_df.mapInPandas(count, CONTOUR_SCHEMA)
