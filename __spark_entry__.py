@@ -323,6 +323,13 @@ def q_ogr_where_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ogr_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT COUNT(*) metadata shortcut (ogr_gensql.cpp:942-958
+    delegates to GetFeatureCount; Catalyst reads parquet row-group
+    counts without scanning data)."""
+    return _read(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
 def q_ogr_ilike_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR ILIKE (case-insensitive LIKE, swq_op_general.cpp:1090-1128)
     + SELECT * EXCLUDE column exclusion (swq_parser.y:865-867)."""
@@ -876,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_distinct": q_ogr_distinct,
         "ogr_first_match_join": q_ogr_first_match_join,
         "ogr_where_orderby_limit": q_ogr_where_orderby_limit,
+        "ogr_count_star": q_ogr_count_star,
         "ogr_ilike_exclude": q_ogr_ilike_exclude,
         "events_quantiles": q_events_quantiles,
         "ogr_union_all": q_ogr_union_all,
@@ -2098,6 +2106,7 @@ WHERE p_size BETWEEN 10 AND 20
 ORDER BY p_retailprice DESC, p_partkey ASC
 LIMIT 50 OFFSET 10
 """,
+        "ogr_count_star": "SELECT count(*) AS cnt FROM lineitem",
         "ogr_ilike_exclude": """
 SELECT * EXCLUDE (c_acctbal, c_nationkey)
 FROM customer WHERE c_mktsegment ILIKE '%build%'
