@@ -142,9 +142,15 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_SITE_MOD = 4  # site subset: bounds the O(sites x points) oracle
+
+
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _images_geo(spark, sf_dir)
-    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir))
+    sites = build_sites(
+        spark,
+        ids_df=_site_ids(spark, sf_dir).where(F.col("i") % KNN_SITE_MOD == 0),
+    )
     out = knn_join(sites, images, KNN_K)
     return out.select(
         "site_id",
@@ -666,6 +672,7 @@ def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlay_join(za, zb).select(
         F.col("fid_a").cast("long"), F.col("fid_b").cast("long"),
         F.col("inter_e4").cast("long"), F.col("a_only_e4").cast("long"),
+        F.col("b_only_e4").cast("long"), F.col("sym_diff_e4").cast("long"),
         F.col("union_e4").cast("long"),
     )
 
@@ -995,7 +1002,10 @@ ANTI JOIN in_hole h ON h.image_id = o.image_id AND h.fid = o.fid
 
 def _o_knn() -> str:
     img = georef.sql_images_cte("o_orderkey", "orders")
-    st = georef.sql_sites_cte("c_custkey", "customer")
+    st = georef.sql_sites_cte(
+        "c_custkey",
+        f"(SELECT c_custkey FROM customer WHERE c_custkey % {KNN_SITE_MOD} = 0)",
+    )
     smx = tm.sql_merc_x("s.slon")
     smy = tm.sql_merc_y("s.slat")
     return f"""
@@ -1703,6 +1713,8 @@ poly_area_b AS (
 SELECT i.fa AS fid_a, i.fb AS fid_b,
   cast(floor(i.inter * 1e4) as bigint) AS inter_e4,
   greatest(0, cast(floor((pa.area - i.inter) * 1e4) as bigint)) AS a_only_e4,
+  greatest(0, cast(floor((pb.area - i.inter) * 1e4) as bigint)) AS b_only_e4,
+  greatest(0, cast(floor((pa.area + pb.area - 2 * i.inter) * 1e4) as bigint)) AS sym_diff_e4,
   cast(floor((pa.area + pb.area - i.inter) * 1e4) as bigint) AS union_e4
 FROM areas i
 JOIN poly_area_a pa ON pa.fa = i.fa

@@ -37,6 +37,8 @@ OVERLAY_SCHEMA = T.StructType(
         T.StructField("fid_b", T.LongType()),
         T.StructField("inter_e4", T.LongType()),
         T.StructField("a_only_e4", T.LongType()),
+        T.StructField("b_only_e4", T.LongType()),
+        T.StructField("sym_diff_e4", T.LongType()),
         T.StructField("union_e4", T.LongType()),
     ]
 )
@@ -113,11 +115,15 @@ def overlay_join(
                         # clamp: identical polygons make aa - ai an
                         # exact 0 where float noise flips the floor
                         "a_only_e4": max(0, int(np.floor((aa - ai) * 1e4))),
+                        "b_only_e4": max(0, int(np.floor((ab - ai) * 1e4))),
+                        "sym_diff_e4": max(0, int(np.floor((aa + ab - 2 * ai) * 1e4))),
                         "union_e4": int(np.floor((aa + ab - ai) * 1e4)),
                     }
                 )
             yield pd.DataFrame(
-                recs, columns=["fid_a", "fid_b", "inter_e4", "a_only_e4", "union_e4"]
+                recs,
+                columns=["fid_a", "fid_b", "inter_e4", "a_only_e4",
+                         "b_only_e4", "sym_diff_e4", "union_e4"]
             )
 
     return cand.mapInPandas(refine, OVERLAY_SCHEMA)
