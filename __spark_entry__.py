@@ -815,6 +815,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, _ann_queries(spark, sf_dir), ANN_K, bucketed=True)
 
 
+def q_ann_lsh_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: candidates from buckets within 1 bit flip of
+    the query's bucket (higher recall than ann_lsh at ~7x candidate
+    cost)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(
+        emb, _ann_queries(spark, sf_dir), ANN_K, bucketed=True, ring=1
+    )
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label elementwise centroid of the embedding vectors."""
     return sim.label_centroids(_read(spark, sf_dir, "embeddings"))
@@ -870,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_ring": q_ann_lsh_ring,
         "embed_centroid": q_embed_centroid,
         "image_stats": q_image_stats,
         "translate": q_translate,
@@ -2061,6 +2072,9 @@ FROM events GROUP BY 1
         ),
         "ann_lsh": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True
+        ),
+        "ann_lsh_ring": sim.sql_cosine_topk(
+            f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True, ring=1
         ),
         "embed_centroid": sim.sql_label_centroids(),
         "image_stats": _o_image_stats(),

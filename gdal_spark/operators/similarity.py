@@ -53,21 +53,28 @@ def cosine_topk(
     queries: DataFrame,
     k: int,
     bucketed: bool = False,
+    ring: int = 0,
 ) -> DataFrame:
     """Top-k cosine neighbours of each query vector (excluding self).
 
     `queries` needs (query_id, qv). bucketed=True restricts candidates
-    to the query's sign-LSH bucket (approximate; exact within-bucket).
+    to the query's sign-LSH bucket (approximate; exact within-bucket);
+    ring=r additionally probes buckets within r bit flips
+    (multi-probe LSH — recall rises, candidate cost grows ~6^r/r!).
     """
     base = with_norm(emb)
     q = queries.withColumn("qnorm", F.expr(_NORM.format(a="qv")))
     if bucketed:
         base = base.withColumn("bucket", lsh_bucket("embedding"))
         q = q.withColumn("qbucket", lsh_bucket("qv"))
+        if ring == 0:
+            cond = F.col("bucket") == F.col("qbucket")
+        else:
+            # hamming-ring expansion: probe buckets within `ring`
+            # sign-bit flips of the query's bucket (multi-probe LSH)
+            cond = F.expr(f"bit_count(bucket ^ qbucket) <= {ring}")
         joined = base.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+            F.broadcast(q), cond & (F.col("vec_id") != F.col("query_id"))
         )
     else:
         joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -126,15 +133,21 @@ def duck_lsh_bucket(vec: str) -> str:
 
 
 def sql_cosine_topk(query_filter: str, k: int, bucketed: bool = False,
-                    src: str = "embeddings") -> str:
+                    ring: int = 0, src: str = "embeddings") -> str:
     dot = _DUCK_DOT.format(a="e.embedding", b="q.embedding")
     ne = _DUCK_NORM.format(a="e.embedding")
     nq = _DUCK_NORM.format(a="q.embedding")
-    bucket_cond = (
-        f" AND {duck_lsh_bucket('e.embedding')} = {duck_lsh_bucket('q.embedding')}"
-        if bucketed
-        else ""
-    )
+    if bucketed and ring > 0:
+        bucket_cond = (
+            f" AND bit_count(cast(xor({duck_lsh_bucket('e.embedding')}, "
+            f"{duck_lsh_bucket('q.embedding')}) as bigint)) <= {ring}"
+        )
+    elif bucketed:
+        bucket_cond = (
+            f" AND {duck_lsh_bucket('e.embedding')} = {duck_lsh_bucket('q.embedding')}"
+        )
+    else:
+        bucket_cond = ""
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM {src} WHERE {query_filter}),
 d AS (
