@@ -70,6 +70,38 @@ def read_tile_counts(spark: SparkSession, out_dir: str) -> DataFrame:
     )
 
 
+def streaming_pip_enrich(
+    spark: SparkSession,
+    input_dir: str,
+    zones,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Stream-static spatial enrichment: arriving images (id rows)
+    derive georef and join the STATIC zones table through the
+    same cell-key PIP machinery used in batch — Structured Streaming
+    supports stream-static joins natively, so the batch operator
+    composes unchanged inside foreachBatch."""
+    from gdal_spark.operators.spatial_join import pip_join
+
+    stream = spark.readStream.schema("i long").parquet(input_dir)
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        images = georef.with_image_geo(batch_df, "i")
+        pairs = pip_join(images, zones)
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stateful_user_stats(
     spark: SparkSession,
     input_dir: str,

@@ -116,3 +116,32 @@ def test_stateful_user_stats(tmp_path, spark):
     assert got[0] == (10 + 4, 10 * 150 + 4 * 225)
     assert got[1] == (10 + 4, 10 * 150 + 4 * 225)
     assert got[2] == (10 + 4, 10 * 150 + 4 * 225)
+
+
+def test_streaming_pip_enrich(tmp_path, spark):
+    """Stream-static PIP join: incremental result equals batch."""
+    from gdal_spark.fixtures import georef as _georef
+    from gdal_spark.fixtures.zones import build_zones
+    from gdal_spark.operators.spatial_join import pip_join
+    from gdal_spark.streaming.jobs import streaming_pip_enrich
+
+    inp = str(tmp_path / "imgs")
+    out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "pk")
+    zones = build_zones(spark, n=100)
+
+    spark.range(0, 30000).selectExpr("id as i").write.parquet(inp, mode="append")
+    streaming_pip_enrich(spark, inp, zones, out, ckpt)
+    spark.range(30000, 50000).selectExpr("id as i").write.parquet(inp, mode="append")
+    streaming_pip_enrich(spark, inp, zones, out, ckpt)
+
+    got = {
+        (r["image_id"], r["fid"])
+        for r in spark.read.parquet(out).select("image_id", "fid").collect()
+    }
+    batch = pip_join(
+        _georef.with_image_geo(spark.range(50000).selectExpr("id as i"), "i"),
+        zones,
+    )
+    want = {(r["image_id"], r["fid"]) for r in batch.collect()}
+    assert got == want
