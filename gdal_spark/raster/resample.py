@@ -127,13 +127,17 @@ def sample_cubic(
 
 
 def sample_average(
-    src: np.ndarray, x0: np.ndarray, x1: np.ndarray, y0: np.ndarray, y1: np.ndarray
+    src: np.ndarray, x0: np.ndarray, x1: np.ndarray, y0: np.ndarray, y1: np.ndarray,
+    nodata: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Warp 'average': unweighted mean of source pixels whose CENTERS
     fall in the dst pixel's source-space footprint [x0, x1) x [y0, y1)
-    (GWKAverageOrMode center-inclusion contract). Footprints here are
-    small (downsample factors <= 8); loops run over the bounded tap
-    window, vectorized across dst pixels."""
+    (GWKAverageOrMode center-inclusion contract); `nodata` source
+    pixels are excluded from the mean, mirroring the masked-weighting
+    path of overview.cpp / the warp kernel's density handling — a dst
+    pixel with only nodata sources stays unmasked=False. Footprints
+    here are small (downsample factors <= 8); loops run over the
+    bounded tap window, vectorized across dst pixels."""
     h, w = src.shape[:2]
     # first source index whose center (s + 0.5) >= x0  ->  ceil(x0 - 0.5)
     sx0 = np.ceil(x0 - 0.5).astype(np.int64)
@@ -149,6 +153,9 @@ def sample_average(
             sx = sx0 + dx_
             ok = in_y & (sx + 0.5 < x1) & (sx + 0.5 >= x0) & (sx >= 0) & (sx < w)
             pix = src[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)].astype(np.float64)
+            if nodata is not None:
+                valid = pix != nodata
+                ok = ok & (valid if valid.ndim == ok.ndim else valid.all(axis=-1))
             wgt = ok.astype(np.float64)
             vals += pix * (wgt[..., None] if pix.ndim > wgt.ndim else wgt)
             cnt += wgt

@@ -153,5 +153,6 @@ def test_images_payload_roundtrip(spark):
             assert np_phash(arr) == r["phash"]
         else:
             mse = np.mean((arr.astype(float) - exp.astype(float)) ** 2)
-            assert 10 * np.log10(255**2 / mse) >= 40.0
+            # mse == 0 means bit-exact, which trivially beats 40 dB
+            assert mse == 0.0 or 10 * np.log10(255**2 / mse) >= 40.0
         assert r["caption"].startswith(f"synthetic scene {r['i']}: ")

@@ -203,3 +203,16 @@ def test_rms_and_mode_overviews():
     assert mode[0, 1] == 7          # 7 appears 3x
     assert mode[1, 0] == 9          # 9 appears 3x
     assert mode[1, 1] == 1          # 1 appears 2x beats 2
+
+
+def test_average_nodata_excluded():
+    src = np.array([[10.0, 0.0], [30.0, 40.0]])
+    x0 = np.array([[0.0]]); x1 = np.array([[2.0]])
+    y0 = np.array([[0.0]]); y1 = np.array([[2.0]])
+    vals, mask = rs.sample_average(src, x0, x1, y0, y1, nodata=0.0)
+    assert mask.all()
+    assert vals[0, 0] == (10 + 30 + 40) / 3.0
+    # all-nodata window -> unmasked
+    allnd = np.zeros((4, 4))
+    _, m2 = rs.sample_average(allnd, x0, x1, y0, y1, nodata=0.0)
+    assert not m2[0, 0]
