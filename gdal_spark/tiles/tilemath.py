@@ -197,6 +197,14 @@ def tile_bounds(z: int, x: int, y: int) -> tuple[float, float, float, float]:
     return xmin, ymax - span, xmin + span, ymax
 
 
+def tile_bounds_deg(z: int, x: int, y: int) -> tuple[float, float, float, float]:
+    """WGS84 (west, south, east, north) of an XYZ tile."""
+    xmin, ymin, xmax, ymax = tile_bounds(z, x, y)
+    lon_w, lat_s = np_inv_merc(xmin, ymin)
+    lon_e, lat_n = np_inv_merc(xmax, ymax)
+    return float(lon_w), float(lat_s), float(lon_e), float(lat_n)
+
+
 # ---------------------------------------------------------------------------
 # SQL-text twins (shared with DuckDB oracles; both dialects parse these)
 # ---------------------------------------------------------------------------

@@ -129,3 +129,22 @@ def test_quadkey_known_values(spark):
 
     assert out == [ref_qk(3, 5, 3), "000", "333"]
     assert ref_qk(3, 5, 3) == "213"
+
+
+def test_tile_bounds_deg_world():
+    from gdal_spark.tiles.tilemath import tile_bounds_deg
+
+    w, s, e, n = tile_bounds_deg(0, 0, 0)
+    assert abs(w + 180.0) < 1e-9 and abs(e - 180.0) < 1e-9
+    assert abs(n - 85.0511287798066) < 1e-6
+    assert abs(s + 85.0511287798066) < 1e-6
+
+
+def test_viewer_sinks():
+    from gdal_spark.tiles.viewers import leaflet_html, tile_kml
+
+    html = leaflet_html("demo", 10, 12, 2.5, 43.1)
+    assert "L.tileLayer" in html and "minZoom: 10" in html and "maxZoom: 12" in html
+    kml = tile_kml(11, 354, 818)
+    assert "<GroundOverlay>" in kml and "11/354/818.png" in kml
+    assert "<north>" in kml
