@@ -167,6 +167,131 @@ CONTOUR_SCHEMA = T.StructType(
 )
 
 
+def chain_segments(
+    segments: list[tuple[tuple[float, float], tuple[float, float]]],
+    snap: float = 1e-9,
+) -> list[list[tuple[float, float]]]:
+    """Chain marching-squares segments into polylines by endpoint
+    coincidence (the reference's contour writer joins segments the
+    same way, alg/contour.cpp polyline assembly). Returns polylines
+    as point lists; closed rings have first == last."""
+
+    def key(p):
+        return (round(p[0] / snap), round(p[1] / snap))
+
+    # adjacency: endpoint -> list of (segment index, end)
+    adj: dict[tuple, list[tuple[int, int]]] = {}
+    for si, (a, b) in enumerate(segments):
+        adj.setdefault(key(a), []).append((si, 0))
+        adj.setdefault(key(b), []).append((si, 1))
+    used = [False] * len(segments)
+    lines: list[list[tuple[float, float]]] = []
+    for start in range(len(segments)):
+        if used[start]:
+            continue
+        used[start] = True
+        a, b = segments[start]
+        line = [a, b]
+        # extend forward from line tail, then backward from head
+        for head in (False, True):
+            while True:
+                p = line[0] if head else line[-1]
+                nxt = None
+                for si, end in adj.get(key(p), []):
+                    if not used[si]:
+                        nxt = (si, end)
+                        break
+                if nxt is None:
+                    break
+                si, end = nxt
+                used[si] = True
+                sa, sb = segments[si]
+                q = sb if end == 0 else sa
+                if head:
+                    line.insert(0, q)
+                else:
+                    line.append(q)
+        lines.append(line)
+    return lines
+
+
+CONTOUR_LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("n_polylines", T.LongType()),
+        T.StructField("n_closed", T.LongType()),
+        T.StructField("n_points", T.LongType()),
+    ]
+)
+
+
+def contour_polylines(
+    tiles_df: DataFrame, levels: list[float], tile_size: int
+) -> DataFrame:
+    """Full contour extraction per (tile, level): marching-squares
+    segments chained into polylines; reports polyline/ring counts."""
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty, data in zip(pdf["tile_x"], pdf["tile_y"], pdf["data"]):
+                arr = np.frombuffer(data, dtype="<f8").reshape(tile_size, tile_size)
+                a = arr[:-1, :-1]; b = arr[:-1, 1:]
+                c2 = arr[1:, 1:]; d = arr[1:, :-1]
+                for lvl in levels:
+                    case = (
+                        (a >= lvl).astype(np.int8)
+                        | ((b >= lvl).astype(np.int8) << 1)
+                        | ((c2 >= lvl).astype(np.int8) << 2)
+                        | ((d >= lvl).astype(np.int8) << 3)
+                    )
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        tT = (lvl - a) / (b - a)
+                        tR = (lvl - b) / (c2 - b)
+                        tB = (lvl - d) / (c2 - d)
+                        tL = (lvl - a) / (d - a)
+                    segs = []
+                    ys, xs = np.nonzero((case > 0) & (case < 15))
+                    for y, x in zip(ys, xs):
+                        pts = {
+                            "T": (x + tT[y, x], float(y)),
+                            "R": (x + 1.0, y + tR[y, x]),
+                            "B": (x + tB[y, x], y + 1.0),
+                            "L": (float(x), y + tL[y, x]),
+                        }
+                        for e1, e2 in _CASE_EDGES[int(case[y, x])]:
+                            p, q = pts[e1], pts[e2]
+                            # contours through exact cell corners emit
+                            # zero-length segments — drop them (the
+                            # reference's writer skips them too)
+                            if abs(p[0] - q[0]) > 1e-12 or abs(p[1] - q[1]) > 1e-12:
+                                segs.append((p, q))
+                    lines = chain_segments(segs)
+                    n_closed = sum(
+                        1 for ln in lines
+                        if abs(ln[0][0] - ln[-1][0]) < 1e-9
+                        and abs(ln[0][1] - ln[-1][1]) < 1e-9
+                    )
+                    recs.append(
+                        {
+                            "tile_x": int(tx), "tile_y": int(ty),
+                            "level": int(lvl),
+                            "n_polylines": len(lines),
+                            "n_closed": n_closed,
+                            "n_points": int(sum(len(ln) for ln in lines)),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["tile_x", "tile_y", "level", "n_polylines",
+                         "n_closed", "n_points"],
+            )
+
+    return tiles_df.mapInPandas(run, CONTOUR_LINES_SCHEMA)
+
+
 def contour_cell_counts(
     tiles_df: DataFrame, levels: list[float], tile_size: int
 ) -> DataFrame:
