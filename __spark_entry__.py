@@ -614,6 +614,16 @@ def q_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW nodata fill (alg/rasterfill.cpp contract) over decoded
+    band 0, nodata = 0, search radius 4."""
+    out = multimodal.image_fillnodata(_payload_subset(spark, sf_dir))
+    return out.select(
+        "image_id", F.col("n_nodata").cast("long"),
+        F.col("n_filled").cast("long"), F.col("fillsum_e2").cast("long"),
+    )
+
+
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal statistics (rasterize-masked accumulation) of the
     synthetic surface f(x,y)=(x+y)%256 over each zone's scanline
@@ -887,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_calc": q_pixel_calc,
         "histogram": q_histogram,
         "color_relief": q_color_relief,
+        "fillnodata": q_fillnodata,
         "zonal_stats": q_zonal_stats,
         "interpolate_point": q_interpolate_point,
         "geom_measures": q_geom_measures,
@@ -1485,6 +1496,48 @@ FROM vals GROUP BY 1, 2
 """
 
 
+def _o_fillnodata() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id, i.i, i.w, i.h, gx.x, gy.y,
+    (gx.x + gy.y + i.i) % 256 AS v
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+zeros AS (SELECT * FROM px WHERE v = 0),
+fills AS (
+  SELECT z.image_id, z.x, z.y,
+    sum(((z.x + d.dx + z.y + d.dy + z.i) % 256)
+        / (cast(d.dx * d.dx + d.dy * d.dy as double)))
+      / sum(1.0 / (cast(d.dx * d.dx + d.dy * d.dy as double))) AS val
+  FROM zeros z
+  JOIN (SELECT a.v - 4 AS dx, b.v - 4 AS dy
+        FROM range(0, 9) AS a(v), range(0, 9) AS b(v)
+        WHERE NOT (a.v = 4 AND b.v = 4)) d
+    ON z.x + d.dx >= 0 AND z.x + d.dx < z.w
+   AND z.y + d.dy >= 0 AND z.y + d.dy < z.h
+  WHERE (z.x + d.dx + z.y + d.dy + z.i) % 256 <> 0
+  GROUP BY 1, 2, 3
+),
+counts AS (
+  SELECT image_id, count(*) AS n_nodata FROM zeros GROUP BY image_id
+)
+SELECT i.image_id,
+  cast(coalesce(c.n_nodata, 0) as bigint) AS n_nodata,
+  cast(coalesce(f.n_filled, 0) as bigint) AS n_filled,
+  cast(coalesce(f.s, 0) as bigint) AS fillsum_e2
+FROM img i
+LEFT JOIN counts c ON c.image_id = i.image_id
+LEFT JOIN (
+  SELECT image_id, count(*) AS n_filled,
+         sum(cast(floor(val * 100) as bigint)) AS s
+  FROM fills GROUP BY image_id
+) f ON f.image_id = i.image_id
+"""
+
+
 def _o_image_stats() -> str:
     img = georef.sql_images_cte(
         "o_orderkey",
@@ -2080,6 +2133,7 @@ FROM events GROUP BY 1
         "image_stats": _o_image_stats(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
+        "fillnodata": _o_fillnodata(),
         "translate": _o_translate(),
         "pixel_calc": _o_pixel_calc(),
         "zonal_stats": _o_zonal_stats(),

@@ -157,6 +157,50 @@ def image_color_relief(images: DataFrame, band: int = 0) -> DataFrame:
     )
 
 
+FILLNODATA_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_nodata", T.LongType()),
+        T.StructField("n_filled", T.LongType()),
+        T.StructField("fillsum_e2", T.LongType()),
+    ]
+)
+
+
+def image_fillnodata(images: DataFrame, nodata: int = 0, band: int = 0,
+                     max_search_dist: int = 4) -> DataFrame:
+    """IDW nodata fill over decoded band `band`
+    (alg/rasterfill.cpp contract — see raster/components.fill_nodata):
+    per image, counts of nodata/filled pixels and the sum of
+    floor(filled_value * 100)."""
+    from gdal_spark.raster.components import fill_nodata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"])
+                if arr.ndim == 3:
+                    arr = arr[:, :, band]
+                arr = arr.astype(np.float64)
+                out = fill_nodata(arr, float(nodata), max_search_dist)
+                nd = arr == nodata
+                filled = nd & (out != nodata)
+                recs.append(
+                    {
+                        "image_id": row["image_id"],
+                        "n_nodata": int(nd.sum()),
+                        "n_filled": int(filled.sum()),
+                        "fillsum_e2": int(np.floor(out[filled] * 100).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in FILLNODATA_SCHEMA])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, FILLNODATA_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
