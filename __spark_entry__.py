@@ -160,6 +160,27 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_perk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-k kNN: each site requests its own k (the fixture's k
+    column, cycle 1/3/10) — rank filter joins the per-query limit."""
+    images = _images_geo(spark, sf_dir)
+    sites = build_sites(
+        spark,
+        ids_df=_site_ids(spark, sf_dir).where(F.col("i") % KNN_SITE_MOD == 0),
+    )
+    out = knn_join(sites, images, 10)
+    return (
+        out.join(sites.select("site_id", "k"), "site_id")
+        .where(F.col("rank") <= F.col("k"))
+        .select(
+            "site_id",
+            F.col("rank").cast("int").alias("rank"),
+            "image_id",
+            F.floor(F.col("dist_m")).cast("long").alias("dist_m_floor"),
+        )
+    )
+
+
 def q_rasterize_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_rasterize burn-in: per-zone burned-pixel count on the
     global WebMercator zoom-5 grid (scanline semantics from
@@ -869,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey": q_quadkey,
         "pip_join": q_pip_join,
         "knn": q_knn,
+        "knn_perk": q_knn_perk,
         "rasterize_count": q_rasterize_count,
         "rasterize_tile_add": q_rasterize_tile_add,
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
@@ -2069,6 +2091,34 @@ FROM cand c
 """
 
 
+def _o_knn_perk() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    st = georef.sql_sites_cte(
+        "c_custkey",
+        f"(SELECT c_custkey FROM customer WHERE c_custkey % {KNN_SITE_MOD} = 0)",
+    )
+    smx = tm.sql_merc_x("s.slon")
+    smy = tm.sql_merc_y("s.slat")
+    return f"""
+WITH img AS ({img}),
+st AS ({st}),
+d AS (
+  SELECT s.site_id, s.k, i.image_id,
+    sqrt( ({smx} - i.cx) * ({smx} - i.cx)
+        + ({smy} - i.cy) * ({smy} - i.cy) ) AS dist,
+    row_number() OVER (
+      PARTITION BY s.site_id
+      ORDER BY sqrt( ({smx} - i.cx) * ({smx} - i.cx)
+                   + ({smy} - i.cy) * ({smy} - i.cy) ) ASC, i.image_id ASC
+    ) AS rnk
+  FROM st s CROSS JOIN img i
+)
+SELECT site_id, cast(rnk as int) AS rank, image_id,
+       cast(floor(dist) as bigint) AS dist_m_floor
+FROM d WHERE rnk <= k
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
@@ -2154,6 +2204,7 @@ FROM events GROUP BY 1
         "quadkey": _o_quadkey(),
         "pip_join": _o_pip_join(),
         "knn": _o_knn(),
+        "knn_perk": _o_knn_perk(),
         "ogr_summary": """
 SELECT count(*) AS cnt,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -142,3 +142,49 @@ def test_rasterize_matches_center_rule(seed):
     yy, xx = np.mgrid[0:20, 0:20]
     centers = points_in_polygon((xx + 0.5).ravel(), (yy + 0.5).ravel(), [ring]).reshape(20, 20)
     assert (m == centers).all()
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               min_size=0, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_token_hash_range_and_determinism(s):
+    from gdal_spark.text.hashing import MOD
+
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MOD
+    assert 0 <= h < MOD
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=100, deadline=None)
+def test_simhash_band_pigeonhole(a, b):
+    """Any 16-bit pair at hamming <= 2 shares at least one of the
+    3 bands (the exact-recall guarantee of simhash_pairs)."""
+    from gdal_spark.text.dedup import SIMHASH_BANDS
+
+    x, y = a & 0xFFFF, b & 0xFFFF
+    if bin(x ^ y).count("1") <= 2:
+        shares = any(
+            ((x >> s) & m) == ((y >> s) & m) for s, m in SIMHASH_BANDS
+        )
+        assert shares
+
+
+@given(st.integers(min_value=0, max_value=(1 << 16) - 1),
+       st.integers(min_value=0, max_value=(1 << 16) - 1))
+@settings(max_examples=50, deadline=None)
+def test_morton_key_monotone_in_quadrants(x, y):
+    """Morton keys of a point and its containing power-of-two quadrant
+    prefix agree on the high bits (the pruning property)."""
+    def morton(x, y):
+        out = 0
+        for bit in range(16):
+            out |= ((x >> bit) & 1) << (2 * bit)
+            out |= ((y >> bit) & 1) << (2 * bit + 1)
+        return out
+
+    k = morton(x, y)
+    # coarsening by one level shifts the key by exactly 2 bits
+    assert morton(x >> 1, y >> 1) == k >> 2
