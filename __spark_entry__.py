@@ -688,6 +688,55 @@ ANN_K = 10
 ANN_QUERY_MOD = 16  # vec_id % 16 == 0 -> query subset
 
 
+def q_footprint_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint-in-polygon join (§2.4): image FOOTPRINT rectangles
+    (zoom-4 scale) intersect zone polygons — the bbox-overlay variant
+    of the PIP ladder, resolved with the exact convex clip."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.wkb import wkb_polygon
+    from gdal_spark.operators.overlay import overlay_join
+
+    img = _images_geo(spark, sf_dir)
+    res4 = tm.resolution(INTERP_Z)
+    half_w = F.col("w").cast("double") * F.lit(res4 / 2.0)
+    half_h = F.col("h").cast("double") * F.lit(res4 / 2.0)
+    rects = (
+        img.select(
+            F.col("i").alias("fid"),
+            tm.inv_merc_lon(F.col("cx") - half_w).alias("zxmin"),
+            tm.inv_merc_lat(F.col("cy") - half_h).alias("zymin"),
+            tm.inv_merc_lon(F.col("cx") + half_w).alias("zxmax"),
+            tm.inv_merc_lat(F.col("cy") + half_h).alias("zymax"),
+        )
+    )
+
+    @F.pandas_udf(T2.BinaryType())
+    def rect_wkb(x0, y0, x1, y1):
+        import numpy as np
+
+        out = []
+        for a, b, c, d in zip(x0, y0, x1, y1):
+            ring = np.array(
+                [[a, b], [c, b], [c, d], [a, d], [a, b]], dtype=np.float64
+            )
+            out.append(wkb_polygon([ring]))
+        return pd.Series(out)
+
+    rects = rects.withColumn(
+        "geometry",
+        rect_wkb(F.col("zxmin"), F.col("zymin"), F.col("zxmax"), F.col("zymax")),
+    )
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    out = overlay_join(rects, zones)
+    return out.select(
+        F.col("fid_a").cast("long").alias("i"),
+        F.col("fid_b").cast("long").alias("fid"),
+        F.col("inter_e4").cast("long"),
+    )
+
+
 def q_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layer x layer overlay join (Intersection/Clip/Erase/Union
     measures; ogrlayer.cpp:3345-5806) between the supplier-keyed and
@@ -899,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_utm": q_tile_render_utm,
         "tile_overview": q_tile_overview,
         "overlay": q_overlay,
+        "footprint_join": q_footprint_join,
         "vector_clip": q_vector_clip,
         "caption_check": q_caption_check,
         "events_windowed": q_events_windowed,
@@ -1809,6 +1859,107 @@ WHERE i.inter > 0
 """
 
 
+def _o_footprint_join() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    res4 = tm.resolution(INTERP_Z)
+    R = tm.sql_double(tm.EARTH_RADIUS)
+
+    def lon(mx: str) -> str:
+        return f"degrees(({mx}) / {R})"
+
+    def lat(my: str) -> str:
+        return f"degrees(2.0 * atan(exp(({my}) / {R})) - pi() / 2.0)"
+
+    half_w = f"w * {tm.sql_double(res4 / 2.0)}"
+    half_h = f"h * {tm.sql_double(res4 / 2.0)}"
+    return f"""
+WITH ra AS (
+  SELECT i AS fa,
+    {lon(f"cx - {half_w}")} AS x0, {lat(f"cy - {half_h}")} AS y0,
+    {lon(f"cx + {half_w}")} AS x1, {lat(f"cy + {half_h}")} AS y1
+  FROM ({img})
+),
+zb AS ({zn}),
+ea AS (
+  SELECT fa, x0 AS ex1, y0 AS ey1, x1 AS ex2, y0 AS ey2 FROM ra
+  UNION ALL SELECT fa, x1, y0, x1, y1 FROM ra
+  UNION ALL SELECT fa, x1, y1, x0, y1 FROM ra
+  UNION ALL SELECT fa, x0, y1, x0, y0 FROM ra
+),
+eb AS (
+  SELECT z.fid AS fb,
+    z.lon0 + z.r * cos(2 * pi() * g.j / z.k) AS ex1,
+    z.lat0 + z.r * sin(2 * pi() * g.j / z.k) AS ey1,
+    z.lon0 + z.r * cos(2 * pi() * ((g.j + 1) % z.k) / z.k) AS ex2,
+    z.lat0 + z.r * sin(2 * pi() * ((g.j + 1) % z.k) / z.k) AS ey2
+  FROM zb z, range(0, 8) AS g(j) WHERE g.j < z.k
+),
+pairs AS (
+  SELECT a.fa, b.fid AS fb
+  FROM ra a, zb b
+  WHERE a.x0 <= b.lon0 + b.r AND a.x1 >= b.lon0 - b.r
+    AND a.y0 <= b.lat0 + b.r AND a.y1 >= b.lat0 - b.r
+),
+va_in AS (
+  SELECT v.fa, v.fb, v.x, v.y
+  FROM (SELECT p.fa, p.fb, e.ex1 AS x, e.ey1 AS y
+        FROM pairs p JOIN ea e ON e.fa = p.fa) v
+  JOIN eb e2 ON e2.fb = v.fb
+  GROUP BY v.fa, v.fb, v.x, v.y
+  HAVING min((e2.ex2 - e2.ex1) * (v.y - e2.ey1) - (e2.ey2 - e2.ey1) * (v.x - e2.ex1)) >= 0
+),
+vb_in AS (
+  SELECT v.fa, v.fb, v.x, v.y
+  FROM (SELECT p.fa, p.fb, e.ex1 AS x, e.ey1 AS y
+        FROM pairs p JOIN eb e ON e.fb = p.fb) v
+  JOIN ra r ON r.fa = v.fa
+  WHERE v.x >= r.x0 AND v.x <= r.x1 AND v.y >= r.y0 AND v.y <= r.y1
+),
+crossings AS (
+  SELECT p.fa, p.fb,
+    a.ex1 + ((b.ex1 - a.ex1) * (b.ey2 - b.ey1) - (b.ey1 - a.ey1) * (b.ex2 - b.ex1))
+      / ((a.ex2 - a.ex1) * (b.ey2 - b.ey1) - (a.ey2 - a.ey1) * (b.ex2 - b.ex1)) * (a.ex2 - a.ex1) AS x,
+    a.ey1 + ((b.ex1 - a.ex1) * (b.ey2 - b.ey1) - (b.ey1 - a.ey1) * (b.ex2 - b.ex1))
+      / ((a.ex2 - a.ex1) * (b.ey2 - b.ey1) - (a.ey2 - a.ey1) * (b.ex2 - b.ex1)) * (a.ey2 - a.ey1) AS y,
+    ((b.ex1 - a.ex1) * (b.ey2 - b.ey1) - (b.ey1 - a.ey1) * (b.ex2 - b.ex1))
+      / ((a.ex2 - a.ex1) * (b.ey2 - b.ey1) - (a.ey2 - a.ey1) * (b.ex2 - b.ex1)) AS t,
+    ((b.ex1 - a.ex1) * (a.ey2 - a.ey1) - (b.ey1 - a.ey1) * (a.ex2 - a.ex1))
+      / ((a.ex2 - a.ex1) * (b.ey2 - b.ey1) - (a.ey2 - a.ey1) * (b.ex2 - b.ex1)) AS u
+  FROM pairs p
+  JOIN ea a ON a.fa = p.fa
+  JOIN eb b ON b.fb = p.fb
+  WHERE (a.ex2 - a.ex1) * (b.ey2 - b.ey1) - (a.ey2 - a.ey1) * (b.ex2 - b.ex1) <> 0
+),
+pts AS (
+  SELECT fa, fb, x, y FROM va_in
+  UNION ALL SELECT fa, fb, x, y FROM vb_in
+  UNION ALL SELECT fa, fb, x, y FROM crossings
+    WHERE t >= 0 AND t <= 1 AND u >= 0 AND u <= 1
+),
+ctr AS (
+  SELECT fa, fb, avg(x) AS mx, avg(y) AS my FROM pts
+  GROUP BY fa, fb HAVING count(*) >= 3
+),
+ordered AS (
+  SELECT p.fa, p.fb, p.x, p.y, atan2(p.y - c.my, p.x - c.mx) AS ang
+  FROM pts p JOIN ctr c ON c.fa = p.fa AND c.fb = p.fb
+),
+shoelace AS (
+  SELECT fa, fb,
+    x * coalesce(lead(y) OVER w, first_value(y) OVER w2)
+      - coalesce(lead(x) OVER w, first_value(x) OVER w2) * y AS term
+  FROM ordered
+  WINDOW w AS (PARTITION BY fa, fb ORDER BY ang, x, y),
+         w2 AS (PARTITION BY fa, fb ORDER BY ang, x, y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT fa AS i, fb AS fid,
+  cast(floor((abs(sum(term)) / 2) * 1e4) as bigint) AS inter_e4
+FROM shoelace GROUP BY fa, fb HAVING abs(sum(term)) > 0
+"""
+
+
 def _o_vector_clip() -> str:
     zn = georef.sql_zones_cte("s_suppkey", "supplier")
     x0, y0, x1, y1 = CLIP_BBOX
@@ -2126,6 +2277,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_render_utm": _o_tile_render_utm(),
         "tile_overview": _o_tile_overview(),
         "overlay": _o_overlay(),
+        "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),
         "events_windowed": """
