@@ -905,6 +905,46 @@ def q_ann_lsh_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cosine_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup check: MinHash-verified near-dup text pairs
+    joined to their embedding cosine similarity (documents.doc_id
+    aligns with embeddings.vec_id) — the agreement signal a training
+    pipeline uses to tune near-dup thresholds."""
+    docs = _read(spark, sf_dir, "documents")
+    emb = with_norm_emb(_read(spark, sf_dir, "embeddings"))
+    pairs = txt_dedup.minhash_lsh_pairs(docs).where(F.col("j_milli") >= 600)
+    ea = emb.select(
+        F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(ea, "doc_a").join(eb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "j_milli",
+            F.floor(dot / (F.col("na") * F.col("nb")) * 10000)
+            .cast("long").alias("cos_e4"),
+        )
+    )
+
+
+def with_norm_emb(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "norm",
+        F.expr(
+            "sqrt(aggregate(embedding, cast(0.0 as double), "
+            "(acc, x) -> acc + cast(x as double) * cast(x as double)))"
+        ),
+    )
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label elementwise centroid of the embedding vectors."""
     return sim.label_centroids(_read(spark, sf_dir, "embeddings"))
@@ -964,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_ring": q_ann_lsh_ring,
         "embed_centroid": q_embed_centroid,
+        "dedup_cosine_agreement": q_dedup_cosine_agreement,
         "image_stats": q_image_stats,
         "translate": q_translate,
         "pixel_calc": q_pixel_calc,
@@ -2332,6 +2373,23 @@ FROM events GROUP BY 1
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True, ring=1
         ),
         "embed_centroid": sim.sql_label_centroids(),
+        "dedup_cosine_agreement": f"""
+WITH pairs AS ({txt_dedup.sql_minhash_lsh_pairs()}),
+keep AS (SELECT * FROM pairs WHERE j_milli >= 600),
+nrm AS (
+  SELECT vec_id, embedding,
+    sqrt(list_sum(list_transform(embedding, x -> cast(x as double) * cast(x as double)))) AS norm
+  FROM embeddings
+)
+SELECT k.doc_a, k.doc_b, k.j_milli,
+  cast(floor(
+    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      p -> cast(p[1] as double) * cast(p[2] as double)))
+    / (a.norm * b.norm) * 10000) as bigint) AS cos_e4
+FROM keep k
+JOIN nrm a ON a.vec_id = k.doc_a
+JOIN nrm b ON b.vec_id = k.doc_b
+""",
         "image_stats": _o_image_stats(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),

@@ -153,6 +153,42 @@ def simhash_pairs(df: DataFrame, max_dist: int = 2) -> DataFrame:
     )
 
 
+def cluster_near_dups(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash pair graph (the dedup decision unit — keep one doc per
+    cluster). The pair graph is metadata-sized relative to the corpus,
+    so components resolve driver-side (same two-level pattern as
+    operators/dissolve.py); docs in no pair form singleton clusters.
+    Returns (doc_id, cluster_id, cluster_size)."""
+    spark = df.sparkSession
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df)
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.select("doc_a", "doc_b").collect()]
+    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    rows = []
+    for i in sorted(ids):
+        r = find(i)
+        comp.setdefault(r, []).append(i)
+    out = []
+    for cid, (root, members) in enumerate(sorted(comp.items())):
+        for m in members:
+            out.append((m, cid, len(members)))
+    return spark.createDataFrame(out, "doc_id long, cluster_id int, cluster_size int")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins
 # ---------------------------------------------------------------------------

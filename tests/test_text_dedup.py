@@ -113,3 +113,16 @@ def test_ann_brute_force_and_lsh(spark):
     lsh = sim.cosine_topk(emb, q, 5, bucketed=True).collect()
     assert all(r["query_id"] == 0 for r in lsh)
     assert lsh and lsh[0]["vec_id"] == 1
+
+
+def test_cluster_near_dups(spark, docs):
+    from gdal_spark.text.dedup import cluster_near_dups
+
+    out = {r["doc_id"]: r for r in cluster_near_dups(docs).collect()}
+    # docs 0, 1, 2 form one cluster (0==1 exact, 2 near); others singleton
+    assert out[0]["cluster_id"] == out[1]["cluster_id"] == out[2]["cluster_id"]
+    assert out[0]["cluster_size"] == 3
+    assert out[3]["cluster_size"] == 1
+    assert out[3]["cluster_id"] != out[0]["cluster_id"]
+    # every doc appears exactly once
+    assert len(out) == 6
