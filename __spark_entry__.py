@@ -573,6 +573,51 @@ def q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overview_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'mode' overview resampler (overview.cpp mode path: most
+    frequent of the 2x2 block, first-seen tie in NW,NE,SW,SE scan
+    order) on the quantized strip surface; per-tile checksum."""
+    import pandas as pd
+
+    from gdal_spark.operators import stencil
+    from gdal_spark.raster.checksum import gdal_checksum
+    from gdal_spark.raster.resample import mode_2x2
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty, data in zip(pdf["tile_x"], pdf["tile_y"], pdf["data"]):
+                arr = np.frombuffer(data, dtype="<f8").reshape(256, 256)
+                q = (((arr * 2).astype(np.int64) % 512) // 128).astype(np.uint8)
+                m = mode_2x2(q)
+                recs.append(
+                    {
+                        "tile_x": int(tx), "tile_y": int(ty),
+                        "checksum": gdal_checksum(m),
+                        "vsum": int(m.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["tile_x", "tile_y", "checksum", "vsum"])
+
+    return tiles.mapInPandas(run, schema).select(
+        F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
 DEM_METRICS = ["slope", "aspect", "tri", "tpi", "roughness"]
 DEM_TILES = [(tx, ty) for tx in range(8, 14) for ty in range(4, 10)]
 
@@ -1015,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_point": q_interpolate_point,
         "geom_measures": q_geom_measures,
         "dem_metrics": q_dem_metrics,
+        "overview_mode": q_overview_mode,
         "grid_interp": q_grid_interp,
         "proximity": q_proximity,
         "contour_cells": q_contour_cells,
@@ -2133,6 +2179,47 @@ FROM px WHERE v <> 0 GROUP BY image_id
 """
 
 
+def _o_overview_mode() -> str:
+    def qv(dx: int, dy: int) -> str:
+        return f"(((3 * (X + {dx}) + 5 * (Y + {dy})) % 512) // 128)"
+
+    va, vb, vc, vd = qv(0, 0), qv(1, 0), qv(0, 1), qv(1, 1)
+
+    def cnt(v: str) -> str:
+        return (
+            f"((CASE WHEN {v} = va THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN {v} = vb THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN {v} = vc THEN 1 ELSE 0 END)"
+            f" + (CASE WHEN {v} = vd THEN 1 ELSE 0 END))"
+        )
+
+    return f"""
+WITH blocks AS (
+  SELECT t.tx, t.ty, gx.bx, gy.by,
+    t.tx * 256 + 2 * gx.bx AS X, t.ty * 256 + 2 * gy.by AS Y
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, 128) AS gx(bx), range(0, 128) AS gy(by)
+),
+vals AS (
+  SELECT tx, ty, bx, by, {va} AS va, {vb} AS vb, {vc} AS vc, {vd} AS vd
+  FROM blocks
+),
+modes AS (
+  SELECT tx, ty, bx, by,
+    CASE
+      WHEN {cnt('va')} >= {cnt('vb')} AND {cnt('va')} >= {cnt('vc')} AND {cnt('va')} >= {cnt('vd')} THEN va
+      WHEN {cnt('vb')} >= {cnt('vc')} AND {cnt('vb')} >= {cnt('vd')} THEN vb
+      WHEN {cnt('vc')} >= {cnt('vd')} THEN vc
+      ELSE vd END AS m
+  FROM vals
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(sum(m % ({_PRIMES_SQL})[((by * 128 + bx) % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(m) as bigint) AS vsum
+FROM modes GROUP BY 1, 2
+"""
+
+
 def _o_dem_metrics() -> str:
     # interior tiles of the DEM_TILES window (all 8 neighbors present)
     txs = sorted({t[0] for t in DEM_TILES})[1:-1]
@@ -2400,6 +2487,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
         "dem_metrics": _o_dem_metrics(),
+        "overview_mode": _o_overview_mode(),
         "polygonize": _o_polygonize(),
         "dissolve": _o_dissolve(),
         "footprint": _o_footprint(),
