@@ -909,6 +909,31 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline: quality gate
+    (quality >= 0.7, >= 10 tokens) -> exact dedup keeping the lowest
+    doc_id per content digest -> language tag. The composition every
+    LLM data pipeline runs, as one lazy DataFrame chain."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = txt_analysis.token_stats(docs)
+    lang = txt_analysis.lang_id(docs)
+    w = Window.partitionBy("text_md5").orderBy("doc_id")
+    first = (
+        docs.withColumn("text_md5", F.md5("text"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+    return (
+        first.join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .where((F.col("quality_milli") >= 700) & (F.col("n_tokens") >= 10))
+        .select("doc_id", "pred_lang", "quality_milli", "n_tokens")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash values per document."""
     return txt_dedup.simhash(_read(spark, sf_dir, "documents"))
@@ -1043,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
+        "corpus_clean": q_corpus_clean,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -2448,6 +2474,22 @@ FROM events GROUP BY 1
         "lang_id": txt_analysis.sql_lang_id(),
         "exact_dedup": txt_dedup.sql_exact_dups(),
         "minhash_pairs": txt_dedup.sql_minhash_lsh_pairs(),
+        "corpus_clean": f"""
+WITH stats AS ({txt_analysis.sql_token_stats()}),
+lang AS ({txt_analysis.sql_lang_id()}),
+first_ids AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+)
+SELECT f.doc_id, l.pred_lang, s.quality_milli, s.n_tokens
+FROM first_ids f
+JOIN stats s ON s.doc_id = f.doc_id
+JOIN lang l ON l.doc_id = f.doc_id
+WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
+""",
         "simhash": txt_dedup.sql_simhash(),
         "simhash_pairs": txt_dedup.sql_simhash_pairs(),
         "ann_topk": sim.sql_cosine_topk(
