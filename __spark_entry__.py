@@ -618,6 +618,69 @@ def q_overview_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overview_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'rms' overview resampler (overview.cpp ComputeIntegerRMS:
+    floor(sqrt(mean of squares) + 0.5)) on the integer-valued demo
+    surface (values are k/2 exactly; *2 keeps them integral)."""
+    import pandas as pd
+
+    from gdal_spark.operators import stencil
+    from gdal_spark.raster.checksum import gdal_checksum
+    from gdal_spark.raster.resample import rms_2x2
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty, data in zip(pdf["tile_x"], pdf["tile_y"], pdf["data"]):
+                arr = np.frombuffer(data, dtype="<f8").reshape(256, 256)
+                q = (arr * 2).astype(np.int64)  # exact ints 0..511
+                m = rms_2x2(q)
+                recs.append(
+                    {
+                        "tile_x": int(tx), "tile_y": int(ty),
+                        "checksum": gdal_checksum(m),
+                        "vsum": int(m.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["tile_x", "tile_y", "checksum", "vsum"])
+
+    return tiles.mapInPandas(run, schema).select(
+        F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
+def q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (spherical) area/perimeter per zone — the spherical
+    stand-in for OGR's PROJ-backed get_GeodesicArea/Length
+    (ogr/ogrsurface.cpp:39, ogrcurve.cpp:111)."""
+    from gdal_spark.geo.st_functions import register_st_functions
+
+    register_st_functions(spark)
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    zones.createOrReplaceTempView("zones_geod")
+    return spark.sql(
+        """
+        SELECT fid,
+          cast(floor(ST_GeodesicArea(geometry) / 1e6 * 100) as bigint) AS area_km2_e2,
+          cast(floor(ST_GeodesicLength(geometry) / 1e3 * 100) as bigint) AS perim_km_e2
+        FROM zones_geod
+        """
+    )
+
+
 DEM_METRICS = ["slope", "aspect", "tri", "tpi", "roughness"]
 DEM_TILES = [(tx, ty) for tx in range(8, 14) for ty in range(4, 10)]
 
@@ -1085,8 +1148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "interpolate_point": q_interpolate_point,
         "geom_measures": q_geom_measures,
+        "geodesic_measures": q_geodesic_measures,
         "dem_metrics": q_dem_metrics,
         "overview_mode": q_overview_mode,
+        "overview_rms": q_overview_rms,
         "grid_interp": q_grid_interp,
         "proximity": q_proximity,
         "contour_cells": q_contour_cells,
@@ -2205,6 +2270,32 @@ FROM px WHERE v <> 0 GROUP BY image_id
 """
 
 
+def _o_overview_rms() -> str:
+    def v2(dx: int, dy: int) -> str:
+        # (surface * 2) = (3X + 5Y) % 512, exactly integral
+        return f"((3 * (X + {dx}) + 5 * (Y + {dy})) % 512)"
+
+    sq = " + ".join(f"{v2(dx, dy)} * {v2(dx, dy)}" for dx, dy in
+                    ((0, 0), (1, 0), (0, 1), (1, 1)))
+    return f"""
+WITH blocks AS (
+  SELECT t.tx, t.ty, gx.bx, gy.by,
+    t.tx * 256 + 2 * gx.bx AS X, t.ty * 256 + 2 * gy.by AS Y
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, 128) AS gx(bx), range(0, 128) AS gy(by)
+),
+modes AS (
+  SELECT tx, ty, bx, by,
+    cast(floor(sqrt(cast(({sq}) as double) / 4.0) + 0.5) as bigint) AS m
+  FROM blocks
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(sum(m % ({_PRIMES_SQL})[((by * 128 + bx) % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(m) as bigint) AS vsum
+FROM modes GROUP BY 1, 2
+"""
+
+
 def _o_overview_mode() -> str:
     def qv(dx: int, dy: int) -> str:
         return f"(((3 * (X + {dx}) + 5 * (Y + {dy})) % 512) // 128)"
@@ -2328,6 +2419,43 @@ SELECT o.fid,
   cast(floor(o.cx * 1e4) as bigint) AS cx_e4,
   cast(floor(o.cy * 1e4) as bigint) AS cy_e4,
   TRUE AS valid
+FROM oa o LEFT JOIN ha h ON h.fid = o.fid
+"""
+
+
+def _o_geodesic_measures() -> str:
+    from gdal_spark.geo.ops import MEAN_EARTH_RADIUS
+
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    R = tm.sql_double(MEAN_EARTH_RADIUS)
+    dlam = "(radians(x2) - radians(x1))"
+    area_term = f"{dlam} * (2.0 + sin(radians(y1)) + sin(radians(y2)))"
+    hav = (
+        f"2.0 * {R} * asin(sqrt("
+        f"sin((radians(y2) - radians(y1)) / 2.0) * sin((radians(y2) - radians(y1)) / 2.0)"
+        f" + cos(radians(y1)) * cos(radians(y2))"
+        f" * sin({dlam} / 2.0) * sin({dlam} / 2.0)))"
+    )
+    return f"""
+WITH zn AS ({zn}),
+outer_edges AS ({_zone_edges_cte('r')}),
+hole_edges AS ({_zone_edges_cte('hole_r')}),
+oa AS (
+  SELECT fid,
+    abs(sum({area_term})) * {R} * {R} / 4.0 AS area,
+    sum({hav}) AS perim
+  FROM outer_edges GROUP BY fid
+),
+ha AS (
+  SELECT e.fid,
+    abs(sum({area_term})) * {R} * {R} / 4.0 AS area,
+    sum({hav}) AS perim
+  FROM hole_edges e JOIN zn z ON z.fid = e.fid
+  WHERE z.has_hole GROUP BY e.fid
+)
+SELECT o.fid,
+  cast(floor((o.area - coalesce(h.area, 0)) / 1e6 * 100) as bigint) AS area_km2_e2,
+  cast(floor((o.perim + coalesce(h.perim, 0)) / 1e3 * 100) as bigint) AS perim_km_e2
 FROM oa o LEFT JOIN ha h ON h.fid = o.fid
 """
 
@@ -2528,8 +2656,10 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
+        "geodesic_measures": _o_geodesic_measures(),
         "dem_metrics": _o_dem_metrics(),
         "overview_mode": _o_overview_mode(),
+        "overview_rms": _o_overview_rms(),
         "polygonize": _o_polygonize(),
         "dissolve": _o_dissolve(),
         "footprint": _o_footprint(),

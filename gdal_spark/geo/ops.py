@@ -132,6 +132,36 @@ def is_valid_ring(ring: np.ndarray) -> bool:
     return True
 
 
+MEAN_EARTH_RADIUS = 6371008.8  # IUGG mean radius
+
+
+def geodesic_ring_area(ring: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> float:
+    """Spherical polygon area (m^2) by the Chamberlain–Duquette
+    formula (public literature; the spherical stand-in for OGR's
+    PROJ-ellipsoidal get_GeodesicArea, ogr/ogrsurface.cpp:39 —
+    differs from the ellipsoid by < 0.3%):
+        area = |Σ (λ2-λ1)·(2 + sin φ1 + sin φ2)| · R² / 4
+    over edges in radians."""
+    lon = np.radians(ring[:, 0])
+    lat = np.radians(ring[:, 1])
+    s = np.sum((lon[1:] - lon[:-1]) * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:])))
+    return abs(s) * radius * radius / 4.0
+
+
+def geodesic_line_length(coords: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> float:
+    """Great-circle length (m) via haversine edge sums (spherical
+    stand-in for get_GeodesicLength, ogr/ogrcurve.cpp:111)."""
+    lon = np.radians(coords[:, 0])
+    lat = np.radians(coords[:, 1])
+    dlat = lat[1:] - lat[:-1]
+    dlon = lon[1:] - lon[:-1]
+    a = (
+        np.sin(dlat / 2.0) ** 2
+        + np.cos(lat[:-1]) * np.cos(lat[1:]) * np.sin(dlon / 2.0) ** 2
+    )
+    return float((2.0 * radius * np.arcsin(np.sqrt(a))).sum())
+
+
 def point_on_surface(rings: list[np.ndarray]) -> tuple[float, float]:
     """A point guaranteed inside: scanline through the centroid-y,
     midpoint of the widest run (PointOnSurface contract: inside, not

@@ -52,6 +52,29 @@ def st_length(wkb: pd.Series) -> pd.Series:
     return wkb.map(f)
 
 
+@F.pandas_udf(T.DoubleType())
+def st_geodesic_area(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        rings = _rings(parse_wkb(bytes(b)))
+        area = ops.geodesic_ring_area(rings[0])
+        for hole in rings[1:]:
+            area -= ops.geodesic_ring_area(hole)
+        return area
+
+    return wkb.map(f)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_geodesic_length(wkb: pd.Series) -> pd.Series:
+    def f(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            return ops.geodesic_line_length(g.parts[0])
+        return float(sum(ops.geodesic_line_length(r) for r in _rings(g)))
+
+    return wkb.map(f)
+
+
 @F.pandas_udf(T.BinaryType())
 def st_centroid(wkb: pd.Series) -> pd.Series:
     def f(b):
@@ -162,6 +185,8 @@ def st_y(wkb: pd.Series) -> pd.Series:
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_Length": st_length,
+    "ST_GeodesicArea": st_geodesic_area,
+    "ST_GeodesicLength": st_geodesic_length,
     "ST_Centroid": st_centroid,
     "ST_Contains_Point": st_contains_point,
     "ST_AsText": st_astext,

@@ -101,3 +101,23 @@ def test_st_functions_sql(spark):
     assert row["inside"] is True and row["outside"] is False
     # segmentize adds vertices, simplify removes the collinear ones
     assert row["s"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+
+def test_geodesic_area_sanity():
+    # 1x1 degree "square" at the equator ~ 111.19 km x 111.32 km
+    sq = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    area = ops.geodesic_ring_area(sq)
+    assert 1.22e10 < area < 1.25e10  # ~1.237e10 m^2
+    # perimeter ~ 4 * 111 km
+    length = ops.geodesic_line_length(sq)
+    assert 4.40e5 < length < 4.47e5
+
+
+def test_geodesic_area_shrinks_at_high_latitude():
+    lo = ops.geodesic_ring_area(
+        np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    )
+    hi = ops.geodesic_ring_area(
+        np.array([[0, 70], [1, 70], [1, 71], [0, 71], [0, 70]], dtype=float)
+    )
+    assert hi < 0.45 * lo
