@@ -2442,13 +2442,13 @@ outer_edges AS ({_zone_edges_cte('r')}),
 hole_edges AS ({_zone_edges_cte('hole_r')}),
 oa AS (
   SELECT fid,
-    abs(sum({area_term})) * {R} * {R} / 4.0 AS area,
+    abs(sum({area_term})) * {R} * {R} / 2.0 AS area,
     sum({hav}) AS perim
   FROM outer_edges GROUP BY fid
 ),
 ha AS (
   SELECT e.fid,
-    abs(sum({area_term})) * {R} * {R} / 4.0 AS area,
+    abs(sum({area_term})) * {R} * {R} / 2.0 AS area,
     sum({hav}) AS perim
   FROM hole_edges e JOIN zn z ON z.fid = e.fid
   WHERE z.has_hole GROUP BY e.fid

@@ -140,12 +140,12 @@ def geodesic_ring_area(ring: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> f
     formula (public literature; the spherical stand-in for OGR's
     PROJ-ellipsoidal get_GeodesicArea, ogr/ogrsurface.cpp:39 —
     differs from the ellipsoid by < 0.3%):
-        area = |Σ (λ2-λ1)·(2 + sin φ1 + sin φ2)| · R² / 4
+        area = |Σ (λ2-λ1)·(2 + sin φ1 + sin φ2)| · R² / 2
     over edges in radians."""
     lon = np.radians(ring[:, 0])
     lat = np.radians(ring[:, 1])
     s = np.sum((lon[1:] - lon[:-1]) * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:])))
-    return abs(s) * radius * radius / 4.0
+    return abs(s) * radius * radius / 2.0
 
 
 def geodesic_line_length(coords: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> float:
