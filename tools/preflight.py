@@ -1,0 +1,56 @@
+"""One-command preflight before handing the repo to the driver:
+
+1. contract invariants (every query has an oracle),
+2. entry() smoke at sf0.001,
+3. a fast sampled oracle subset at sf0.01 (one query per family),
+4. bench importability.
+
+Usage: python tools/preflight.py          (~2 min)
+       python tools/preflight.py --full   (adds the complete gate)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SAMPLE = [
+    "tile_assign", "pip_join", "knn", "rasterize_tile_checksum",
+    "tile_render", "tile_render_utm", "dem_metrics", "overlay",
+    "minhash_pairs", "ann_topk", "image_stats", "events_windowed",
+    "corpus_clean", "geodesic_measures",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    missing = [n for n in qs if n not in oracles]
+    assert not missing, f"queries without oracles: {missing}"
+    print(f"[ok] contract: {len(qs)} queries, all oracle-backed")
+
+    from gdal_spark.session import get_spark
+
+    spark = get_spark("preflight", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    n = entry.entry(spark).count()
+    print(f"[ok] entry() smoke: {n} rows")
+    spark.stop()
+
+    args = [sys.executable, "tools/check_oracles.py", "/root/testdata/sf0.01"]
+    if "--full" not in sys.argv:
+        args += SAMPLE
+    r = subprocess.run(args, capture_output=True, text=True)
+    tail = [l for l in r.stdout.replace("\r", "\n").splitlines() if l.strip()]
+    print("\n".join(tail[-3:]))
+    assert "FAILURES: none" in r.stdout, "oracle failures!"
+    print("[ok] preflight complete")
+
+
+if __name__ == "__main__":
+    main()
