@@ -573,6 +573,63 @@ def q_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_raster_attribute_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster Attribute Table (gcore/gdal_rat.cpp): per-class stats of
+    the quantized surface over a tile block — a plain DataFrame keyed
+    by pixel value, exactly as SURVEY §1.1 maps it."""
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    from gdal_spark.operators import stencil
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    schema = T2.StructType(
+        [
+            T2.StructField("value", T2.IntegerType()),
+            T2.StructField("n_px", T2.LongType()),
+        ]
+    )
+
+    def rows(batches):
+        for pdf in batches:
+            recs = []
+            for data in pdf["data"]:
+                arr = np.frombuffer(data, dtype="<f8").reshape(256, 256)
+                q = ((arr * 2).astype(np.int64) % 512) // 128
+                for v, c in zip(*np.unique(q, return_counts=True)):
+                    recs.append({"value": int(v), "n_px": int(c)})
+            yield pd.DataFrame(recs, columns=["value", "n_px"])
+
+    return (
+        tiles.mapInPandas(rows, schema)
+        .groupBy("value")
+        .agg(F.sum("n_px").alias("n_px"))
+        .select(F.col("value").cast("int"), F.col("n_px").cast("long"))
+    )
+
+
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging: per event_type trailing-20-event z-score of
+    value; emits events with |z| >= 2 (training-pipeline outlier
+    screen; window semantics identical in both engines)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-20, -1)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.withColumn("z", z)
+        .where(F.col("z").isNotNull() & (F.abs("z") >= 2.0))
+        .select(
+            "event_id", "event_type",
+            F.floor(F.col("z") * 1000).cast("long").alias("z_e3"),
+        )
+    )
+
+
 def q_overview_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'mode' overview resampler (overview.cpp mode path: most
     frequent of the 2x2 block, first-seen tie in NW,NE,SW,SE scan
@@ -1152,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dem_metrics": q_dem_metrics,
         "overview_mode": q_overview_mode,
         "overview_rms": q_overview_rms,
+        "raster_attribute_table": q_raster_attribute_table,
+        "events_zscore": q_events_zscore,
         "grid_interp": q_grid_interp,
         "proximity": q_proximity,
         "contour_cells": q_contour_cells,
@@ -2660,6 +2719,26 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "dem_metrics": _o_dem_metrics(),
         "overview_mode": _o_overview_mode(),
         "overview_rms": _o_overview_rms(),
+        "raster_attribute_table": """
+SELECT cast((s % 512) // 128 as int) AS value, count(*) AS n_px
+FROM (
+  SELECT (3 * (t.tx * 256 + gx.x) + 5 * (t.ty * 256 + gy.y)) AS s
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, 256) AS gx(x), range(0, 256) AS gy(y)
+) GROUP BY 1
+""",
+        "events_zscore": """
+WITH scored AS (
+  SELECT event_id, event_type,
+    (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type,
+  cast(floor(z * 1000) as bigint) AS z_e3
+FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
+""",
         "polygonize": _o_polygonize(),
         "dissolve": _o_dissolve(),
         "footprint": _o_footprint(),
