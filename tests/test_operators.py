@@ -156,3 +156,23 @@ def test_images_payload_roundtrip(spark):
             # mse == 0 means bit-exact, which trivially beats 40 dB
             assert mse == 0.0 or 10 * np.log10(255**2 / mse) >= 40.0
         assert r["caption"].startswith(f"synthetic scene {r['i']}: ")
+
+
+def test_pip_prepared_equals_edges(spark):
+    """Both refine implementations must agree exactly."""
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.fixtures.zones import build_zones
+    from gdal_spark.operators.spatial_join import pip_join
+
+    images = build_images(spark, n=3000, with_payload=False)
+    zones = build_zones(spark, n=60)
+    edges = {
+        (r["image_id"], r["fid"])
+        for r in pip_join(images, zones, method="edges").collect()
+    }
+    prepared = {
+        (r["image_id"], r["fid"])
+        for r in pip_join(images, zones, method="prepared").collect()
+    }
+    assert edges == prepared
+    assert edges  # non-trivial

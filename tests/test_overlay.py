@@ -78,3 +78,21 @@ def test_overlay_join_small(spark):
     for (fa, fb), r in out.items():
         ai = intersection_area(zone_rings(fa)[0], zone_rings(fb)[0])
         assert r["inter_e4"] == int(np.floor(ai * 1e4))
+
+
+def test_clip_symmetry_and_bound():
+    rng = np.random.default_rng(17)
+    for _ in range(25):
+        k1, k2 = rng.integers(3, 8, 2)
+        c1 = rng.uniform(0, 4, 2)
+        c2 = rng.uniform(0, 4, 2)
+        r1, r2 = rng.uniform(0.5, 3, 2)
+        a1 = np.sort(rng.uniform(0, 2 * np.pi, k1))
+        a2 = np.sort(rng.uniform(0, 2 * np.pi, k2))
+        A = ring(np.column_stack([c1[0] + r1 * np.cos(a1), c1[1] + r1 * np.sin(a1)]))
+        B = ring(np.column_stack([c2[0] + r2 * np.cos(a2), c2[1] + r2 * np.sin(a2)]))
+        ab = intersection_area(A, B)
+        ba = intersection_area(B, A)
+        assert abs(ab - ba) < 1e-9
+        assert ab <= abs(ring_area(A)) + 1e-9
+        assert ab <= abs(ring_area(B)) + 1e-9
