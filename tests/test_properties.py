@@ -188,3 +188,17 @@ def test_morton_key_monotone_in_quadrants(x, y):
     k = morton(x, y)
     # coarsening by one level shifts the key by exactly 2 bits
     assert morton(x >> 1, y >> 1) == k >> 2
+
+
+@given(st.floats(min_value=0.5, max_value=5.5),
+       st.floats(min_value=-75, max_value=75))
+@settings(max_examples=40, deadline=None)
+def test_utm_roundtrip(lon, lat):
+    """Krüger series forward/inverse roundtrip within zone 31
+    (sub-millimeter closure)."""
+    from gdal_spark.geo import crs
+
+    E, N = crs.utm_forward(lon, lat, 31)
+    lon2, lat2 = crs.utm_inverse(E, N, 31)
+    assert abs(float(lon2) - lon) < 1e-7
+    assert abs(float(lat2) - lat) < 1e-7
