@@ -13,10 +13,39 @@ independent SQL oracle over the same parquet inputs.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the gdal_spark package to executor Python workers via
+    addPyFile — required when the driver process runs with a cwd
+    outside the repo (workers don't inherit driver sys.path)."""
+    if getattr(spark, "_gdal_spark_shipped", False):
+        return
+    zpath = os.path.join(
+        "/tmp", f"gdal_spark_pkg_{os.path.getmtime(_REPO):.0f}.zip"
+    )
+    if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO, "gdal_spark")
+        with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(zpath + ".tmp", zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._gdal_spark_shipped = True
 
 from gdal_spark.fixtures import georef
 from gdal_spark.fixtures.images import build_images
@@ -72,6 +101,7 @@ def _images_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
+    _ensure_workers_can_import(spark)
     images = _images_geo(spark, SF001)
     zones = build_zones(spark, ids_df=_zone_ids(spark, SF001))
     pairs = pip_join(images, zones, broadcast_zones=True)
@@ -1162,7 +1192,21 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_shipping(fn: Callable) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: _with_shipping(fn) for name, fn in _queries_raw().items()}
+
+
+def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
         "tile_counts": q_tile_counts,
