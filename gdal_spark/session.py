@@ -34,6 +34,15 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or max(2 * cpus, 32)
 
+    # make gdal_spark importable in executor python workers regardless
+    # of the launching process's cwd
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
