@@ -32,18 +32,35 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     outside the repo (workers don't inherit driver sys.path)."""
     if getattr(spark, "_gdal_spark_shipped", False):
         return
-    zpath = os.path.join(
-        "/tmp", f"gdal_spark_pkg_{os.path.getmtime(_REPO):.0f}.zip"
+    import hashlib
+    import tempfile
+
+    pkg = os.path.join(_REPO, "gdal_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    sources.sort()
+    digest = hashlib.sha256()
+    for full in sources:
+        digest.update(os.path.relpath(full, _REPO).encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    # content-hash key: editing any module produces a new zip name
+    # (a dir-mtime key goes stale when only nested files change);
+    # per-user 0700 dir avoids a pre-creatable fixed /tmp path.
+    cache_dir = os.path.join(
+        tempfile.gettempdir(), f"gdal_spark_pkg_{os.getuid()}"
     )
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    zpath = os.path.join(cache_dir, f"gdal_spark_{digest.hexdigest()[:16]}.zip")
     if not os.path.exists(zpath):
-        pkg = os.path.join(_REPO, "gdal_spark")
-        with zipfile.ZipFile(zpath + ".tmp", "w") as zf:
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, _REPO))
-        os.replace(zpath + ".tmp", zpath)
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO))
+        os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     spark._gdal_spark_shipped = True
 
@@ -650,9 +667,20 @@ def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = F.avg("value").over(w)
     sd = F.stddev_samp("value").over(w)
     z = (F.col("value") - mu) / sd
+    # float-parity guard: Spark and DuckDB sum window aggregates in
+    # different orders, so last-bit noise can flip rows across the
+    # |z| >= 2 threshold or a floor(z*1000) integer boundary. Exclude
+    # the epsilon band around every integer of z*1000 (which includes
+    # the +-2000 threshold itself) in BOTH engines; cross-engine error
+    # is ~1e-8 vs a 1e-4 band, so membership is stable.
+    z1000 = F.col("z") * 1000
     return (
         ev.withColumn("z", z)
-        .where(F.col("z").isNotNull() & (F.abs("z") >= 2.0))
+        .where(
+            F.col("z").isNotNull()
+            & (F.abs("z") >= 2.0)
+            & (F.abs(z1000 - F.round(z1000)) > 1e-4)
+        )
         .select(
             "event_id", "event_type",
             F.floor(F.col("z") * 1000).cast("long").alias("z_e3"),
@@ -2405,14 +2433,9 @@ def _o_overview_mode() -> str:
 
     va, vb, vc, vd = qv(0, 0), qv(1, 0), qv(0, 1), qv(1, 1)
 
-    def cnt(v: str) -> str:
-        return (
-            f"((CASE WHEN {v} = va THEN 1 ELSE 0 END)"
-            f" + (CASE WHEN {v} = vb THEN 1 ELSE 0 END)"
-            f" + (CASE WHEN {v} = vc THEN 1 ELSE 0 END)"
-            f" + (CASE WHEN {v} = vd THEN 1 ELSE 0 END))"
-        )
-
+    # GDAL running-max tie-break (overview.cpp GDALResampleChunk_ModeT
+    # `++anVals[nVal] > nMaxVal`): with 4 samples, the first sample
+    # that repeats an earlier one wins; all-distinct -> NW.
     return f"""
 WITH blocks AS (
   SELECT t.tx, t.ty, gx.bx, gy.by,
@@ -2427,10 +2450,10 @@ vals AS (
 modes AS (
   SELECT tx, ty, bx, by,
     CASE
-      WHEN {cnt('va')} >= {cnt('vb')} AND {cnt('va')} >= {cnt('vc')} AND {cnt('va')} >= {cnt('vd')} THEN va
-      WHEN {cnt('vb')} >= {cnt('vc')} AND {cnt('vb')} >= {cnt('vd')} THEN vb
-      WHEN {cnt('vc')} >= {cnt('vd')} THEN vc
-      ELSE vd END AS m
+      WHEN vb = va THEN vb
+      WHEN vc = va OR vc = vb THEN vc
+      WHEN vd = va OR vd = vb OR vd = vc THEN vd
+      ELSE va END AS m
   FROM vals
 )
 SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
@@ -2782,6 +2805,7 @@ WITH scored AS (
 SELECT event_id, event_type,
   cast(floor(z * 1000) as bigint) AS z_e3
 FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
+  AND abs(z * 1000 - round(z * 1000)) > cast('0.0001' as double)
 """,
         "polygonize": _o_polygonize(),
         "dissolve": _o_dissolve(),

@@ -50,6 +50,7 @@ def fill_polygon_runs(
     for y in range(miny, maxy + 1):
         dy = y + 0.5
         xs: list[int] = []
+        horiz: list[tuple[int, int]] = []
         for ring in rings:
             x1 = ring[:-1, 0]
             y1 = ring[:-1, 1]
@@ -59,18 +60,49 @@ def fill_polygon_runs(
             hi = np.maximum(y1, y2)
             # orient each edge so dy1 < dy2; half-open [dy1, dy2)
             sel = (dy >= lo) & (dy < hi)
-            if not sel.any():
-                continue
-            ex1 = np.where(y1[sel] < y2[sel], x1[sel], x2[sel])
-            ey1 = lo[sel]
-            ex2 = np.where(y1[sel] < y2[sel], x2[sel], x1[sel])
-            ey2 = hi[sel]
-            xint = (dy - ey1) * (ex2 - ex1) / (ey2 - ey1) + ex1
-            xs.extend(np.floor(xint + 0.5).astype(np.int64).tolist())
+            if sel.any():
+                ex1 = np.where(y1[sel] < y2[sel], x1[sel], x2[sel])
+                ey1 = lo[sel]
+                ex2 = np.where(y1[sel] < y2[sel], x2[sel], x1[sel])
+                ey2 = hi[sel]
+                xint = (dy - ey1) * (ex2 - ex1) / (ey2 - ey1) + ex1
+                xs.extend(np.floor(xint + 0.5).astype(np.int64).tolist())
+            # bottom-horizontal segments exactly at pixel-center height
+            # (llrasterize.cpp:155-186): an edge with y1 == y2 == dy and
+            # x1 > x2 (ring order) burns floor(x2+0.5)..floor(x1+0.5)-1;
+            # top horizontals (x1 < x2) are skipped — the regular
+            # even-odd loop already covers them.
+            hsel = (y1 == dy) & (y2 == dy) & (x1 > x2)
+            if hsel.any():
+                ha = np.floor(x2[hsel] + 0.5).astype(np.int64)
+                hb = np.floor(x1[hsel] + 0.5).astype(np.int64)
+                horiz.extend(
+                    (xa, xb) for xa, xb in zip(ha.tolist(), hb.tolist()) if xb > xa
+                )
         xs.sort()
+        row_runs: list[tuple[int, int]] = []
         for i in range(0, len(xs) - 1, 2):
             if xs[i + 1] > xs[i]:
-                runs.append((y, xs[i], xs[i + 1]))
+                row_runs.append((xs[i], xs[i + 1]))
+        # merge horizontal runs avoiding double-burn of pixels the
+        # even-odd pass already produced (the bAvoidBurningSamePoints
+        # polyInts2 merge, llrasterize.cpp:210+) so callers can treat
+        # runs as disjoint per polygon (safe under MERGE_ALG=ADD).
+        for xa, xb in horiz:
+            cur = [(xa, xb)]
+            for ra, rb in row_runs:
+                nxt = []
+                for ca, cb in cur:
+                    if rb <= ca or ra >= cb:
+                        nxt.append((ca, cb))
+                    else:
+                        if ca < ra:
+                            nxt.append((ca, ra))
+                        if rb < cb:
+                            nxt.append((rb, cb))
+                cur = nxt
+            row_runs.extend(cur)
+        runs.extend((y, xa, xb) for xa, xb in row_runs)
     return runs
 
 

@@ -192,21 +192,26 @@ def rms_2x2(block: np.ndarray) -> np.ndarray:
 
 def mode_2x2(block: np.ndarray) -> np.ndarray:
     """'mode' overview: most frequent of the 4 samples; ties resolve
-    to the first-seen value in scan order (overview.cpp mode path
-    keeps the first max-count entry)."""
-    h, w = block.shape[:2]
-    quads = np.stack(
-        [block[0::2, 0::2], block[0::2, 1::2], block[1::2, 0::2], block[1::2, 1::2]],
-        axis=-1,
-    )
-    out = np.empty((h // 2, w // 2), dtype=block.dtype)
-    for i in range(h // 2):
-        for j in range(w // 2):
-            vals, counts = np.unique(quads[i, j], return_counts=True)
-            best = counts.max()
-            # first-seen in scan order among max-count values
-            for v in quads[i, j]:
-                if counts[vals == v][0] == best:
-                    out[i, j] = v
-                    break
+    to the value that FIRST REACHES the max count in NW,NE,SW,SE scan
+    order (overview.cpp GDALResampleChunk_ModeT keeps the current
+    value only on a strict `++anVals[nVal] > nMaxVal` increase).
+
+    With 4 samples that running-max rule reduces exactly to: the
+    first sample that repeats an earlier sample wins; if all four are
+    distinct the NW sample wins (it reached count 1 first). E.g.
+    [a,b,b,a] -> b (b reaches count 2 at sample 3, before a does).
+    Fully vectorized — no per-pixel Python loop."""
+    s0 = block[0::2, 0::2]
+    s1 = block[0::2, 1::2]
+    s2 = block[1::2, 0::2]
+    s3 = block[1::2, 1::2]
+    out = np.where(
+        s1 == s0,
+        s1,
+        np.where(
+            (s2 == s0) | (s2 == s1),
+            s2,
+            np.where((s3 == s0) | (s3 == s1) | (s3 == s2), s3, s0),
+        ),
+    ).astype(block.dtype)
     return out

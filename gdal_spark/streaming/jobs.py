@@ -15,8 +15,11 @@ incremental snapshots. Here they are expressed natively:
 - windowed_event_rollup: event-time tumbling windows with a watermark
   for late data — the streaming twin of q_events_windowed.
 
-Both run foreachBatch parquet appends so results live in plain
-tables the batch engine can read back.
+Sinks are idempotent per micro-batch: foreachBatch may re-deliver a
+batch after a partial write (at-least-once), so each batch writes to
+its own `batch_id=<n>` partition directory with mode("overwrite") —
+a retry replaces the same directory instead of appending duplicate
+rows, restoring exactly-once results table semantics.
 """
 
 from __future__ import annotations
@@ -26,6 +29,14 @@ from pyspark.sql import functions as F
 
 from gdal_spark.fixtures import georef
 from gdal_spark.tiles import tilemath as tm
+
+
+def _write_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Write one micro-batch's rows into `{out_dir}/batch_id=<n>/`
+    with overwrite: a foreachBatch retry (at-least-once delivery)
+    replaces the partial partition instead of appending a duplicate,
+    so readers summing across batches never double-count."""
+    df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
 
 def incremental_tile_counts(
@@ -48,9 +59,7 @@ def incremental_tile_counts(
         counts = batch_df.groupBy("tile_z", "tile_x", "tile_y").agg(
             F.count("*").alias("n_images")
         )
-        counts.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        _write_batch_idempotent(counts, out_dir, batch_id)
 
     (
         assigned.writeStream.foreachBatch(upsert)
@@ -89,9 +98,7 @@ def streaming_pip_enrich(
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         images = georef.with_image_geo(batch_df, "i")
         pairs = pip_join(images, zones)
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        _write_batch_idempotent(pairs, out_dir, batch_id)
 
     (
         stream.writeStream.foreachBatch(enrich)
@@ -143,9 +150,7 @@ def stateful_user_stats(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        _write_batch_idempotent(batch_df, out_dir, batch_id)
 
     (
         out.writeStream.foreachBatch(sink)
