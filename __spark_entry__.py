@@ -1112,6 +1112,15 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified
+    MinHash pair graph via distributed min-label propagation joins
+    (operators/graph.py — no driver-side collection at any scale);
+    singletons attach by left join. Oracle: recursive reachability
+    CTE computing the same per-node min reachable doc_id."""
+    return txt_dedup.cluster_near_dups(_read(spark, sf_dir, "documents"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash values per document."""
     return txt_dedup.simhash(_read(spark, sf_dir, "documents"))
@@ -1261,6 +1270,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_pairs": q_minhash_pairs,
         "corpus_clean": q_corpus_clean,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -2744,6 +2754,7 @@ JOIN stats s ON s.doc_id = f.doc_id
 JOIN lang l ON l.doc_id = f.doc_id
 WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
 """,
+        "dedup_clusters": txt_dedup.sql_cluster_near_dups(),
         "simhash": txt_dedup.sql_simhash(),
         "simhash_pairs": txt_dedup.sql_simhash_pairs(),
         "ann_topk": sim.sql_cosine_topk(

@@ -2,26 +2,32 @@
 tiled rasters.
 
 Completes polygonize (alg/polygonize.cpp semantics) across tile
-boundaries: per-tile union-find labeling runs distributed; tiles
-then emit their border runs; label-graph edges connect equal-value
-runs that touch across a shared tile edge. The label GRAPH is
-metadata-sized (components, not pixels), so it is resolved with a
-driver-side union-find and the mapping broadcast back — the same
-two-level pattern the reference's polygonizer uses per-chunk with a
-merge map (polygonize_polygonizer.cpp), lifted to the cluster
-setting. For graphs too big for one driver, the same edges feed an
-iterative min-label propagation join; the operator's contract is
-unchanged.
+boundaries, fully distributed:
+
+1. per-tile union-find labeling runs in mapInPandas; each label row
+   carries its border cells as (edge, offset) pairs — O(tile_edge)
+   metadata per label, never pixels;
+2. border cells explode to rows and S->N / E->W adjacencies resolve
+   with a plain equi-join on (tile, edge, offset, value) — the
+   distributed form of the reference polygonizer's cross-chunk
+   equivalence map (alg/polygonize_polygonizer.cpp);
+3. the resulting label-graph edge list (components, not pixels) goes
+   through iterative min-label propagation (operators/graph.py) — no
+   driver-side collection anywhere, at any scale.
+
+component_id is assigned densely over the component list (a window
+over component-level rows, metadata-sized by construction).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gdal_spark.operators.graph import connected_components
 from gdal_spark.raster.components import label_components
 
 _LBL_SCHEMA = T.StructType(
@@ -36,6 +42,9 @@ _LBL_SCHEMA = T.StructType(
         T.StructField("border", T.ArrayType(T.ArrayType(T.IntegerType()))),
     ]
 )
+
+# (tile_x, tile_y, label) -> one long key; 2^21 headroom per field
+_KEY_BITS = 21
 
 
 def _tile_labels(tile_size: int, quant: int, mod: int):
@@ -72,72 +81,71 @@ def _tile_labels(tile_size: int, quant: int, mod: int):
     return run
 
 
+def _label_key() -> F.Column:
+    shift = F.lit(1 << _KEY_BITS)
+    return (
+        (F.col("tile_x").cast("long") * shift + F.col("tile_y").cast("long"))
+        * shift
+        + F.col("label").cast("long")
+    )
+
+
 def global_components(
     tiles_df: DataFrame, tile_size: int, quant: int = 128, mod: int = 512
 ) -> DataFrame:
     """-> (value, component_id, n_px, n_tiles): globally dissolved
-    components across all tiles in tiles_df (tile_x, tile_y, data)."""
-    spark = tiles_df.sparkSession
-    labeled = tiles_df.mapInPandas(
-        _tile_labels(tile_size, quant, mod), _LBL_SCHEMA
-    ).cache()
+    components across all tiles in tiles_df (tile_x, tile_y, data).
+    n_tiles counts contributing per-tile label rows (a tile with two
+    disjoint parts of one global component contributes twice)."""
+    labeled = (
+        tiles_df.mapInPandas(_tile_labels(tile_size, quant, mod), _LBL_SCHEMA)
+        .withColumn("key", _label_key())
+        .localCheckpoint()  # decode once; reused for borders + final agg
+    )
 
-    rows = labeled.select(
-        "tile_x", "tile_y", "label", "value", "n_px", "border"
-    ).collect()
+    # border cells as rows: (tile_x, tile_y, edge, off, value, key)
+    cells = labeled.select(
+        "tile_x", "tile_y", "value", "key", F.explode("border").alias("eo")
+    ).select(
+        "tile_x", "tile_y", "value", "key",
+        F.col("eo")[0].alias("edge"), F.col("eo")[1].alias("off"),
+    )
+    # S row of (tx,ty) meets N row of (tx,ty+1); E col meets W col of
+    # (tx+1,ty). Probe rows are re-keyed to the neighbor's address so
+    # adjacency is a plain equi-join (cell-key discipline; no driver).
+    probes = cells.where(F.col("edge") == 1).select(
+        F.col("tile_x"), (F.col("tile_y") + 1).alias("tile_y"),
+        F.lit(0).alias("edge"), "off", "value", F.col("key").alias("key_a"),
+    ).unionByName(
+        cells.where(F.col("edge") == 3).select(
+            (F.col("tile_x") + 1).alias("tile_x"), F.col("tile_y"),
+            F.lit(2).alias("edge"), "off", "value", F.col("key").alias("key_a"),
+        )
+    )
+    edges = probes.join(
+        cells.select(
+            "tile_x", "tile_y", "edge", "off", "value",
+            F.col("key").alias("key_b"),
+        ),
+        ["tile_x", "tile_y", "edge", "off", "value"],
+    ).select(F.col("key_a").alias("src"), F.col("key_b").alias("dst"))
 
-    # driver-side union-find over the label graph
-    parent: dict[tuple, tuple] = {}
-
-    def find(k):
-        while parent[k] != k:
-            parent[k] = parent[parent[k]]
-            k = parent[k]
-        return k
-
-    def union(a, b):
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    info = {}
-    # border lookup: (tile, edge, offset) -> (key, value)
-    edge_px: dict[tuple, tuple] = {}
-    for r in rows:
-        key = (r["tile_x"], r["tile_y"], r["label"])
-        parent[key] = key
-        info[key] = (r["value"], r["n_px"])
-        for edge, off in r["border"]:
-            edge_px[(r["tile_x"], r["tile_y"], edge, off)] = (key, r["value"])
-    # connect across shared edges: my S row meets (ty+1)'s N row, etc.
-    for (tx, ty, edge, off), (key, val) in edge_px.items():
-        if edge == 1:  # S -> neighbor's N
-            other = edge_px.get((tx, ty + 1, 0, off))
-        elif edge == 3:  # E -> neighbor's W
-            other = edge_px.get((tx + 1, ty, 2, off))
-        else:
-            continue
-        if other is not None and other[1] == val:
-            union(key, other[0])
-
-    comp_id: dict[tuple, int] = {}
-    agg: dict[int, list] = {}
-    next_id = 0
-    for key in sorted(parent):
-        root = find(key)
-        if root not in comp_id:
-            comp_id[root] = next_id
-            next_id += 1
-        cid = comp_id[root]
-        val, n_px = info[key]
-        cur = agg.setdefault(cid, [val, 0, 0])
-        cur[1] += n_px
-        cur[2] += 1
-
-    labeled.unpersist()
-    out = [
-        (int(v), int(cid), int(n), int(t)) for cid, (v, n, t) in sorted(agg.items())
-    ]
-    return spark.createDataFrame(
-        out, "value int, component_id int, n_px long, n_tiles int"
+    roots = connected_components(edges)
+    comp = (
+        labeled.join(roots, labeled["key"] == roots["id"], "left")
+        .withColumn("root", F.coalesce("root", "key"))
+        .groupBy("root")
+        .agg(
+            F.first("value").alias("value"),
+            F.sum("n_px").alias("n_px"),
+            F.count("*").alias("n_tiles"),
+        )
+    )
+    # dense ids over component-level rows only (metadata-sized)
+    w = Window.orderBy("root")
+    return comp.select(
+        F.col("value").cast("int"),
+        (F.row_number().over(w) - 1).cast("int").alias("component_id"),
+        F.col("n_px").cast("long"),
+        F.col("n_tiles").cast("int"),
     )

@@ -156,37 +156,33 @@ def simhash_pairs(df: DataFrame, max_dist: int = 2) -> DataFrame:
 def cluster_near_dups(df: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the verified
     MinHash pair graph (the dedup decision unit — keep one doc per
-    cluster). The pair graph is metadata-sized relative to the corpus,
-    so components resolve driver-side (same two-level pattern as
-    operators/dissolve.py); docs in no pair form singleton clusters.
-    Returns (doc_id, cluster_id, cluster_size)."""
-    spark = df.sparkSession
+    cluster), fully distributed: iterative min-label propagation
+    joins over the pair edge list (operators/graph.py) — nothing is
+    ever collected to the driver, so this survives a 10^12-doc
+    corpus where even the doc-id list is not driver-sized. Docs in
+    no pair attach as singletons via a left join.
+    Returns (doc_id, cluster_id, cluster_size) where cluster_id is
+    the minimum doc_id of the cluster (stable, shuffle-free id)."""
     if pairs is None:
         pairs = minhash_lsh_pairs(df)
-    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.select("doc_a", "doc_b").collect()]
-    ids = [r["doc_id"] for r in df.select("doc_id").collect()]
-    parent = {i: i for i in ids}
+    from gdal_spark.operators.graph import connected_components
 
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    comp: dict = {}
-    rows = []
-    for i in sorted(ids):
-        r = find(i)
-        comp.setdefault(r, []).append(i)
-    out = []
-    for cid, (root, members) in enumerate(sorted(comp.items())):
-        for m in members:
-            out.append((m, cid, len(members)))
-    return spark.createDataFrame(out, "doc_id long, cluster_id int, cluster_size int")
+    roots = connected_components(pairs, src="doc_a", dst="doc_b")
+    labeled = (
+        df.select("doc_id")
+        .join(roots, F.col("doc_id") == F.col("id"), "left")
+        .select(
+            "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+        )
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("long"),
+        F.col("cluster_size").cast("long"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -244,6 +240,36 @@ j AS (
 SELECT doc_a, doc_b,
        cast(floor(1000.0 * inter / uni) as bigint) AS j_milli
 FROM j WHERE 2 * inter >= uni
+"""
+
+
+def sql_cluster_near_dups(src: str = "documents") -> str:
+    """DuckDB twin of cluster_near_dups: connected components over the
+    verified MinHash pair graph via a recursive reachability CTE
+    (per-node min reachable id == the Spark min-label fixpoint)."""
+    return f"""
+WITH RECURSIVE pairs AS ({sql_minhash_lsh_pairs(src)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+walk(id, reach) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+),
+roots AS (SELECT id, min(reach) AS root FROM walk GROUP BY id),
+labeled AS (
+  SELECT d.doc_id, coalesce(r.root, d.doc_id) AS cluster_id
+  FROM {src} d LEFT JOIN roots r ON r.id = d.doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, cast(l.cluster_id as bigint) AS cluster_id,
+       cast(s.cluster_size as bigint) AS cluster_size
+FROM labeled l JOIN sizes s USING (cluster_id)
 """
 
 

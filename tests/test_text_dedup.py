@@ -126,3 +126,25 @@ def test_cluster_near_dups(spark, docs):
     assert out[3]["cluster_id"] != out[0]["cluster_id"]
     # every doc appears exactly once
     assert len(out) == 6
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from gdal_spark.operators.graph import connected_components
+
+    # chain 10-11-12-13, triangle 20-21-22, isolated edge 30-31
+    edges = spark.createDataFrame(
+        [(11, 10), (11, 12), (13, 12), (20, 21), (21, 22), (20, 22), (31, 30)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["root"] for r in connected_components(edges).collect()}
+    assert {got[i] for i in (10, 11, 12, 13)} == {10}
+    assert {got[i] for i in (20, 21, 22)} == {20}
+    assert {got[i] for i in (30, 31)} == {30}
+
+
+def test_cluster_ids_are_min_doc_id(spark, docs):
+    from gdal_spark.text.dedup import cluster_near_dups
+
+    out = {r["doc_id"]: r for r in cluster_near_dups(docs).collect()}
+    assert out[0]["cluster_id"] == 0          # min doc id of {0,1,2}
+    assert out[4]["cluster_id"] == 4          # singleton labels itself
