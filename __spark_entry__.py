@@ -1126,8 +1126,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_dedup.simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash (4 x 16-bit band columns from 64 rehashed bit
+    streams) — the corpus-scale signature; vs per-bit SQL oracle."""
+    return txt_dedup.simhash64(_read(spark, sf_dir, "documents"))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs at hamming distance <= 2 via 3-band equi-join
+    """All pairs at 64-bit hamming distance <= 3 via 4-band equi-join
     (pigeonhole-exact recall) vs brute-force SQL oracle."""
     return txt_dedup.simhash_pairs(_read(spark, sf_dir, "documents"))
 
@@ -1272,6 +1278,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "simhash64": q_simhash64,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -2756,6 +2763,7 @@ WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
 """,
         "dedup_clusters": txt_dedup.sql_cluster_near_dups(),
         "simhash": txt_dedup.sql_simhash(),
+        "simhash64": txt_dedup.sql_simhash64(),
         "simhash_pairs": txt_dedup.sql_simhash_pairs(),
         "ann_topk": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K

@@ -2,25 +2,50 @@
 
 - brute-force cosine top-k: the correctness baseline — broadcast the
   query set, JVM-side zip_with/aggregate dot products (no Python in
-  the hot path), window re-rank.
-- sign-LSH bucketed top-k: the scale path — a deterministic
-  axis-aligned hyperplane bucket (sign bits of fixed dims) turns the
-  candidate step into an equi-join; ring expansion (hamming-1
-  buckets) trades recall for cost.
+  the hot path), window re-rank. O(Q x N): valid for small Q only,
+  and documented as the oracle for the LSH paths.
+- sign-LSH top-k (the scale path): 16 deterministic pseudo-random
+  Rademacher hyperplanes -> a 16-bit signature per vector.
+  * banded candidates (4 bands x 4 bits): rows sharing >= 1 band
+    with the query, produced by an id-only band explode + equi-join
+    on (band, bucket) — SortMergeJoin/BroadcastHashJoin only, never
+    a nested-loop. Vectors join back AFTER pair dedup so the 4x
+    explode carries ids, not payloads.
+  * ring probes: the query side explodes into its hamming<=r probe
+    signatures and equi-joins on the full signature — the multi-probe
+    LSH candidate rule as an equi-join (a `bit_count(a^b) <= r` join
+    condition plans as BroadcastNestedLoopJoin: every base row tested
+    against every query; the probe explosion removes it).
 - per-label centroids: elementwise vector mean via posexplode.
 
-At 10^12 rows the brute-force path is O(Q x N) and only valid for
-small Q; the LSH path shuffles each row once on its bucket key.
-All three have DuckDB SQL twins (value-level oracles).
+Float-parity discipline: hyperplane signs threshold an INTEGER dot
+product — coordinates quantize as round(x * 2^15) (exact: power-of-2
+scaling of a float32 is exact in double, so Spark and DuckDB agree
+bit-for-bit), and the Rademacher signs come from an integer LCG.
+Cosine scores stay double (floor(sim*1e4) outputs, far from integer
+boundaries on the fixture family).
+
+At 10^12 rows: signatures are per-row Column math (no shuffle); the
+banded join shuffles id-sized rows 4x; PLANES/BANDS are knobs — a
+larger corpus wants 32-64 planes (8-16 bands) for smaller buckets.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-LSH_DIMS = (0, 8, 16, 24, 32, 40)  # sign-bit dims -> 64 buckets
+N_PLANES = 16          # random hyperplanes -> signature bits
+BAND_BITS = 4          # 4 bands x 4 bits
+N_BANDS = N_PLANES // BAND_BITS
+_Q = 32768             # 2^15 coordinate quantizer (exact in fp)
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648    # 2^31
+_PLANE_STRIDE = 4096   # dims-per-plane headroom in the LCG index
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
@@ -36,16 +61,63 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("norm", F.expr(_NORM.format(a=vec)))
 
 
-def lsh_bucket(vec: str = "embedding") -> F.Column:
-    """Deterministic sign-bit bucket over LSH_DIMS (element_at is
-    1-indexed)."""
-    # try_element_at + coalesce(-1): a missing dim yields bit 0, the
-    # same as DuckDB's NULL >= 0 -> CASE ELSE 0
+def _spark_plane_bit(vec: str, i: int) -> str:
+    """SQL text: does hyperplane i's integer dot product >= 0."""
+    off = i * _PLANE_STRIDE
+    sign = (
+        f"(2 * cast(shiftright(cast(({_LCG_A}L * ({off}L + d) + {_LCG_C}L) "
+        f"% {_LCG_M}L as bigint), 15) % 2 as bigint) - 1)"
+    )
+    return (
+        f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
+        f"(x, d) -> cast(round(cast(x as double) * {_Q}) as bigint) * {sign}), "
+        f"cast(0 as bigint), (acc, v) -> acc + v) >= 0"
+    )
+
+
+def sign_signature(vec: str = "embedding") -> F.Column:
+    """16-bit sign-LSH signature: bit i set iff the vector's integer
+    dot product with Rademacher hyperplane i is >= 0."""
     terms = [
-        f"IF(coalesce(try_element_at({vec}, {d + 1}), cast(-1.0 as double)) >= 0, {1 << i}, 0)"
-        for i, d in enumerate(LSH_DIMS)
+        f"IF({_spark_plane_bit(vec, i)}, {1 << i}, 0)" for i in range(N_PLANES)
     ]
     return F.expr(" + ".join(terms)).cast("int")
+
+
+# legacy alias used by earlier call sites
+def lsh_bucket(vec: str = "embedding") -> F.Column:
+    return sign_signature(vec)
+
+
+def _band_rows(df: DataFrame, sig: str, keep: list) -> DataFrame:
+    """Explode (id cols, sig) into N_BANDS (band, bucket) rows."""
+    parts = []
+    for b in range(N_BANDS):
+        parts.append(
+            df.select(
+                *keep,
+                F.lit(b).alias("band"),
+                F.expr(f"({sig} div {1 << (BAND_BITS * b)}) % {1 << BAND_BITS}")
+                .cast("int")
+                .alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _probe_signatures(qsig: str, ring: int) -> F.Column:
+    """Array of all signatures within hamming<=ring of the query's."""
+    exprs = [qsig]
+    for r in range(1, ring + 1):
+        for bits in combinations(range(N_PLANES), r):
+            mask = 0
+            for j in bits:
+                mask |= 1 << j
+            exprs.append(f"cast({qsig} ^ {mask} as int)")
+    return F.array([F.expr(e) for e in exprs])
 
 
 def cosine_topk(
@@ -58,23 +130,41 @@ def cosine_topk(
     """Top-k cosine neighbours of each query vector (excluding self).
 
     `queries` needs (query_id, qv). bucketed=True restricts candidates
-    to the query's sign-LSH bucket (approximate; exact within-bucket);
-    ring=r additionally probes buckets within r bit flips
-    (multi-probe LSH — recall rises, candidate cost grows ~6^r/r!).
+    by sign-LSH: ring=0 keeps rows sharing >= 1 of the 4 signature
+    bands with the query (banded LSH); ring=r keeps rows whose FULL
+    16-bit signature is within r bit flips of the query's, realized
+    by exploding the query into its probe signatures and equi-joining.
     """
     base = with_norm(emb)
     q = queries.withColumn("qnorm", F.expr(_NORM.format(a="qv")))
     if bucketed:
-        base = base.withColumn("bucket", lsh_bucket("embedding"))
-        q = q.withColumn("qbucket", lsh_bucket("qv"))
+        base = base.withColumn("sig", sign_signature("embedding"))
+        q = q.withColumn("qsig", sign_signature("qv"))
         if ring == 0:
-            cond = F.col("bucket") == F.col("qbucket")
+            bsides = _band_rows(base, "sig", [F.col("vec_id")])
+            qsides = _band_rows(q, "qsig", [F.col("query_id")])
+            cand = (
+                bsides.join(F.broadcast(qsides), ["band", "bucket"])
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select("vec_id", "query_id")
+                .dropDuplicates(["vec_id", "query_id"])
+            )
         else:
-            # hamming-ring expansion: probe buckets within `ring`
-            # sign-bit flips of the query's bucket (multi-probe LSH)
-            cond = F.expr(f"bit_count(bucket ^ qbucket) <= {ring}")
-        joined = base.join(
-            F.broadcast(q), cond & (F.col("vec_id") != F.col("query_id"))
+            probes = q.select(
+                "query_id",
+                F.explode(_probe_signatures("qsig", ring)).alias("sig"),
+            )
+            cand = (
+                base.select("vec_id", "sig")
+                .join(F.broadcast(probes), "sig")
+                .where(F.col("vec_id") != F.col("query_id"))
+                .select("vec_id", "query_id")
+            )
+        joined = (
+            cand.join(base.select("vec_id", "embedding", "norm"), "vec_id")
+            .join(
+                F.broadcast(q.select("query_id", "qv", "qnorm")), "query_id"
+            )
         )
     else:
         joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -124,12 +214,28 @@ _DUCK_NORM = (
 )
 
 
-def duck_lsh_bucket(vec: str) -> str:
+def _duck_plane_bit(vec: str, i: int) -> str:
+    off = i * _PLANE_STRIDE
+    sign = (
+        f"(2 * (((({_LCG_A} * ({off} + p[2]) + {_LCG_C}) % {_LCG_M}) >> 15) % 2) - 1)"
+    )
+    return (
+        f"cast(list_sum(list_transform(list_zip({vec}, range(0, len({vec}))), "
+        f"p -> cast(round(cast(p[1] as double) * {_Q}) as bigint) * {sign})) "
+        f"as bigint) >= 0"
+    )
+
+
+def duck_signature(vec: str) -> str:
     terms = [
-        f"CASE WHEN {vec}[{d + 1}] >= 0 THEN {1 << i} ELSE 0 END"
-        for i, d in enumerate(LSH_DIMS)
+        f"CASE WHEN {_duck_plane_bit(vec, i)} THEN {1 << i} ELSE 0 END"
+        for i in range(N_PLANES)
     ]
     return "cast(" + " + ".join(terms) + " as int)"
+
+
+def duck_lsh_bucket(vec: str) -> str:  # legacy alias
+    return duck_signature(vec)
 
 
 def sql_cosine_topk(query_filter: str, k: int, bucketed: bool = False,
@@ -137,23 +243,46 @@ def sql_cosine_topk(query_filter: str, k: int, bucketed: bool = False,
     dot = _DUCK_DOT.format(a="e.embedding", b="q.embedding")
     ne = _DUCK_NORM.format(a="e.embedding")
     nq = _DUCK_NORM.format(a="q.embedding")
-    if bucketed and ring > 0:
-        bucket_cond = (
-            f" AND bit_count(cast(xor({duck_lsh_bucket('e.embedding')}, "
-            f"{duck_lsh_bucket('q.embedding')}) as bigint)) <= {ring}"
-        )
-    elif bucketed:
-        bucket_cond = (
-            f" AND {duck_lsh_bucket('e.embedding')} = {duck_lsh_bucket('q.embedding')}"
-        )
-    else:
-        bucket_cond = ""
+    if bucketed:
+        if ring > 0:
+            # probe-explosion rule == full-signature hamming <= ring
+            bucket_cond = (
+                f" AND bit_count(cast(xor(se.sig, sq.sig) as bigint)) <= {ring}"
+            )
+        else:
+            # banded rule: share at least one of the 4-bit bands
+            ors = " OR ".join(
+                f"((se.sig // {1 << (BAND_BITS * b)}) % {1 << BAND_BITS})"
+                f" = ((sq.sig // {1 << (BAND_BITS * b)}) % {1 << BAND_BITS})"
+                for b in range(N_BANDS)
+            )
+            bucket_cond = f" AND ({ors})"
+        return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {duck_signature('embedding')} AS sig FROM {src}
+),
+q AS (SELECT vec_id AS query_id, embedding, sig FROM sigs WHERE {query_filter}),
+d AS (
+  SELECT sq.query_id, se.vec_id,
+    ({_DUCK_DOT.format(a='se.embedding', b='sq.embedding')})
+      / (({_DUCK_NORM.format(a='se.embedding')}) * ({_DUCK_NORM.format(a='sq.embedding')})) AS sim
+  FROM sigs se JOIN q sq ON se.vec_id <> sq.query_id{bucket_cond}
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM d
+)
+SELECT query_id, cast(rnk as int) AS rank, vec_id,
+       cast(floor(sim * 10000) as bigint) AS sim_e4
+FROM r WHERE rnk <= {k}
+"""
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM {src} WHERE {query_filter}),
 d AS (
   SELECT q.query_id, e.vec_id,
     ({dot}) / (({ne}) * ({nq})) AS sim
-  FROM {src} e JOIN q ON e.vec_id <> q.query_id{bucket_cond}
+  FROM {src} e JOIN q ON e.vec_id <> q.query_id
 ),
 r AS (
   SELECT query_id, vec_id, sim,

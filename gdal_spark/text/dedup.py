@@ -6,10 +6,13 @@ Shapes for 10^12-row scale:
 - MinHash+LSH: signatures are per-row Column math (no shuffle);
   candidates come from an equi-join on (band, bucket) — never a
   cross join; verification joins token sets only for candidates.
-- SimHash: banded equi-join with a pigeonhole guarantee: splitting
-  16 bits into 3 bands means any pair at hamming distance <= 2
-  shares at least one intact band -> banded recall is exactly 100%
-  and the oracle (brute-force in SQL) must match row-for-row.
+- SimHash: 64-bit signatures (4 x 16-bit band columns; 64 per-bit
+  streams from rehashed token hashes) with a banded equi-join and a
+  pigeonhole guarantee: any pair at hamming distance <= 3 shares at
+  least one intact band -> banded recall is exactly 100% and the
+  oracle (brute-force in SQL) must match row-for-row. 16-bit bands
+  keep buckets ~N/2^16-sized, so the within-bucket join stays linear
+  at corpus scale (the 16-bit legacy simhash() is kept for parity).
 
 Everything is expressible in DuckDB SQL (hashing.py constants are
 inlined), so every operator is value-verified, not just row-counted.
@@ -21,9 +24,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gdal_spark.text import hashing as H
-
-# 16-bit simhash split into 3 bands (6+5+5): hamming<=2 pigeonhole
-SIMHASH_BANDS = ((0, 63), (6, 31), (11, 31))
 
 
 def with_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -117,25 +117,55 @@ def simhash(df: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(df: DataFrame, max_dist: int = 2) -> DataFrame:
-    """All pairs at simhash hamming distance <= max_dist via the
-    3-band equi-join (exact recall for max_dist <= 2 by pigeonhole)."""
-    sh = simhash(df)
-    parts = []
-    for bi, (shift, mask) in enumerate(SIMHASH_BANDS):
-        parts.append(
-            sh.select(
-                "doc_id",
-                "simhash",
-                F.lit(bi).alias("band"),
-                F.expr(f"(simhash >> {shift}) & {mask}").alias("bucket"),
-            )
+def _sim64_band_expr(k0: int) -> str:
+    """Spark SQL for one 16-bit simhash band: bits k0..k0+15; bit k's
+    stream rehashes each token hash with permutation k and takes its
+    parity, so all 64 streams are decorrelated."""
+    terms = []
+    for j in range(H.SIMHASH64_BAND_BITS):
+        a, b = H.perm_constants(H.SIMHASH64_BITS)[k0 + j]
+        s = (
+            f"aggregate(hs, cast(0 as bigint), "
+            f"(acc, x) -> acc + (2 * ((({a} * x + {b}) % {H.MOD}) % 2) - 1))"
         )
+        terms.append(f"IF({s} >= 0, {1 << j}, 0)")
+    return " + ".join(terms)
+
+
+def simhash64(df: DataFrame) -> DataFrame:
+    """64-bit SimHash as 4 x 16-bit band columns (sh0..sh3) — the
+    scale variant: 16-bit signatures collapse at corpus scale (each
+    band bucket holds ~N/2^16 docs and the within-bucket join goes
+    quadratic); 64 bits with 16-bit bands keeps buckets sparse and
+    the 4-band equi-join pigeonhole-exact for hamming <= 3."""
+    out = with_hashes(df)
+    cols = [
+        F.expr(_sim64_band_expr(16 * b)).cast("int").alias(f"sh{b}")
+        for b in range(H.SIMHASH64_BANDS)
+    ]
+    return out.select("doc_id", *cols)
+
+
+def simhash_pairs(df: DataFrame, max_dist: int = 3) -> DataFrame:
+    """All pairs at 64-bit simhash hamming distance <= max_dist via
+    the 4x16-bit band equi-join (exact recall for max_dist <= 3 by
+    pigeonhole: 4 bands, <= 3 differing bits -> one band intact)."""
+    sh = simhash64(df)
+    parts = [
+        sh.select(
+            "doc_id", "sh0", "sh1", "sh2", "sh3",
+            F.lit(b).alias("band"), F.col(f"sh{b}").alias("bucket"),
+        )
+        for b in range(H.SIMHASH64_BANDS)
+    ]
     buckets = parts[0]
     for p in parts[1:]:
         buckets = buckets.unionByName(p)
     a = buckets.alias("a")
     b = buckets.alias("b")
+    hdist = " + ".join(
+        f"bit_count(a.sh{i} ^ b.sh{i})" for i in range(H.SIMHASH64_BANDS)
+    )
     return (
         a.join(
             b,
@@ -146,7 +176,7 @@ def simhash_pairs(df: DataFrame, max_dist: int = 2) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hdist"),
+            F.expr(hdist).cast("int").alias("hdist"),
         )
         .where(F.col("hdist") <= max_dist)
         .dropDuplicates(["doc_a", "doc_b"])
@@ -288,11 +318,36 @@ def sql_simhash(src: str = "documents") -> str:
     return f"WITH {_duck_simhash_cte(src)} SELECT doc_id, simhash FROM sh"
 
 
-def sql_simhash_pairs(src: str = "documents", max_dist: int = 2) -> str:
+def _duck_sim64_cte(src: str) -> str:
+    bands = []
+    for b in range(H.SIMHASH64_BANDS):
+        terms = []
+        for j in range(H.SIMHASH64_BAND_BITS):
+            a, c = H.perm_constants(H.SIMHASH64_BITS)[16 * b + j]
+            s = (
+                f"cast(list_sum(list_transform(hs, "
+                f"x -> 2 * ((({a} * x + {c}) % {H.MOD}) % 2) - 1)) as bigint)"
+            )
+            terms.append(f"CASE WHEN {s} >= 0 THEN {1 << j} ELSE 0 END")
+        bands.append("cast(" + " + ".join(terms) + f" as int) AS sh{b}")
     return f"""
-WITH {_duck_simhash_cte(src)}
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+hh AS (SELECT doc_id, {H.duck_token_hashes('toks')} AS hs FROM t),
+sh64 AS (SELECT doc_id, {', '.join(bands)} FROM hh)"""
+
+
+def sql_simhash64(src: str = "documents") -> str:
+    return f"WITH {_duck_sim64_cte(src)} SELECT doc_id, sh0, sh1, sh2, sh3 FROM sh64"
+
+
+def sql_simhash_pairs(src: str = "documents", max_dist: int = 3) -> str:
+    hdist = " + ".join(
+        f"bit_count(xor(a.sh{i}, b.sh{i}))" for i in range(H.SIMHASH64_BANDS)
+    )
+    return f"""
+WITH {_duck_sim64_cte(src)}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hdist
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_dist}
+       cast({hdist} as int) AS hdist
+FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
+WHERE {hdist} <= {max_dist}
 """

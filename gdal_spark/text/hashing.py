@@ -15,14 +15,18 @@ N_PERM = 16          # minhash permutations
 BANDS = 8            # LSH bands (2 rows each)
 ROWS_PER_BAND = N_PERM // BANDS
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 16        # legacy 16-bit simhash (simhash() / sql_simhash)
+SIMHASH64_BITS = 64      # scale simhash: 4 bands x 16 bits
+SIMHASH64_BANDS = 4
+SIMHASH64_BAND_BITS = SIMHASH64_BITS // SIMHASH64_BANDS
 
 
-def perm_constants() -> list[tuple[int, int]]:
-    """(a, b) pairs for the minhash permutations h' = (a*h + b) mod M;
-    a odd, deterministic (documented so oracles can inline them)."""
+def perm_constants(n: int = N_PERM) -> list[tuple[int, int]]:
+    """(a, b) pairs for hash permutations h' = (a*h + b) mod M;
+    a odd, deterministic (documented so oracles can inline them).
+    Used for minhash (n=N_PERM) and the 64 simhash bit streams."""
     out = []
-    for j in range(N_PERM):
+    for j in range(n):
         a = 2 * ((j * 2654435761 + 101) % (MOD // 2)) + 1
         b = (j * 40503 + 7919) % MOD
         out.append((a, b))

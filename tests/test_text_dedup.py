@@ -67,19 +67,26 @@ def test_simhash_identical_and_distance(docs):
 
 
 def test_simhash_banding_is_exact(spark):
-    """Banded join must equal brute force for hamming <= 2
-    (pigeonhole over 3 bands)."""
+    """4x16-bit banded join must equal brute force for hamming <= 3
+    (pigeonhole over 4 bands of the 64-bit signature)."""
     import itertools
 
     docs = spark.createDataFrame(
         [(i, f"tok{i} tok{(i*7)%19} tok{(i*3)%11} tok{(i*5)%13}") for i in range(60)],
         ["doc_id", "text"],
     )
-    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    sh = {
+        r["doc_id"]: (r["sh0"], r["sh1"], r["sh2"], r["sh3"])
+        for r in dedup.simhash64(docs).collect()
+    }
+
+    def hdist(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sh[a], sh[b]))
+
     brute = {
         (a, b)
         for a, b in itertools.combinations(sorted(sh), 2)
-        if bin(sh[a] ^ sh[b]).count("1") <= 2
+        if hdist(a, b) <= 3
     }
     banded = {
         (r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(docs).collect()
