@@ -56,12 +56,23 @@ def render_tiles(
     resampling: str = "near",
     with_data: bool = False,
     src_res: float | None = None,
+    decode_payload: bool = False,
 ) -> DataFrame:
     """Warp-composite images into 256x256x3 tile rasters at zoom z.
 
-    `images` needs columns (i, xmin, ymax, w, h) — i is the synthetic
-    content seed; pixels come from the deterministic formula
-    value(x,y,c) = (x+y+i+phase_c) % 256 (georef.np_image_pixels).
+    `images` needs columns (i, xmin, ymax, w, h). Source pixels:
+
+    - decode_payload=True — the REAL pipeline: the `bytes` column is
+      decoded per image via raster/codecs.decode_image (fmt-dispatch
+      PNG/JPEG/TIFF), i.e. decode -> warp -> composite end-to-end
+      (gdal_translate feeding gdalwarp). Requires (bytes, fmt)
+      columns; JPEG sources decode lossily, so pixel-exact oracles
+      must exclude them (fixture rule: i % 3 == 1).
+    - decode_payload=False — synthetic fast path for formula oracles:
+      pixels regenerate from value(x,y,c) = (x+y+i+phase_c) % 256
+      (georef.np_image_pixels; bit-identical to the decoded lossless
+      payloads by construction).
+
     Returns one row per (tile, band) with the GDAL 16-bit checksum
     and the count of source-covered pixels.
     """
@@ -84,7 +95,12 @@ def render_tiles(
         covered = np.zeros((TILE, TILE), dtype=bool)
         for _, row in pdf.sort_values("i").iterrows():
             i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
-            src = georef.np_image_pixels(i, w, h)
+            if decode_payload:
+                from gdal_spark.raster.codecs import decode_image
+
+                src = decode_image(bytes(row["bytes"]), str(row["fmt"]))
+            else:
+                src = georef.np_image_pixels(i, w, h)
             dfx, dfy = rs.inverse_grid(
                 tx, ty, z, float(row["xmin"]), float(row["ymax"]),
                 res0, tm.ORIGIN, res_z,
@@ -94,6 +110,12 @@ def render_tiles(
                 vals = rs.round_to_byte(vals)
             elif resampling == "cubic":
                 vals, mask = rs.sample_cubic(src, dfx, dfy)
+                vals = rs.round_to_byte(vals)
+            elif resampling == "cubicspline":
+                vals, mask = rs.sample_cubicspline(src, dfx, dfy)
+                vals = rs.round_to_byte(vals)
+            elif resampling == "lanczos":
+                vals, mask = rs.sample_lanczos(src, dfx, dfy)
                 vals = rs.round_to_byte(vals)
             elif resampling == "average":
                 px = np.arange(TILE, dtype=np.float64)
@@ -121,9 +143,12 @@ def render_tiles(
             recs.append(rec)
         return pd.DataFrame(recs)
 
+    cols = ["tile_x", "tile_y", "i", "w", "h", "xmin", "ymax"]
+    if decode_payload:
+        cols += ["bytes", "fmt"]
     return (
         covering_tiles(images, z)
-        .select("tile_x", "tile_y", "i", "w", "h", "xmin", "ymax")
+        .select(*cols)
         .groupBy("tile_x", "tile_y")
         .applyInPandas(composite, schema)
     )

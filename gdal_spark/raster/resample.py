@@ -126,6 +126,91 @@ def sample_cubic(
     return vals, mask
 
 
+def cubic_bspline_kernel(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (alg/gdalresamplingkernels.h CubicSplineKernel):
+    (1/6) * ((x+2)+^3 - 4(x+1)+^3 + 6(x)+^3 - 4(x-1)+^3) on |x|<=2,
+    evaluated on the absolute offset like the reference."""
+    v = np.abs(x)
+
+    def p3(t):
+        return np.where(t > 0.0, t * t * t, 0.0)
+
+    out = (
+        p3(v + 2.0) - 4.0 * p3(v + 1.0) + 6.0 * p3(v) - 4.0 * p3(v - 1.0)
+    ) / 6.0
+    return np.where(v > 2.0, 0.0, out)
+
+
+def lanczos_kernel(x: np.ndarray, r: int = 3) -> np.ndarray:
+    """Lanczos windowed sinc, radius r=3 (gdalwarpkernel.cpp
+    GWKLanczosSinc): sinc(x) * sinc(x/r) for |x| < r, 1 at 0."""
+    ax = np.abs(x)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        px = np.pi * x
+        out = np.where(
+            ax < 1e-15,
+            1.0,
+            np.sin(px) * np.sin(px / r) / (px * px / r),
+        )
+    return np.where(ax >= r, 0.0, out)
+
+
+def _sample_kernel(
+    src: np.ndarray,
+    dfx: np.ndarray,
+    dfy: np.ndarray,
+    kernel,
+    radius: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Generic separable filter resample (GWKResample shape): anchor
+    iSrc = floor(dfSrc - 0.5), taps iSrc-(r-1)..iSrc+r, weights
+    kernel(delta - tap); edge taps drop and weights renormalize.
+    Validity follows GWKCheckAndComputeSrcOffsets: the dst pixel
+    center must map inside the source extent."""
+    h, w = src.shape[:2]
+    fx = dfx - 0.5
+    fy = dfy - 0.5
+    ix = np.floor(fx).astype(np.int64)
+    iy = np.floor(fy).astype(np.int64)
+    tx = fx - ix
+    ty = fy - iy
+    vals = np.zeros(dfx.shape + src.shape[2:], dtype=np.float64)
+    wsum = np.zeros(dfx.shape, dtype=np.float64)
+    for dy_ in range(-(radius - 1), radius + 1):
+        wy = kernel(ty - dy_)
+        for dx_ in range(-(radius - 1), radius + 1):
+            wx = kernel(tx - dx_)
+            sx = ix + dx_
+            sy = iy + dy_
+            ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+            wgt = np.where(ok, wx * wy, 0.0)
+            pix = src[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)].astype(np.float64)
+            vals += pix * (wgt[..., None] if pix.ndim > wgt.ndim else wgt)
+            wsum += wgt
+    inside = (
+        (np.floor(dfx) >= 0) & (np.floor(dfx) < w)
+        & (np.floor(dfy) >= 0) & (np.floor(dfy) < h)
+    )
+    mask = inside & (np.abs(wsum) > 1e-6)
+    safe = np.where(mask, wsum, 1.0)
+    vals = vals / (safe[..., None] if vals.ndim > safe.ndim else safe)
+    return vals, mask
+
+
+def sample_cubicspline(
+    src: np.ndarray, dfx: np.ndarray, dfy: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """4x4 cubic B-spline (GRA_CubicSpline, radius 2)."""
+    return _sample_kernel(src, dfx, dfy, cubic_bspline_kernel, 2)
+
+
+def sample_lanczos(
+    src: np.ndarray, dfx: np.ndarray, dfy: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """6x6 Lanczos windowed sinc (GRA_Lanczos, radius 3)."""
+    return _sample_kernel(src, dfx, dfy, lanczos_kernel, 3)
+
+
 def sample_average(
     src: np.ndarray, x0: np.ndarray, x1: np.ndarray, y0: np.ndarray, y1: np.ndarray,
     nodata: float | None = None,

@@ -1,0 +1,170 @@
+"""General boolean kernel (geo/boolean.py) + overlay verb tests."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.geo.boolean import (
+    DegenerateGeometry,
+    boolean_op,
+    point_in_polyset,
+    polyset_area,
+    rings_to_polygons,
+)
+
+
+def rect(x0, y0, x1, y1):
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+
+
+class TestKernel:
+    def test_rect_ops(self):
+        a = [rect(0, 0, 4, 4)]
+        b = [rect(2.5, 2.5, 6.5, 6.5)]
+        assert polyset_area(boolean_op(a, b, "inter")) == 2.25
+        assert polyset_area(boolean_op(a, b, "union")) == 29.75
+        assert polyset_area(boolean_op(a, b, "diff")) == 13.75
+
+    def test_disjoint_and_contained(self):
+        a = [rect(0, 0, 4, 4)]
+        far = [rect(10.5, 0.5, 12.5, 2.5)]
+        assert boolean_op(a, far, "inter") == []
+        assert polyset_area(boolean_op(a, far, "union")) == 20.0
+        inner = [rect(1.5, 1.5, 2.5, 2.5)]
+        assert polyset_area(boolean_op(a, inner, "inter")) == 1.0
+        # punching a hole: diff result is one polygon with one hole
+        d = boolean_op(a, inner, "diff")
+        assert polyset_area(d) == 15.0
+        polys = rings_to_polygons(d)
+        assert len(polys) == 1 and len(polys[0]) == 2
+
+    def test_hole_interaction(self):
+        a = [rect(0, 0, 8, 8), rect(2, 2, 5, 5)]  # 64 - 9 = 55
+        b = [rect(3.5, 3.5, 10.5, 10.5)]
+        assert polyset_area(boolean_op(a, b, "inter")) == 18.0
+        assert polyset_area(boolean_op(a, b, "diff")) == 37.0
+        assert polyset_area(boolean_op(a, b, "union")) == 86.0
+
+    def test_nonconvex_L(self):
+        L = np.array(
+            [[0, 0], [6, 0], [6, 2], [2, 2], [2, 6], [0, 6], [0, 0]], float
+        )
+        b = [rect(1.5, 1.5, 3.5, 3.5)]
+        assert polyset_area(boolean_op([L], b, "inter")) == 1.75
+        assert polyset_area(boolean_op([L], b, "diff")) == 18.25
+
+    def test_split_into_two_pieces(self):
+        # U-shape intersected with a bar crossing both prongs
+        u = np.array(
+            [[0, 0], [6, 0], [6, 6], [4, 6], [4, 2], [2, 2], [2, 6], [0, 6],
+             [0, 0]],
+            float,
+        )
+        bar = [rect(0.5, 3.5, 5.5, 4.5)]
+        out = boolean_op([u], bar, "inter")
+        polys = rings_to_polygons(out)
+        assert len(polys) == 2
+        assert polyset_area(out) == 1.5 * 1 + 1.5 * 1
+
+    def test_degenerate_raises(self):
+        a = [rect(0, 0, 4, 4)]
+        shared_edge = [rect(4, 0, 8, 4)]
+        with pytest.raises(DegenerateGeometry):
+            boolean_op(a, shared_edge, "inter")
+        with pytest.raises(DegenerateGeometry):
+            boolean_op(a, [rect(0, 0, 4, 4)], "inter")
+
+    def test_membership_property_random(self):
+        rng = np.random.default_rng(11)
+
+        def star(n, scale, off):
+            # evenly spaced angles + sub-spacing jitter: max angular
+            # gap < 2*(2pi/n) < pi, so the ring is always SIMPLE
+            # (the kernel's contract; sorted fully-random angles can
+            # leave a >pi gap whose chord crosses other wedges)
+            ang = (np.arange(n) + rng.uniform(0.05, 0.95, n)) * 2 * np.pi / n
+            r = scale * rng.uniform(0.4, 1.0, n)
+            p = np.c_[off[0] + r * np.cos(ang), off[1] + r * np.sin(ang)]
+            return [np.vstack([p, p[:1]])]
+
+        for _ in range(25):
+            a = star(8, 3.0, (0.0, 0.0))
+            b = star(7, 2.5, rng.uniform(-2, 2, 2))
+            try:
+                i = boolean_op(a, b, "inter")
+                u = boolean_op(a, b, "union")
+                d = boolean_op(a, b, "diff")
+            except DegenerateGeometry:
+                continue
+            aa, ab = polyset_area(a), polyset_area(b)
+            assert abs(polyset_area(i) + polyset_area(u) - aa - ab) < 1e-9
+            assert abs(polyset_area(d) - (aa - polyset_area(i))) < 1e-9
+            for _ in range(20):
+                x, y = rng.uniform(-4, 4, 2)
+                ia = point_in_polyset(x, y, a)
+                ib = point_in_polyset(x, y, b)
+                assert point_in_polyset(x, y, i) == (ia and ib)
+                assert point_in_polyset(x, y, u) == (ia or ib)
+                assert point_in_polyset(x, y, d) == (ia and not ib)
+
+
+class TestOverlayVerbs:
+    @pytest.fixture(scope="class")
+    def layers(self, spark):
+        from gdal_spark.fixtures.blobs import build_blobs
+
+        return build_blobs(spark, "a", n=30), build_blobs(spark, "b", n=30)
+
+    def test_intersection_pieces_match_fixture_math(self, layers):
+        from gdal_spark.fixtures.blobs import blob_rings
+        from gdal_spark.operators.overlay import overlay_features
+
+        a, b = layers
+        got = {
+            (r["fid_a"], r["fid_b"]): r["area_q4"]
+            for r in overlay_features(a, b, "intersection").collect()
+        }
+        assert len(got) > 5
+        # brute-force kernel check per emitted pair
+        for (fa, fb), q4 in got.items():
+            inter = boolean_op(blob_rings(fa, "a"), blob_rings(fb, "b"), "inter")
+            assert int(round(polyset_area(inter) * 4)) == q4
+
+    def test_union_partitions_total_area(self, layers):
+        from gdal_spark.fixtures.blobs import blob_rings
+        from gdal_spark.operators.overlay import overlay_features
+
+        a, b = layers
+        total = sum(
+            r["area_q4"] for r in overlay_features(a, b, "union").collect()
+        )
+        # disjoint within layers: |A u B| = sum|A| + sum|B| - sum|AnB|
+        area = lambda rings: polyset_area(rings)
+        expect = 0.0
+        for f in range(30):
+            expect += area(blob_rings(f, "a")) + area(blob_rings(f, "b"))
+        for fa in range(30):
+            for fb in range(30):
+                expect -= area(
+                    boolean_op(blob_rings(fa, "a"), blob_rings(fb, "b"), "inter")
+                )
+        assert total == int(round(expect * 4))
+
+    def test_update_passes_method_through(self, layers):
+        from gdal_spark.operators.overlay import overlay_features
+
+        a, b = layers
+        rows = overlay_features(a, b, "update").collect()
+        b_rows = [r for r in rows if r["fid_b"] is not None]
+        assert len(b_rows) == 30  # every method feature, unchanged
+
+    def test_emitted_wkb_parses(self, layers):
+        from gdal_spark.geo.wkb import parse_wkb
+        from gdal_spark.operators.overlay import overlay_features
+
+        a, b = layers
+        for r in overlay_features(a, b, "intersection").limit(20).collect():
+            g = parse_wkb(bytes(r["geom"]))
+            assert g.type_name in ("MultiPolygon", "Polygon")
+            assert len(g.all_rings()) == r["n_polys"]

@@ -156,18 +156,18 @@ def test_token_hash_range_and_determinism(s):
     assert 0 <= h < MOD
 
 
-@given(st.integers(min_value=0, max_value=2**31 - 1),
-       st.integers(min_value=0, max_value=2**31 - 1))
+@given(st.integers(min_value=0, max_value=2**63 - 1),
+       st.integers(min_value=0, max_value=2**63 - 1))
 @settings(max_examples=100, deadline=None)
 def test_simhash_band_pigeonhole(a, b):
-    """Any 16-bit pair at hamming <= 2 shares at least one of the
-    3 bands (the exact-recall guarantee of simhash_pairs)."""
-    from gdal_spark.text.dedup import SIMHASH_BANDS
+    """Any 64-bit pair at hamming <= 3 shares at least one of the
+    4 x 16-bit bands (the exact-recall guarantee of simhash_pairs)."""
+    from gdal_spark.text.hashing import SIMHASH64_BANDS
 
-    x, y = a & 0xFFFF, b & 0xFFFF
-    if bin(x ^ y).count("1") <= 2:
+    if bin(a ^ b).count("1") <= SIMHASH64_BANDS - 1:
         shares = any(
-            ((x >> s) & m) == ((y >> s) & m) for s, m in SIMHASH_BANDS
+            ((a >> (16 * k)) & 0xFFFF) == ((b >> (16 * k)) & 0xFFFF)
+            for k in range(SIMHASH64_BANDS)
         )
         assert shares
 

@@ -216,3 +216,60 @@ def test_average_nodata_excluded():
     allnd = np.zeros((4, 4))
     _, m2 = rs.sample_average(allnd, x0, x1, y0, y1, nodata=0.0)
     assert not m2[0, 0]
+
+
+def test_render_decoded_matches_formula(spark):
+    """decode -> warp -> composite must equal the synthetic-formula
+    path checksum-for-checksum on lossless payloads (PNG/TIFF), and
+    agree on coverage for JPEG (pixels lossy, mask identical)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.operators.render import render_tiles
+
+    ids = spark.range(30).withColumnRenamed("id", "i")
+    lossless = ids.where(F.col("i") % 3 != 1)
+    imgs = build_images(spark, ids_df=lossless, with_payload=True)
+    dec = {
+        (r["tile_x"], r["tile_y"], r["band"]): (r["checksum"], r["n_px"])
+        for r in render_tiles(imgs, 12, decode_payload=True).collect()
+    }
+    ref = {
+        (r["tile_x"], r["tile_y"], r["band"]): (r["checksum"], r["n_px"])
+        for r in render_tiles(imgs, 12).collect()
+    }
+    assert dec == ref and len(dec) > 0
+
+
+def test_lanczos_integer_centers_identity():
+    """Lanczos is interpolating: at exact pixel centers (dfSrc =
+    k + 0.5) the kernel hits sinc zeros and reproduces the source."""
+    src = (np.arange(64, dtype=np.float64).reshape(8, 8) * 3.7) % 251
+    gy, gx = np.mgrid[0:8, 0:8]
+    vals, mask = rs.sample_lanczos(src, gx + 0.5, gy + 0.5)
+    assert mask.all()
+    assert np.allclose(vals, src, atol=1e-9)
+
+
+def test_cubicspline_partitions_unity():
+    """B-spline weights sum to 1: constant input -> constant output
+    (it is smoothing, NOT interpolating, so no identity test)."""
+    src = np.full((8, 8), 77.0)
+    rng = np.random.default_rng(5)
+    dfx = rng.uniform(2.0, 6.0, (16,))
+    dfy = rng.uniform(2.0, 6.0, (16,))
+    vals, mask = rs.sample_cubicspline(src, dfx, dfy)
+    assert mask.all()
+    assert np.allclose(vals, 77.0, atol=1e-9)
+
+
+def test_kernel_shapes_match_reference_formulas():
+    # CubicSplineKernel(0) = (8 - 4*1)/6 = 2/3; (1) = (27-4*8+6*1)/6=1/6
+    assert abs(rs.cubic_bspline_kernel(np.array([0.0]))[0] - 2 / 3) < 1e-12
+    assert abs(rs.cubic_bspline_kernel(np.array([1.0]))[0] - 1 / 6) < 1e-12
+    assert rs.cubic_bspline_kernel(np.array([2.1]))[0] == 0.0
+    # Lanczos: L(0)=1, L(k)=0 for integer k != 0, L(|x|>=3)=0
+    assert rs.lanczos_kernel(np.array([0.0]))[0] == 1.0
+    assert abs(rs.lanczos_kernel(np.array([1.0]))[0]) < 1e-12
+    assert abs(rs.lanczos_kernel(np.array([2.0]))[0]) < 1e-12
+    assert rs.lanczos_kernel(np.array([3.0]))[0] == 0.0
