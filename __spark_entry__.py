@@ -1212,6 +1212,180 @@ SELECT fid_a, cast(q4 as bigint) AS area_q4 FROM rem_a WHERE q4 > 0""",
     }
 
 
+PRED_EXPAND = 8.0  # near-miss window (units) for predicate/distance pairs
+
+
+def q_geom_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise predicates Intersects/Disjoint/Within/Contains/
+    Overlaps/Touches (ogrgeometry.cpp:5588-6050) over near-miss blob
+    pairs; oracle derives every flag from the exact rectangle
+    inclusion-exclusion algebra (touch contacts are impossible
+    between the integer and half-integer lattices, making the flag
+    set closed-form)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo import predicates as P
+    from gdal_spark.geo.wkb import parse_wkb
+    from gdal_spark.operators.overlay import candidate_pairs
+
+    a, b = _blob_layers(spark, sf_dir)
+    pairs = candidate_pairs(a, b, expand=PRED_EXPAND)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid_a", T2.LongType()),
+            T2.StructField("fid_b", T2.LongType()),
+            T2.StructField("intersects", T2.IntegerType()),
+            T2.StructField("disjoint", T2.IntegerType()),
+            T2.StructField("within", T2.IntegerType()),
+            T2.StructField("contains", T2.IntegerType()),
+            T2.StructField("overlaps", T2.IntegerType()),
+            T2.StructField("touches", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        def rings(wkb):
+            return [
+                r for poly in parse_wkb(bytes(wkb)).all_rings() for r in poly
+            ]
+
+        for pdf in batches:
+            recs = []
+            for fa, fb, ga, gb in zip(
+                pdf["fid_a"], pdf["fid_b"], pdf["geom_a"], pdf["geom_b"]
+            ):
+                rel = P.polygon_relate(rings(ga), rings(gb))
+                recs.append(
+                    {
+                        "fid_a": int(fa), "fid_b": int(fb),
+                        "intersects": int(rel["intersects"]),
+                        "disjoint": int(rel["disjoint"]),
+                        "within": int(rel["within"]),
+                        "contains": int(rel["contains"]),
+                        "overlaps": int(rel["overlaps"]),
+                        "touches": int(rel["touches"]),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return pairs.mapInPandas(run, schema)
+
+
+def q_st_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Distance (ogrgeometry.cpp:3562) over DISJOINT near-miss
+    blob pairs, emitted as the exact squared distance in quarter
+    units (dyadic coords make vertex/edge projections exact, so the
+    closed-form 9-way rect-decomposition oracle matches to the bit)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo import predicates as P
+    from gdal_spark.geo.wkb import parse_wkb
+    from gdal_spark.operators.overlay import candidate_pairs
+
+    a, b = _blob_layers(spark, sf_dir)
+    pairs = candidate_pairs(a, b, expand=PRED_EXPAND)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid_a", T2.LongType()),
+            T2.StructField("fid_b", T2.LongType()),
+            T2.StructField("dist2_q4", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        def rings(wkb):
+            return [
+                r for poly in parse_wkb(bytes(wkb)).all_rings() for r in poly
+            ]
+
+        for pdf in batches:
+            recs = []
+            for fa, fb, ga, gb in zip(
+                pdf["fid_a"], pdf["fid_b"], pdf["geom_a"], pdf["geom_b"]
+            ):
+                d2 = P.polygon_distance2(rings(ga), rings(gb))
+                if d2 <= 0.0:
+                    continue
+                recs.append(
+                    {
+                        "fid_a": int(fa), "fid_b": int(fb),
+                        "dist2_q4": int(round(d2 * 4)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return pairs.mapInPandas(run, schema)
+
+
+def _o_geom_predicates() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cta = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
+    ctb = blobs.sql_blob_cte("c_custkey", "customer", "b")
+    inter = blobs.sql_pair_inter_q4("ba", "bb")
+    own_a = blobs.sql_blob_area_q4("ba")
+    own_b = blobs.sql_blob_area_q4("bb")
+    e = int(2 * PRED_EXPAND)  # half-units
+    return f"""
+WITH ba AS ({cta}), bb AS ({ctb}),
+cand AS (
+  SELECT ba.fid AS fid_a, bb.fid AS fid_b,
+    {inter} AS q4, {own_a} AS aq4, {own_b} AS bq4
+  FROM ba JOIN bb
+    ON ba.x0 - {e} < bb.x1 AND ba.x1 + {e} > bb.x0
+   AND ba.y0 - {e} < bb.y1 AND ba.y1 + {e} > bb.y0
+)
+SELECT fid_a, fid_b,
+  cast(CASE WHEN q4 > 0 THEN 1 ELSE 0 END as int) AS intersects,
+  cast(CASE WHEN q4 > 0 THEN 0 ELSE 1 END as int) AS disjoint,
+  cast(CASE WHEN q4 = aq4 THEN 1 ELSE 0 END as int) AS within,
+  cast(CASE WHEN q4 = bq4 THEN 1 ELSE 0 END as int) AS contains,
+  cast(CASE WHEN q4 > 0 AND q4 < aq4 AND q4 < bq4 THEN 1 ELSE 0 END as int) AS overlaps,
+  cast(0 as int) AS touches
+FROM cand
+"""
+
+
+def _o_st_distance() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cta = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
+    ctb = blobs.sql_blob_cte("c_custkey", "customer", "b")
+    inter = blobs.sql_pair_inter_q4("ba", "bb")
+    e = int(2 * PRED_EXPAND)
+    # notch-free decomposition of each blob into 3 rects (hole is
+    # interior, never nearest): left of notch, right of notch, below
+    # the notch floor. Distances in half-units; dist2_q4 = dx^2+dy^2.
+    parts_a = [
+        ("ba.x0", "ba.y0", "ba.nx0", "ba.y1"),
+        ("ba.nx1", "ba.y0", "ba.x1", "ba.y1"),
+        ("ba.x0", "ba.y0", "ba.x1", "ba.ny0"),
+    ]
+    parts_b = [
+        ("bb.x0", "bb.y0", "bb.nx0", "bb.y1"),
+        ("bb.nx1", "bb.y0", "bb.x1", "bb.y1"),
+        ("bb.x0", "bb.y0", "bb.x1", "bb.ny0"),
+    ]
+    terms = []
+    for ax0, ay0, ax1, ay1 in parts_a:
+        for bx0, by0, bx1, by1 in parts_b:
+            dx = f"greatest(0, greatest({ax0} - {bx1}, {bx0} - {ax1}))"
+            dy = f"greatest(0, greatest({ay0} - {by1}, {by0} - {ay1}))"
+            terms.append(f"(({dx}) * ({dx}) + ({dy}) * ({dy}))")
+    dist2 = "least(" + ", ".join(terms) + ")"
+    return f"""
+WITH ba AS ({cta}), bb AS ({ctb})
+SELECT ba.fid AS fid_a, bb.fid AS fid_b,
+  cast({dist2} as bigint) AS dist2_q4
+FROM ba JOIN bb
+  ON ba.x0 - {e} < bb.x1 AND ba.x1 + {e} > bb.x0
+ AND ba.y0 - {e} < bb.y1 AND ba.y1 + {e} > bb.y0
+WHERE {inter} = 0
+"""
+
+
 CLIP_BBOX = (-60.0, -40.0, 60.0, 40.0)
 
 
@@ -1501,6 +1675,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_decoded": q_tile_render_decoded,
         "tile_render_cubicspline": q_tile_render_cubicspline,
         "tile_render_lanczos": q_tile_render_lanczos,
+        "geom_predicates": q_geom_predicates,
+        "st_distance": q_st_distance,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -2966,6 +3142,8 @@ GROUP BY 1, 2, 3
         "tile_overview": _o_tile_overview(),
         "overlay": _o_overlay(),
         **_overlay_oracles(),
+        "geom_predicates": _o_geom_predicates(),
+        "st_distance": _o_st_distance(),
         "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),

@@ -182,8 +182,68 @@ def st_y(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: float(parse_wkb(bytes(b)).parts[0][0][1]))
 
 
+# ---------------------------------------------------------------------------
+# pairwise predicates + distance (ogrgeometry.cpp:579,3562,5588-6050)
+# ---------------------------------------------------------------------------
+
+def _pairwise_predicate(name: str):
+    from gdal_spark.geo import predicates as P
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        out = []
+        for ba, bb in zip(wa, wb):
+            ra = _rings(parse_wkb(bytes(ba)))
+            rb = _rings(parse_wkb(bytes(bb)))
+            out.append(P.polygon_relate(ra, rb)[name])
+        return pd.Series(out)
+
+    return pred
+
+
+st_intersects = _pairwise_predicate("intersects")
+st_disjoint = _pairwise_predicate("disjoint")
+st_within = _pairwise_predicate("within")
+st_contains = _pairwise_predicate("contains")
+st_overlaps = _pairwise_predicate("overlaps")
+st_touches = _pairwise_predicate("touches")
+st_equals = _pairwise_predicate("equals")
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    """Min euclidean distance between two geometries (point or areal
+    WKB); 0 when they intersect (ogrgeometry.cpp:3562)."""
+    import math
+
+    from gdal_spark.geo import predicates as P
+
+    def one(ba, bb):
+        ga, gb = parse_wkb(bytes(ba)), parse_wkb(bytes(bb))
+        if ga.type_id == WKB_POINT and gb.type_id == WKB_POINT:
+            (ax, ay), (bx, by) = ga.parts[0][0], gb.parts[0][0]
+            return math.hypot(ax - bx, ay - by)
+        if ga.type_id == WKB_POINT:
+            x, y = ga.parts[0][0]
+            return math.sqrt(P.point_polygon_distance2(x, y, _rings(gb)))
+        if gb.type_id == WKB_POINT:
+            x, y = gb.parts[0][0]
+            return math.sqrt(P.point_polygon_distance2(x, y, _rings(ga)))
+        return math.sqrt(P.polygon_distance2(_rings(ga), _rings(gb)))
+
+    return pd.Series([one(a, b) for a, b in zip(wa, wb)])
+
+
 _REGISTRY = {
     "ST_Area": st_area,
+    "ST_Intersects": st_intersects,
+    "ST_Disjoint": st_disjoint,
+    "ST_Within": st_within,
+    "ST_Contains": st_contains,
+    "ST_Overlaps": st_overlaps,
+    "ST_Touches": st_touches,
+    "ST_Equals": st_equals,
+    "ST_Distance": st_distance,
     "ST_Length": st_length,
     "ST_GeodesicArea": st_geodesic_area,
     "ST_GeodesicLength": st_geodesic_length,

@@ -107,35 +107,39 @@ def _emit(rings: list[np.ndarray], promote: bool) -> tuple | None:
     return wkb, int(np.rint(area2 * 4)), len(polys2), n_rings
 
 
-def _planar_cells(df: DataFrame) -> DataFrame:
-    """Explode each feature to its bbox's covering pitch-P cells."""
+def _planar_cells(df: DataFrame, expand: float = 0.0) -> DataFrame:
+    """Explode each feature to the pitch-P cells covering its bbox
+    (optionally expanded by `expand` units per side)."""
     p = CELL_PITCH
     return df.withColumn(
         "cx",
         F.explode(
             F.sequence(
-                F.floor(F.col("bxmin") / p).cast("int"),
-                F.floor(F.col("bxmax") / p).cast("int"),
+                F.floor((F.col("bxmin") - expand) / p).cast("int"),
+                F.floor((F.col("bxmax") + expand) / p).cast("int"),
             )
         ),
     ).withColumn(
         "cy",
         F.explode(
             F.sequence(
-                F.floor(F.col("bymin") / p).cast("int"),
-                F.floor(F.col("bymax") / p).cast("int"),
+                F.floor((F.col("bymin") - expand) / p).cast("int"),
+                F.floor((F.col("bymax") + expand) / p).cast("int"),
             )
         ),
     )
 
 
-def candidate_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
-    """(fid_a, geom_a, fid_b, geom_b) for bbox-overlapping features."""
+def candidate_pairs(a: DataFrame, b: DataFrame, expand: float = 0.0) -> DataFrame:
+    """(fid_a, geom_a, fid_b, geom_b) for features whose bboxes
+    overlap after expanding A's by `expand` per side (expand > 0 pulls
+    in near-miss neighbours, e.g. for distance queries)."""
     aa = _planar_cells(
         a.select(
             F.col("fid").alias("fid_a"), F.col("geometry").alias("geom_a"),
             "bxmin", "bymin", "bxmax", "bymax",
-        )
+        ),
+        expand,
     ).withColumnsRenamed(
         {"bxmin": "axmin", "bymin": "aymin", "bxmax": "axmax", "bymax": "aymax"}
     )
@@ -150,8 +154,10 @@ def candidate_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
     return (
         aa.join(bb, ["cx", "cy"])
         .where(
-            (F.col("axmin") < F.col("bxmax2")) & (F.col("axmax") > F.col("bxmin2"))
-            & (F.col("aymin") < F.col("bymax2")) & (F.col("aymax") > F.col("bymin2"))
+            (F.col("axmin") - expand < F.col("bxmax2"))
+            & (F.col("axmax") + expand > F.col("bxmin2"))
+            & (F.col("aymin") - expand < F.col("bymax2"))
+            & (F.col("aymax") + expand > F.col("bymin2"))
         )
         .select("fid_a", "geom_a", "fid_b", "geom_b")
         .dropDuplicates(["fid_a", "fid_b"])

@@ -168,3 +168,67 @@ class TestOverlayVerbs:
             g = parse_wkb(bytes(r["geom"]))
             assert g.type_name in ("MultiPolygon", "Polygon")
             assert len(g.all_rings()) == r["n_polys"]
+
+
+class TestPredicates:
+    def r(self, x0, y0, x1, y1):
+        return rect(x0, y0, x1, y1)
+
+    def test_relate_basic(self):
+        from gdal_spark.geo.predicates import polygon_relate
+
+        a = [self.r(0, 0, 4, 4)]
+        assert polygon_relate(a, [self.r(2, 2, 6, 6)])["overlaps"]
+        assert polygon_relate(a, [self.r(10, 0, 12, 2)])["disjoint"]
+        rel = polygon_relate(a, [self.r(1, 1, 2, 2)])
+        assert rel["contains"] and rel["intersects"] and not rel["overlaps"]
+        rel = polygon_relate([self.r(1, 1, 2, 2)], a)
+        assert rel["within"]
+        rel = polygon_relate(a, [self.r(0, 0, 4, 4)])
+        assert rel["equals"] and rel["within"] and rel["contains"]
+
+    def test_touches_shared_edge_and_corner(self):
+        from gdal_spark.geo.predicates import polygon_relate
+
+        a = [self.r(0, 0, 4, 4)]
+        edge = polygon_relate(a, [self.r(4, 0, 8, 4)])
+        assert edge["touches"] and edge["intersects"] and not edge["overlaps"]
+        corner = polygon_relate(a, [self.r(4, 4, 8, 8)])
+        assert corner["touches"] and not corner["disjoint"]
+
+    def test_within_with_boundary_contact(self):
+        from gdal_spark.geo.predicates import polygon_relate
+
+        # inner rect sharing part of the outer's left edge: still within
+        rel = polygon_relate([self.r(0, 1, 2, 3)], [self.r(0, 0, 4, 4)])
+        assert rel["within"] and not rel["touches"]
+
+    def test_hole_makes_disjoint_vs_touches(self):
+        from gdal_spark.geo.predicates import polygon_relate
+
+        donut = [self.r(0, 0, 8, 8), self.r(2, 2, 6, 6)]
+        island = [self.r(3, 3, 5, 5)]     # strictly inside the hole
+        rel = polygon_relate(donut, island)
+        assert rel["disjoint"]
+        filler = [self.r(2, 2, 6, 6)]     # exactly fills the hole
+        rel = polygon_relate(donut, filler)
+        assert rel["touches"] and not rel["overlaps"]
+
+    def test_distances(self):
+        import math
+
+        from gdal_spark.geo.predicates import (
+            point_polygon_distance2,
+            polygon_distance2,
+        )
+
+        a = [self.r(0, 0, 4, 4)]
+        assert polygon_distance2(a, [self.r(7, 0, 9, 4)]) == 9.0
+        assert polygon_distance2(a, [self.r(7, 7, 9, 9)]) == 18.0
+        assert polygon_distance2(a, [self.r(2, 2, 9, 9)]) == 0.0
+        assert point_polygon_distance2(2, 2, a) == 0.0
+        assert point_polygon_distance2(4, 2, a) == 0.0   # on boundary
+        assert point_polygon_distance2(7, 6, a) == 13.0  # corner (4,4)
+        donut = [self.r(0, 0, 8, 8), self.r(2, 2, 6, 6)]
+        assert point_polygon_distance2(4, 4, donut) == 4.0  # inside hole
+        assert math.isclose(polygon_distance2(donut, [self.r(3.5, 3.5, 4.5, 4.5)]), 2.25)
