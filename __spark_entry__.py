@@ -699,6 +699,123 @@ def q_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTOUR_LINE_LEVELS = [40.25, 120.25, 200.25]
+
+
+def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL contour polylines chained across tile borders (halo'd
+    marching squares -> endpoint-equivalence join -> min-label
+    components; alg/contour.cpp whole-raster assembly). Oracle:
+    whole-raster marching squares in SQL with the Euler identity
+    n_polylines = V - E (the sawtooth surface has no closed rings;
+    quarter-offset levels avoid every pixel value, so endpoint keys
+    are degree <= 2 and bit-identical across engines)."""
+    from gdal_spark.operators import stencil
+    from gdal_spark.operators.gridded import contour_lines_global
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    out = contour_lines_global(tiles, CONTOUR_LINE_LEVELS, stencil.TILE)
+    return out.select(
+        (F.col("level") * 100).cast("int").alias("level_e2"),
+        F.col("n_polylines").cast("long"),
+        F.col("n_closed").cast("long"),
+        F.col("n_segments").cast("long"),
+        F.col("total_len_e4").cast("long"),
+    )
+
+
+def _o_contour_lines() -> str:
+    from gdal_spark.operators.gridded import _CASE_EDGES
+
+    def d(i: int, j: int) -> str:
+        return f"(((3 * (X + {i}) + 5 * (Y + {j})) % 512) / 2.0)"
+
+    lvls = ", ".join(f"(cast('{v}' as double))" for v in CONTOUR_LINE_LEVELS)
+    case = (
+        "(CASE WHEN va >= lvl THEN 1 ELSE 0 END"
+        " + CASE WHEN vb >= lvl THEN 2 ELSE 0 END"
+        " + CASE WHEN vc >= lvl THEN 4 ELSE 0 END"
+        " + CASE WHEN vd >= lvl THEN 8 ELSE 0 END)"
+    )
+    coord = {
+        "T": ("(X + (lvl - va) / (vb - va))", "cast(Y as double)"),
+        "R": ("cast(X + 1 as double)", "(Y + (lvl - vb) / (vc - vb))"),
+        "B": ("(X + (lvl - vd) / (vc - vd))", "cast(Y + 1 as double)"),
+        "L": ("cast(X as double)", "(Y + (lvl - va) / (vd - va))"),
+    }
+
+    def case_expr(slot: int, which: int, axis: int) -> str:
+        branches = []
+        for cs, pairs in sorted(_CASE_EDGES.items()):
+            if len(pairs) < slot:
+                continue
+            e = pairs[slot - 1][which]
+            branches.append(f"WHEN {cs} THEN {coord[e][axis]}")
+        return "CASE cs " + " ".join(branches) + " ELSE NULL END"
+
+    key = (
+        "(cast(floor({x} * 1048576 + 0.5) as bigint) * 1073741824"
+        " + cast(floor({y} * 1048576 + 0.5) as bigint))"
+    )
+    return f"""
+WITH cells AS (
+  SELECT l.lvl, gx.x AS X, gy.y AS Y
+  FROM (VALUES {lvls}) AS l(lvl),
+       range(0, 511) AS gx(x), range(0, 511) AS gy(y)
+),
+vals AS (
+  SELECT lvl, X, Y,
+    {d(0,0)} AS va, {d(1,0)} AS vb, {d(1,1)} AS vc, {d(0,1)} AS vd
+  FROM cells
+),
+cased AS (SELECT lvl, X, Y, va, vb, vc, vd, {case} AS cs FROM vals),
+segs AS (
+  SELECT lvl,
+    {case_expr(1, 0, 0).replace('cs', 'c.cs')} AS x1,
+    {case_expr(1, 0, 1).replace('cs', 'c.cs')} AS y1,
+    {case_expr(1, 1, 0).replace('cs', 'c.cs')} AS x2,
+    {case_expr(1, 1, 1).replace('cs', 'c.cs')} AS y2
+  FROM cased c WHERE c.cs BETWEEN 1 AND 14 AND c.cs NOT IN (5, 10)
+  UNION ALL
+  SELECT lvl,
+    {case_expr(1, 0, 0).replace('cs', 'c.cs')},
+    {case_expr(1, 0, 1).replace('cs', 'c.cs')},
+    {case_expr(1, 1, 0).replace('cs', 'c.cs')},
+    {case_expr(1, 1, 1).replace('cs', 'c.cs')}
+  FROM cased c WHERE c.cs IN (5, 10)
+  UNION ALL
+  SELECT lvl,
+    {case_expr(2, 0, 0).replace('cs', 'c.cs')},
+    {case_expr(2, 0, 1).replace('cs', 'c.cs')},
+    {case_expr(2, 1, 0).replace('cs', 'c.cs')},
+    {case_expr(2, 1, 1).replace('cs', 'c.cs')}
+  FROM cased c WHERE c.cs IN (5, 10)
+),
+keyed AS (
+  SELECT lvl, x1, y1, x2, y2,
+    {key.format(x='x1', y='y1')} AS k1,
+    {key.format(x='x2', y='y2')} AS k2,
+    cast(floor(sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) * 1e4) as bigint) AS len_e4
+  FROM segs
+),
+e AS (
+  SELECT lvl, count(*) AS n_e, cast(sum(len_e4) as bigint) AS total_len_e4
+  FROM keyed GROUP BY lvl
+),
+v AS (
+  SELECT lvl, count(DISTINCT k) AS n_v FROM (
+    SELECT lvl, k1 AS k FROM keyed UNION ALL SELECT lvl, k2 FROM keyed
+  ) GROUP BY lvl
+)
+SELECT cast(e.lvl * 100 as int) AS level_e2,
+  cast(v.n_v - e.n_e as bigint) AS n_polylines,
+  cast(0 as bigint) AS n_closed,
+  cast(e.n_e as bigint) AS n_segments,
+  e.total_len_e4
+FROM e JOIN v ON e.lvl = v.lvl
+"""
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygonize component counting (alg/polygonize.cpp, 4-conn
     union-find) on the quantized surface; the diagonal-strip input
@@ -1677,6 +1794,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_lanczos": q_tile_render_lanczos,
         "geom_predicates": q_geom_predicates,
         "st_distance": q_st_distance,
+        "contour_lines": q_contour_lines,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3144,6 +3262,7 @@ GROUP BY 1, 2, 3
         **_overlay_oracles(),
         "geom_predicates": _o_geom_predicates(),
         "st_distance": _o_st_distance(),
+        "contour_lines": _o_contour_lines(),
         "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),

@@ -349,3 +349,245 @@ def contour_cell_counts(
             )
 
     return tiles_df.mapInPandas(count, CONTOUR_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cross-tile contour chaining (global polylines)
+# ---------------------------------------------------------------------------
+
+_PIECE_SCHEMA = T.StructType(
+    [
+        T.StructField("level_i", T.IntegerType()),
+        T.StructField("piece_id", T.LongType()),
+        T.StructField("closed", T.IntegerType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("len_e4", T.LongType()),
+        T.StructField("key1", T.LongType()),
+        T.StructField("key2", T.LongType()),
+    ]
+)
+
+_KEY_SCALE = 1 << 20
+
+
+def _endpoint_key(x: float, y: float) -> int:
+    kx = int(np.floor(x * _KEY_SCALE + 0.5))
+    ky = int(np.floor(y * _KEY_SCALE + 0.5))
+    return kx * (1 << 30) + ky
+
+
+def contour_lines_global(
+    tiles_df: DataFrame, levels: list[float], tile_size: int
+) -> DataFrame:
+    """GLOBAL contour polylines across tile borders (the cross-tile
+    completion of contour_polylines; reference: alg/contour.cpp's
+    whole-raster polyline assembly, here distributed with the same
+    label-graph pattern as operators/dissolve.py).
+
+    1. 1-px south/east halo exchange so the global CELL grid
+       partitions exactly across tiles (each 2x2 pixel cell is
+       marched by exactly one tile);
+    2. per tile: marching squares -> chain_segments; closed rings
+       finish locally, open pieces emit endpoint keys (interpolated
+       crossing coords are bit-identical across neighbouring tiles,
+       so keys join exactly);
+    3. pieces sharing an endpoint key become graph edges; iterative
+       min-label propagation (operators/graph.py) resolves global
+       polylines; a component is a closed ring iff its distinct
+       endpoint-key count equals its piece count.
+
+    -> (level, n_polylines, n_closed, n_segments, total_len_e4),
+    with total_len_e4 = SUM over segments of floor(seg_len * 1e4)
+    (per-segment flooring keeps the sum an exact integer in any
+    engine). Input tiles: (tile_x, tile_y, data) float64 buffers.
+    """
+    from gdal_spark.operators.graph import connected_components
+
+    n = tile_size
+
+    halo_schema = T.StructType(
+        [
+            T.StructField("to_x", T.IntegerType()),
+            T.StructField("to_y", T.IntegerType()),
+            T.StructField("dx", T.IntegerType()),
+            T.StructField("dy", T.IntegerType()),
+            T.StructField("sliver", T.BinaryType()),
+        ]
+    )
+
+    def emit(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty, data in zip(pdf["tile_x"], pdf["tile_y"], pdf["data"]):
+                arr = np.frombuffer(data, dtype="<f8").reshape(n, n)
+                tx, ty = int(tx), int(ty)
+                pieces = (
+                    (tx, ty, 0, 0, arr),           # body
+                    (tx, ty - 1, 0, 1, arr[:1, :]),  # my top row = N's S halo
+                    (tx - 1, ty, 1, 0, arr[:, :1]),  # my left col = W's E halo
+                    (tx - 1, ty - 1, 1, 1, arr[:1, :1]),
+                )
+                for to_x, to_y, dx, dy, piece in pieces:
+                    recs.append(
+                        {
+                            "to_x": to_x, "to_y": to_y, "dx": dx, "dy": dy,
+                            "sliver": piece.astype("<f8").tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=["to_x", "to_y", "dx", "dy", "sliver"])
+
+    def march(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        body = None
+        srow = None
+        ecol = None
+        secorner = None
+        for _, row in pdf.iterrows():
+            dx, dy = int(row["dx"]), int(row["dy"])
+            piece = np.frombuffer(row["sliver"], dtype="<f8")
+            if dx == 0 and dy == 0:
+                body = piece.reshape(n, n)
+            elif dx == 0 and dy == 1:
+                srow = piece.reshape(1, n)
+            elif dx == 1 and dy == 0:
+                ecol = piece.reshape(n, 1)
+            else:
+                secorner = piece.reshape(1, 1)
+        if body is None:
+            return pd.DataFrame(columns=[f.name for f in _PIECE_SCHEMA])
+        hh = n + (1 if srow is not None else 0)
+        ww = n + (1 if ecol is not None else 0)
+        arr = np.zeros((hh, ww), dtype=np.float64)
+        arr[:n, :n] = body
+        if srow is not None:
+            arr[n, :n] = srow[0]
+        if ecol is not None:
+            arr[:n, n] = ecol[:, 0]
+        if srow is not None and ecol is not None:
+            arr[n, n] = secorner[0, 0] if secorner is not None else 0.0
+        ox, oy = tx * n, ty * n
+        recs = []
+        a = arr[:-1, :-1]; b = arr[:-1, 1:]
+        c2 = arr[1:, 1:]; d = arr[1:, :-1]
+        for li, lvl in enumerate(levels):
+            case = (
+                (a >= lvl).astype(np.int8)
+                | ((b >= lvl).astype(np.int8) << 1)
+                | ((c2 >= lvl).astype(np.int8) << 2)
+                | ((d >= lvl).astype(np.int8) << 3)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tT = (lvl - a) / (b - a)
+                tR = (lvl - b) / (c2 - b)
+                tB = (lvl - d) / (c2 - d)
+                tL = (lvl - a) / (d - a)
+            segs = []
+            ys, xs = np.nonzero((case > 0) & (case < 15))
+            for y, x in zip(ys, xs):
+                pts = {
+                    "T": (ox + x + tT[y, x], float(oy + y)),
+                    "R": (ox + x + 1.0, oy + y + tR[y, x]),
+                    "B": (ox + x + tB[y, x], float(oy + y + 1.0)),
+                    "L": (float(ox + x), oy + y + tL[y, x]),
+                }
+                for e1, e2 in _CASE_EDGES[int(case[y, x])]:
+                    p, q = pts[e1], pts[e2]
+                    if abs(p[0] - q[0]) > 1e-12 or abs(p[1] - q[1]) > 1e-12:
+                        segs.append((p, q))
+            for idx, line in enumerate(chain_segments(segs)):
+                pts_a = np.asarray(line)
+                dxy = np.diff(pts_a, axis=0)
+                seglens = np.sqrt(dxy[:, 0] ** 2 + dxy[:, 1] ** 2)
+                len_e4 = int(np.floor(seglens * 1e4).astype(np.int64).sum())
+                is_closed = (
+                    abs(line[0][0] - line[-1][0]) < 1e-12
+                    and abs(line[0][1] - line[-1][1]) < 1e-12
+                )
+                pid = (((tx << 12) | ty) << 28 | (li << 24) | idx)
+                recs.append(
+                    {
+                        "level_i": li,
+                        "piece_id": pid,
+                        "closed": int(is_closed),
+                        "n_segments": len(line) - 1,
+                        "len_e4": len_e4,
+                        "key1": _endpoint_key(*line[0]),
+                        "key2": _endpoint_key(*line[-1]),
+                    }
+                )
+        return pd.DataFrame(recs, columns=[f.name for f in _PIECE_SCHEMA])
+
+    slivers = tiles_df.mapInPandas(emit, halo_schema)
+    pieces = (
+        slivers.groupBy(
+            F.col("to_x").alias("tile_x"), F.col("to_y").alias("tile_y")
+        )
+        .applyInPandas(march, _PIECE_SCHEMA)
+        .localCheckpoint()
+    )
+
+    finished = pieces.where(F.col("closed") == 1)
+    open_pieces = pieces.where(F.col("closed") == 0)
+    # endpoint table: (level, key, piece_id); keys pair pieces into edges
+    ends = open_pieces.select(
+        "level_i", F.col("key1").alias("key"), "piece_id"
+    ).unionByName(
+        open_pieces.select("level_i", F.col("key2").alias("key"), "piece_id")
+    )
+    matched = (
+        ends.groupBy("level_i", "key")
+        .agg(F.collect_list("piece_id").alias("ids"), F.count("*").alias("deg"))
+    )
+    edges = matched.where(F.col("deg") == 2).select(
+        F.col("ids")[0].alias("src"), F.col("ids")[1].alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    roots = connected_components(edges)
+    labeled = open_pieces.join(
+        roots, open_pieces["piece_id"] == roots["id"], "left"
+    ).withColumn("root", F.coalesce("root", "piece_id"))
+    comp = labeled.groupBy("level_i", "root").agg(
+        F.count("*").alias("n_pieces"),
+        F.sum("n_segments").alias("segs"),
+        F.sum("len_e4").alias("len_e4"),
+    )
+    # closed iff every endpoint key is shared: distinct keys == pieces
+    keyed = (
+        ends.join(
+            labeled.select("piece_id", "root"), "piece_id"
+        )
+        .groupBy("level_i", "root")
+        .agg(F.countDistinct("key").alias("n_keys"))
+    )
+    comp = comp.join(keyed, ["level_i", "root"]).withColumn(
+        "is_closed", (F.col("n_keys") == F.col("n_pieces")).cast("int")
+    )
+    comp_tot = comp.groupBy("level_i").agg(
+        F.count("*").alias("n_polylines"),
+        F.sum("is_closed").alias("n_closed"),
+        F.sum("segs").alias("n_segments"),
+        F.sum("len_e4").alias("total_len_e4"),
+    )
+    fin_tot = finished.groupBy("level_i").agg(
+        F.count("*").alias("n_polylines"),
+        F.count("*").alias("n_closed"),
+        F.sum("n_segments").alias("n_segments"),
+        F.sum("len_e4").alias("total_len_e4"),
+    )
+    lvl_map = F.array(*[F.lit(v) for v in levels])
+    return (
+        comp_tot.unionByName(fin_tot)
+        .groupBy("level_i")
+        .agg(
+            F.sum("n_polylines").alias("n_polylines"),
+            F.sum("n_closed").alias("n_closed"),
+            F.sum("n_segments").alias("n_segments"),
+            F.sum("total_len_e4").alias("total_len_e4"),
+        )
+        .select(
+            F.element_at(lvl_map, F.col("level_i") + 1).alias("level"),
+            F.col("n_polylines").cast("long"),
+            F.col("n_closed").cast("long"),
+            F.col("n_segments").cast("long"),
+            F.col("total_len_e4").cast("long"),
+        )
+    )

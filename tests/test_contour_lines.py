@@ -46,3 +46,30 @@ def test_cone_produces_closed_ring(spark):
     # segment conservation: points = segments + 1 per open line, ==
     # segments for closed rings (+1 duplicated closing point)
     assert out[90]["n_points"] >= 3
+
+
+def test_global_chaining_cone_rings_across_tiles(spark):
+    """A cone centered on the 4-corner point of a 2x2 tile grid:
+    every contour circle crosses all four tiles and must come back as
+    exactly ONE closed global polyline (cross-tile chaining)."""
+    import numpy as np
+
+    from gdal_spark.operators.gridded import contour_lines_global
+
+    n = 64
+
+    def tile(tx, ty):
+        yy, xx = np.mgrid[0:n, 0:n]
+        cone = 200.0 - np.hypot(xx + tx * n - 64, yy + ty * n - 64)
+        return (tx, ty, bytearray(cone.astype("<f8").tobytes()))
+
+    df = spark.createDataFrame(
+        [tile(a, b) for a in (0, 1) for b in (0, 1)],
+        "tile_x int, tile_y int, data binary",
+    )
+    out = {r["level"]: r for r in contour_lines_global(df, [180.25, 150.25], n).collect()}
+    for lvl, radius in ((180.25, 19.75), (150.25, 49.75)):
+        r = out[lvl]
+        assert r["n_polylines"] == 1 and r["n_closed"] == 1
+        circumference = 2 * np.pi * radius
+        assert abs(r["total_len_e4"] / 1e4 - circumference) < 0.2
