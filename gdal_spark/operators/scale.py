@@ -105,18 +105,45 @@ def with_lineage(df: DataFrame, job_run_id: str | None = None, source_snapshot: 
 
 class ResumableWriter:
     """Checkpoint-commit loop: each call renders only keys not yet in
-    the snapshot dir, appends results with lineage columns, and
-    records per-run metrics (rows, partitions, wall ms)."""
+    the committed snapshot, appends results with lineage columns, and
+    records per-run metrics (rows, partitions, wall ms).
 
-    def __init__(self, spark: SparkSession, out_dir: str, keys: list[str]):
+    Storage goes through the catalog shim (gdal_spark/catalog.py):
+    Iceberg `writeTo` + real snapshot ids when the runtime is on the
+    classpath, parquet snapshot dirs with a commit-marker log
+    otherwise. `source_snapshot_id` on every appended row names the
+    snapshot the resume decision was based on — the lineage needed
+    to audit which committed state a partition was derived from."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        keys: list[str],
+        catalog=None,
+        ident: str | None = None,
+    ):
+        from gdal_spark.catalog import ParquetCatalog
+
         self.spark = spark
-        self.out_dir = out_dir
         self.keys = keys
+        if catalog is None:
+            # path-based back-compat: the dir IS the table
+            catalog = ParquetCatalog(spark, out_dir)
+            ident = "."
+        self.catalog = catalog
+        self.ident = ident if ident is not None else out_dir
         self.metrics: list[dict] = []
 
     def run(self, work: DataFrame, job_run_id: str | None = None) -> dict:
         t0 = time.time()
-        done = committed_keys(self.spark, self.out_dir, self.keys)
+        base_snapshot = self.catalog.snapshot_id(self.ident)
+        existing = self.catalog.read(self.ident)
+        done = (
+            existing.select(*self.keys).dropDuplicates(self.keys)
+            if existing is not None
+            else None
+        )
         todo = pending_work(work, done, self.keys)
         obs = Observation("resume_run")
         todo = todo.observe(
@@ -126,9 +153,11 @@ class ResumableWriter:
                 F.concat_ws("\x00", *[F.col(k).cast("string") for k in self.keys])
             ).alias("distinct_keys"),
         )
-        out = with_lineage(todo, job_run_id)
-        out.write.mode("append").parquet(self.out_dir)
+        out = with_lineage(todo, job_run_id, source_snapshot=base_snapshot)
+        new_snapshot = self.catalog.append(out, self.ident)
         m = dict(obs.get)
         m["wall_ms"] = int((time.time() - t0) * 1000)
+        m["base_snapshot_id"] = base_snapshot
+        m["snapshot_id"] = new_snapshot
         self.metrics.append(m)
         return m

@@ -72,3 +72,66 @@ def test_metrics_recorded(tmp_path, spark):
     writer.run(spark.range(10).select(F.col("id").alias("k")))
     assert writer.metrics[0]["distinct_keys"] == 10
     assert writer.metrics[0]["wall_ms"] >= 0
+
+
+def test_catalog_shim_selects_backend(spark, tmp_path):
+    from gdal_spark.catalog import (
+        IcebergCatalog,
+        ParquetCatalog,
+        get_catalog,
+        iceberg_available,
+    )
+
+    cat = get_catalog(spark, str(tmp_path))
+    if iceberg_available(spark):
+        assert isinstance(cat, IcebergCatalog)
+    else:
+        assert isinstance(cat, ParquetCatalog)
+
+
+def test_parquet_catalog_snapshots_advance(spark, tmp_path):
+    from gdal_spark.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    assert cat.snapshot_id("t.images") == ""
+    s1 = cat.append(spark.range(3).toDF("k"), "t.images")
+    assert s1 and cat.snapshot_id("t.images") == s1
+    s2 = cat.append(spark.range(3, 6).toDF("k"), "t.images")
+    assert s2 > s1 and cat.snapshot_id("t.images") == s2
+    assert cat.read("t.images").count() == 6
+    assert cat.read("t.absent") is None
+
+
+def test_resumable_writer_through_catalog(spark, tmp_path):
+    from gdal_spark.catalog import get_catalog, iceberg_available
+    from gdal_spark.operators.scale import ResumableWriter
+
+    cat = get_catalog(spark, str(tmp_path / "wh"))
+    w = ResumableWriter(spark, "", keys=["k"], catalog=cat, ident="db.tiles")
+    m1 = w.run(spark.range(5).toDF("k"))
+    assert m1["rows"] == 5
+    assert m1["base_snapshot_id"] == ""      # first commit: empty base
+    assert m1["snapshot_id"] != ""
+    # second run: 5 committed + 3 new -> only 3 written, lineage
+    # carries the REAL snapshot id the resume was based on
+    m2 = w.run(spark.range(8).toDF("k"))
+    assert m2["rows"] == 3
+    assert m2["base_snapshot_id"] == m1["snapshot_id"]
+    got = cat.read("db.tiles")
+    assert got.count() == 8
+    snaps = {r["source_snapshot_id"] for r in got.select("source_snapshot_id").collect()}
+    assert snaps == {"", m1["snapshot_id"]}
+    if iceberg_available(spark):
+        assert m1["snapshot_id"].isdigit()  # real Iceberg snapshot id
+
+
+def test_resumable_writer_path_backcompat(spark, tmp_path):
+    """Old path-based API still works (dir-as-table)."""
+    from gdal_spark.operators.scale import ResumableWriter
+
+    out = str(tmp_path / "snap")
+    w = ResumableWriter(spark, out, keys=["k"])
+    w.run(spark.range(4).toDF("k"))
+    m = w.run(spark.range(6).toDF("k"))
+    assert m["rows"] == 2
+    assert spark.read.parquet(out).count() == 6
