@@ -436,6 +436,95 @@ def q_tile_render_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_render_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stat-resampler family min/max/sum/rms/med/q1/q3
+    (GWKAverageOrModeThread; discrete quantiles at ceil(q*n - 1),
+    gdalwarpkernel.cpp:7605) at a 2x downsample — all stats from one
+    footprint gather; per (tile, band, stat) checksums."""
+    out = render.render_tiles_stats(_render_subset(spark, sf_dir), AVG_Z)
+    return out.where(F.col("n_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("stat"),
+        F.col("checksum").cast("int"),
+        F.col("n_px").cast("long"),
+    )
+
+
+def _o_tile_render_stats() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0)"
+    )
+    z = AVG_Z
+    res_z = tm.sql_double(tm.resolution(z))
+    res0 = tm.sql_double(georef.RES0)
+    org = tm.sql_double(tm.ORIGIN)
+    nt = 1 << z
+    return f"""
+WITH img AS ({img}),
+cover AS (
+  SELECT m.i, m.w, m.h, m.xmin, m.ymax, tx.tx, ty.ty
+  FROM (
+    SELECT i, w, h, xmin, ymax,
+      {tm.sql_tile_x('xmin', z)} AS min_tx, {tm.sql_tile_x('xmax', z)} AS max_tx,
+      {tm.sql_tile_y('ymax', z)} AS min_ty, {tm.sql_tile_y('ymin', z)} AS max_ty
+    FROM img
+  ) m
+  JOIN range(0, {nt}) AS tx(tx) ON tx.tx BETWEEN m.min_tx AND m.max_tx
+  JOIN range(0, {nt}) AS ty(ty) ON ty.ty BETWEEN m.min_ty AND m.max_ty
+),
+pix AS (
+  SELECT c.i, c.w, c.h, c.tx, c.ty, gx.px, gy.py,
+    cast(ceil(((({org} * -1) + (c.tx * 256 + gx.px) * {res_z}) - c.xmin) / {res0} - 0.5) as bigint) AS sx0,
+    cast(ceil((c.ymax - ({org} - (c.ty * 256 + gy.py) * {res_z})) / {res0} - 0.5) as bigint) AS sy0
+  FROM cover c, range(0, 256) AS gx(px), range(0, 256) AS gy(py)
+),
+taps AS (
+  SELECT i, tx, ty, px, py, sx0 + t.dx AS sx, sy0 + t.dy AS sy
+  FROM pix, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(dx, dy)
+  WHERE sx0 + t.dx >= 0 AND sx0 + t.dx < w AND sy0 + t.dy >= 0 AND sy0 + t.dy < h
+),
+tapsb AS (
+  SELECT i, tx, ty, px, py, b.band,
+    (sx + sy + i + CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END) % 256 AS v
+  FROM taps CROSS JOIN (SELECT band FROM range(0, 3) AS r(band)) b
+),
+per_img AS (
+  SELECT tx, ty, px, py, band, i, count(*) AS n,
+    min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum, sum(v * v) AS vsq,
+    list(v ORDER BY v) AS vs
+  FROM tapsb GROUP BY 1, 2, 3, 4, 5, 6
+),
+win AS (
+  SELECT tx, ty, px, py, band,
+    max_by(struct_pack(n := n, vmin := vmin, vmax := vmax,
+                       vsum := vsum, vsq := vsq, vs := vs), i) AS st
+  FROM per_img GROUP BY 1, 2, 3, 4, 5
+),
+vals AS (
+  SELECT tx, ty, px, py, band, s.stat,
+    CASE s.stat
+      WHEN 'min' THEN cast(st.vmin as bigint)
+      WHEN 'max' THEN cast(st.vmax as bigint)
+      WHEN 'sum' THEN least(cast(st.vsum as bigint), 255)
+      WHEN 'rms' THEN cast(floor(sqrt(cast(st.vsq as double) / st.n) + 0.5) as bigint)
+      WHEN 'med' THEN cast(st.vs[cast(ceil(0.5 * st.n - 1) as int) + 1] as bigint)
+      WHEN 'q1' THEN cast(st.vs[cast(ceil(0.25 * st.n - 1) as int) + 1] as bigint)
+      ELSE cast(st.vs[cast(ceil(0.75 * st.n - 1) as int) + 1] as bigint)
+    END AS v
+  FROM win CROSS JOIN (
+    VALUES ('min'), ('max'), ('sum'), ('rms'), ('med'), ('q1'), ('q3')
+  ) AS s(stat)
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(band as int) AS band, stat,
+  cast(sum(v % ({_PRIMES_SQL})[((py * 256 + px) % 11) + 1]) % 65536 as int) AS checksum,
+  count(*) AS n_px
+FROM vals GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_tile_render_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reprojection warp UTM zone-31 -> WebMercator tiles:
     21-point suggested-output sampling + GenImgProj transformer chain
@@ -1503,6 +1592,90 @@ WHERE {inter} = 0
 """
 
 
+def q_curve_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve geometries: CircularString arcs linearized per
+    getLinearGeometry / curveToLineString (4-degree default step,
+    per-half-arc nSteps = max(4, int(|dA|/step + 0.5)), equal steps;
+    ogrgeometryfactory.cpp:5439). Engine re-derives circle center/
+    radius/angles from the 3 WKB points; oracle computes vertex count
+    and chord-sum length closed-form from the constructed sweeps."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo import curves
+    from gdal_spark.geo.wkb import parse_wkb
+
+    ids = _zone_ids(spark, sf_dir)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("n_points", T2.IntegerType()),
+            T2.StructField("len_e4", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for fid in pdf["fid"]:
+                fid = int(fid)
+                cx, cy = (fid * 7) % 100, (fid * 11) % 100
+                R = 5 + fid % 7
+                a0 = (fid * 13) % 360
+                s1 = 21 + 2 * (fid % 8)
+                s2 = 33 + 2 * ((fid * 3) % 9)
+                angs = (a0, a0 + s1, a0 + s1 + s2)
+                import numpy as np
+
+                pts = np.array(
+                    [
+                        [cx + R * math.cos(math.radians(a)),
+                         cy + R * math.sin(math.radians(a))]
+                        for a in angs
+                    ]
+                )
+                wkb = curves.wkb_circularstring(pts)
+                line = parse_wkb(curves.linearize_wkb(wkb)).parts[0]
+                d = np.diff(line, axis=0)
+                ln = float(np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2).sum())
+                recs.append(
+                    {
+                        "fid": fid,
+                        "n_points": len(line),
+                        "len_e4": int(np.floor(ln * 1e4)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["fid", "n_points", "len_e4"])
+
+    return ids.mapInPandas(run, schema)
+
+
+def _o_curve_linearize() -> str:
+    def n_of(s: str) -> str:
+        return f"greatest(4, cast(floor({s} / 4.0 + 0.5) as int))"
+
+    return f"""
+WITH p AS (
+  SELECT cast(s_suppkey as bigint) AS fid,
+    5 + cast(s_suppkey as bigint) % 7 AS R,
+    21 + 2 * (cast(s_suppkey as bigint) % 8) AS s1,
+    33 + 2 * ((cast(s_suppkey as bigint) * 3) % 9) AS s2
+  FROM supplier
+),
+n AS (
+  SELECT fid, R, s1, s2, {n_of('s1')} AS n1, {n_of('s2')} AS n2 FROM p
+)
+SELECT fid, cast(n1 + n2 + 1 as int) AS n_points,
+  cast(floor((
+      n1 * 2 * R * sin(radians(cast(s1 as double)) / (2 * n1))
+    + n2 * 2 * R * sin(radians(cast(s2 as double)) / (2 * n2))
+  ) * 1e4) as bigint) AS len_e4
+FROM n
+"""
+
+
 CLIP_BBOX = (-60.0, -40.0, 60.0, 40.0)
 
 
@@ -1795,6 +1968,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geom_predicates": q_geom_predicates,
         "st_distance": q_st_distance,
         "contour_lines": q_contour_lines,
+        "tile_render_stats": q_tile_render_stats,
+        "curve_linearize": q_curve_linearize,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3263,6 +3438,8 @@ GROUP BY 1, 2, 3
         "geom_predicates": _o_geom_predicates(),
         "st_distance": _o_st_distance(),
         "contour_lines": _o_contour_lines(),
+        "tile_render_stats": _o_tile_render_stats(),
+        "curve_linearize": _o_curve_linearize(),
         "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),

@@ -154,6 +154,81 @@ def render_tiles(
     )
 
 
+def render_tiles_stats(
+    images: DataFrame,
+    z: int,
+    stats: tuple[str, ...] = rs.FOOTPRINT_STATS,
+    src_res: float | None = None,
+) -> DataFrame:
+    """The GWKAverageOrMode stat-resampler family (min/max/sum/rms/
+    med/q1/q3, gdalwarpkernel.cpp GWKAverageOrModeThread) in ONE
+    footprint-gather pass per tile: all stats share the tap window,
+    composite is last-writer (max image id) per pixel like the other
+    render paths. -> (tile_x, tile_y, band, stat, checksum, n_px)."""
+    res0 = src_res if src_res is not None else georef.RES0
+    res_z = tm.resolution(z)
+    schema = T.StructType(
+        [
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("stat", T.StringType()),
+            T.StructField("checksum", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        bufs = {
+            s: np.zeros((TILE, TILE, BANDS), dtype=np.float64) for s in stats
+        }
+        covered = np.zeros((TILE, TILE), dtype=bool)
+        px = np.arange(TILE, dtype=np.float64)
+        wx0 = -tm.ORIGIN + (tx * TILE + px) * res_z
+        wy_top = tm.ORIGIN - (ty * TILE + px) * res_z
+        for _, row in pdf.sort_values("i").iterrows():
+            i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
+            src = georef.np_image_pixels(i, w, h)
+            x0 = np.broadcast_to(((wx0 - float(row["xmin"])) / res0)[None, :], (TILE, TILE))
+            x1 = x0 + res_z / res0
+            y0 = np.broadcast_to(((float(row["ymax"]) - wy_top) / res0)[:, None], (TILE, TILE))
+            y1 = y0 + res_z / res0
+            mask = None
+            for b in range(BANDS):
+                vals, mask = rs.sample_footprint_stats(
+                    src[:, :, b], x0, x1, y0, y1, stats
+                )
+                for s in stats:
+                    bufs[s][:, :, b][mask] = vals[s][mask]
+            covered |= mask
+        n_px = int(covered.sum())
+        recs = []
+        for s in stats:
+            for b in range(BANDS):
+                plane = bufs[s][:, :, b]
+                if s == "sum":
+                    byte = np.clip(np.floor(plane + 0.5), 0, 255).astype(np.uint8)
+                elif s == "rms":
+                    byte = rs.round_to_byte(plane)
+                else:
+                    byte = np.clip(plane, 0, 255).astype(np.uint8)
+                recs.append(
+                    {
+                        "tile_x": tx, "tile_y": ty, "band": b, "stat": s,
+                        "checksum": gdal_checksum(byte), "n_px": n_px,
+                    }
+                )
+        return pd.DataFrame(recs)
+
+    return (
+        covering_tiles(images, z)
+        .select("tile_x", "tile_y", "i", "w", "h", "xmin", "ymax")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(composite, schema)
+    )
+
+
 UTM_RES = 30.0  # m/px of the synthetic UTM sources (Landsat-ish)
 
 
@@ -282,24 +357,34 @@ def render_tiles_utm(
     )
 
 
-def encode_png_tiles(tiles: DataFrame, z: int, convention: str = "xyz") -> DataFrame:
+def encode_tiles(
+    tiles: DataFrame,
+    z: int,
+    convention: str = "xyz",
+    fmt: str = "png",
+    quality: int = 90,
+) -> DataFrame:
     """Tile sink (apps/gdalalg_raster_tile.cpp:358 GenerateTile):
-    assemble the 3 band planes of each tile and encode a PNG payload;
-    `path` follows the {z}/{x}/{fileY}.png layout with the XYZ/TMS
-    y-convention (:348-352). Input: render_tiles(..., with_data=True)
-    rows."""
+    assemble the 3 band planes of each tile and encode a PNG or JPEG
+    payload (the reference's --output-format choices minus WEBP,
+    whose codec isn't re-derived); `path` follows the
+    {z}/{x}/{fileY}.{ext} layout with the XYZ/TMS y-convention
+    (:348-352). Input: render_tiles(..., with_data=True) rows."""
+    if fmt not in ("png", "jpeg"):
+        raise ValueError(f"unsupported tile format: {fmt}")
+    ext = "png" if fmt == "png" else "jpg"
     out_schema = T.StructType(
         [
             T.StructField("tile_z", T.IntegerType()),
             T.StructField("tile_x", T.IntegerType()),
             T.StructField("tile_y", T.IntegerType()),
             T.StructField("path", T.StringType()),
-            T.StructField("png", T.BinaryType()),
+            T.StructField("payload", T.BinaryType()),
         ]
     )
 
     def encode(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        from gdal_spark.raster.png import encode_png
+        from gdal_spark.raster.codecs import encode_image
 
         tx, ty = int(key[0]), int(key[1])
         arr = np.zeros((TILE, TILE, BANDS), dtype=np.uint8)
@@ -312,13 +397,20 @@ def encode_png_tiles(tiles: DataFrame, z: int, convention: str = "xyz") -> DataF
             [
                 {
                     "tile_z": z, "tile_x": tx, "tile_y": ty,
-                    "path": f"{z}/{tx}/{file_y}.png",
-                    "png": encode_png(arr),
+                    "path": f"{z}/{tx}/{file_y}.{ext}",
+                    "payload": encode_image(arr, fmt, quality=quality),
                 }
             ]
         )
 
     return tiles.groupBy("tile_x", "tile_y").applyInPandas(encode, out_schema)
+
+
+def encode_png_tiles(tiles: DataFrame, z: int, convention: str = "xyz") -> DataFrame:
+    """Back-compat PNG-only sink; `png` column alias of encode_tiles."""
+    return encode_tiles(tiles, z, convention, "png").withColumnRenamed(
+        "payload", "png"
+    )
 
 
 def build_pyramid(

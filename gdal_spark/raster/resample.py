@@ -126,6 +126,70 @@ def sample_cubic(
     return vals, mask
 
 
+FOOTPRINT_STATS = ("min", "max", "sum", "rms", "med", "q1", "q3")
+
+
+def sample_footprint_stats(
+    src: np.ndarray,
+    x0: np.ndarray,
+    x1: np.ndarray,
+    y0: np.ndarray,
+    y1: np.ndarray,
+    stats: tuple[str, ...] = FOOTPRINT_STATS,
+) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """GWKAverageOrMode stat family over the dst pixel's source
+    footprint (centers in [x0,x1) x [y0,y1); same inclusion rule as
+    sample_average): min, max, sum, rms (sqrt of mean square,
+    +0.5 round at byte cast time), and the GDAL discrete quantiles
+    med/q1/q3 — sorted values indexed at ceil(q*n - 1)
+    (gdalwarpkernel.cpp:7605, GWKAOM_Quant). Returns ({stat: array},
+    mask); integer stats stay exact for integer sources."""
+    h, w = src.shape[:2]
+    sx0 = np.ceil(x0 - 0.5).astype(np.int64)
+    sy0 = np.ceil(y0 - 0.5).astype(np.int64)
+    max_tx = int(np.max(np.floor(x1 - 0.5) - sx0 + 1)) if x1.size else 0
+    max_ty = int(np.max(np.floor(y1 - 0.5) - sy0 + 1)) if y1.size else 0
+    taps = []
+    oks = []
+    for dy_ in range(max(0, max_ty)):
+        sy = sy0 + dy_
+        in_y = (sy + 0.5 < y1) & (sy + 0.5 >= y0) & (sy >= 0) & (sy < h)
+        for dx_ in range(max(0, max_tx)):
+            sx = sx0 + dx_
+            ok = in_y & (sx + 0.5 < x1) & (sx + 0.5 >= x0) & (sx >= 0) & (sx < w)
+            pix = src[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)].astype(np.float64)
+            taps.append(np.where(ok, pix, np.nan))
+            oks.append(ok)
+    stack = np.stack(taps, axis=0) if taps else np.zeros((0,) + x0.shape)
+    okst = np.stack(oks, axis=0) if oks else np.zeros((0,) + x0.shape, bool)
+    n = okst.sum(axis=0)
+    mask = n > 0
+    safe_n = np.where(mask, n, 1)
+    out: dict[str, np.ndarray] = {}
+    with np.errstate(invalid="ignore"):
+        if "min" in stats:
+            out["min"] = np.where(mask, np.nanmin(stack, axis=0, initial=np.inf, where=okst), 0.0)
+        if "max" in stats:
+            out["max"] = np.where(mask, np.nanmax(stack, axis=0, initial=-np.inf, where=okst), 0.0)
+        if "sum" in stats:
+            out["sum"] = np.nansum(stack, axis=0)
+        if "rms" in stats:
+            out["rms"] = np.sqrt(np.nansum(stack * stack, axis=0) / safe_n)
+        quants = {"med": 0.5, "q1": 0.25, "q3": 0.75}
+        wanted = [s for s in stats if s in quants]
+        if wanted:
+            # sort taps (NaN sorts last); pick ceil(q*n - 1) per pixel
+            srt = np.sort(np.where(okst, stack, np.inf), axis=0)
+            for s in wanted:
+                q = quants[s]
+                idx = np.ceil(q * n - 1).astype(np.int64)
+                idx = np.clip(idx, 0, max(len(taps) - 1, 0))
+                out[s] = np.where(
+                    mask, np.take_along_axis(srt, idx[None, ...], axis=0)[0], 0.0
+                )
+    return out, mask
+
+
 def cubic_bspline_kernel(x: np.ndarray) -> np.ndarray:
     """Cubic B-spline (alg/gdalresamplingkernels.h CubicSplineKernel):
     (1/6) * ((x+2)+^3 - 4(x+1)+^3 + 6(x)+^3 - 4(x-1)+^3) on |x|<=2,

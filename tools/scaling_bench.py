@@ -158,26 +158,9 @@ def run_once(cpus: int, n_images: int, n_zones: int) -> dict:
     return out
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cpus", type=int, default=None)
-    args = ap.parse_args()
-    n_images = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "262144"))
-    n_zones = int(os.environ.get("SPARK_GRAFT_SCALE_ZONES", "10000"))
-
-    if args.cpus is not None:
-        print(json.dumps(run_once(args.cpus, n_images, n_zones)))
-        return
-
-    pair = tuple(
-        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4").split(",")
-    )
-    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
-    # The sandbox hypervisor throttles burstily (sustained throughput
-    # varies ~3x minute to minute), so trials are INTERLEAVED across
-    # the two levels — both sample the same host-weather windows —
-    # and the best wall per level is kept. A pure-numpy parallel probe
-    # brackets the hardware's achievable speedup for disclosure.
+def run_pair(pair, trials, n_images, n_zones) -> str:
+    """Run one parallelism pair; prints JSON lines and returns the
+    markdown section for BENCH/BASELINE.md."""
     runs: dict[int, list[dict]] = {c: [] for c in pair}
     caps: dict[int, list[float]] = {c: [] for c in pair}
     for _ in range(trials):
@@ -192,18 +175,11 @@ def main() -> None:
             print(json.dumps(r))
     cap_lo, cap_hi = max(caps[pair[0]]), max(caps[pair[1]])
     host_speedup = cap_hi / cap_lo
-    print(json.dumps({
-        "probe_tasks_per_sec": {str(pair[0]): round(cap_lo, 2), str(pair[1]): round(cap_hi, 2)},
-        "host_achievable_speedup": round(host_speedup, 3),
-    }))
     results = {c: min(runs[c], key=lambda r: r["wall_sec"]) for c in pair}
     r8, r32 = results[pair[0]], results[pair[1]]
     ratio = pair[1] / pair[0]
     speedup = r8["wall_sec"] / r32["wall_sec"]
     efficiency = speedup / ratio
-    # engine speedup as a fraction of what the throttled host permits
-    # (capped at 1: exceeding the probe means the VM, not the engine,
-    # is the scaling limit)
     norm_efficiency = min(1.0, speedup / min(max(host_speedup, 1.0), ratio))
     summary = {
         "metric": f"scaling_efficiency_{pair[0]}_to_{pair[1]}",
@@ -216,49 +192,80 @@ def main() -> None:
         "passes_0_8": norm_efficiency >= 0.8,
     }
     print(json.dumps(summary))
+    verdict = "PASS" if norm_efficiency >= 0.8 else "FAIL"
+    return f"""
+## Pair local[{pair[0]}] -> local[{pair[1]}]
 
-    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"), exist_ok=True)
-    md = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md"
-    )
-    with open(md, "w") as f:
-        f.write(
-            f"""# BENCH/BASELINE.md — scaling evidence (north rule)
-
-Same job, same input, two parallelism levels — local[{pair[0]}] vs
-local[{pair[1]}] = the N vs 4N cluster-size stand-in available in
-this sandbox. Pipeline: derive geo -> PIP join vs {n_zones:,}
-polygon zones -> zoom-12 tile assignment -> per-tile counts, over
-{n_images:,} synthetic images (20% relocated to 4 hotspot cells to
-exercise skew handling; AQE skew-split + cell-key join absorb it).
-Best-of-3 timed passes after a warm-up.
-
-**Host ceiling disclosure:** this sandbox VM advertises 32 vCPUs but
-its hypervisor throttles sustained aggregate compute. A pure-numpy
-perfectly-parallel probe (no Spark, no JVM) measured
-{cap_lo:.1f} tasks/s at {pair[0]} thread(s) vs {cap_hi:.1f} at
-{pair[1]} — the HARDWARE itself only permits a
-**{host_speedup:.2f}x** speedup for this pair (ideal {ratio:.0f}x).
-Engine efficiency is therefore reported both against the ideal ratio
-and against that measured ceiling; on unthrottled hardware
-(`SPARK_GRAFT_SCALE_PAIR=8,32`) the first number is the one to read.
+Probe: {cap_lo:.1f} tasks/s at {pair[0]} thread(s) vs {cap_hi:.1f} at
+{pair[1]} — the hardware permits **{host_speedup:.2f}x** for this pair
+(ideal {ratio:.0f}x).
 
 | parallelism | PIP join (s) | tile assign (s) | wall (s) | images/sec |
 |---|---|---|---|---|
-| local[{pair[0]}]  | {r8['pip_sec']} | {r8['tile_sec']} | {r8['wall_sec']} | {r8['images_per_sec']:,} |
-| local[{pair[1]}] | {r32['pip_sec']} | {r32['tile_sec']} | {r32['wall_sec']} | {r32['images_per_sec']:,} |
+| local[{pair[0]}]  | {r8["pip_sec"]} | {r8["tile_sec"]} | {r8["wall_sec"]} | {r8["images_per_sec"]:,} |
+| local[{pair[1]}] | {r32["pip_sec"]} | {r32["tile_sec"]} | {r32["wall_sec"]} | {r32["images_per_sec"]:,} |
 
 - engine speedup {pair[0]}->{pair[1]}: **{speedup:.2f}x** (ideal {ratio:.0f}x; host ceiling {host_speedup:.2f}x)
 - efficiency vs ideal: {efficiency:.3f}
-- efficiency vs measured host ceiling: **{norm_efficiency:.3f}** (target >= 0.8 -> {"PASS" if norm_efficiency >= 0.8 else "FAIL"})
-- join output {r8['pip_pairs']:,} pairs / {r8['tiles']:,} distinct tiles —
+- efficiency vs measured host ceiling: **{norm_efficiency:.3f}** (target >= 0.8 -> {verdict})
+- join output {r8["pip_pairs"]:,} pairs / {r8["tiles"]:,} distinct tiles —
   identical at both parallelism levels (correctness invariant under
   re-partitioning).
-
-Reproduce: `python tools/scaling_bench.py`
-(`SPARK_GRAFT_SCALE_PAIR=8,32` on unthrottled hardware;
-`SPARK_GRAFT_SCALE_IMAGES` to resize the corpus).
 """
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+    n_images = int(os.environ.get("SPARK_GRAFT_SCALE_IMAGES", "262144"))
+    n_zones = int(os.environ.get("SPARK_GRAFT_SCALE_ZONES", "10000"))
+
+    if args.cpus is not None:
+        print(json.dumps(run_once(args.cpus, n_images, n_zones)))
+        return
+
+    pairs_env = os.environ.get("SPARK_GRAFT_SCALE_PAIR", "1,4;8,32")
+    pairs = [
+        tuple(int(x) for x in p.split(",")) for p in pairs_env.split(";") if p
+    ]
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    sections = []
+    for pair in pairs:
+        sections.append(run_pair(pair, trials, n_images, n_zones))
+
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "BASELINE.md"
+    )
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    header = f"""# BENCH/BASELINE.md — scaling evidence (north rule)
+
+Same job, same input, two (or more) parallelism-level pairs — the
+N vs 4N cluster-size stand-ins available in this sandbox. Pipeline:
+derive geo -> PIP join vs {n_zones:,} polygon zones -> zoom-12 tile
+assignment -> per-tile counts, over {n_images:,} synthetic images
+(20% relocated to 4 hotspot cells to exercise skew handling; AQE
+skew-split + cell-key join absorb it). Best-of-{trials} timed passes
+after a warm-up, trials interleaved across levels so both sample the
+same host-weather windows.
+
+**Host ceiling disclosure:** this sandbox VM advertises 32 vCPUs but
+its hypervisor throttles sustained aggregate compute (sustained
+parallel throughput saturates near a handful of cores and varies ~3x
+minute to minute). A pure-numpy perfectly-parallel probe (no Spark,
+no JVM) brackets what speedup the HARDWARE permits for each pair;
+engine efficiency is reported both against the ideal ratio and
+against that measured ceiling. On unthrottled hardware the
+vs-ideal number is the one to read.
+"""
+    with open(md, "w") as f:
+        f.write(header)
+        for sec in sections:
+            f.write(sec)
+        f.write(
+            "\nReproduce: `python tools/scaling_bench.py`\n"
+            "(`SPARK_GRAFT_SCALE_PAIR=\"1,4;8,32\"` pairs; "
+            "`SPARK_GRAFT_SCALE_IMAGES` to resize the corpus).\n"
         )
     print(f"wrote {md}")
 
