@@ -905,6 +905,47 @@ FROM e JOIN v ON e.lvl = v.lvl
 """
 
 
+TIN_GRID = 64
+
+
+def q_grid_tin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIN 'linear' interpolation (GGA_Linear: Delaunay + barycentric,
+    alg/gdalgrid.cpp; triangulation re-derived as Bowyer-Watson in
+    raster/tin.py). Fixture points carry a LINEAR field v = 3x + 5y,
+    which ANY valid triangulation reproduces exactly — so the oracle
+    is the closed-form plane over all pixels (corner points pin the
+    hull to the full grid) without expressing the TIN in SQL."""
+    import numpy as np
+
+    from gdal_spark.operators.gridded import tin_grid
+
+    ids = np.array(
+        [r["i"] for r in _site_ids(spark, sf_dir).collect()], dtype=np.int64
+    )
+    px = ((ids * 29) % 256) / 4.0
+    py = ((ids * 37) % 256) / 4.0
+    pts = np.unique(np.c_[px, py], axis=0)
+    g = float(TIN_GRID)
+    pts = np.unique(
+        np.vstack([pts, [[0, 0], [g, 0], [0, g], [g, g]]]), axis=0
+    )
+    vals = 3.0 * pts[:, 0] + 5.0 * pts[:, 1]
+    out = tin_grid(spark, pts, vals, TIN_GRID, TIN_GRID, (0.0, 0.0, g, g))
+    return out.select(
+        F.col("gx").cast("int"), F.col("gy").cast("int"),
+        F.round(F.col("v") * 4).cast("long").alias("v_q4"),
+    )
+
+
+def _o_grid_tin() -> str:
+    # exact: v*4 = 4*(3*(x+.5) + 5*(y+.5)) = 12x + 20y + 16
+    return f"""
+SELECT cast(gx.x as int) AS gx, cast(gy.y as int) AS gy,
+  cast(12 * gx.x + 20 * gy.y + 16 as bigint) AS v_q4
+FROM range(0, {TIN_GRID}) AS gx(x), range(0, {TIN_GRID}) AS gy(y)
+"""
+
+
 def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygonize component counting (alg/polygonize.cpp, 4-conn
     union-find) on the quantized surface; the diagonal-strip input
@@ -1970,6 +2011,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_lines": q_contour_lines,
         "tile_render_stats": q_tile_render_stats,
         "curve_linearize": q_curve_linearize,
+        "grid_tin": q_grid_tin,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3440,6 +3482,7 @@ GROUP BY 1, 2, 3
         "contour_lines": _o_contour_lines(),
         "tile_render_stats": _o_tile_render_stats(),
         "curve_linearize": _o_curve_linearize(),
+        "grid_tin": _o_grid_tin(),
         "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),

@@ -38,7 +38,15 @@ def _rings(g: Geometry) -> list[np.ndarray]:
 
 @F.pandas_udf(T.DoubleType())
 def st_area(wkb: pd.Series) -> pd.Series:
-    return wkb.map(lambda b: polygon_area(_rings(parse_wkb(bytes(b)))))
+    def f(b):
+        if b is None:
+            return 0.0
+        # per-polygon ring groups: outer minus holes, summed across
+        # multipolygon parts (a flat ring list would misread a second
+        # outer as a hole)
+        return sum(polygon_area(poly) for poly in parse_wkb(bytes(b)).all_rings())
+
+    return wkb.map(f)
 
 
 @F.pandas_udf(T.DoubleType())
@@ -234,8 +242,49 @@ def st_distance(wa: pd.Series, wb: pd.Series) -> pd.Series:
     return pd.Series([one(a, b) for a, b in zip(wa, wb)])
 
 
+def _pairwise_overlay(op: str):
+    """ST_Intersection / ST_Union / ST_Difference / ST_SymDifference
+    over areal WKB pairs via the general boolean kernel
+    (ogrgeometry.cpp:4893,5012,5331,5451 semantics; general-position
+    operand contract per geo/boolean.py). Returns NULL for an empty
+    result (the reference returns an EMPTY geometry; NULL keeps the
+    SQL surface simple and is documented)."""
+    from gdal_spark.geo.boolean import boolean_op, rings_to_polygons
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    @F.pandas_udf(T.BinaryType())
+    def fn(wa: pd.Series, wb: pd.Series) -> pd.Series:
+        def one(ba, bb):
+            ra = _rings(parse_wkb(bytes(ba)))
+            rb = _rings(parse_wkb(bytes(bb)))
+            if op == "symdiff":
+                # group each one-sided difference separately: the two
+                # results share boundary edges, so a combined even-odd
+                # nesting pass would misclassify them as holes
+                polys = rings_to_polygons(
+                    boolean_op(ra, rb, "diff")
+                ) + rings_to_polygons(boolean_op(rb, ra, "diff"))
+            else:
+                polys = rings_to_polygons(boolean_op(ra, rb, op))
+            return wkb_multipolygon(polys) if polys else None
+
+        return pd.Series([one(a, b) for a, b in zip(wa, wb)])
+
+    return fn
+
+
+st_intersection = _pairwise_overlay("inter")
+st_union = _pairwise_overlay("union")
+st_difference = _pairwise_overlay("diff")
+st_symdifference = _pairwise_overlay("symdiff")
+
+
 _REGISTRY = {
     "ST_Area": st_area,
+    "ST_Intersection": st_intersection,
+    "ST_Union": st_union,
+    "ST_Difference": st_difference,
+    "ST_SymDifference": st_symdifference,
     "ST_Intersects": st_intersects,
     "ST_Disjoint": st_disjoint,
     "ST_Within": st_within,

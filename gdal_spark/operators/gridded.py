@@ -591,3 +591,52 @@ def contour_lines_global(
             F.col("total_len_e4").cast("long"),
         )
     )
+
+
+def tin_grid(
+    spark: SparkSession,
+    points: np.ndarray,
+    values: np.ndarray,
+    grid_w: int,
+    grid_h: int,
+    bounds: tuple[float, float, float, float],
+    rows_per_task: int = 16,
+) -> DataFrame:
+    """TIN 'linear' gridding (GGA_Linear, alg/gdalgrid.cpp): Delaunay
+    + barycentric over pixel centers; -> (gx, gy, v) for in-hull
+    pixels. The point set is the metadata-sized side (it ships to
+    every task in the closure — the broadcast-dim pattern); the GRID
+    is the big side, partitioned into row bands so each task
+    triangulates once and rasterizes its band. At 10^12 pixels the
+    same shape holds with per-tile point neighborhoods + halo."""
+    from gdal_spark.raster.tin import tin_interpolate_grid
+
+    pts_b = np.ascontiguousarray(points, dtype=np.float64)
+    val_b = np.ascontiguousarray(values, dtype=np.float64)
+    bands = [
+        (r, min(r + rows_per_task, grid_h)) for r in range(0, grid_h, rows_per_task)
+    ]
+    bands_df = spark.createDataFrame(bands, "r0 int, r1 int")
+    schema = T.StructType(
+        [
+            T.StructField("gx", T.IntegerType()),
+            T.StructField("gy", T.IntegerType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for r0, r1 in zip(pdf["r0"], pdf["r1"]):
+                vals, mask = tin_interpolate_grid(
+                    pts_b, val_b, grid_w, grid_h, bounds, (int(r0), int(r1))
+                )
+                ys, xs = np.nonzero(mask)
+                for y, x in zip(ys, xs):
+                    recs.append(
+                        {"gx": int(x), "gy": int(y + r0), "v": float(vals[y, x])}
+                    )
+            yield pd.DataFrame(recs, columns=["gx", "gy", "v"])
+
+    return bands_df.mapInPandas(run, schema)

@@ -121,3 +121,35 @@ def test_geodesic_area_shrinks_at_high_latitude():
         np.array([[0, 70], [1, 70], [1, 71], [0, 71], [0, 70]], dtype=float)
     )
     assert hi < 0.45 * lo
+
+
+def test_st_overlay_functions_in_sql(spark):
+    import numpy as np
+
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import wkb_polygon
+
+    register_st_functions(spark)
+
+    def rect(x0, y0, x1, y1):
+        return wkb_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+        )
+
+    df = spark.createDataFrame(
+        [(rect(0, 0, 4, 4), rect(2.5, 2.5, 6.5, 6.5))], ["ga", "gb"]
+    )
+    df.createOrReplaceTempView("gpair")
+    row = spark.sql(
+        """SELECT ST_Area(ST_Intersection(ga, gb)) AS i,
+                  ST_Area(ST_Union(ga, gb)) AS u,
+                  ST_Area(ST_Difference(ga, gb)) AS d,
+                  ST_Area(ST_SymDifference(ga, gb)) AS s,
+                  ST_Distance(ga, gb) AS dist,
+                  ST_Intersects(ga, gb) AS x,
+                  ST_Touches(ga, gb) AS t
+           FROM gpair"""
+    ).collect()[0]
+    assert row["i"] == 2.25 and row["u"] == 29.75
+    assert row["d"] == 13.75 and row["s"] == 27.5
+    assert row["dist"] == 0.0 and row["x"] and not row["t"]
