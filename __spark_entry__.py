@@ -1717,6 +1717,63 @@ FROM n
 """
 
 
+def q_gcp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCP polynomial transformer (alg/gdal_crs.cpp): least-squares
+    order-2 pixel->world fit from 12 control points, applied to the
+    site query set. GCPs lie exactly on an integer-coefficient
+    quadratic, so the fit must recover it and transformed outputs
+    round to the closed-form SQL polynomial exactly."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.gcp import apply_gcp_polynomial, fit_gcp_polynomial
+
+    k = np.arange(12)
+    gpx = (k * 17) % 97
+    gpy = (k * 29) % 89
+    gX = 500 + 3 * gpx + 2 * gpy + gpx * gpx - gpy * gpy + gpx * gpy
+    gY = 900 - 2 * gpx + 4 * gpy + 2 * gpx * gpx + gpy * gpy - gpx * gpy
+    cx, cy = fit_gcp_polynomial(gpx, gpy, gX, gY, order=2)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("wx", T2.LongType()),
+            T2.StructField("wy", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ii = pdf["i"].to_numpy(dtype=np.int64)
+            qx = (ii % 101).astype(np.float64)
+            qy = ((ii * 3) % 103).astype(np.float64)
+            wx, wy = apply_gcp_polynomial(cx, cy, qx, qy)
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "wx": np.round(wx).astype(np.int64),
+                    "wy": np.round(wy).astype(np.int64),
+                }
+            )
+
+    return _site_ids(spark, sf_dir).mapInPandas(run, schema)
+
+
+def _o_gcp_transform() -> str:
+    return """
+SELECT cast(c_custkey as bigint) AS i,
+  cast(500 + 3 * qx + 2 * qy + qx * qx - qy * qy + qx * qy as bigint) AS wx,
+  cast(900 - 2 * qx + 4 * qy + 2 * qx * qx + qy * qy - qx * qy as bigint) AS wy
+FROM (
+  SELECT c_custkey,
+    cast(c_custkey as bigint) % 101 AS qx,
+    (cast(c_custkey as bigint) * 3) % 103 AS qy
+  FROM customer
+)
+"""
+
+
 CLIP_BBOX = (-60.0, -40.0, 60.0, 40.0)
 
 
@@ -2012,6 +2069,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_stats": q_tile_render_stats,
         "curve_linearize": q_curve_linearize,
         "grid_tin": q_grid_tin,
+        "gcp_transform": q_gcp_transform,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3483,6 +3541,7 @@ GROUP BY 1, 2, 3
         "tile_render_stats": _o_tile_render_stats(),
         "curve_linearize": _o_curve_linearize(),
         "grid_tin": _o_grid_tin(),
+        "gcp_transform": _o_gcp_transform(),
         "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),

@@ -20,8 +20,11 @@ inlined), so every operator is value-verified, not just row-counted.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gdal_spark.text import hashing as H
 
@@ -71,9 +74,14 @@ def lsh_band_buckets(sig: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
     """Near-dup pairs: LSH candidates (shared band bucket) verified by
-    exact token-set Jaccard >= 0.5 (integer test 2*|A∩B| >= |A∪B|).
+    Jaccard >= 0.5 (integer test 2*|A∩B| >= |A∪B|) over the
+    FIXED-WIDTH token-hash sets (array_distinct of the per-token
+    int64 hashes) rather than the raw token strings — at corpus scale
+    the verify join then ships 8-byte values instead of variable-
+    width text (hash collisions merge tokens identically in both
+    engines, so the oracle stays value-exact).
     Returns (doc_a, doc_b, j_milli)."""
-    sig = minhash_signature(df)
+    sig = minhash_signature(df).withColumn("hset", F.array_distinct("dhs"))
     buckets = lsh_band_buckets(sig)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -89,12 +97,12 @@ def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    toks = sig.select("doc_id", "dtoks")
+    toks = sig.select("doc_id", "hset")
     pairs = (
-        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("dtoks", "ta"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("dtoks", "tb"), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("long"))
-        .withColumn("uni", (F.size("ta") + F.size("tb")).cast("long") - F.col("inter"))
+        cand.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hset", "ha"), "doc_a")
+        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hset", "hb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")).cast("long"))
+        .withColumn("uni", (F.size("ha") + F.size("hb")).cast("long") - F.col("inter"))
         .where(F.lit(2) * F.col("inter") >= F.col("uni"))
     )
     return pairs.select(
@@ -117,30 +125,37 @@ def simhash(df: DataFrame) -> DataFrame:
     )
 
 
-def _sim64_band_expr(k0: int) -> str:
-    """Spark SQL for one 16-bit simhash band: bits k0..k0+15; bit k's
-    stream rehashes each token hash with permutation k and takes its
-    parity, so all 64 streams are decorrelated."""
-    terms = []
-    for j in range(H.SIMHASH64_BAND_BITS):
-        a, b = H.perm_constants(H.SIMHASH64_BITS)[k0 + j]
-        s = (
-            f"aggregate(hs, cast(0 as bigint), "
-            f"(acc, x) -> acc + (2 * ((({a} * x + {b}) % {H.MOD}) % 2) - 1))"
-        )
-        terms.append(f"IF({s} >= 0, {1 << j}, 0)")
-    return " + ".join(terms)
-
-
 def simhash64(df: DataFrame) -> DataFrame:
     """64-bit SimHash as 4 x 16-bit band columns (sh0..sh3) — the
     scale variant: 16-bit signatures collapse at corpus scale (each
     band bucket holds ~N/2^16 docs and the within-bucket join goes
     quadratic); 64 bits with 16-bit bands keeps buckets sparse and
-    the 4-band equi-join pigeonhole-exact for hamming <= 3."""
-    out = with_hashes(df)
+    the 4-band equi-join pigeonhole-exact for hamming <= 3.
+
+    Token hashes stay Column math (shared with minhash); the 64 bit
+    streams (parity of permutation k of each token hash, summed as
+    +-1 votes) run as ONE Arrow-batched numpy pass — the Catalyst
+    `aggregate()` form costs 64 array traversals per row and was the
+    bench's hottest regression."""
+    a_c, b_c = zip(*H.perm_constants(H.SIMHASH64_BITS))
+    a_arr = np.asarray(a_c, dtype=np.int64)[None, :]
+    b_arr = np.asarray(b_c, dtype=np.int64)[None, :]
+    weights = (1 << np.arange(H.SIMHASH64_BAND_BITS, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def bands(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64)[:, None]
+            votes = 2 * (((a_arr * h + b_arr) % H.MOD) % 2) - 1  # (T, 64)
+            bits = votes.sum(axis=0) >= 0
+            bb = bits.reshape(H.SIMHASH64_BANDS, H.SIMHASH64_BAND_BITS)
+            out.append((bb * weights).sum(axis=1).astype(np.int32).tolist())
+        return pd.Series(out)
+
+    out = with_hashes(df).withColumn("_sh", bands(F.col("hs")))
     cols = [
-        F.expr(_sim64_band_expr(16 * b)).cast("int").alias(f"sh{b}")
+        F.element_at("_sh", b + 1).alias(f"sh{b}")
         for b in range(H.SIMHASH64_BANDS)
     ]
     return out.select("doc_id", *cols)
@@ -252,6 +267,7 @@ def sql_minhash_lsh_pairs(src: str = "documents") -> str:
     )
     return f"""
 WITH {_duck_sig_cte(src)},
+hsets AS (SELECT doc_id, list_distinct(dhs) AS hset FROM hh),
 buckets AS ({band_rows}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -260,12 +276,12 @@ cand AS (
 ),
 j AS (
   SELECT c.doc_a, c.doc_b,
-    cast(len(list_intersect(sa.dtoks, sb.dtoks)) as bigint) AS inter,
-    cast(len(sa.dtoks) + len(sb.dtoks) as bigint)
-      - cast(len(list_intersect(sa.dtoks, sb.dtoks)) as bigint) AS uni
+    cast(len(list_intersect(sa.hset, sb.hset)) as bigint) AS inter,
+    cast(len(sa.hset) + len(sb.hset) as bigint)
+      - cast(len(list_intersect(sa.hset, sb.hset)) as bigint) AS uni
   FROM cand c
-  JOIN sig sa ON sa.doc_id = c.doc_a
-  JOIN sig sb ON sb.doc_id = c.doc_b
+  JOIN hsets sa ON sa.doc_id = c.doc_a
+  JOIN hsets sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        cast(floor(1000.0 * inter / uni) as bigint) AS j_milli
