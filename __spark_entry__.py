@@ -283,6 +283,110 @@ def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_render_sortfield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GTI mosaic SORT_FIELD option (gdaltileindexdataset.cpp:87-110):
+    composite order flipped to DESCENDING image id, so the lowest id
+    paints last and wins every overlap; oracle flips max_by->min_by."""
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir), TILE_Z, ascending=False
+    )
+    return out.where(F.col("n_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("n_px").cast("long"),
+    )
+
+
+def q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG BYTE LAYOUT (cogdriver.cpp:639-1261 file structure): per
+    image, build full-res + 2x-average overview, serialize as a
+    cloud-optimized TIFF (all IFDs + tile indexes before any pixel
+    data, overview payloads first), then DECODE THE BYTES back —
+    decode_cog asserts the COG layout property — and checksum band 0
+    of each decoded level against closed-form pixel formulas."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.checksum import gdal_checksum
+    from gdal_spark.raster.cog import decode_cog, encode_cog
+    from gdal_spark.raster.resample import average_2x2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % RENDER_MOD == 0)
+    images = build_images(spark, ids_df=ids, with_payload=False)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("level", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for i, w, h in zip(pdf["i"], pdf["w"], pdf["h"]):
+                i, w, h = int(i), int(w), int(h)
+                base = georef.np_image_pixels(i, w, h)
+                ev_h, ev_w = (h // 2) * 2, (w // 2) * 2
+                ov = np.stack(
+                    [
+                        average_2x2(base[:ev_h, :ev_w, c])
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                )
+                levels = decode_cog(encode_cog([base, ov]))
+                for lvl, arr in enumerate(levels):
+                    recs.append(
+                        {
+                            "i": i, "level": lvl,
+                            "checksum": gdal_checksum(arr[:, :, 0]),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=["i", "level", "checksum"])
+
+    return images.select("i", "w", "h").mapInPandas(run, schema)
+
+
+def _o_cog_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0)"
+    )
+    return f"""
+WITH img AS ({img}),
+lvl0 AS (
+  SELECT i.i, 0 AS level,
+    cast(sum(((gx.x + gy.y + i.i) % 256)
+      % ({_PRIMES_SQL})[((gy.y * i.w + gx.x) % 11) + 1]) % 65536 as int) AS checksum
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  GROUP BY i.i
+),
+lvl1 AS (
+  SELECT i.i, 1 AS level,
+    cast(sum(
+      (cast(floor((
+          (2 * gx.x     + 2 * gy.y     + i.i) % 256
+        + (2 * gx.x + 1 + 2 * gy.y     + i.i) % 256
+        + (2 * gx.x     + 2 * gy.y + 1 + i.i) % 256
+        + (2 * gx.x + 1 + 2 * gy.y + 1 + i.i) % 256
+      ) / 4.0 + 0.5) as bigint))
+      % ({_PRIMES_SQL})[((gy.y * (i.w // 2) + gx.x) % 11) + 1]) % 65536 as int) AS checksum
+  FROM img i
+  JOIN range(0, 256) AS gx(x) ON gx.x < i.w // 2
+  JOIN range(0, 256) AS gy(y) ON gy.y < i.h // 2
+  GROUP BY i.i
+)
+SELECT i, cast(level as int) AS level, checksum FROM lvl0
+UNION ALL
+SELECT i, cast(level as int) AS level, checksum FROM lvl1
+"""
+
+
 def q_tile_render_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END decode -> warp -> composite: the tile pipeline fed
     by REAL payload bytes through raster/codecs.decode_image (fmt
@@ -2070,6 +2174,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_linearize": q_curve_linearize,
         "grid_tin": q_grid_tin,
         "gcp_transform": q_gcp_transform,
+        "tile_render_sortfield": q_tile_render_sortfield,
+        "cog_roundtrip": q_cog_roundtrip,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -2340,10 +2446,11 @@ FROM vals GROUP BY 1, 2
 _PRIMES_SQL = "[7,11,13,17,19,23,29,31,37,41,43]"
 
 
-def _render_win_ctes(extra_filter: str = "") -> str:
+def _render_win_ctes(extra_filter: str = "", winner: str = "max_by") -> str:
     """Shared CTEs: image subset -> covering zoom-12 tiles -> per-dst-
     pixel source index (nearest) -> last-writer composite `win`
-    (one row per covered dst pixel with base = ix + iy + max_i)."""
+    (one row per covered dst pixel with base = ix + iy + winner_i;
+    winner max_by = ascending sort order, min_by = descending)."""
     img = georef.sql_images_cte(
         "o_orderkey",
         f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0"
@@ -2374,7 +2481,7 @@ pix AS (
   FROM cover c, range(0, 256) AS gx(px), range(0, 256) AS gy(py)
 ),
 win AS (
-  SELECT tx, ty, px, py, max_by(ix + iy + i, i) AS base
+  SELECT tx, ty, px, py, {winner}(ix + iy + i, i) AS base
   FROM pix
   WHERE ix >= 0 AND ix < w AND iy >= 0 AND iy < h
   GROUP BY tx, ty, px, py
@@ -3542,6 +3649,15 @@ GROUP BY 1, 2, 3
         "curve_linearize": _o_curve_linearize(),
         "grid_tin": _o_grid_tin(),
         "gcp_transform": _o_gcp_transform(),
+        "cog_roundtrip": _o_cog_roundtrip(),
+        "tile_render_sortfield": f"""{_render_win_ctes(winner="min_by")}
+SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
+       cast(b.band as int) AS band,
+       cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum,
+       count(*) AS n_px
+FROM win w CROSS JOIN bands b
+GROUP BY 1, 2, 3
+""",
         "footprint_join": _o_footprint_join(),
         "vector_clip": _o_vector_clip(),
         "caption_check": _o_caption_check(),

@@ -57,8 +57,15 @@ def render_tiles(
     with_data: bool = False,
     src_res: float | None = None,
     decode_payload: bool = False,
+    sort_field: str = "i",
+    ascending: bool = True,
 ) -> DataFrame:
     """Warp-composite images into 256x256x3 tile rasters at zoom z.
+
+    sort_field/ascending control composite order (last writer wins),
+    the GTI mosaic SORT_FIELD / SORT_FIELD_ASC option
+    (frmts/gti/gdaltileindexdataset.cpp:87-110): sources paint in
+    ascending sort order, so the LAST one in that order shows on top.
 
     `images` needs columns (i, xmin, ymax, w, h). Source pixels:
 
@@ -93,7 +100,7 @@ def render_tiles(
         tx, ty = int(key[0]), int(key[1])
         buf = np.zeros((TILE, TILE, BANDS), dtype=np.uint8)
         covered = np.zeros((TILE, TILE), dtype=bool)
-        for _, row in pdf.sort_values("i").iterrows():
+        for _, row in pdf.sort_values(sort_field, ascending=ascending).iterrows():
             i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
             if decode_payload:
                 from gdal_spark.raster.codecs import decode_image
@@ -146,6 +153,8 @@ def render_tiles(
     cols = ["tile_x", "tile_y", "i", "w", "h", "xmin", "ymax"]
     if decode_payload:
         cols += ["bytes", "fmt"]
+    if sort_field not in cols:
+        cols.append(sort_field)
     return (
         covering_tiles(images, z)
         .select(*cols)

@@ -1,0 +1,188 @@
+"""Cloud-Optimized GeoTIFF byte layout (pure numpy/struct).
+
+Re-derives the COG writer's FILE STRUCTURE (frmts/gtiff/cogdriver.cpp
+:639-1261): one little-endian TIFF whose IFDs (full resolution first,
+then each overview level flagged NewSubfileType=ReducedImage) are all
+written BEFORE any pixel data — the cloud-optimized property: a
+reader learns the complete layout from one header-range request —
+followed by the tile payloads, full-res tiles last (overviews first
+mirrors the reference's leader layout so small zoomed-out reads stay
+in the file head). Pixels are stored as 256x256 uncompressed
+interleaved RGB tiles (TileWidth/TileLength/TileOffsets/
+TileByteCounts), edge tiles padded to full size per the TIFF6 spec.
+
+decode_cog reads the structure back (all IFDs), which is how the
+oracle closes the loop: encode -> decode -> per-level checksums must
+match the closed-form pixel formulas.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+TILE = 256
+
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BPS = 258
+_T_COMPRESSION = 259
+_T_PHOTO = 262
+_T_SPP = 277
+_T_PLANAR = 284
+_T_NEWSUBFILE = 254
+_T_TILE_W = 322
+_T_TILE_H = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
+
+_SHORT = 3
+_LONG = 4
+
+
+def _tiles_of(arr: np.ndarray) -> list[bytes]:
+    h, w, _ = arr.shape
+    out = []
+    for ty in range(0, h, TILE):
+        for tx in range(0, w, TILE):
+            tile = np.zeros((TILE, TILE, 3), dtype=np.uint8)
+            sub = arr[ty : ty + TILE, tx : tx + TILE]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            out.append(tile.tobytes())
+    return out
+
+
+def encode_cog(levels: list[np.ndarray]) -> bytes:
+    """levels[0] = full resolution (H, W, 3) uint8; levels[1:] =
+    overviews, coarsest last. -> COG-layout TIFF bytes."""
+    ifds: list[dict] = []
+    all_tiles: list[list[bytes]] = []
+    for lvl, arr in enumerate(levels):
+        assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
+        all_tiles.append(_tiles_of(arr))
+        ifds.append({"h": arr.shape[0], "w": arr.shape[1], "lvl": lvl})
+
+    def ifd_entries(meta, n_tiles):
+        e = [
+            (_T_NEWSUBFILE, _LONG, 1, 0 if meta["lvl"] == 0 else 1),
+            (_T_WIDTH, _LONG, 1, meta["w"]),
+            (_T_HEIGHT, _LONG, 1, meta["h"]),
+            (_T_BPS, _SHORT, 3, None),       # external when count > 2
+            (_T_COMPRESSION, _SHORT, 1, 1),
+            (_T_PHOTO, _SHORT, 1, 2),        # RGB
+            (_T_SPP, _SHORT, 1, 3),
+            (_T_PLANAR, _SHORT, 1, 1),
+            (_T_TILE_W, _LONG, 1, TILE),
+            (_T_TILE_H, _LONG, 1, TILE),
+            (_T_TILE_OFFSETS, _LONG, n_tiles, None),
+            (_T_TILE_COUNTS, _LONG, n_tiles, None),
+        ]
+        return e
+
+    # --- layout pass: header, IFDs + their external arrays, then data
+    pos = 8  # after TIFF header
+    ifd_pos = []
+    ext_pos = []
+    for meta, tiles in zip(ifds, all_tiles):
+        entries = ifd_entries(meta, len(tiles))
+        ifd_pos.append(pos)
+        pos += 2 + 12 * len(entries) + 4
+        # external blocks: bps (3 shorts -> 6 bytes), offsets, counts
+        ext = {"bps": pos}
+        pos += 8  # 6 rounded to even 8 for alignment
+        ext["offsets"] = pos
+        pos += 4 * len(tiles)
+        ext["counts"] = pos
+        pos += 4 * len(tiles)
+        ext_pos.append(ext)
+    data_start = pos
+    # overview tiles first (small reads near the head), full-res last
+    tile_offsets: list[list[int]] = [None] * len(ifds)
+    for li in list(range(1, len(ifds))) + [0]:
+        offs = []
+        for t in all_tiles[li]:
+            offs.append(pos)
+            pos += len(t)
+        tile_offsets[li] = offs
+
+    # --- emit
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_pos[0])
+    for idx, (meta, tiles) in enumerate(zip(ifds, all_tiles)):
+        entries = ifd_entries(meta, len(tiles))
+        out += struct.pack("<H", len(entries))
+        for tag, typ, count, value in entries:
+            if tag == _T_BPS:
+                out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["bps"])
+            elif tag == _T_TILE_OFFSETS:
+                if count == 1:
+                    out += struct.pack("<HHII", tag, typ, 1, tile_offsets[idx][0])
+                else:
+                    out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["offsets"])
+            elif tag == _T_TILE_COUNTS:
+                if count == 1:
+                    out += struct.pack("<HHII", tag, typ, 1, len(tiles[0]))
+                else:
+                    out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["counts"])
+            else:
+                out += struct.pack("<HHII", tag, typ, count, value)
+        nxt = ifd_pos[idx + 1] if idx + 1 < len(ifds) else 0
+        out += struct.pack("<I", nxt)
+        # external arrays
+        assert len(out) == ext_pos[idx]["bps"]
+        out += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+        assert len(out) == ext_pos[idx]["offsets"]
+        out += struct.pack(f"<{len(tiles)}I", *tile_offsets[idx])
+        assert len(out) == ext_pos[idx]["counts"]
+        out += struct.pack(f"<{len(tiles)}I", *[len(t) for t in tiles])
+    assert len(out) == data_start
+    out += bytes(pos - data_start)  # reserve, then place tiles
+    for li, offs in enumerate(tile_offsets):
+        for off, t in zip(offs, all_tiles[li]):
+            out[off : off + len(t)] = t
+    return bytes(out)
+
+
+def decode_cog(buf: bytes) -> list[np.ndarray]:
+    """-> [level arrays] in IFD order; validates the COG layout
+    (every IFD + external array sits before every tile payload)."""
+    bo, magic, ifd_off = struct.unpack_from("<2sHI", buf, 0)
+    assert bo == b"II" and magic == 42
+    levels = []
+    max_meta_end = 0
+    min_data = len(buf)
+    while ifd_off:
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        tags = {}
+        for k in range(n):
+            tag, typ, count, value = struct.unpack_from(
+                "<HHII", buf, ifd_off + 2 + 12 * k
+            )
+            tags[tag] = (typ, count, value)
+        (ifd_off_next,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
+        h = tags[_T_HEIGHT][2]
+        w = tags[_T_WIDTH][2]
+        n_tiles = tags[_T_TILE_OFFSETS][1]
+        if n_tiles == 1:
+            offsets = [tags[_T_TILE_OFFSETS][2]]
+        else:
+            offsets = list(
+                struct.unpack_from(f"<{n_tiles}I", buf, tags[_T_TILE_OFFSETS][2])
+            )
+            max_meta_end = max(max_meta_end, tags[_T_TILE_OFFSETS][2] + 4 * n_tiles)
+        max_meta_end = max(max_meta_end, ifd_off + 2 + 12 * n + 4)
+        min_data = min(min_data, min(offsets))
+        arr = np.zeros((((h + TILE - 1) // TILE) * TILE,
+                        ((w + TILE - 1) // TILE) * TILE, 3), dtype=np.uint8)
+        tpr = (w + TILE - 1) // TILE
+        for ti, off in enumerate(offsets):
+            ty, tx = divmod(ti, tpr)
+            tile = np.frombuffer(buf, np.uint8, TILE * TILE * 3, off).reshape(
+                TILE, TILE, 3
+            )
+            arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE] = tile
+        levels.append(arr[:h, :w])
+        ifd_off = ifd_off_next
+    assert max_meta_end <= min_data, "not cloud-optimized: data before metadata"
+    return levels
