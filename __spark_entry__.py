@@ -1737,6 +1737,72 @@ WHERE {inter} = 0
 """
 
 
+def q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MakeValid (ogrgeometry.cpp:3922): self-intersecting bowtie
+    quads repaired by noding + planar face traversal + odd-winding
+    face selection; each bowtie must split into exactly its two
+    triangles, with total area (quarter units, exact dyadic) matching
+    the closed-form w*h/2."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.geom import ring_area
+    from gdal_spark.geo.makevalid import make_valid_rings
+    from gdal_spark.geo.wkb import parse_wkb, wkb_multipolygon
+
+    ids = _zone_ids(spark, sf_dir)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("n_polys", T2.IntegerType()),
+            T2.StructField("area_q4", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for fid in pdf["fid"]:
+                fid = int(fid)
+                x0, y0 = (fid * 3) % 50, (fid * 5) % 50
+                w = 4 + (fid * 7) % 5
+                h = 3 + (fid * 11) % 5
+                bow = np.array(
+                    [
+                        [x0, y0], [x0 + w, y0 + h], [x0 + w, y0],
+                        [x0, y0 + h], [x0, y0],
+                    ],
+                    dtype=np.float64,
+                )
+                polys = make_valid_rings([bow])
+                # round-trip through WKB (proves the emitted geometry)
+                polys = parse_wkb(wkb_multipolygon(polys)).all_rings()
+                area = 0.0
+                for p in polys:
+                    area += abs(ring_area(p[0]))
+                    for hole in p[1:]:
+                        area -= abs(ring_area(hole))
+                recs.append(
+                    {
+                        "fid": fid, "n_polys": len(polys),
+                        "area_q4": int(np.rint(area * 4)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["fid", "n_polys", "area_q4"])
+
+    return ids.mapInPandas(run, schema)
+
+
+def _o_make_valid() -> str:
+    return """
+SELECT cast(s_suppkey as bigint) AS fid, cast(2 as int) AS n_polys,
+  cast(2 * (4 + (cast(s_suppkey as bigint) * 7) % 5)
+         * (3 + (cast(s_suppkey as bigint) * 11) % 5) as bigint) AS area_q4
+FROM supplier
+"""
+
+
 def q_curve_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curve geometries: CircularString arcs linearized per
     getLinearGeometry / curveToLineString (4-degree default step,
@@ -2176,6 +2242,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gcp_transform": q_gcp_transform,
         "tile_render_sortfield": q_tile_render_sortfield,
         "cog_roundtrip": q_cog_roundtrip,
+        "make_valid": q_make_valid,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -2756,6 +2823,12 @@ vals AS (
   UNION ALL SELECT image_id, 'diff', b0 - b1, pidx FROM px
   UNION ALL SELECT image_id, 'mul', b0 * b1, pidx FROM px
   UNION ALL SELECT image_id, 'reclassify', CASE WHEN b0 < 128 THEN 0 ELSE 255 END, pidx FROM px
+  UNION ALL SELECT image_id, 'intensity', (b0 + b1 + b2) // 3, pidx FROM px
+  UNION ALL SELECT image_id, 'norm_diff',
+    cast(floor(cast(1000 * (b0 - b1) as double) / greatest(b0 + b1, 1)) as bigint), pidx FROM px
+  UNION ALL SELECT image_id, 'sqrt', cast(floor(sqrt(cast(b0 * b1 as double))) as bigint), pidx FROM px
+  UNION ALL SELECT image_id, 'inv', (255 * 255) // (b0 + 1), pidx FROM px
+  UNION ALL SELECT image_id, 'pow', b0 * b0, pidx FROM px
 )
 SELECT image_id, op,
   cast((((sum(v % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536) as int) AS checksum,
@@ -3650,6 +3723,7 @@ GROUP BY 1, 2, 3
         "grid_tin": _o_grid_tin(),
         "gcp_transform": _o_gcp_transform(),
         "cog_roundtrip": _o_cog_roundtrip(),
+        "make_valid": _o_make_valid(),
         "tile_render_sortfield": f"""{_render_win_ctes(winner="min_by")}
 SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
        cast(b.band as int) AS band,

@@ -273,6 +273,21 @@ def _pairwise_overlay(op: str):
     return fn
 
 
+@F.pandas_udf(T.BinaryType())
+def st_makevalid(wkb: pd.Series) -> pd.Series:
+    """Repair self-intersecting areal geometry (ogrgeometry.cpp:3922
+    MakeValid): noding + planar face traversal + odd-winding face
+    selection (geo/makevalid.py)."""
+    from gdal_spark.geo.makevalid import make_valid_rings
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    def one(b):
+        polys = make_valid_rings(_rings(parse_wkb(bytes(b))))
+        return wkb_multipolygon(polys) if polys else None
+
+    return wkb.map(one)
+
+
 st_intersection = _pairwise_overlay("inter")
 st_union = _pairwise_overlay("union")
 st_difference = _pairwise_overlay("diff")
@@ -281,6 +296,7 @@ st_symdifference = _pairwise_overlay("symdiff")
 
 _REGISTRY = {
     "ST_Area": st_area,
+    "ST_MakeValid": st_makevalid,
     "ST_Intersection": st_intersection,
     "ST_Union": st_union,
     "ST_Difference": st_difference,

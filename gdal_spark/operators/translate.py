@@ -105,9 +105,17 @@ CALC_SCHEMA = T.StructType(
 
 def pixel_calc(images: DataFrame, ops: list[str] | None = None) -> DataFrame:
     """VRT pixel functions over the image's own bands
-    (pixelfunctions.cpp): sum = b0+b1+b2 (int32), diff = b0-b1,
-    mul = b0*b1 (int64-safe), reclassify = (b0 < 128 ? 0 : 255)."""
-    ops = ops or ["sum", "diff", "mul", "reclassify"]
+    (frmts/vrt/pixelfunctions.cpp registry): sum = b0+b1+b2, diff =
+    b0-b1, mul = b0*b1, reclassify = (b0 < 128 ? 0 : 255), intensity
+    = mean band (integer floor), norm_diff = (b0-b1)/(b0+b1)
+    quantized e3, sqrt = floor(sqrt(b0*b1)), inv = reciprocal scaled
+    to 255^2/(b0+1), pow = b0^2. Float-parity rule: every op is
+    EXACT integer math (floor-division / isqrt-style), so checksums
+    cross engines bit-for-bit."""
+    ops = ops or [
+        "sum", "diff", "mul", "reclassify",
+        "intensity", "norm_diff", "sqrt", "inv", "pow",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,6 +132,13 @@ def pixel_calc(images: DataFrame, ops: list[str] | None = None) -> DataFrame:
                     "diff": b0 - b1,
                     "mul": b0 * b1,
                     "reclassify": np.where(b0 < 128, 0, 255),
+                    "intensity": (b0 + b1 + b2) // 3,
+                    # floor division is FLOOR in numpy and DuckDB //
+                    "norm_diff": (1000 * (b0 - b1)) // np.maximum(b0 + b1, 1),
+                    # IEEE sqrt is exact on perfect squares: floor safe
+                    "sqrt": np.floor(np.sqrt((b0 * b1).astype(np.float64))).astype(np.int64),
+                    "inv": (255 * 255) // (b0 + 1),
+                    "pow": b0 * b0,
                 }
                 for op in ops:
                     band = outs[op]

@@ -75,6 +75,15 @@ def step_simplify(df: DataFrame, tolerance: float) -> DataFrame:
     return df.withColumn(GEOM, st_simplify(F.col(GEOM), F.lit(tolerance)))
 
 
+def step_make_valid(df: DataFrame) -> DataFrame:
+    """gdal vector make-valid (apps/gdalalg_vector_make_valid.cpp ->
+    OGRGeometry::MakeValid): repair self-intersecting rings via
+    noding + planar face traversal (geo/makevalid.py)."""
+    from gdal_spark.geo.st_functions import st_makevalid
+
+    return df.withColumn(GEOM, st_makevalid(F.col(GEOM)))
+
+
 def step_buffer(df: DataFrame, distance: float) -> DataFrame:
     from gdal_spark.geo.st_functions import st_buffer
 
