@@ -1944,6 +1944,142 @@ FROM (
 """
 
 
+def q_tps_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin-plate spline transformer (alg/thinplatespline.cpp
+    VizGeorefSpline2D, r^2 ln r^2 basis): fit both axes from 14
+    control points lying on an exact affine map — TPS reproduces
+    affine fields exactly (warp weights solve to ~0), so transformed
+    sites round to the closed-form SQL affine bit-for-bit, proving
+    the full radial-basis system solve + evaluation path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.tps import apply_tps, fit_tps
+
+    k = np.arange(14)
+    gpx = ((k * 23) % 97).astype(np.float64)
+    gpy = ((k * 41) % 89).astype(np.float64)
+    mx = fit_tps(gpx, gpy, 7 + 2 * gpx - 3 * gpy)
+    my = fit_tps(gpx, gpy, -4 + gpx + 5 * gpy)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("wx", T2.LongType()),
+            T2.StructField("wy", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ii = pdf["i"].to_numpy(dtype=np.int64)
+            qx = (ii % 101).astype(np.float64)
+            qy = ((ii * 7) % 103).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "wx": np.round(apply_tps(mx, qx, qy)).astype(np.int64),
+                    "wy": np.round(apply_tps(my, qx, qy)).astype(np.int64),
+                }
+            )
+
+    return _site_ids(spark, sf_dir).mapInPandas(run, schema)
+
+
+def _o_tps_transform() -> str:
+    return """
+SELECT cast(c_custkey as bigint) AS i,
+  cast(7 + 2 * qx - 3 * qy as bigint) AS wx,
+  cast(-4 + qx + 5 * qy as bigint) AS wy
+FROM (
+  SELECT c_custkey,
+    cast(c_custkey as bigint) % 101 AS qx,
+    (cast(c_custkey as bigint) * 7) % 103 AS qy
+  FROM customer
+)
+"""
+
+
+_RPC_COEFS = None
+
+
+def _rpc_coefs():
+    """Deterministic RPC00B coefficient set: integer numerators over
+    unit denominators so outputs are exact integers at integer
+    normalized coords (the rational/denominator path is exercised by
+    the pytest forward/inverse roundtrip instead)."""
+    global _RPC_COEFS
+    if _RPC_COEFS is None:
+        import numpy as np
+
+        sn = np.zeros(20)
+        sn[[0, 1, 2, 4, 7, 11, 15]] = [5, 3, -2, 4, 1, 1, -1]
+        ln = np.zeros(20)
+        ln[[0, 1, 2, 4, 8, 14, 15]] = [-3, -1, 2, 1, 2, 1, 1]
+        den = np.zeros(20)
+        den[0] = 1.0
+        _RPC_COEFS = {
+            "long_off": 0.0, "long_scale": 1.0,
+            "lat_off": 0.0, "lat_scale": 1.0,
+            "height_off": 0.0, "height_scale": 1.0,
+            "samp_off": 100.0, "samp_scale": 2.0,
+            "line_off": 200.0, "line_scale": 3.0,
+            "samp_num_coeff": sn, "line_num_coeff": ln,
+            "samp_den_coeff": den.copy(), "line_den_coeff": den.copy(),
+        }
+    return _RPC_COEFS
+
+
+def q_rpc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC transformer (alg/gdal_rpc.cpp RPCTransformPoint): the
+    20-term cubic polynomial in the exact RPCComputeTerms order over
+    site coordinates; closed-form polynomial oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.rpc import rpc_forward
+
+    co = _rpc_coefs()
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("px", T2.LongType()),
+            T2.StructField("ln", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ii = pdf["i"].to_numpy(dtype=np.int64)
+            lon = (ii % 21 - 10).astype(np.float64)
+            lat = ((ii * 3) % 21 - 10).astype(np.float64)
+            px, ln = rpc_forward(co, lon, lat, 0.0)
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "px": np.round(px).astype(np.int64),
+                    "ln": np.round(ln).astype(np.int64),
+                }
+            )
+
+    return _site_ids(spark, sf_dir).mapInPandas(run, schema)
+
+
+def _o_rpc_transform() -> str:
+    return """
+SELECT cast(c_custkey as bigint) AS i,
+  cast(100 + 2 * (5 + 3*L - 2*P + 4*L*P + L*L + L*L*L - P*P*P) as bigint) AS px,
+  cast(200 + 3 * (-3 - L + 2*P + L*P + 2*P*P + L*L*P + P*P*P) as bigint) AS ln
+FROM (
+  SELECT c_custkey,
+    cast(c_custkey as bigint) % 21 - 10 AS L,
+    (cast(c_custkey as bigint) * 3) % 21 - 10 AS P
+  FROM customer
+)
+"""
+
+
 CLIP_BBOX = (-60.0, -40.0, 60.0, 40.0)
 
 
@@ -2243,6 +2379,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_sortfield": q_tile_render_sortfield,
         "cog_roundtrip": q_cog_roundtrip,
         "make_valid": q_make_valid,
+        "tps_transform": q_tps_transform,
+        "rpc_transform": q_rpc_transform,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3724,6 +3862,8 @@ GROUP BY 1, 2, 3
         "gcp_transform": _o_gcp_transform(),
         "cog_roundtrip": _o_cog_roundtrip(),
         "make_valid": _o_make_valid(),
+        "tps_transform": _o_tps_transform(),
+        "rpc_transform": _o_rpc_transform(),
         "tile_render_sortfield": f"""{_render_win_ctes(winner="min_by")}
 SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
        cast(b.band as int) AS band,
