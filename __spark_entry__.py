@@ -2080,6 +2080,72 @@ FROM (
 """
 
 
+def q_homography_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homography transformer (alg/gdal_homography.cpp): normalized
+    DLT fit from 8 correspondences generated by an exact INTEGER
+    projective matrix H = [[3,1,7],[1,2,9],[1,1,8]]/8-normalized; the
+    fitted matrix re-scales to those integers (x8 after h8-norm), so
+    the applied map evaluates in EXACT integer rational arithmetic
+    and matches the SQL floor-division twin bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.homography import fit_homography
+
+    H = np.array([[3, 1, 7], [1, 2, 9], [1, 1, 8]], dtype=np.float64)
+    k = np.arange(8)
+    gx = ((k * 13) % 23).astype(np.float64)
+    gy = ((k * 19) % 29).astype(np.float64)
+    den = H[2, 0] * gx + H[2, 1] * gy + H[2, 2]
+    dx = (H[0, 0] * gx + H[0, 1] * gy + H[0, 2]) / den
+    dy = (H[1, 0] * gx + H[1, 1] * gy + H[1, 2]) / den
+    fit = fit_homography(gx, gy, dx, dy)
+    # recover the exact integer matrix (fixture anchor): h8-normalized
+    # fit x 8 must round to H
+    Hi = np.rint(fit * 8.0).astype(np.int64)
+    assert (Hi == H.astype(np.int64)).all(), "homography fit drifted"
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("px_e3", T2.LongType()),
+            T2.StructField("py_e3", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ii = pdf["i"].to_numpy(dtype=np.int64)
+            u = ii % 53
+            v = (ii * 5) % 59
+            num_x = 1000 * (Hi[0, 0] * u + Hi[0, 1] * v + Hi[0, 2])
+            num_y = 1000 * (Hi[1, 0] * u + Hi[1, 1] * v + Hi[1, 2])
+            den_i = Hi[2, 0] * u + Hi[2, 1] * v + Hi[2, 2]
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "px_e3": num_x // den_i,
+                    "py_e3": num_y // den_i,
+                }
+            )
+
+    return _site_ids(spark, sf_dir).mapInPandas(run, schema)
+
+
+def _o_homography_transform() -> str:
+    return """
+SELECT cast(c_custkey as bigint) AS i,
+  (1000 * (3 * u + v + 7)) // (u + v + 8) AS px_e3,
+  (1000 * (u + 2 * v + 9)) // (u + v + 8) AS py_e3
+FROM (
+  SELECT c_custkey,
+    cast(c_custkey as bigint) % 53 AS u,
+    (cast(c_custkey as bigint) * 5) % 59 AS v
+  FROM customer
+)
+"""
+
+
 CLIP_BBOX = (-60.0, -40.0, 60.0, 40.0)
 
 
@@ -2381,6 +2447,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_valid": q_make_valid,
         "tps_transform": q_tps_transform,
         "rpc_transform": q_rpc_transform,
+        "homography_transform": q_homography_transform,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3864,6 +3931,7 @@ GROUP BY 1, 2, 3
         "make_valid": _o_make_valid(),
         "tps_transform": _o_tps_transform(),
         "rpc_transform": _o_rpc_transform(),
+        "homography_transform": _o_homography_transform(),
         "tile_render_sortfield": f"""{_render_win_ctes(winner="min_by")}
 SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
        cast(b.band as int) AS band,

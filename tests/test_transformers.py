@@ -66,3 +66,22 @@ def test_rpc_forward_inverse_roundtrip_with_denominators():
     lon2, lat2 = rpc_inverse(co, px, ln_, 0.0)
     assert np.abs(lon2 - lon).max() < 1e-9
     assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_homography_dlt_recovers_integer_matrix():
+    from gdal_spark.geo.homography import apply_homography, fit_homography
+
+    H = np.array([[3, 1, 7], [1, 2, 9], [1, 1, 8]], dtype=np.float64)
+    k = np.arange(10)
+    gx = ((k * 13) % 23).astype(np.float64)
+    gy = ((k * 19) % 29).astype(np.float64)
+    den = gx + gy + 8
+    dx = (3 * gx + gy + 7) / den
+    dy = (gx + 2 * gy + 9) / den
+    fit = fit_homography(gx, gy, dx, dy)
+    assert np.abs(np.rint(fit * 8) - H).max() == 0
+    qx = np.arange(40.0)
+    qy = (qx * 3) % 31
+    ex, ey = apply_homography(H / 8, qx, qy)
+    gx2, gy2 = apply_homography(fit, qx, qy)
+    assert np.abs(gx2 - ex).max() < 1e-9 and np.abs(gy2 - ey).max() < 1e-9
