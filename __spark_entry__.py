@@ -2324,6 +2324,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, _ann_queries(spark, sf_dir), ANN_K, bucketed=True)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: argmin-cell coarse quantizer (deterministic centroid
+    formula standing in for trained k-means) + query-side probe
+    explode -> cell equi-join -> exact cosine re-rank; the inverted-
+    list structure of the ANN scale path."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, _ann_queries(spark, sf_dir), ANN_K)
+
+
 def q_ann_lsh_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH: candidates from buckets within 1 bit flip of
     the query's bucket (higher recall than ann_lsh at ~7x candidate
@@ -2448,6 +2457,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tps_transform": q_tps_transform,
         "rpc_transform": q_rpc_transform,
         "homography_transform": q_homography_transform,
+        "ann_ivf": q_ann_ivf,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4009,6 +4019,7 @@ WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
         "ann_lsh": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True
         ),
+        "ann_ivf": sim.sql_ivf_topk(f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K),
         "ann_lsh_ring": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K, bucketed=True, ring=1
         ),

@@ -185,6 +185,84 @@ def cosine_topk(
     )
 
 
+IVF_LISTS = 16        # coarse cells (knob: ~sqrt(N) at scale)
+_IVF_LCG_A = 48271
+_IVF_LCG_M = 2147483647
+
+
+def _ivf_centroid_component(c: int, d: int) -> float:
+    """Deterministic coarse-quantizer centroid component in [-0.25,
+    0.25): an LCG over (cell, dim) — a stand-in for trained k-means
+    that keeps the assignment SQL-expressible (training is an
+    offline concern; the OPERATOR contract is assign + probe)."""
+    v = (_IVF_LCG_A * (c * 4096 + d) + 12345) % _IVF_LCG_M
+    return (v / _IVF_LCG_M - 0.5) / 2.0
+
+
+def _spark_ivf_dist2(vec: str, c: int) -> str:
+    """SQL text: squared distance of `vec` to centroid c (quantized
+    coords, exact integer math like the sign-LSH path)."""
+    comp = (
+        f"(cast((({_IVF_LCG_A}L * ({c * 4096}L + d) + 12345L) % {_IVF_LCG_M}L) "
+        f"as double) / {_IVF_LCG_M} - 0.5) / 2.0"
+    )
+    return (
+        f"aggregate(zip_with({vec}, sequence(0, size({vec}) - 1), "
+        f"(x, d) -> (cast(x as double) - ({comp})) * (cast(x as double) - ({comp}))), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_cell(vec: str = "embedding", n_lists: int = IVF_LISTS) -> F.Column:
+    """argmin-distance coarse cell id (ties to the lower cell id)."""
+    dists = f"array({', '.join(_spark_ivf_dist2(vec, c) for c in range(n_lists))})"
+    return F.expr(
+        f"array_position({dists}, array_min({dists}))"
+    ).cast("int") - 1
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN: rows partition into IVF_LISTS coarse cells (argmin
+    distance to deterministic centroids); each query probes its
+    n_probe nearest cells via a query-side explode + cell equi-join
+    (the inverted-list scan), then exact cosine re-rank. One shuffle
+    on the cell key; candidates ~ n_probe/IVF_LISTS of the corpus."""
+    base = with_norm(emb).withColumn("cell", ivf_cell("embedding"))
+    q = queries.withColumn("qnorm", F.expr(_NORM.format(a="qv")))
+    qd = f"array({', '.join(_spark_ivf_dist2('qv', c) for c in range(IVF_LISTS))})"
+    probes = q.select(
+        "query_id", "qv", "qnorm",
+        F.explode(
+            F.expr(
+                f"slice(array_sort(transform({qd}, (d, c) -> named_struct('d', d, 'c', c))), 1, {n_probe})"
+            )
+        ).alias("p"),
+    ).select("query_id", "qv", "qnorm", F.col("p.c").cast("int").alias("cell"))
+    joined = base.join(F.broadcast(probes), "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = F.expr(_DOT.format(a="embedding", b="qv")) / (F.col("norm") * F.col("qnorm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        joined.withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.floor(F.col("sim") * 10000).cast("long").alias("sim_e4"),
+        )
+    )
+
+
 def label_centroids(emb: DataFrame) -> DataFrame:
     """Elementwise mean vector per label -> (label, dim, c_e6)."""
     ex = emb.select(
@@ -288,6 +366,63 @@ r AS (
   SELECT query_id, vec_id, sim,
     row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
   FROM d
+)
+SELECT query_id, cast(rnk as int) AS rank, vec_id,
+       cast(floor(sim * 10000) as bigint) AS sim_e4
+FROM r WHERE rnk <= {k}
+"""
+
+
+def _duck_ivf_dist2(vec: str, c: int) -> str:
+    comp = (
+        f"(cast((({_IVF_LCG_A} * ({c * 4096} + p[2]) + 12345) % {_IVF_LCG_M}) "
+        f"as double) / {_IVF_LCG_M} - 0.5) / 2.0"
+    )
+    return (
+        f"list_sum(list_transform(list_zip({vec}, range(0, len({vec}))), "
+        f"p -> (cast(p[1] as double) - ({comp})) * (cast(p[1] as double) - ({comp}))))"
+    )
+
+
+def sql_ivf_topk(query_filter: str, k: int, n_probe: int = 4,
+                 src: str = "embeddings") -> str:
+    """DuckDB twin of ivf_topk: same centroid formula, argmin cell
+    assignment, n_probe nearest cells per query, exact re-rank."""
+    cells_arr = "[" + ", ".join(
+        f"cast({_duck_ivf_dist2('embedding', c)} as double)" for c in range(IVF_LISTS)
+    ) + "]"
+    return f"""
+WITH dists AS (
+  SELECT vec_id, embedding, {cells_arr} AS ds FROM {src}
+),
+assigned AS (
+  SELECT vec_id, embedding, cast(list_position(ds, list_min(ds)) - 1 as int) AS cell
+  FROM dists
+),
+qprobe AS (
+  SELECT d.vec_id AS query_id, d.embedding AS qv, u.c AS cell
+  FROM dists d,
+  LATERAL (
+    SELECT cast(x.gen - 1 as int) AS c, d.ds[x.gen] AS dist
+    FROM generate_series(1, {IVF_LISTS}) AS x(gen)
+    ORDER BY dist, c LIMIT {n_probe}
+  ) u
+  WHERE {query_filter.replace('vec_id', 'd.vec_id')}
+),
+cand AS (
+  SELECT q.query_id, q.qv, a.vec_id, a.embedding
+  FROM qprobe q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, vec_id,
+    ({_DUCK_DOT.format(a='embedding', b='qv')})
+      / (({_DUCK_NORM.format(a='embedding')}) * ({_DUCK_NORM.format(a='qv')})) AS sim
+  FROM cand
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored
 )
 SELECT query_id, cast(rnk as int) AS rank, vec_id,
        cast(floor(sim * 10000) as bigint) AS sim_e4

@@ -155,3 +155,31 @@ def test_cluster_ids_are_min_doc_id(spark, docs):
     out = {r["doc_id"]: r for r in cluster_near_dups(docs).collect()}
     assert out[0]["cluster_id"] == 0          # min doc id of {0,1,2}
     assert out[4]["cluster_id"] == 4          # singleton labels itself
+
+
+def test_ivf_topk_structure(spark):
+    import numpy as np
+
+    from gdal_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(0, 0.2, 16)], int(i % 3))
+        for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.where("vec_id % 20 = 0").selectExpr(
+        "vec_id as query_id", "embedding as qv"
+    )
+    got = sim.ivf_topk(emb, q, 3).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert all(r["vec_id"] != qid for r in rs)
+    # recall sanity vs brute force: the probed top-1 should usually
+    # agree with the global top-1 (identical-direction vectors exist
+    # only by chance; just require non-empty candidates per query)
+    assert len(per_q) == 4
