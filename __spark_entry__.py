@@ -299,6 +299,74 @@ def q_tile_render_sortfield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_translate_outsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_translate -outsize / decimated RasterIO read
+    (gcore/rasterio.cpp:774: src index = int((i + 0.5) * ratio +
+    1e-10), the default nearest overview-less path): resize each
+    image to (w//3+1, h//2+1) and checksum band 0 in OUTPUT-LOCAL
+    coordinates; the ratio rule is replicated verbatim in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.checksum import gdal_checksum
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % RENDER_MOD == 0)
+    images = build_images(spark, ids_df=ids, with_payload=False)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("ow", T2.IntegerType()),
+            T2.StructField("oh", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for i, w, h in zip(pdf["i"], pdf["w"], pdf["h"]):
+                i, w, h = int(i), int(w), int(h)
+                ow, oh = w // 3 + 1, h // 2 + 1
+                gx = np.floor(
+                    (np.arange(ow) + 0.5) * (w / ow) + 1e-10
+                ).astype(np.int64)
+                gy = np.floor(
+                    (np.arange(oh) + 0.5) * (h / oh) + 1e-10
+                ).astype(np.int64)
+                out = ((gx[None, :] + gy[:, None] + i) % 256).astype(np.uint8)
+                recs.append(
+                    {
+                        "i": i, "ow": ow, "oh": oh,
+                        "checksum": gdal_checksum(out),
+                        "vsum": int(out.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["i", "ow", "oh", "checksum", "vsum"])
+
+    return images.select("i", "w", "h").mapInPandas(run, schema)
+
+
+def _o_translate_outsize() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0)"
+    )
+    sx = "cast(floor((gx.x + 0.5) * (cast(i.w as double) / (i.w // 3 + 1)) + 1e-10) as bigint)"
+    sy = "cast(floor((gy.y + 0.5) * (cast(i.h as double) / (i.h // 2 + 1)) + 1e-10) as bigint)"
+    return f"""
+WITH img AS ({img})
+SELECT i.i, cast(i.w // 3 + 1 as int) AS ow, cast(i.h // 2 + 1 as int) AS oh,
+  cast(sum((({sx} + {sy} + i.i) % 256)
+    % ({_PRIMES_SQL})[((gy.y * (i.w // 3 + 1) + gx.x) % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(({sx} + {sy} + i.i) % 256) as bigint) AS vsum
+FROM img i
+JOIN range(0, 256) AS gx(x) ON gx.x < i.w // 3 + 1
+JOIN range(0, 512) AS gy(y) ON gy.y < i.h // 2 + 1
+GROUP BY i.i, i.w, i.h
+"""
+
+
 def q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COG BYTE LAYOUT (cogdriver.cpp:639-1261 file structure): per
     image, build full-res + 2x-average overview, serialize as a
@@ -2458,6 +2526,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rpc_transform": q_rpc_transform,
         "homography_transform": q_homography_transform,
         "ann_ivf": q_ann_ivf,
+        "translate_outsize": q_translate_outsize,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -3938,6 +4007,7 @@ GROUP BY 1, 2, 3
         "grid_tin": _o_grid_tin(),
         "gcp_transform": _o_gcp_transform(),
         "cog_roundtrip": _o_cog_roundtrip(),
+        "translate_outsize": _o_translate_outsize(),
         "make_valid": _o_make_valid(),
         "tps_transform": _o_tps_transform(),
         "rpc_transform": _o_rpc_transform(),
