@@ -2148,6 +2148,68 @@ FROM (
 """
 
 
+LCC_PARAMS = (33.0, 45.0, 39.0, -96.0)  # lat1, lat2, lat0, lon0 (CONUS-ish)
+
+
+def q_lcc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambert Conformal Conic 2SP (ellipsoidal, EPSG 9802 / Snyder
+    15) — the closed-form CRS family beyond UTM/WebMercator (the
+    reference routes arbitrary pairs through PROJ, ogr/ogrct.cpp).
+    Sites inside the cone's domain project to 50 km LCC grid cells;
+    the SQL twin shares the exp/ln staging so both engines walk the
+    same expression tree (precision itself is pinned by the pytest
+    1e-14 forward/inverse roundtrip)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo import crs
+
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir)).where(
+        (F.col("slat") >= 20.0) & (F.col("slat") <= 60.0)
+        & (F.col("slon") >= -130.0) & (F.col("slon") <= -60.0)
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("cell_x", T2.LongType()),
+            T2.StructField("cell_y", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ii = pdf["i"].to_numpy(dtype=np.int64)
+            x, y = crs.lcc_forward(
+                pdf["slon"].to_numpy(), pdf["slat"].to_numpy(), *LCC_PARAMS
+            )
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "cell_x": np.floor(x / 50000.0).astype(np.int64),
+                    "cell_y": np.floor(y / 50000.0).astype(np.int64),
+                }
+            )
+
+    return sites.select("i", "slon", "slat").mapInPandas(run, schema)
+
+
+def _o_lcc_transform() -> str:
+    from gdal_spark.geo import crs
+
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    x, y = crs.sql_lcc_forward("s.slon", "s.slat", *LCC_PARAMS)
+    return f"""
+WITH sites AS ({st})
+SELECT s.i, cast(floor({x} / 50000.0) as bigint) AS cell_x,
+  cast(floor({y} / 50000.0) as bigint) AS cell_y
+FROM sites s
+WHERE s.slat >= 20.0 AND s.slat <= 60.0
+  AND s.slon >= -130.0 AND s.slon <= -60.0
+"""
+
+
 def q_homography_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Homography transformer (alg/gdal_homography.cpp): normalized
     DLT fit from 8 correspondences generated by an exact INTEGER
@@ -2527,6 +2589,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "homography_transform": q_homography_transform,
         "ann_ivf": q_ann_ivf,
         "translate_outsize": q_translate_outsize,
+        "lcc_transform": q_lcc_transform,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4008,6 +4071,7 @@ GROUP BY 1, 2, 3
         "gcp_transform": _o_gcp_transform(),
         "cog_roundtrip": _o_cog_roundtrip(),
         "translate_outsize": _o_translate_outsize(),
+        "lcc_transform": _o_lcc_transform(),
         "make_valid": _o_make_valid(),
         "tps_transform": _o_tps_transform(),
         "rpc_transform": _o_rpc_transform(),

@@ -149,3 +149,102 @@ def utm_inverse(easting, northing, zone: int, northern: bool = True):
     lon0 = zone * 6.0 - 183.0
     lon = lon0 + np.degrees(np.arctan2(np.sinh(es), np.cos(xs)))
     return lon, np.degrees(lat)
+
+
+# ---------------------------------------------------------------------------
+# Lambert Conformal Conic (2SP, ellipsoidal) — the closed-form CRS
+# family extension beyond UTM/WebMercator (reference routes any pair
+# through PROJ, ogr/ogrct.cpp:1018; formulas per EPSG guidance 7-2 /
+# Snyder 15). numpy and SQL twins share the exp(c * ln(x)) staging so
+# both engines walk identical expression trees.
+# ---------------------------------------------------------------------------
+
+LCC_E = float((WGS84_F * (2.0 - WGS84_F)) ** 0.5)  # first eccentricity
+
+
+def _lcc_t(phi):
+    import numpy as _np
+
+    e = LCC_E
+    s = _np.sin(phi)
+    return _np.tan(_np.pi / 4.0 - phi / 2.0) / _np.exp(
+        (e / 2.0) * _np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def _lcc_m(phi):
+    import numpy as _np
+
+    e = LCC_E
+    s = _np.sin(phi)
+    return _np.cos(phi) / _np.sqrt(1.0 - e * e * s * s)
+
+
+def lcc_params(lat1_deg: float, lat2_deg: float, lat0_deg: float):
+    """(n, F, rho0) of the 2SP cone."""
+    import numpy as _np
+
+    p1, p2, p0 = (_np.radians(v) for v in (lat1_deg, lat2_deg, lat0_deg))
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    t1, t2, t0 = _lcc_t(p1), _lcc_t(p2), _lcc_t(p0)
+    n = (_np.log(m1) - _np.log(m2)) / (_np.log(t1) - _np.log(t2))
+    Fc = m1 / (n * _np.exp(n * _np.log(t1)))
+    rho0 = WGS84_A * Fc * _np.exp(n * _np.log(t0))
+    return float(n), float(Fc), float(rho0)
+
+
+def lcc_forward(lon, lat, lat1_deg: float, lat2_deg: float,
+                lat0_deg: float, lon0_deg: float):
+    """(x, y) LCC 2SP easting/northing (false origin 0, 0)."""
+    import numpy as _np
+
+    n, Fc, rho0 = lcc_params(lat1_deg, lat2_deg, lat0_deg)
+    phi = _np.radians(_np.asarray(lat, dtype=_np.float64))
+    lam = _np.radians(_np.asarray(lon, dtype=_np.float64))
+    t = _lcc_t(phi)
+    rho = WGS84_A * Fc * _np.exp(n * _np.log(t))
+    th = n * (lam - _np.radians(lon0_deg))
+    return rho * _np.sin(th), rho0 - rho * _np.cos(th)
+
+
+def lcc_inverse(x, y, lat1_deg: float, lat2_deg: float,
+                lat0_deg: float, lon0_deg: float, iters: int = 8):
+    """Inverse LCC: iterate the conformal-latitude relation."""
+    import numpy as _np
+
+    e = LCC_E
+    n, Fc, rho0 = lcc_params(lat1_deg, lat2_deg, lat0_deg)
+    x = _np.asarray(x, dtype=_np.float64)
+    y = _np.asarray(y, dtype=_np.float64)
+    rho = _np.sign(n) * _np.sqrt(x * x + (rho0 - y) ** 2)
+    th = _np.arctan2(x, rho0 - y)
+    t = _np.exp(_np.log(rho / (WGS84_A * Fc)) / n)
+    phi = _np.pi / 2.0 - 2.0 * _np.arctan(t)
+    for _ in range(iters):
+        s = _np.sin(phi)
+        phi = _np.pi / 2.0 - 2.0 * _np.arctan(
+            t * _np.exp((e / 2.0) * _np.log((1.0 - e * s) / (1.0 + e * s)))
+        )
+    return _np.degrees(th / n + _np.radians(lon0_deg)), _np.degrees(phi)
+
+
+def sql_lcc_forward(lon_deg: str, lat_deg: str, lat1_deg: float,
+                    lat2_deg: float, lat0_deg: float, lon0_deg: float
+                    ) -> tuple[str, str]:
+    """DuckDB SQL twins of lcc_forward: the cone constants fold to
+    float literals (computed by the SAME numpy path), and the per-row
+    math uses identical exp/ln staging."""
+    import math as _math
+
+    n, Fc, rho0 = lcc_params(lat1_deg, lat2_deg, lat0_deg)
+    e = LCC_E
+    a = WGS84_A
+    phi = f"radians({lat_deg})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0 - {phi} / 2.0) / exp({_d(e / 2.0)} * "
+        f"ln((1.0 - {_d(e)} * {s}) / (1.0 + {_d(e)} * {s}))))"
+    )
+    rho = f"({_d(a)} * {_d(Fc)} * exp({_d(n)} * ln({t})))"
+    th = f"({_d(n)} * (radians({lon_deg}) - {_d(_math.radians(lon0_deg))}))"
+    return f"({rho} * sin({th}))", f"({_d(rho0)} - {rho} * cos({th}))"

@@ -85,3 +85,27 @@ def test_homography_dlt_recovers_integer_matrix():
     ex, ey = apply_homography(H / 8, qx, qy)
     gx2, gy2 = apply_homography(fit, qx, qy)
     assert np.abs(gx2 - ex).max() < 1e-9 and np.abs(gy2 - ey).max() < 1e-9
+
+
+def test_lcc_forward_inverse_and_origin():
+    from gdal_spark.geo import crs
+
+    lon = np.array([-100.0, -96.0, -90.5, -120.0])
+    lat = np.array([35.0, 40.2, 44.9, 25.0])
+    x, y = crs.lcc_forward(lon, lat, 33.0, 45.0, 39.0, -96.0)
+    lon2, lat2 = crs.lcc_inverse(x, y, 33.0, 45.0, 39.0, -96.0)
+    assert np.abs(lon2 - lon).max() < 1e-10
+    assert np.abs(lat2 - lat).max() < 1e-10
+    # false origin: (lat0, lon0) -> (0, 0); central meridian -> x = 0
+    x0, y0 = crs.lcc_forward(np.array([-96.0]), np.array([39.0]), 33.0, 45.0, 39.0, -96.0)
+    assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+    xm, _ = crs.lcc_forward(np.array([-96.0]), np.array([44.0]), 33.0, 45.0, 39.0, -96.0)
+    assert abs(xm[0]) < 1e-6
+    # standard parallels are distortion-free: local scale ~ 1
+    for lat_sp in (33.0, 45.0):
+        e = 1e-6
+        xa, ya = crs.lcc_forward(np.array([-96.0 + e]), np.array([lat_sp]), 33.0, 45.0, 39.0, -96.0)
+        ground = np.radians(e) * crs.WGS84_A * np.cos(np.radians(lat_sp)) / np.sqrt(
+            1 - crs.LCC_E**2 * np.sin(np.radians(lat_sp)) ** 2
+        )
+        assert abs(xa[0] / ground - 1.0) < 1e-6
