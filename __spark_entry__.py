@@ -867,6 +867,108 @@ def _payload_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_images(spark, ids_df=ids, with_payload=True)
 
 
+def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
+    lossless payloads x synthetic pan band; exact integer rational
+    rounding (floor(p/q + 1/2) identity) per band."""
+    return trans.pansharpen_brovey(_payload_subset(spark, sf_dir)).select(
+        "image_id", F.col("band").cast("int"),
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
+def _o_pansharpen() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS b0,
+    (gx.x + gy.y + i.i + 85) % 256 AS b1,
+    (gx.x + gy.y + i.i + 170) % 256 AS b2,
+    (gx.x + gy.y + i.i + 42) % 256 AS pan,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+vals AS (
+  SELECT image_id, b.band, pidx,
+    least((2 * 4 * (CASE b.band WHEN 0 THEN b0 WHEN 1 THEN b1 ELSE b2 END) * pan
+           + (b0 + 2 * b1 + b2)) // (2 * (b0 + 2 * b1 + b2)), 255) AS v
+  FROM px CROSS JOIN (SELECT band FROM range(0, 3) AS r(band)) b
+)
+SELECT image_id, cast(band as int) AS band,
+  cast(sum(v % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(v) as bigint) AS vsum
+FROM vals GROUP BY 1, 2
+"""
+
+
+def q_nearblack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearblack collar removal (apps/nearblack_lib.cpp edge-scan
+    semantics): synthetic images framed by a per-image near-black
+    collar of width c = 1 + (i*13)%4 around a bright interior; the
+    masked set must be exactly the frame, so masked count and the
+    surviving-pixel sum close in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.nearblack import nearblack_mask
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % RENDER_MOD == 0)
+    images = build_images(spark, ids_df=ids, with_payload=False)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("n_masked", T2.LongType()),
+            T2.StructField("vsum_keep", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for i, w, h in zip(pdf["i"], pdf["w"], pdf["h"]):
+                i, w, h = int(i), int(w), int(h)
+                c = 1 + (i * 13) % 4
+                gy, gx = np.mgrid[0:h, 0:w]
+                interior = 100 + (gx + gy + i) % 100
+                img = np.where(
+                    (gx < c) | (gx >= w - c) | (gy < c) | (gy >= h - c),
+                    2, interior,
+                ).astype(np.uint8)
+                mask = nearblack_mask(img, near_dist=15)
+                recs.append(
+                    {
+                        "i": i,
+                        "n_masked": int(mask.sum()),
+                        "vsum_keep": int(img[~mask].sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["i", "n_masked", "vsum_keep"])
+
+    return images.select("i", "w", "h").mapInPandas(run, schema)
+
+
+def _o_nearblack() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey", f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {RENDER_MOD} = 0)"
+    )
+    return f"""
+WITH img AS ({img}),
+p AS (SELECT i, w, h, 1 + (i * 13) % 4 AS c FROM img)
+SELECT p.i,
+  cast(p.w * p.h - (p.w - 2 * p.c) * (p.h - 2 * p.c) as bigint) AS n_masked,
+  (
+    SELECT cast(sum(100 + (gx.x + gy.y + p.i) % 100) as bigint)
+    FROM range(0, 512) AS gx(x), range(0, 512) AS gy(y)
+    WHERE gx.x >= p.c AND gx.x < p.w - p.c AND gy.y >= p.c AND gy.y < p.h - p.c
+  ) AS vsum_keep
+FROM p
+"""
+
+
 def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_translate: -srcwin crop + band reorder + -scale linear
     rescale with GDAL byte rounding (gdal_translate_lib.cpp:655-1001)
@@ -2590,6 +2692,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "translate_outsize": q_translate_outsize,
         "lcc_transform": q_lcc_transform,
+        "pansharpen": q_pansharpen,
+        "nearblack": q_nearblack,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4072,6 +4176,8 @@ GROUP BY 1, 2, 3
         "cog_roundtrip": _o_cog_roundtrip(),
         "translate_outsize": _o_translate_outsize(),
         "lcc_transform": _o_lcc_transform(),
+        "pansharpen": _o_pansharpen(),
+        "nearblack": _o_nearblack(),
         "make_valid": _o_make_valid(),
         "tps_transform": _o_tps_transform(),
         "rpc_transform": _o_rpc_transform(),

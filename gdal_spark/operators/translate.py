@@ -153,3 +153,52 @@ def pixel_calc(images: DataFrame, ops: list[str] | None = None) -> DataFrame:
             yield pd.DataFrame(recs, columns=[f.name for f in CALC_SCHEMA])
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, CALC_SCHEMA)
+
+
+PANSHARP_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("vsum", T.LongType()),
+    ]
+)
+
+
+def pansharpen_brovey(images: DataFrame) -> DataFrame:
+    """Weighted-Brovey pansharpening (alg/gdalpansharpen.cpp:537-557):
+    pseudo_pan = sum(w_i * spectral_i), factor = pan / pseudo_pan,
+    out_i = spectral_i * factor with Byte GDALCopyWord rounding.
+    Weights (1/4, 1/2, 1/4) and the synthetic pan band
+    ((x + y + i + 42) % 256) keep the arithmetic EXACT-integer:
+    out = (2 * 4 * b_i * pan + s) // (2 * s) with s = b0 + 2 b1 + b2
+    (the float-parity floor(p/q + 1/2) identity), clamped to 255.
+    Input needs (image_id, bytes, fmt) plus the content seed i."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"]).astype(np.int64)
+                i = int(row["i"])
+                h, w = arr.shape[:2]
+                gy, gx = np.mgrid[0:h, 0:w]
+                pan = (gx + gy + i + 42) % 256
+                b0, b1, b2 = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+                s = b0 + 2 * b1 + b2  # 4 * pseudo_pan; > 0 by fixture
+                for b, plane in enumerate((b0, b1, b2)):
+                    p = 4 * plane * pan
+                    out = np.minimum((2 * p + s) // (2 * s), 255)
+                    recs.append(
+                        {
+                            "image_id": row["image_id"],
+                            "band": b,
+                            "checksum": gdal_checksum(out),
+                            "vsum": int(out.sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in PANSHARP_SCHEMA])
+
+    return images.select("image_id", "i", "bytes", "fmt").mapInPandas(
+        run, PANSHARP_SCHEMA
+    )

@@ -50,3 +50,35 @@ def test_gray_png_tiff():
     for fmt in ("png", "tiff"):
         out = decode_image(encode_image(arr, fmt), fmt)
         assert np.array_equal(out, arr)
+
+
+def test_nearblack_scan_semantics():
+    """Edge scans mask the collar but NOT interior dark pixels that
+    are shielded from the edges (nearblack is not a flood fill)."""
+    import numpy as np
+
+    from gdal_spark.raster.nearblack import nearblack_mask
+
+    img = np.full((10, 12), 200, dtype=np.uint8)
+    img[:2, :] = 3          # top collar
+    img[:, :1] = 3          # left collar
+    img[5, 5] = 0           # interior dark pixel, shielded
+    mask = nearblack_mask(img, near_dist=15)
+    assert mask[:2, :].all() and mask[:, 0].all()
+    assert not mask[5, 5]
+    # a dark TONGUE reaching in from the right edge is masked
+    img2 = np.full((8, 8), 200, dtype=np.uint8)
+    img2[3, 4:] = 1
+    m2 = nearblack_mask(img2, near_dist=15)
+    assert m2[3, 4:].all() and not m2[3, 3]
+
+
+def test_nearblack_near_white():
+    import numpy as np
+
+    from gdal_spark.raster.nearblack import nearblack_mask
+
+    img = np.full((6, 6), 100, dtype=np.uint8)
+    img[:, -2:] = 250
+    m = nearblack_mask(img, near_dist=15, near_white=True)
+    assert m[:, -2:].all() and not m[:, :4].any()
