@@ -194,3 +194,35 @@ def windowed_event_rollup(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of text/dedup.exact_dups: arriving documents
+    drop exact-content duplicates ACROSS micro-batches via
+    dropDuplicates on the content digest — state persists in the
+    checkpoint, so a duplicate arriving in a later batch (or after a
+    restart) is still suppressed. Emits the first-seen row per
+    digest."""
+    stream = spark.readStream.schema("doc_id long, text string").parquet(input_dir)
+    deduped = stream.withColumn("text_md5", F.md5("text")).dropDuplicates(
+        ["text_md5"]
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch_idempotent(
+            batch_df.select("doc_id", "text_md5"), out_dir, batch_id
+        )
+
+    (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -145,3 +145,31 @@ def test_streaming_pip_enrich(tmp_path, spark):
     )
     want = {(r["image_id"], r["fid"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_exact_dedup_across_batches_and_restarts(tmp_path, spark):
+    import pandas as pd
+
+    from gdal_spark.streaming.jobs import streaming_exact_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    streaming_exact_dedup(spark, inp, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.select("text_md5").distinct().count() == 2
+    # restart with new files: an old duplicate must stay suppressed
+    spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")], "doc_id long, text string"
+    ).write.mode("append").parquet(inp)
+    streaming_exact_dedup(spark, inp, out, ckpt)
+    rows = spark.read.parquet(out).select("doc_id", "text_md5").collect()
+    by_digest = {}
+    for r in rows:
+        by_digest.setdefault(r["text_md5"], []).append(r["doc_id"])
+    assert len(by_digest) == 3            # alpha, beta, gamma
+    assert all(len(v) == 1 for v in by_digest.values())  # one keeper each
+    assert 4 not in {r["doc_id"] for r in rows}  # later dup suppressed
