@@ -273,6 +273,109 @@ def _pairwise_overlay(op: str):
     return fn
 
 
+@F.pandas_udf(T.StringType())
+def st_asgeojson(wkb: pd.Series) -> pd.Series:
+    """GeoJSON geometry export (ogr/ogrgeojsongeometry.cpp analog):
+    Point/LineString/Polygon/MultiPolygon from WKB."""
+    import json
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_POINT:
+            x, y = g.parts[0][0]
+            return json.dumps({"type": "Point", "coordinates": [x, y]})
+        if g.type_id == WKB_LINESTRING:
+            return json.dumps(
+                {"type": "LineString",
+                 "coordinates": [[float(x), float(y)] for x, y in g.parts[0]]}
+            )
+        polys = [
+            [[[float(x), float(y)] for x, y in ring] for ring in rings]
+            for rings in g.all_rings()
+        ]
+        if len(polys) == 1 and g.type_name == "Polygon":
+            return json.dumps({"type": "Polygon", "coordinates": polys[0]})
+        return json.dumps({"type": "MultiPolygon", "coordinates": polys})
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromgeojson(txt: pd.Series) -> pd.Series:
+    """GeoJSON geometry import -> WKB."""
+    import json
+
+    def one(s):
+        o = json.loads(s)
+        t = o["type"]
+        c = o["coordinates"]
+        if t == "Point":
+            return wkb_point(float(c[0]), float(c[1]))
+        if t == "LineString":
+            return wkb_linestring(np.asarray(c, dtype=np.float64))
+        if t == "Polygon":
+            return wkb_polygon([np.asarray(r, dtype=np.float64) for r in c])
+        if t == "MultiPolygon":
+            from gdal_spark.geo.wkb import wkb_multipolygon
+
+            return wkb_multipolygon(
+                [[np.asarray(r, dtype=np.float64) for r in poly] for poly in c]
+            )
+        raise ValueError(f"unsupported GeoJSON type {t}")
+
+    return txt.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_delaunaytriangles(wkb: pd.Series) -> pd.Series:
+    """Delaunay triangulation of a geometry's vertices ->
+    MultiPolygon of triangles (ogrgeometry.cpp:6697 semantics via
+    the Bowyer-Watson kernel in raster/tin.py)."""
+    from gdal_spark.geo.wkb import wkb_multipolygon
+    from gdal_spark.raster.tin import delaunay
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            pts = np.asarray(g.parts[0], dtype=np.float64)
+        elif g.type_id == WKB_POINT:
+            return None
+        else:
+            pts = np.concatenate(
+                [r[:-1] for rings in g.all_rings() for r in rings]
+            )
+        pts = np.unique(pts, axis=0)
+        tris = delaunay(pts)
+        polys = []
+        for a, b2, c in tris:
+            ring = np.vstack([pts[a], pts[b2], pts[c], pts[a]])
+            polys.append([ring])
+        return wkb_multipolygon(polys) if polys else None
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_unaryunion(wkb: pd.Series) -> pd.Series:
+    """UnaryUnion (ogrgeometry.cpp:5227): fold the general boolean
+    union over a multipolygon's parts (general-position contract
+    between parts, per geo/boolean.py)."""
+    from gdal_spark.geo.boolean import boolean_op, rings_to_polygons
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    def one(b):
+        parts = parse_wkb(bytes(b)).all_rings()
+        if not parts:
+            return None
+        acc = list(parts[0])
+        for rings in parts[1:]:
+            acc = boolean_op(acc, list(rings), "union")
+        polys = rings_to_polygons(acc)
+        return wkb_multipolygon(polys) if polys else None
+
+    return wkb.map(one)
+
+
 @F.pandas_udf(T.BinaryType())
 def st_makevalid(wkb: pd.Series) -> pd.Series:
     """Repair self-intersecting areal geometry (ogrgeometry.cpp:3922
@@ -297,6 +400,10 @@ st_symdifference = _pairwise_overlay("symdiff")
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_MakeValid": st_makevalid,
+    "ST_AsGeoJSON": st_asgeojson,
+    "ST_GeomFromGeoJSON": st_geomfromgeojson,
+    "ST_DelaunayTriangles": st_delaunaytriangles,
+    "ST_UnaryUnion": st_unaryunion,
     "ST_Intersection": st_intersection,
     "ST_Union": st_union,
     "ST_Difference": st_difference,

@@ -153,3 +153,34 @@ def test_st_overlay_functions_in_sql(spark):
     assert row["i"] == 2.25 and row["u"] == 29.75
     assert row["d"] == 13.75 and row["s"] == 27.5
     assert row["dist"] == 0.0 and row["x"] and not row["t"]
+
+
+def test_st_io_and_constructive_extras(spark):
+    import numpy as np
+
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import wkb_polygon
+
+    register_st_functions(spark)
+
+    def rect(x0, y0, x1, y1):
+        return wkb_polygon(
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)]
+        )
+
+    df = spark.createDataFrame([(rect(0, 0, 4, 4),)], ["g"])
+    df.createOrReplaceTempView("gone")
+    row = spark.sql(
+        """SELECT ST_AsGeoJSON(g) AS gj,
+                  ST_Area(ST_GeomFromGeoJSON(ST_AsGeoJSON(g))) AS a,
+                  ST_Area(ST_DelaunayTriangles(g)) AS da,
+                  ST_Area(ST_UnaryUnion(g)) AS ua
+           FROM gone"""
+    ).collect()[0]
+    import json
+
+    gj = json.loads(row["gj"])
+    assert gj["type"] == "Polygon" and len(gj["coordinates"][0]) == 5
+    assert row["a"] == 16.0      # GeoJSON roundtrip preserves area
+    assert row["da"] == 16.0     # triangles partition the square
+    assert row["ua"] == 16.0
