@@ -2468,6 +2468,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_analysis.token_stats(_read(spark, sf_dir, "documents"))
 
 
+BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (the pre-tokenizer split of
+    GPT-style byte-pair encoders: letter runs / digit runs / isolated
+    symbols) alongside whitespace tokens — pure JVM regexp Column
+    math; DuckDB RE2 twin verified to agree on the pattern class."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{BPE_PAT}')").cast("long").alias("n_bpe"),
+        (F.size(F.split("text", " "))).cast("long").alias("n_ws"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language scorer (argmax + alphabetical
     tiebreak)."""
@@ -2694,6 +2710,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcc_transform": q_lcc_transform,
         "pansharpen": q_pansharpen,
         "nearblack": q_nearblack,
+        "token_bpe": q_token_bpe,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4178,6 +4195,12 @@ GROUP BY 1, 2, 3
         "lcc_transform": _o_lcc_transform(),
         "pansharpen": _o_pansharpen(),
         "nearblack": _o_nearblack(),
+        "token_bpe": f"""
+SELECT doc_id,
+  cast(len(regexp_extract_all(text, '{BPE_PAT}')) as bigint) AS n_bpe,
+  cast(len(string_split(text, ' ')) as bigint) AS n_ws
+FROM documents
+""",
         "make_valid": _o_make_valid(),
         "tps_transform": _o_tps_transform(),
         "rpc_transform": _o_rpc_transform(),
