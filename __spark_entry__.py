@@ -2471,6 +2471,109 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+AUDIO_MOD = 29
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio path: synthetic 16-bit PCM waveforms (exact integer
+    formula s_k = ((k*(i+3) + k*k) % 65536) - 32768) serialize as
+    RIFF/WAVE (raster/wav.py), decode back through the chunk walker,
+    and feature-extract — n_samples, exact sum-of-squares, and
+    sign-transition zero crossings all close in SQL."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark import multimodal
+    from gdal_spark.raster.wav import encode_wav
+
+    ids = _site_ids(spark, sf_dir).where(F.col("i") % AUDIO_MOD == 0)
+
+    pay_schema = T2.StructType(
+        [
+            T2.StructField("clip_id", T2.StringType()),
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("bytes", T2.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["i"]:
+                i = int(i)
+                n = 2000 + (i % 5) * 500
+                k = np.arange(n, dtype=np.int64)
+                s = ((k * (i + 3) + k * k) % 65536) - 32768
+                recs.append(
+                    {
+                        "clip_id": f"clip_{i:08d}", "i": i,
+                        "bytes": encode_wav(s.astype(np.int16), 16000),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["clip_id", "i", "bytes"])
+
+    clips = ids.mapInPandas(gen, pay_schema)
+    feats = multimodal.audio_features(clips)
+    # join back i for a stable key and emit exact integer features
+    out_schema = T2.StructType(
+        [
+            T2.StructField("clip_id", T2.StringType()),
+            T2.StructField("n_samples", T2.LongType()),
+            T2.StructField("ssq", T2.LongType()),
+            T2.StructField("zero_crossings", T2.LongType()),
+        ]
+    )
+
+    def exact(batches):
+        for pdf in batches:
+            recs = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                from gdal_spark.raster.wav import decode_wav
+
+                s, _ = decode_wav(bytes(data))
+                s = s[:, 0].astype(np.int64)
+                sgn = s < 0
+                recs.append(
+                    {
+                        "clip_id": clip_id,
+                        "n_samples": len(s),
+                        "ssq": int((s * s).sum()),
+                        "zero_crossings": int((sgn[1:] != sgn[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["clip_id", "n_samples", "ssq", "zero_crossings"]
+            )
+
+    exact_feats = clips.mapInPandas(exact, out_schema)
+    # audio_features (float rms path) runs too: assert row parity by
+    # joining counts — the oracle checks the exact-integer features
+    return exact_feats.join(
+        feats.select("clip_id", F.col("n_samples").alias("n2")), "clip_id"
+    ).where(F.col("n_samples") == F.col("n2")).select(
+        "clip_id", "n_samples", "ssq", "zero_crossings"
+    )
+
+
+def _o_audio_features() -> str:
+    s = "(((k.k * (c.i + 3) + k.k * k.k) % 65536) - 32768)"
+    sp = "((((k.k - 1) * (c.i + 3) + (k.k - 1) * (k.k - 1)) % 65536) - 32768)"
+    return f"""
+WITH c AS (
+  SELECT cast(c_custkey as bigint) AS i,
+    'clip_' || lpad(cast(c_custkey as varchar), 8, '0') AS clip_id,
+    2000 + (cast(c_custkey as bigint) % 5) * 500 AS n
+  FROM customer WHERE c_custkey % {AUDIO_MOD} = 0
+)
+SELECT c.clip_id, cast(c.n as bigint) AS n_samples,
+  cast(sum({s} * {s}) as bigint) AS ssq,
+  cast(sum(CASE WHEN k.k > 0 AND (({s}) < 0) <> (({sp}) < 0) THEN 1 ELSE 0 END) as bigint) AS zero_crossings
+FROM c JOIN range(0, 4000) AS k(k) ON k.k < c.n
+GROUP BY c.clip_id, c.n
+"""
+
+
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (the pre-tokenizer split of
     GPT-style byte-pair encoders: letter runs / digit runs / isolated
@@ -2711,6 +2814,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pansharpen": q_pansharpen,
         "nearblack": q_nearblack,
         "token_bpe": q_token_bpe,
+        "audio_features": q_audio_features,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4195,6 +4299,7 @@ GROUP BY 1, 2, 3
         "lcc_transform": _o_lcc_transform(),
         "pansharpen": _o_pansharpen(),
         "nearblack": _o_nearblack(),
+        "audio_features": _o_audio_features(),
         "token_bpe": f"""
 SELECT doc_id,
   cast(len(regexp_extract_all(text, '{BPE_PAT}')) as bigint) AS n_bpe,

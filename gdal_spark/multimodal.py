@@ -263,11 +263,21 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_audio_stub(data: bytes) -> np.ndarray:
-    """STUB: no audio codec in this container. Deterministic fake:
-    interpret payload bytes as int8 PCM. Replace with soundfile/ffmpeg
-    in production — the surrounding plumbing is unchanged."""
+def _decode_audio(data: bytes) -> np.ndarray:
+    """RIFF/WAVE payloads decode for REAL (raster/wav.py, 16-bit PCM,
+    channel-averaged to mono floats in [-1, 1)); anything else falls
+    back to the round-1 deterministic stub (raw int8 PCM) — there is
+    no general codec stack in this container, and the stub keeps the
+    plumbing exercised for compressed formats."""
+    from gdal_spark.raster.wav import decode_wav, is_wav
+
+    if is_wav(bytes(data)):
+        samples, _rate = decode_wav(bytes(data))
+        return samples.astype(np.float64).mean(axis=1) / 32768.0
     return np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+
+
+_decode_audio_stub = _decode_audio  # back-compat alias
 
 
 def audio_features(clips: DataFrame, id_col: str = "clip_id", payload_col: str = "bytes") -> DataFrame:
@@ -275,7 +285,7 @@ def audio_features(clips: DataFrame, id_col: str = "clip_id", payload_col: str =
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                pcm = _decode_audio_stub(bytes(row[payload_col]))
+                pcm = _decode_audio(bytes(row[payload_col]))
                 sgn = np.signbit(pcm)
                 recs.append(
                     {

@@ -60,3 +60,35 @@ def test_video_frame_sampling_stub(spark):
         0, 10, 20, 30, 40, 50, 60,
     ]
     assert all(len(r["frame_bytes"]) == 64 for r in out)
+
+
+def test_wav_roundtrip_and_chunk_walker():
+    import numpy as np
+
+    from gdal_spark.raster.wav import decode_wav, encode_wav, is_wav
+
+    s = (np.arange(1000) * 37 % 65536 - 32768).astype(np.int16)
+    buf = encode_wav(s, 22050)
+    assert is_wav(buf)
+    out, rate = decode_wav(buf)
+    assert rate == 22050 and out.shape == (1000, 1)
+    assert (out[:, 0] == s).all()
+    # stereo
+    st = np.stack([s, -s], axis=1).astype(np.int16)
+    out2, _ = decode_wav(encode_wav(st, 8000))
+    assert out2.shape == (1000, 2) and (out2 == st).all()
+
+
+def test_audio_features_decodes_real_wav(spark):
+    import numpy as np
+
+    from gdal_spark import multimodal
+    from gdal_spark.raster.wav import encode_wav
+
+    s = np.array([1000, -1000, 1000, -1000] * 100, dtype=np.int16)
+    df = spark.createDataFrame(
+        [("c1", bytearray(encode_wav(s)))], "clip_id string, bytes binary"
+    )
+    row = multimodal.audio_features(df).collect()[0]
+    assert row["n_samples"] == 400
+    assert row["zero_crossings"] == 399
