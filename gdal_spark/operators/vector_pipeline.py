@@ -75,6 +75,71 @@ def step_simplify(df: DataFrame, tolerance: float) -> DataFrame:
     return df.withColumn(GEOM, st_simplify(F.col(GEOM), F.lit(tolerance)))
 
 
+def _reproject_udf(src_crs: str, dst_crs: str):
+    """Coordinate-transform factory for the supported closed-form CRS
+    chain (4326 <-> 3857 <-> utm:<zone> <-> lcc:<lat1>,<lat2>,<lat0>,
+    <lon0>); every pair routes through 4326, mirroring the reference's
+    transformer composition (ogr/ogrct.cpp pipelines)."""
+    import numpy as np
+
+    from gdal_spark.geo import crs as C
+    from gdal_spark.tiles import tilemath as tm
+
+    def to4326(x, y, tag):
+        if tag == "4326":
+            return x, y
+        if tag == "3857":
+            lon = np.degrees(x / tm.EARTH_RADIUS)
+            lat = np.degrees(2 * np.arctan(np.exp(y / tm.EARTH_RADIUS)) - np.pi / 2)
+            return lon, lat
+        if tag.startswith("utm:"):
+            return C.utm_inverse(x, y, int(tag.split(":")[1]))
+        if tag.startswith("lcc:"):
+            p = [float(v) for v in tag.split(":")[1].split(",")]
+            return C.lcc_inverse(x, y, *p)
+        raise ValueError(f"unsupported crs {tag}")
+
+    def from4326(lon, lat, tag):
+        if tag == "4326":
+            return lon, lat
+        if tag == "3857":
+            return (
+                tm.EARTH_RADIUS * np.radians(lon),
+                tm.EARTH_RADIUS * np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)),
+            )
+        if tag.startswith("utm:"):
+            return C.utm_forward(lon, lat, int(tag.split(":")[1]))
+        if tag.startswith("lcc:"):
+            p = [float(v) for v in tag.split(":")[1].split(",")]
+            return C.lcc_forward(lon, lat, *p)
+        raise ValueError(f"unsupported crs {tag}")
+
+    @F.pandas_udf(T.BinaryType())
+    def reproject(wkb: pd.Series) -> pd.Series:
+        def f(b):
+            g = parse_wkb(bytes(b))
+            for part in g.parts:
+                lon, lat = to4326(part[:, 0], part[:, 1], src_crs)
+                part[:, 0], part[:, 1] = from4326(lon, lat, dst_crs)
+            for rings in g.polys:
+                for r in rings:
+                    lon, lat = to4326(r[:, 0], r[:, 1], src_crs)
+                    r[:, 0], r[:, 1] = from4326(lon, lat, dst_crs)
+            return geometry_to_wkb(g)
+
+        return wkb.map(f)
+
+    return reproject
+
+
+def step_reproject(df: DataFrame, src_crs: str, dst_crs: str) -> DataFrame:
+    """gdal vector reproject (apps/gdalalg_vector_reproject.cpp ->
+    OGRGeometry::transform): per-vertex CRS transform of the geometry
+    column across the closed-form chain 4326 / 3857 / utm:<zone> /
+    lcc:<params>."""
+    return df.withColumn(GEOM, _reproject_udf(src_crs, dst_crs)(F.col(GEOM)))
+
+
 def step_make_valid(df: DataFrame) -> DataFrame:
     """gdal vector make-valid (apps/gdalalg_vector_make_valid.cpp ->
     OGRGeometry::MakeValid): repair self-intersecting rings via

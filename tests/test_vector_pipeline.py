@@ -76,3 +76,26 @@ def test_segmentize_buffer_chain(spark):
 
     area = polygon_area([ring])
     assert 4 + 8 + 3.0 < area <= 4 + 8 + np.pi + 1e-9
+
+
+def test_step_reproject_roundtrip_and_mercator(spark):
+    import numpy as np
+
+    from gdal_spark.geo.wkb import parse_wkb, wkb_polygon
+    from gdal_spark.operators.vector_pipeline import step_reproject
+    from gdal_spark.tiles import tilemath as tm
+
+    ring = np.array(
+        [[-10.0, 40.0], [-9.0, 40.0], [-9.0, 41.0], [-10.0, 41.0], [-10.0, 40.0]]
+    )
+    df = spark.createDataFrame([(1, wkb_polygon([ring]))], ["fid", "geometry"])
+    merc = step_reproject(df, "4326", "3857")
+    out = parse_wkb(bytes(merc.collect()[0]["geometry"])).all_rings()[0][0]
+    assert abs(out[0, 0] - tm.EARTH_RADIUS * np.radians(-10.0)) < 1e-6
+    # roundtrip through LCC back to 4326
+    back = step_reproject(
+        step_reproject(df, "4326", "lcc:33,45,39,-96"),
+        "lcc:33,45,39,-96", "4326",
+    )
+    ring2 = parse_wkb(bytes(back.collect()[0]["geometry"])).all_rings()[0][0]
+    assert np.abs(ring2 - ring).max() < 1e-9
