@@ -2828,17 +2828,19 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_quantiles": q_events_quantiles,
         "ogr_union_all": q_ogr_union_all,
         "ogr_scalar_ops": q_ogr_scalar_ops,
-        # -- flagship / core operator families
+        # -- flagship / core operator families (one per family inside
+        #    the 50-row artifact prefix; cheap variants follow)
         "tile_assign": q_tile_assign,
-        "tile_counts": q_tile_counts,
-        "quadkey": q_quadkey,
         "pip_join": q_pip_join,
         "knn": q_knn,
-        "knn_perk": q_knn_perk,
         "rasterize_count": q_rasterize_count,
+        "tile_render": q_tile_render,
+        "minhash_pairs": q_minhash_pairs,
+        "tile_counts": q_tile_counts,
+        "quadkey": q_quadkey,
+        "knn_perk": q_knn_perk,
         "rasterize_tile_add": q_rasterize_tile_add,
         "rasterize_tile_checksum": q_rasterize_tile_checksum,
-        "tile_render": q_tile_render,
         "tile_render_avg": q_tile_render_avg,
         "tile_render_utm": q_tile_render_utm,
         "tile_overview": q_tile_overview,
@@ -2853,7 +2855,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_point": q_interpolate_point,
         "dem_metrics": q_dem_metrics,
         "exact_dedup": q_exact_dedup,
-        "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
