@@ -273,6 +273,66 @@ def _pairwise_overlay(op: str):
     return fn
 
 
+@F.pandas_udf(T.BooleanType())
+def st_issimple(wkb: pd.Series) -> pd.Series:
+    """IsSimple (ogrgeometry.cpp:2416): no proper self-crossings in
+    any ring/linestring (checked by the MakeValid noder)."""
+    from gdal_spark.geo.makevalid import node_ring
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        comps = []
+        if g.type_id == WKB_LINESTRING:
+            pts = g.parts[0]
+            comps.append(np.vstack([pts, pts[:1]]) if not np.array_equal(pts[0], pts[-1]) else pts)
+        else:
+            comps = [r for rings in g.all_rings() for r in rings]
+        for r in comps:
+            if len(node_ring(r)) != len(r):
+                return False
+        return True
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_isring(wkb: pd.Series) -> pd.Series:
+    """IsRing (ogrgeometry.cpp:2486): closed AND simple linestring."""
+    from gdal_spark.geo.makevalid import node_ring
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id != WKB_LINESTRING:
+            return False
+        pts = g.parts[0]
+        if len(pts) < 4 or not np.array_equal(pts[0], pts[-1]):
+            return False
+        return len(node_ring(pts)) == len(pts)
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_isrectangle(wkb: pd.Series) -> pd.Series:
+    """IsRectangle (ogrgeometry.cpp:8820): a single 5-point ring
+    whose edges are axis-parallel."""
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        rings = g.all_rings()
+        if len(rings) != 1 or len(rings[0]) != 1:
+            return False
+        r = rings[0][0]
+        if len(r) != 5 or not np.array_equal(r[0], r[-1]):
+            return False
+        for (x1, y1), (x2, y2) in zip(r[:-1], r[1:]):
+            if x1 != x2 and y1 != y2:
+                return False
+        return True
+
+    return wkb.map(one)
+
+
 @F.pandas_udf(T.StringType())
 def st_asgeojson(wkb: pd.Series) -> pd.Series:
     """GeoJSON geometry export (ogr/ogrgeojsongeometry.cpp analog):
@@ -400,6 +460,9 @@ st_symdifference = _pairwise_overlay("symdiff")
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_MakeValid": st_makevalid,
+    "ST_IsSimple": st_issimple,
+    "ST_IsRing": st_isring,
+    "ST_IsRectangle": st_isrectangle,
     "ST_AsGeoJSON": st_asgeojson,
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
     "ST_DelaunayTriangles": st_delaunaytriangles,

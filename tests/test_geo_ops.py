@@ -184,3 +184,36 @@ def test_st_io_and_constructive_extras(spark):
     assert row["a"] == 16.0      # GeoJSON roundtrip preserves area
     assert row["da"] == 16.0     # triangles partition the square
     assert row["ua"] == 16.0
+
+
+def test_st_simple_ring_rectangle(spark):
+    import numpy as np
+
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import wkb_linestring, wkb_polygon
+
+    register_st_functions(spark)
+    rect = wkb_polygon(
+        [np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)]
+    )
+    bow = wkb_polygon(
+        [np.array([[0, 0], [4, 2], [4, 0], [0, 2], [0, 0]], float)]
+    )
+    ring_ls = wkb_linestring(
+        np.array([[0, 0], [2, 0], [2, 2], [0, 0]], float)
+    )
+    open_ls = wkb_linestring(np.array([[0, 0], [2, 0], [2, 2]], float))
+    tri = wkb_polygon([np.array([[0, 0], [4, 0], [2, 3], [0, 0]], float)])
+    df = spark.createDataFrame(
+        [(rect, bow, ring_ls, open_ls, tri)], ["r", "b", "rl", "ol", "t"]
+    )
+    df.createOrReplaceTempView("gsrr")
+    row = spark.sql(
+        """SELECT ST_IsSimple(r) AS rs, ST_IsSimple(b) AS bs,
+                  ST_IsRing(rl) AS rr, ST_IsRing(ol) AS orr,
+                  ST_IsRectangle(r) AS rrect, ST_IsRectangle(t) AS trect
+           FROM gsrr"""
+    ).collect()[0]
+    assert row["rs"] and not row["bs"]
+    assert row["rr"] and not row["orr"]
+    assert row["rrect"] and not row["trect"]
