@@ -835,6 +835,61 @@ def q_ogr_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s)
 
 
+_KIND_STYLE = {
+    "park": "BRUSH(fc:#228b22)",
+    "water": "BRUSH(fc:#1e90ff)",
+    "urban": "BRUSH(fc:#808080)",
+    "farm": "BRUSH(fc:#daa520)",
+}
+
+
+def q_ogr_special_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR SQL special fields (ogr/ogr_p.h:167-174): FID,
+    OGR_GEOM_AREA (planar area of the feature geometry) and
+    OGR_STYLE (the feature style string — the engine convention
+    derives it from the zone kind as an OGR BRUSH tool string)."""
+    from gdal_spark.geo.st_functions import st_area
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    style = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _KIND_STYLE.items() for x in kv]
+        ),
+        F.col("kind"),
+    )
+    return zones.select(
+        F.col("fid").cast("long").alias("FID"),
+        F.floor(st_area(F.col("geometry")) * 1e4).cast("long").alias("ogr_geom_area_e4"),
+        style.alias("OGR_STYLE"),
+    )
+
+
+def _o_ogr_special_fields() -> str:
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    kinds = ("park", "water", "urban", "farm")
+    cases = " ".join(
+        f"WHEN {i} THEN '{_KIND_STYLE[k]}'" for i, k in enumerate(kinds)
+    )
+    return f"""
+WITH zn AS ({zn}),
+outer_edges AS ({_zone_edges_cte('r')}),
+hole_edges AS ({_zone_edges_cte('hole_r')}),
+oa AS (
+  SELECT fid, abs(sum(x1 * y2 - x2 * y1)) / 2 AS area
+  FROM outer_edges GROUP BY fid
+),
+ha AS (
+  SELECT e.fid, abs(sum(e.x1 * e.y2 - e.x2 * e.y1)) / 2 AS area
+  FROM hole_edges e JOIN zn z ON z.fid = e.fid
+  WHERE z.has_hole GROUP BY e.fid
+)
+SELECT o.fid AS FID,
+  cast(floor((o.area - coalesce(h.area, 0)) * 1e4) as bigint) AS ogr_geom_area_e4,
+  CASE o.fid % 4 {cases} END AS OGR_STYLE
+FROM oa o LEFT JOIN ha h ON h.fid = o.fid
+"""
+
+
 def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OGR SQL scalar op set: LIKE/IN/BETWEEN/CAST/CONCAT/SUBSTR
     (ogr/swq_op_registrar.cpp:28-61)."""
@@ -2815,6 +2870,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearblack": q_nearblack,
         "token_bpe": q_token_bpe,
         "audio_features": q_audio_features,
+        "ogr_special_fields": q_ogr_special_fields,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4301,6 +4357,7 @@ GROUP BY 1, 2, 3
         "pansharpen": _o_pansharpen(),
         "nearblack": _o_nearblack(),
         "audio_features": _o_audio_features(),
+        "ogr_special_fields": _o_ogr_special_fields(),
         "token_bpe": f"""
 SELECT doc_id,
   cast(len(regexp_extract_all(text, '{BPE_PAT}')) as bigint) AS n_bpe,
