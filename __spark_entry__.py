@@ -1487,6 +1487,86 @@ def q_overview_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_overview_gauss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'gauss' overview resampler (overview.cpp
+    GDALResampleChunk_Gauss: 3x3 [1 2 1; 2 4 2; 1 2 1] kernel
+    centered at (2x+1, 2y+1), edge taps dropped with renormalized
+    weight, round-half-up) on the quantized strip surface."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.operators import stencil
+    from gdal_spark.raster.checksum import gdal_checksum
+    from gdal_spark.raster.resample import gauss_2x2
+
+    tiles = stencil.surface_tiles(spark, [(0, 0), (1, 0), (0, 1), (1, 1)])
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty, data in zip(pdf["tile_x"], pdf["tile_y"], pdf["data"]):
+                arr = np.frombuffer(data, dtype="<f8").reshape(256, 256)
+                q = (((arr * 2).astype(np.int64) % 512) // 128).astype(np.uint8)
+                m = gauss_2x2(q)
+                recs.append(
+                    {
+                        "tile_x": int(tx), "tile_y": int(ty),
+                        "checksum": gdal_checksum(m),
+                        "vsum": int(m.sum(dtype=np.int64)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["tile_x", "tile_y", "checksum", "vsum"])
+
+    return tiles.mapInPandas(run, schema).select(
+        F.col("tile_x").cast("int"), F.col("tile_y").cast("int"),
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
+def _o_overview_gauss() -> str:
+    def qv(dx: int, dy: int) -> str:
+        return f"(((3 * (X + {dx}) + 5 * (Y + {dy})) % 512) // 128)"
+
+    k = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+    tot_terms = []
+    cnt_terms = []
+    for i in range(3):
+        for j in range(3):
+            inb = f"(2 * bx + {j} <= 255 AND 2 * by + {i} <= 255)"
+            tot_terms.append(
+                f"CASE WHEN {inb} THEN {k[i][j]} * {qv(j, i)} ELSE 0 END"
+            )
+            cnt_terms.append(f"CASE WHEN {inb} THEN {k[i][j]} ELSE 0 END")
+    tot = "(" + " + ".join(tot_terms) + ")"
+    cnt = "(" + " + ".join(cnt_terms) + ")"
+    return f"""
+WITH blocks AS (
+  SELECT t.tx, t.ty, gx.bx, gy.by,
+    t.tx * 256 + 2 * gx.bx AS X, t.ty * 256 + 2 * gy.by AS Y
+  FROM (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(tx, ty),
+       range(0, 128) AS gx(bx), range(0, 128) AS gy(by)
+),
+vals AS (
+  SELECT tx, ty, bx, by,
+    (2 * {tot} + {cnt}) // (2 * {cnt}) AS m
+  FROM blocks
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(sum(m % ({_PRIMES_SQL})[((by * 128 + bx) % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(m) as bigint) AS vsum
+FROM vals GROUP BY 1, 2
+"""
+
+
 def q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic (spherical) area/perimeter per zone — the spherical
     stand-in for OGR's PROJ-backed get_GeodesicArea/Length
@@ -2871,6 +2951,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "audio_features": q_audio_features,
         "ogr_special_fields": q_ogr_special_fields,
+        "overview_gauss": q_overview_gauss,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4480,6 +4561,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "dem_metrics": _o_dem_metrics(),
         "overview_mode": _o_overview_mode(),
         "overview_rms": _o_overview_rms(),
+        "overview_gauss": _o_overview_gauss(),
         "raster_attribute_table": """
 SELECT cast((s % 512) // 128 as int) AS value, count(*) AS n_px
 FROM (

@@ -339,6 +339,29 @@ def rms_2x2(block: np.ndarray) -> np.ndarray:
     return np.floor(np.sqrt(s / 4.0) + 0.5).astype(block.dtype)
 
 
+def gauss_2x2(block: np.ndarray) -> np.ndarray:
+    """'gauss' overview (overview.cpp GDALResampleChunk_Gauss, 2x
+    case): 3x3 kernel [1 2 1; 2 4 2; 1 2 1] centered at source pixel
+    (2x+1, 2y+1), edge taps dropped with the weight sum renormalized
+    (dfTotal / nCount), then Byte round-half-up."""
+    h, w = block.shape[:2]
+    oh, ow = h // 2, w // 2
+    pad = np.zeros((h + 1, w + 1), dtype=np.float64)
+    pad[:h, :w] = block.astype(np.float64)
+    ok = np.zeros((h + 1, w + 1), dtype=np.float64)
+    ok[:h, :w] = 1.0
+    k = ((1, 2, 1), (2, 4, 2), (1, 2, 1))
+    tot = np.zeros((oh, ow), dtype=np.float64)
+    cnt = np.zeros((oh, ow), dtype=np.float64)
+    for i in range(3):
+        for j in range(3):
+            sub = pad[i : i + 2 * oh : 2, j : j + 2 * ow : 2]
+            sok = ok[i : i + 2 * oh : 2, j : j + 2 * ow : 2]
+            tot += k[i][j] * sub * sok
+            cnt += k[i][j] * sok
+    return np.floor(tot / cnt + 0.5).astype(block.dtype)
+
+
 def mode_2x2(block: np.ndarray) -> np.ndarray:
     """'mode' overview: most frequent of the 4 samples; ties resolve
     to the value that FIRST REACHES the max count in NW,NE,SW,SE scan
