@@ -653,25 +653,26 @@ pix AS (
   FROM cover c, range(0, 256) AS gx(px), range(0, 256) AS gy(py)
 ),
 taps AS (
-  SELECT i, tx, ty, px, py, sx0 + t.dx AS sx, sy0 + t.dy AS sy
+  SELECT i, tx, ty, px, py, t.dx, t.dy, sx0 + t.dx AS sx, sy0 + t.dy AS sy
   FROM pix, (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) AS t(dx, dy)
   WHERE sx0 + t.dx >= 0 AND sx0 + t.dx < w AND sy0 + t.dy >= 0 AND sy0 + t.dy < h
 ),
 tapsb AS (
-  SELECT i, tx, ty, px, py, b.band,
+  SELECT i, tx, ty, px, py, dx, dy, b.band,
     (sx + sy + i + CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END) % 256 AS v
   FROM taps CROSS JOIN (SELECT band FROM range(0, 3) AS r(band)) b
 ),
 per_img AS (
   SELECT tx, ty, px, py, band, i, count(*) AS n,
     min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum, sum(v * v) AS vsq,
-    list(v ORDER BY v) AS vs
+    list(v ORDER BY v) AS vs,
+    list(v ORDER BY dy, dx) AS vso
   FROM tapsb GROUP BY 1, 2, 3, 4, 5, 6
 ),
 win AS (
   SELECT tx, ty, px, py, band,
     max_by(struct_pack(n := n, vmin := vmin, vmax := vmax,
-                       vsum := vsum, vsq := vsq, vs := vs), i) AS st
+                       vsum := vsum, vsq := vsq, vs := vs, vso := vso), i) AS st
   FROM per_img GROUP BY 1, 2, 3, 4, 5
 ),
 vals AS (
@@ -683,10 +684,18 @@ vals AS (
       WHEN 'rms' THEN cast(floor(sqrt(cast(st.vsq as double) / st.n) + 0.5) as bigint)
       WHEN 'med' THEN cast(st.vs[cast(ceil(0.5 * st.n - 1) as int) + 1] as bigint)
       WHEN 'q1' THEN cast(st.vs[cast(ceil(0.25 * st.n - 1) as int) + 1] as bigint)
-      ELSE cast(st.vs[cast(ceil(0.75 * st.n - 1) as int) + 1] as bigint)
+      WHEN 'q3' THEN cast(st.vs[cast(ceil(0.75 * st.n - 1) as int) + 1] as bigint)
+      -- mode: first value to REACH the max count in tap scan order
+      -- (GWKAverageOrMode running max): first repeated sample wins,
+      -- else the first sample
+      ELSE cast(CASE
+        WHEN st.vso[2] = st.vso[1] THEN st.vso[2]
+        WHEN st.vso[3] = st.vso[1] OR st.vso[3] = st.vso[2] THEN st.vso[3]
+        WHEN st.vso[4] = st.vso[1] OR st.vso[4] = st.vso[2] OR st.vso[4] = st.vso[3] THEN st.vso[4]
+        ELSE st.vso[1] END as bigint)
     END AS v
   FROM win CROSS JOIN (
-    VALUES ('min'), ('max'), ('sum'), ('rms'), ('med'), ('q1'), ('q3')
+    VALUES ('min'), ('max'), ('sum'), ('rms'), ('med'), ('q1'), ('q3'), ('mode')
   ) AS s(stat)
 )
 SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,

@@ -126,7 +126,7 @@ def sample_cubic(
     return vals, mask
 
 
-FOOTPRINT_STATS = ("min", "max", "sum", "rms", "med", "q1", "q3")
+FOOTPRINT_STATS = ("min", "max", "sum", "rms", "med", "q1", "q3", "mode")
 
 
 def sample_footprint_stats(
@@ -175,6 +175,34 @@ def sample_footprint_stats(
             out["sum"] = np.nansum(stack, axis=0)
         if "rms" in stats:
             out["rms"] = np.sqrt(np.nansum(stack * stack, axis=0) / safe_n)
+        if "mode" in stats:
+            # GWKAverageOrMode GWKAOM_Fmode running-max rule on the
+            # taps in scan order: the first value to REACH the max
+            # count wins — for <= 4 taps this is "first repeated
+            # sample, else first valid sample" (see mode_2x2)
+            if len(taps) > 4:
+                raise NotImplementedError(
+                    "footprint 'mode' implemented for <= 4 taps (2x warp)"
+                )
+            flat = [np.where(okst[t], stack[t], np.nan) for t in range(len(taps))]
+            while len(flat) < 4:
+                flat.append(np.full_like(flat[0], np.nan))
+            s0, s1, s2, s3 = flat
+            first_valid = s0.copy()
+            for cand in (s1, s2, s3):
+                first_valid = np.where(np.isnan(first_valid), cand, first_valid)
+            out["mode"] = np.where(
+                (s1 == s0),
+                s1,
+                np.where(
+                    (s2 == s0) | (s2 == s1),
+                    s2,
+                    np.where(
+                        (s3 == s0) | (s3 == s1) | (s3 == s2), s3, first_valid
+                    ),
+                ),
+            )
+            out["mode"] = np.where(mask, np.nan_to_num(out["mode"]), 0.0)
         quants = {"med": 0.5, "q1": 0.25, "q3": 0.75}
         wanted = [s for s in stats if s in quants]
         if wanted:
