@@ -1091,6 +1091,56 @@ def q_grid_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GRID_NN = 8
+
+
+def q_grid_invdistnn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GGA_InverseDistanceToAPowerNearestNeighbor: IDW restricted to
+    the 8 nearest in-radius points (alg/gdalgrid.cpp:241-341 quadtree
+    search re-expressed as a window rank)."""
+    from gdal_spark.operators.gridded import grid_invdistnn
+
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir)).select(
+        F.col("slon").alias("px"),
+        F.col("slat").alias("py"),
+        (F.col("i") % 256).cast("long").alias("pv"),
+    )
+    return grid_invdistnn(
+        spark, sites, GRID_W, GRID_H, GRID_BOUNDS, GRID_RADIUS, GRID_NN
+    )
+
+
+def _o_grid_invdistnn() -> str:
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    resx = (GRID_BOUNDS[2] - GRID_BOUNDS[0]) / GRID_W
+    resy = (GRID_BOUNDS[3] - GRID_BOUNDS[1]) / GRID_H
+    r2 = tm.sql_double(GRID_RADIUS * GRID_RADIUS)
+    return f"""
+WITH st AS ({st}),
+pts AS (SELECT slon AS px, slat AS py, cast(i % 256 as bigint) AS pv FROM st),
+grid AS (
+  SELECT cast(r.id % {GRID_W} as int) AS gx, cast(r.id // {GRID_W} as int) AS gy,
+    {tm.sql_double(GRID_BOUNDS[0])} + (r.id % {GRID_W} + 0.5) * {tm.sql_double(resx)} AS cx,
+    {tm.sql_double(GRID_BOUNDS[3])} - (r.id // {GRID_W} + 0.5) * {tm.sql_double(resy)} AS cy
+  FROM range(0, {GRID_W * GRID_H}) AS r(id)
+),
+j AS (
+  SELECT g.gx, g.gy, p.pv,
+    (g.cx - p.px) * (g.cx - p.px) + (g.cy - p.py) * (g.cy - p.py) AS d2
+  FROM grid g, pts p
+  WHERE (g.cx - p.px) * (g.cx - p.px) + (g.cy - p.py) * (g.cy - p.py) <= {r2}
+),
+rk AS (
+  SELECT gx, gy, pv, d2,
+    row_number() OVER (PARTITION BY gx, gy ORDER BY d2 ASC, pv ASC) AS r
+  FROM j
+)
+SELECT gx, gy, count(*) AS cnt_used,
+  cast(floor((sum(pv / d2) / sum(1.0 / d2)) * 1e4) as bigint) AS invdistnn_e4
+FROM rk WHERE r <= {GRID_NN} GROUP BY 1, 2
+"""
+
+
 def q_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_proximity distance raster (alg/gdalproximity.cpp): exact
     euclidean distance to broadcast global targets, capped."""
@@ -2961,6 +3011,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "ogr_special_fields": q_ogr_special_fields,
         "overview_gauss": q_overview_gauss,
+        "grid_invdistnn": q_grid_invdistnn,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4596,6 +4647,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "dissolve": _o_dissolve(),
         "footprint": _o_footprint(),
         "grid_interp": _o_grid_interp(),
+        "grid_invdistnn": _o_grid_invdistnn(),
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),

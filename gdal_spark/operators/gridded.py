@@ -73,6 +73,57 @@ def grid_interpolate(
     )
 
 
+def grid_invdistnn(
+    spark: SparkSession,
+    points: DataFrame,
+    grid_w: int,
+    grid_h: int,
+    bounds: tuple[float, float, float, float],
+    radius: float,
+    n_nearest: int = 8,
+    point_x: str = "px",
+    point_y: str = "py",
+    point_v: str = "pv",
+) -> DataFrame:
+    """GGA_InverseDistanceToAPowerNearestNeighbor (alg/gdalgrid.cpp
+    :241-341): inverse-distance power-2 restricted to the n_nearest
+    points within radius (the reference finds them with a quadtree;
+    here a window rank over the radius-filtered candidates — at scale
+    the candidate set comes from the cell-ring join, same as kNN).
+    -> (gx, gy, cnt_used, invdistnn_e4)."""
+    from pyspark.sql.window import Window
+
+    x0, y0, x1, y1 = bounds
+    resx = (x1 - x0) / grid_w
+    resy = (y1 - y0) / grid_h
+    grid = spark.range(grid_w * grid_h).select(
+        (F.col("id") % grid_w).cast("int").alias("gx"),
+        (F.col("id") / grid_w).cast("int").alias("gy"),
+    )
+    cx = F.lit(x0) + (F.col("gx") + F.lit(0.5)) * F.lit(resx)
+    cy = F.lit(y1) - (F.col("gy") + F.lit(0.5)) * F.lit(resy)
+    grid = grid.withColumn("cx", cx).withColumn("cy", cy)
+    joined = grid.join(F.broadcast(points))
+    d2 = (F.col("cx") - F.col(point_x)) ** 2 + (F.col("cy") - F.col(point_y)) ** 2
+    joined = joined.withColumn("d2", d2).where(F.col("d2") <= F.lit(radius * radius))
+    w = Window.partitionBy("gx", "gy").orderBy(F.col("d2").asc(), F.col(point_v).asc())
+    ranked = joined.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= n_nearest
+    )
+    v = F.col(point_v).cast("double")
+    return (
+        ranked.groupBy("gx", "gy")
+        .agg(
+            F.count(F.lit(1)).alias("cnt_used"),
+            (F.sum(v / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2"))).alias("_inv"),
+        )
+        .select(
+            "gx", "gy", F.col("cnt_used").cast("long"),
+            F.floor(F.col("_inv") * 1e4).cast("long").alias("invdistnn_e4"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # proximity
 # ---------------------------------------------------------------------------
