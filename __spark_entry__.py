@@ -899,6 +899,68 @@ FROM oa o LEFT JOIN ha h ON h.fid = o.fid
 """
 
 
+def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GeoPackage IO (ogr/ogrsf_frmts/gpkg/ semantics via stdlib
+    sqlite3): the zones layer writes to a .gpkg (required metadata
+    tables + StandardGeoPackageBinary blobs), reads back as a
+    rowid-partitioned distributed scan, and the recovered features'
+    attributes + geometry structure must match the zone fixture's
+    closed forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.wkb import parse_wkb
+    from gdal_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = os.path.join(
+        "/tmp", f"gdal_spark_gpkg_{os.path.basename(sf_dir)}.gpkg"
+    )
+    write_gpkg(zones, path, "zones")
+    back = read_gpkg(spark, path, "zones")
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("eas_id", T2.LongType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("n_rings", T2.IntegerType()),
+        ]
+    )
+
+    def shape(batches):
+        for pdf in batches:
+            recs = []
+            for fid, eas, kind, wkb in zip(
+                pdf["fid"], pdf["eas_id"], pdf["kind"], pdf["geometry"]
+            ):
+                rings = parse_wkb(bytes(wkb)).all_rings()[0]
+                recs.append(
+                    {
+                        "fid": int(fid), "eas_id": int(eas), "kind": kind,
+                        "n_rings": len(rings),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["fid", "eas_id", "kind", "n_rings"]
+            )
+
+    return back.mapInPandas(shape, schema)
+
+
+def _o_gpkg_roundtrip() -> str:
+    z = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH z AS ({z})
+SELECT fid, eas_id,
+  CASE fid % 4 WHEN 0 THEN 'park' WHEN 1 THEN 'water'
+               WHEN 2 THEN 'urban' ELSE 'farm' END AS kind,
+  cast(CASE WHEN has_hole THEN 2 ELSE 1 END as int) AS n_rings
+FROM z
+"""
+
+
 def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OGR SQL scalar op set: LIKE/IN/BETWEEN/CAST/CONCAT/SUBSTR
     (ogr/swq_op_registrar.cpp:28-61)."""
@@ -3012,6 +3074,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_special_fields": q_ogr_special_fields,
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4648,6 +4711,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "footprint": _o_footprint(),
         "grid_interp": _o_grid_interp(),
         "grid_invdistnn": _o_grid_invdistnn(),
+        "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
