@@ -961,6 +961,85 @@ FROM z
 """
 
 
+def q_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Shapefile IO (ogr/ogrsf_frmts/shape semantics, pure
+    struct): zones write as .shp/.shx/.dbf (CW outer rings per the
+    ESRI spec, ring orientation restored to OGC on read), then a
+    distributed .shx-indexed scan recovers features whose attributes,
+    ring counts and exact polygon areas match the fixture closed
+    forms (areas survive the orientation round-trip bit-for-bit
+    because reversal preserves the vertex set)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.geom import polygon_area
+    from gdal_spark.geo.wkb import parse_wkb
+    from gdal_spark.sources.shapefile import read_shp, write_shp
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    base = os.path.join(
+        "/tmp", f"gdal_spark_shp_{os.path.basename(sf_dir)}"
+    )
+    write_shp(zones, base)
+    back = read_shp(spark, base)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("eas_id", T2.LongType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("n_rings", T2.IntegerType()),
+            T2.StructField("area_e6", T2.LongType()),
+        ]
+    )
+
+    def shape(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for fid, eas, kind, wkb in zip(
+                pdf["fid"], pdf["eas_id"], pdf["kind"], pdf["geometry"]
+            ):
+                rings = parse_wkb(bytes(wkb)).all_rings()[0]
+                recs.append(
+                    {
+                        "fid": int(fid), "eas_id": int(eas), "kind": kind,
+                        "n_rings": len(rings),
+                        "area_e6": int(np.floor(polygon_area(rings) * 1e6)),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["fid", "eas_id", "kind", "n_rings", "area_e6"]
+            )
+
+    return back.mapInPandas(shape, schema)
+
+
+def _o_shp_roundtrip() -> str:
+    z = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH zn AS ({z}),
+outer_edges AS ({_zone_edges_cte('r')}),
+hole_edges AS ({_zone_edges_cte('hole_r')}),
+oa AS (
+  SELECT fid, abs(sum(x1 * y2 - x2 * y1)) / 2 AS area
+  FROM outer_edges GROUP BY fid
+),
+ha AS (
+  SELECT e.fid, abs(sum(e.x1 * e.y2 - e.x2 * e.y1)) / 2 AS area
+  FROM hole_edges e JOIN zn z ON z.fid = e.fid WHERE z.has_hole GROUP BY e.fid
+)
+SELECT z.fid, z.eas_id,
+  CASE z.fid % 4 WHEN 0 THEN 'park' WHEN 1 THEN 'water'
+                 WHEN 2 THEN 'urban' ELSE 'farm' END AS kind,
+  cast(CASE WHEN z.has_hole THEN 2 ELSE 1 END as int) AS n_rings,
+  cast(floor((o.area - coalesce(h.area, 0)) * 1e6) as bigint) AS area_e6
+FROM zn z JOIN oa o ON o.fid = z.fid LEFT JOIN ha h ON h.fid = z.fid
+"""
+
+
 def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OGR SQL scalar op set: LIKE/IN/BETWEEN/CAST/CONCAT/SUBSTR
     (ogr/swq_op_registrar.cpp:28-61)."""
@@ -3075,6 +3154,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "shp_roundtrip": q_shp_roundtrip,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4712,6 +4792,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "grid_interp": _o_grid_interp(),
         "grid_invdistnn": _o_grid_invdistnn(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
+        "shp_roundtrip": _o_shp_roundtrip(),
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
