@@ -1040,6 +1040,59 @@ FROM zn z JOIN oa o ON o.fid = z.fid LEFT JOIN ha h ON h.fid = z.fid
 """
 
 
+def q_geojsonseq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSONSeq IO (newline-delimited Features, the reference's
+    GeoJSONSeq driver): fully DISTRIBUTED write (plain text sink) and
+    read (text scan + Arrow JSON parse); repr-exact coordinate
+    roundtrip, so recovered areas match the fixture closed forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.geom import polygon_area
+    from gdal_spark.geo.wkb import parse_wkb
+    from gdal_spark.sources.geojsonseq import read_geojsonseq, write_geojsonseq
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = os.path.join(
+        "/tmp", f"gdal_spark_gjs_{os.path.basename(sf_dir)}"
+    )
+    write_geojsonseq(zones, path)
+    back = read_geojsonseq(spark, path, "fid long, eas_id long, kind string")
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("eas_id", T2.LongType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("n_rings", T2.IntegerType()),
+            T2.StructField("area_e6", T2.LongType()),
+        ]
+    )
+
+    def shape(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for fid, eas, kind, wkb in zip(
+                pdf["fid"], pdf["eas_id"], pdf["kind"], pdf["geometry"]
+            ):
+                rings = parse_wkb(bytes(wkb)).all_rings()[0]
+                recs.append(
+                    {
+                        "fid": int(fid), "eas_id": int(eas), "kind": kind,
+                        "n_rings": len(rings),
+                        "area_e6": int(np.floor(polygon_area(rings) * 1e6)),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["fid", "eas_id", "kind", "n_rings", "area_e6"]
+            )
+
+    return back.mapInPandas(shape, schema)
+
+
 def q_ogr_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OGR SQL scalar op set: LIKE/IN/BETWEEN/CAST/CONCAT/SUBSTR
     (ogr/swq_op_registrar.cpp:28-61)."""
@@ -3155,6 +3208,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_invdistnn": q_grid_invdistnn,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
+        "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -4793,6 +4847,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "grid_invdistnn": _o_grid_invdistnn(),
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "shp_roundtrip": _o_shp_roundtrip(),
+        "geojsonseq_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),

@@ -55,3 +55,16 @@ def test_gpkg_blob_envelope_matches_bounds(spark, tmp_path):
     xmin, xmax, ymin, ymax = struct.unpack_from("<4d", blob, 8)
     assert (xmin, xmax, ymin, ymax) == (1.0, 5.0, 2.0, 7.0)
     assert gpkg_blob_to_wkb(blob) == wkb
+
+
+def test_geojsonseq_roundtrip_exact(spark, tmp_path):
+    from gdal_spark.fixtures.zones import build_zones
+    from gdal_spark.sources.geojsonseq import read_geojsonseq, write_geojsonseq
+
+    path = str(tmp_path / "gjs")
+    z = build_zones(spark, n=15).select("fid", "eas_id", "kind", "geometry")
+    write_geojsonseq(z, path)
+    back = read_geojsonseq(spark, path, "fid long, eas_id long, kind string")
+    a = {r["fid"]: (r["eas_id"], r["kind"], bytes(r["geometry"])) for r in z.collect()}
+    b = {r["fid"]: (r["eas_id"], r["kind"], bytes(r["geometry"])) for r in back.collect()}
+    assert a == b  # repr-exact double roundtrip through JSON
