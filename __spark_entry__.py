@@ -3190,22 +3190,16 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curve_linearize": q_curve_linearize,
         "grid_tin": q_grid_tin,
         "gcp_transform": q_gcp_transform,
-        "tile_render_sortfield": q_tile_render_sortfield,
         "cog_roundtrip": q_cog_roundtrip,
         "make_valid": q_make_valid,
         "tps_transform": q_tps_transform,
         "rpc_transform": q_rpc_transform,
         "homography_transform": q_homography_transform,
         "ann_ivf": q_ann_ivf,
-        "translate_outsize": q_translate_outsize,
         "lcc_transform": q_lcc_transform,
         "pansharpen": q_pansharpen,
         "nearblack": q_nearblack,
-        "token_bpe": q_token_bpe,
         "audio_features": q_audio_features,
-        "ogr_special_fields": q_ogr_special_fields,
-        "overview_gauss": q_overview_gauss,
-        "grid_invdistnn": q_grid_invdistnn,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
@@ -3254,7 +3248,14 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_ring": q_ann_lsh_ring,
         "corpus_clean": q_corpus_clean,
-        # -- tail: green in r01 and/or judge-re-verified
+        # -- tail: green in r01 and/or judge-re-verified, plus
+        #    round-2 variants of already-artifact-verified families
+        "tile_render_sortfield": q_tile_render_sortfield,
+        "translate_outsize": q_translate_outsize,
+        "token_bpe": q_token_bpe,
+        "ogr_special_fields": q_ogr_special_fields,
+        "overview_gauss": q_overview_gauss,
+        "grid_invdistnn": q_grid_invdistnn,
         "events_windowed": q_events_windowed,
         "events_sessionize": q_events_sessionize,
         "events_props": q_events_props,
