@@ -360,6 +360,81 @@ def st_asgeojson(wkb: pd.Series) -> pd.Series:
     return wkb.map(one)
 
 
+@F.pandas_udf(T.StringType())
+def st_askml(wkb: pd.Series) -> pd.Series:
+    """KML geometry export (ogr/ogr2kmlgeometry.cpp): Point/
+    LineString/Polygon with lon,lat coordinate tuples."""
+
+    def coords(arr):
+        return " ".join(f"{x:.15g},{y:.15g}" for x, y in arr)
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_POINT:
+            x, y = g.parts[0][0]
+            return f"<Point><coordinates>{x:.15g},{y:.15g}</coordinates></Point>"
+        if g.type_id == WKB_LINESTRING:
+            return (
+                f"<LineString><coordinates>{coords(g.parts[0])}"
+                "</coordinates></LineString>"
+            )
+        rings = g.all_rings()[0]
+        out = ["<Polygon>"]
+        out.append(
+            "<outerBoundaryIs><LinearRing><coordinates>"
+            + coords(rings[0]) + "</coordinates></LinearRing></outerBoundaryIs>"
+        )
+        for h in rings[1:]:
+            out.append(
+                "<innerBoundaryIs><LinearRing><coordinates>"
+                + coords(h) + "</coordinates></LinearRing></innerBoundaryIs>"
+            )
+        out.append("</Polygon>")
+        return "".join(out)
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.StringType())
+def st_asgml(wkb: pd.Series) -> pd.Series:
+    """GML 2 geometry export (ogr/ogr2gmlgeometry.cpp):
+    gml:Point/LineString/Polygon with gml:coordinates."""
+
+    def coords(arr):
+        return " ".join(f"{x:.15g},{y:.15g}" for x, y in arr)
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_POINT:
+            x, y = g.parts[0][0]
+            return (
+                f"<gml:Point><gml:coordinates>{x:.15g},{y:.15g}"
+                "</gml:coordinates></gml:Point>"
+            )
+        if g.type_id == WKB_LINESTRING:
+            return (
+                f"<gml:LineString><gml:coordinates>{coords(g.parts[0])}"
+                "</gml:coordinates></gml:LineString>"
+            )
+        rings = g.all_rings()[0]
+        out = ["<gml:Polygon>"]
+        out.append(
+            "<gml:outerBoundaryIs><gml:LinearRing><gml:coordinates>"
+            + coords(rings[0])
+            + "</gml:coordinates></gml:LinearRing></gml:outerBoundaryIs>"
+        )
+        for h in rings[1:]:
+            out.append(
+                "<gml:innerBoundaryIs><gml:LinearRing><gml:coordinates>"
+                + coords(h)
+                + "</gml:coordinates></gml:LinearRing></gml:innerBoundaryIs>"
+            )
+        out.append("</gml:Polygon>")
+        return "".join(out)
+
+    return wkb.map(one)
+
+
 @F.pandas_udf(T.BinaryType())
 def st_geomfromgeojson(txt: pd.Series) -> pd.Series:
     """GeoJSON geometry import -> WKB."""
@@ -465,6 +540,8 @@ _REGISTRY = {
     "ST_IsRectangle": st_isrectangle,
     "ST_AsGeoJSON": st_asgeojson,
     "ST_GeomFromGeoJSON": st_geomfromgeojson,
+    "ST_AsKML": st_askml,
+    "ST_AsGML": st_asgml,
     "ST_DelaunayTriangles": st_delaunaytriangles,
     "ST_UnaryUnion": st_unaryunion,
     "ST_Intersection": st_intersection,

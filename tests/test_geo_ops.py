@@ -217,3 +217,27 @@ def test_st_simple_ring_rectangle(spark):
     assert row["rs"] and not row["bs"]
     assert row["rr"] and not row["orr"]
     assert row["rrect"] and not row["trect"]
+
+
+def test_st_kml_gml_export(spark):
+    import numpy as np
+
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import wkb_point, wkb_polygon
+
+    register_st_functions(spark)
+    rect = wkb_polygon(
+        [
+            np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float),
+            np.array([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]], float),
+        ]
+    )
+    df = spark.createDataFrame([(rect, wkb_point(2.5, -3.25))], ["poly", "pt"])
+    df.createOrReplaceTempView("gk")
+    row = spark.sql(
+        "SELECT ST_AsKML(poly) AS k, ST_AsGML(poly) AS g, ST_AsKML(pt) AS kp FROM gk"
+    ).collect()[0]
+    assert row["k"].startswith("<Polygon><outerBoundaryIs>")
+    assert "<innerBoundaryIs>" in row["k"] and "1,1 1,2 2,2 2,1 1,1" in row["k"]
+    assert row["g"].startswith("<gml:Polygon>") and "gml:coordinates" in row["g"]
+    assert row["kp"] == "<Point><coordinates>2.5,-3.25</coordinates></Point>"
