@@ -22,6 +22,10 @@ SAMPLE = [
     "tile_render", "tile_render_utm", "dem_metrics", "overlay",
     "minhash_pairs", "ann_topk", "image_stats", "events_windowed",
     "corpus_clean", "geodesic_measures",
+    # round-2 families
+    "overlay_geom", "dedup_clusters", "geom_predicates", "make_valid",
+    "contour_lines", "grid_tin", "ann_ivf", "cog_roundtrip",
+    "gpkg_roundtrip", "tps_transform",
 ]
 
 
