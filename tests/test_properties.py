@@ -202,3 +202,61 @@ def test_utm_roundtrip(lon, lat):
     lon2, lat2 = crs.utm_inverse(E, N, 31)
     assert abs(float(lon2) - lon) < 1e-7
     assert abs(float(lat2) - lat) < 1e-7
+
+
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_curve_linearize_properties(fid):
+    """Arc linearization invariants for any fid-derived arc: vertex
+    count follows the nSteps rule, every vertex lies on the circle,
+    and the chord sum is below the true arc length but within the
+    max-step chord bound."""
+    import math
+
+    import numpy as np
+
+    from gdal_spark.geo import curves
+
+    cx, cy = (fid * 7) % 100, (fid * 11) % 100
+    R = 5 + fid % 7
+    a0 = (fid * 13) % 360
+    s1 = 21 + 2 * (fid % 8)
+    s2 = 33 + 2 * ((fid * 3) % 9)
+    angs = (a0, a0 + s1, a0 + s1 + s2)
+    pts = np.array(
+        [[cx + R * math.cos(math.radians(a)), cy + R * math.sin(math.radians(a))]
+         for a in angs]
+    )
+    line = curves.circular_to_points(pts)
+    n1 = max(4, int(s1 / 4.0 + 0.5))
+    n2 = max(4, int(s2 / 4.0 + 0.5))
+    assert len(line) == n1 + n2 + 1
+    r = np.hypot(line[:, 0] - cx, line[:, 1] - cy)
+    assert np.abs(r - R).max() < 1e-9
+    d = np.diff(line, axis=0)
+    chord_sum = np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2).sum()
+    arc_len = math.radians(s1 + s2) * R
+    assert chord_sum <= arc_len + 1e-9
+    assert chord_sum >= arc_len * math.sin(math.radians(2.0)) / math.radians(2.0) - 1e-9
+
+
+@given(st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=40, deadline=None)
+def test_make_valid_bowtie_property(fid):
+    import numpy as np
+
+    from gdal_spark.geo.geom import ring_area
+    from gdal_spark.geo.makevalid import make_valid_rings
+
+    x0, y0 = (fid * 3) % 50, (fid * 5) % 50
+    w = 4 + (fid * 7) % 5
+    h = 3 + (fid * 11) % 5
+    bow = np.array(
+        [[x0, y0], [x0 + w, y0 + h], [x0 + w, y0], [x0, y0 + h], [x0, y0]],
+        dtype=np.float64,
+    )
+    polys = make_valid_rings([bow])
+    assert len(polys) == 2
+    areas = sorted(abs(ring_area(p[0])) for p in polys)
+    assert abs(areas[0] - w * h / 4) < 1e-9
+    assert abs(areas[1] - w * h / 4) < 1e-9
