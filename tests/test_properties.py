@@ -237,7 +237,9 @@ def test_curve_linearize_properties(fid):
     chord_sum = np.sqrt(d[:, 0] ** 2 + d[:, 1] ** 2).sum()
     arc_len = math.radians(s1 + s2) * R
     assert chord_sum <= arc_len + 1e-9
-    assert chord_sum >= arc_len * math.sin(math.radians(2.0)) / math.radians(2.0) - 1e-9
+    # chord/arc factor sin(t/2)/(t/2); max step in this family
+    # is 21/5 = 4.2 deg -> half-step 2.1 deg; bound at 2.2 for slack
+    assert chord_sum >= arc_len * math.sin(math.radians(2.2)) / math.radians(2.2) - 1e-9
 
 
 @given(st.integers(min_value=1, max_value=10**6))
