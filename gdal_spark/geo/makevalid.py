@@ -22,7 +22,7 @@ import numpy as np
 
 from gdal_spark.geo.boolean import DegenerateGeometry, rings_to_polygons
 
-__all__ = ["node_ring", "split_simple_loops", "make_valid_rings"]
+__all__ = ["node_ring", "split_simple_loops", "make_valid_rings", "chain_is_simple"]
 
 _KEY = 1 << 28
 
@@ -70,6 +70,64 @@ def node_ring(ring: np.ndarray) -> np.ndarray:
             out.append(p)
     out.append(out[0])
     return np.asarray(out, dtype=np.float64)
+
+
+def chain_is_simple(pts: np.ndarray, closed: bool) -> bool:
+    """OGC/GEOS IsSimple for one vertex chain (ogrgeometry.cpp:2416
+    delegates to GEOS IsSimpleOp semantics): no two segments intersect
+    except adjacent segments at their one shared vertex (and, for a
+    closed chain, the first/last segments at the closure point).
+    Unlike node_ring this never adds a synthetic closure edge for an
+    OPEN chain and returns False (not DegenerateGeometry) on
+    vertex-on-edge or collinear-overlap self-contacts.
+
+    `pts`: (n,2) vertices WITHOUT a duplicated closing vertex when
+    `closed` is True (pass ring[:-1]).
+    """
+    n = len(pts)
+    nseg = n if closed else n - 1
+
+    def seg(i):
+        return pts[i], pts[(i + 1) % n]
+
+    for i in range(nseg):
+        p1, p2 = seg(i)
+        d1 = p2 - p1
+        if d1[0] == 0.0 and d1[1] == 0.0:
+            return False  # zero-length segment repeats a point
+        for j in range(i + 1, nseg):
+            adjacent = j == i + 1 or (closed and i == 0 and j == nseg - 1)
+            q1, q2 = seg(j)
+            d2 = q2 - q1
+            den = d1[0] * d2[1] - d1[1] * d2[0]
+            if den == 0.0:
+                # parallel: intersect only if collinear AND their
+                # parameter intervals on the shared line overlap
+                if (q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0] != 0.0:
+                    continue
+                t1 = float((q1 - p1) @ d1)
+                t2 = float((q2 - p1) @ d1)
+                lo, hi = min(t1, t2), max(t1, t2)
+                span = float(d1 @ d1)
+                if adjacent:
+                    # sharing exactly the common vertex is fine;
+                    # any 1-D overlap is a backtrack -> not simple
+                    if max(lo, 0.0) < min(hi, span):
+                        return False
+                else:
+                    if max(lo, 0.0) <= min(hi, span):
+                        return False
+                continue
+            t = ((q1[0] - p1[0]) * d2[1] - (q1[1] - p1[1]) * d2[0]) / den
+            u = ((q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0]) / den
+            if t < 0.0 or t > 1.0 or u < 0.0 or u > 1.0:
+                continue
+            if adjacent:
+                # non-collinear adjacent segments can only meet at the
+                # shared vertex (t/u at the matching ends) — allowed
+                continue
+            return False
+    return True
 
 
 def split_simple_loops(noded: np.ndarray) -> list[np.ndarray]:

@@ -275,22 +275,26 @@ def _pairwise_overlay(op: str):
 
 @F.pandas_udf(T.BooleanType())
 def st_issimple(wkb: pd.Series) -> pd.Series:
-    """IsSimple (ogrgeometry.cpp:2416): no proper self-crossings in
-    any ring/linestring (checked by the MakeValid noder)."""
-    from gdal_spark.geo.makevalid import node_ring
+    """IsSimple (ogrgeometry.cpp:2416 -> GEOS IsSimpleOp): no two
+    segments of any component intersect except adjacent segments at
+    their shared vertex. An OPEN LineString is scanned as an open
+    chain — no synthetic closure edge is added (GEOS never adds one;
+    a polyline whose closing chord would cross the line is still
+    simple). Degenerate self-contacts return False, never raise."""
+    from gdal_spark.geo.makevalid import chain_is_simple
 
     def one(b):
         g = parse_wkb(bytes(b))
-        comps = []
         if g.type_id == WKB_LINESTRING:
             pts = g.parts[0]
-            comps.append(np.vstack([pts, pts[:1]]) if not np.array_equal(pts[0], pts[-1]) else pts)
-        else:
-            comps = [r for rings in g.all_rings() for r in rings]
-        for r in comps:
-            if len(node_ring(r)) != len(r):
-                return False
-        return True
+            if np.array_equal(pts[0], pts[-1]):
+                return chain_is_simple(pts[:-1], closed=True)
+            return chain_is_simple(pts, closed=False)
+        return all(
+            chain_is_simple(r[:-1], closed=True)
+            for rings in g.all_rings()
+            for r in rings
+        )
 
     return wkb.map(one)
 
@@ -298,7 +302,7 @@ def st_issimple(wkb: pd.Series) -> pd.Series:
 @F.pandas_udf(T.BooleanType())
 def st_isring(wkb: pd.Series) -> pd.Series:
     """IsRing (ogrgeometry.cpp:2486): closed AND simple linestring."""
-    from gdal_spark.geo.makevalid import node_ring
+    from gdal_spark.geo.makevalid import chain_is_simple
 
     def one(b):
         g = parse_wkb(bytes(b))
@@ -307,7 +311,7 @@ def st_isring(wkb: pd.Series) -> pd.Series:
         pts = g.parts[0]
         if len(pts) < 4 or not np.array_equal(pts[0], pts[-1]):
             return False
-        return len(node_ring(pts)) == len(pts)
+        return chain_is_simple(pts[:-1], closed=True)
 
     return wkb.map(one)
 

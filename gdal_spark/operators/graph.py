@@ -13,10 +13,14 @@ Semantics mirror the reference polygonizer's two-level merge map
 (alg/polygonize_polygonizer.cpp: per-chunk labels + a cross-chunk
 equivalence map resolved afterwards), lifted to the cluster setting.
 
-Convergence: labels only decrease and each round propagates the
-component minimum one hop, so rounds == graph eccentricity of the
-min vertex (tiny for dedup clusters / raster adjacency graphs).
-localCheckpoint() truncates lineage each round so plans stay flat.
+Convergence: each round does one neighbor-min propagation (one hop)
+followed by one POINTER-JUMPING shortcut (label(v) := label(label(v))),
+so the distance any label still has to travel halves every round —
+O(log diameter) rounds total, not O(eccentricity). A path-shaped
+component spanning 10^6 tiles (cross-tile contour chaining produces
+exactly these) converges in ~20 rounds instead of overflowing a
+fixed hop budget. localCheckpoint() truncates lineage each round so
+plans stay flat.
 """
 
 from __future__ import annotations
@@ -40,7 +44,10 @@ def connected_components(
 
     Pure DataFrame iteration: symmetrize edges, then repeat
     label(v) = min(label(v), min over neighbors u of label(u))
-    until a fixpoint. No driver-side collection of vertices or edges.
+    followed by the pointer jump label(v) = label(label(v)),
+    until a fixpoint — O(log diameter) rounds. No driver-side
+    collection of vertices or edges (the per-round `changed` count is
+    a scalar action only).
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -49,24 +56,44 @@ def connected_components(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("root", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        msgs = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .select(F.col("src").alias("id"), F.col("root"))
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    # self-loops make the neighbor-min include the vertex's own label,
+    # so the loop body needs no union (a per-round Union over a
+    # checkpointed self-join output trips Spark's constraint rewrite
+    # with a stale-attribute NoSuchElementException)
+    adj = (
+        sym.unionByName(
+            verts.select(F.col("id").alias("src"), F.col("id").alias("dst"))
         )
-        new_labels = (
-            labels.select("id", "root")
-            .unionByName(msgs)
-            .groupBy("id")
+        .localCheckpoint()
+    )
+    labels = verts.withColumn("root", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        hop = (
+            adj.join(labels, adj["dst"] == labels["id"])
+            .groupBy(adj["src"].alias("id"))
             .agg(F.min("root").alias("root"))
+            # checkpoint before the self-join below so both sides of
+            # the pointer jump read one materialized relation
+            .localCheckpoint()
+        )
+        # pointer jump: root := root's root (labels only decrease, so
+        # the jump target is always <= the current root; roots are
+        # themselves vertices, coalesce covers the canonical case)
+        new_labels = (
+            hop.alias("a")
+            .join(
+                hop.select(
+                    F.col("id").alias("rid"), F.col("root").alias("rroot")
+                ).alias("b"),
+                F.col("a.root") == F.col("b.rid"),
+                "left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.coalesce(F.col("b.rroot"), F.col("a.root")).alias("root"),
+            )
             .localCheckpoint()
         )
         changed = (

@@ -74,13 +74,16 @@ def dither_rgb2pct(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
         err = np.zeros((w + 2, 3), dtype=np.int64)
         last = [0, 0, 0]
         for i in range(w):
-            # reference order: clamp(raw + accumulated-line error),
-            # then clamp(+ the 2*sixth same-row carry) — gdaldither
-            # applies both in the same expression (:384,:407)
+            # reference order: the scanline pre-pass stores
+            # clamp(raw + accumulated-line error) as a byte
+            # (gdaldither.cpp:383-389), then the pixel loop clamps
+            # AGAIN after adding the 2*sixth same-row carry (:407).
+            # Two separate clamps — saturated pixels with
+            # opposite-sign carries differ if combined into one.
             vals = []
             for c in range(3):
-                v = int(rgb[y, i, c]) + int(row_err[i + 1, c]) + last[c]
-                vals.append(max(0, min(255, v)))
+                v1 = max(0, min(255, int(rgb[y, i, c]) + int(row_err[i + 1, c])))
+                vals.append(max(0, min(255, v1 + last[c])))
             key = tuple(vals)
             idx = nearest.get(key)
             if idx is None:

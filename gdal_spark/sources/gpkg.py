@@ -65,8 +65,13 @@ def write_gpkg(
     """Materialize (fid, <attrs>, geometry WKB) as a GeoPackage layer
     with the required metadata tables. Attribute columns map per the
     reference's type table (long->INTEGER, double->REAL,
-    string->TEXT)."""
-    rows = df.collect()  # sink funnel: sqlite is single-writer
+    string->TEXT).
+
+    sqlite is single-writer by design, so the sink funnels through the
+    driver — but it STREAMS `df.toLocalIterator()` in bounded insert
+    batches (driver memory O(one Spark partition + batch), never the
+    whole layer).
+    """
     fields = [
         (f.name, f.dataType) for f in df.schema.fields
         if f.name not in (geom_col, "fid")
@@ -120,21 +125,26 @@ def write_gpkg(
     )
     cols = ["fid"] + [n for n, _ in fields] + [geom_col]
     ph = ",".join("?" * len(cols))
-    data = []
     bounds = [np.inf, np.inf, -np.inf, -np.inf]
     from gdal_spark.geo.wkb import parse_wkb
 
-    for r in rows:
+    batch: list[tuple] = []
+    insert_sql = f"INSERT INTO \"{layer}\" VALUES ({ph})"
+    for r in df.toLocalIterator():
         wkb = bytes(r[geom_col])
         xmin, ymin, xmax, ymax = parse_wkb(wkb).bounds()
         bounds = [
             min(bounds[0], xmin), min(bounds[1], ymin),
             max(bounds[2], xmax), max(bounds[3], ymax),
         ]
-        data.append(
+        batch.append(
             tuple(r[c] for c in cols[:-1]) + (wkb_to_gpkg_blob(wkb, srs_id),)
         )
-    cur.executemany(f"INSERT INTO \"{layer}\" VALUES ({ph})", data)
+        if len(batch) >= 10_000:
+            cur.executemany(insert_sql, batch)
+            batch.clear()
+    if batch:
+        cur.executemany(insert_sql, batch)
     cur.execute(
         "INSERT INTO gpkg_contents VALUES (?,?,?,?,datetime('now'),?,?,?,?,?)",
         (layer, "features", layer, "", bounds[0], bounds[1], bounds[2],

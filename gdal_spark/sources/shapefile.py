@@ -29,7 +29,13 @@ from pyspark.sql import functions as T_unused  # noqa: F401
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gdal_spark.geo.wkb import parse_wkb, wkb_linestring, wkb_point, wkb_polygon
+from gdal_spark.geo.wkb import (
+    parse_wkb,
+    wkb_linestring,
+    wkb_multipolygon,
+    wkb_point,
+    wkb_polygon,
+)
 
 __all__ = ["write_shp", "read_shp"]
 
@@ -88,52 +94,45 @@ def _record_to_wkb(buf: bytes) -> bytes:
         ).reshape(n_pts, 2)
         bounds = list(parts) + [n_pts]
         rings = [pts[bounds[i] : bounds[i + 1]].copy() for i in range(n_parts)]
-        # back to OGC orientation: outer CCW first, holes CW (we keep
-        # shapefile ring order: first ring is the outer by write rule)
-        out = []
-        for idx, r in enumerate(rings):
+        # Classify rings by WINDING ORDER per the ESRI spec (the
+        # reference's shape driver, shape/shp2ogr.cpp, does the same):
+        # CW (negative shoelace area) = outer, CCW = hole. A record
+        # may carry multiple outer rings (a multi-part polygon) — group
+        # each hole with the outer ring containing its first vertex and
+        # emit MultiPolygon WKB when more than one outer is present.
+        from gdal_spark.geo.geom import points_in_polygon
+
+        outers: list[np.ndarray] = []
+        holes: list[np.ndarray] = []
+        for r in rings:
             area = 0.5 * np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
-            want_ccw = idx == 0
-            if (area > 0) != want_ccw:
-                r = r[::-1].copy()
-            out.append(r)
-        return wkb_polygon(out)
+            (outers if area < 0 else holes).append(r)
+        if not outers:  # degenerate record: treat all rings as outers
+            outers, holes = holes, []
+        polys = [[o[::-1].copy()] for o in outers]  # outer -> OGC CCW
+        for hole in holes:
+            hx, hy = float(hole[0, 0]), float(hole[0, 1])
+            owner = 0
+            for pi, grp in enumerate(polys):
+                if points_in_polygon([hx], [hy], [grp[0]])[0]:
+                    owner = pi
+                    break
+            polys[owner].append(hole[::-1].copy())  # hole -> OGC CW
+        if len(polys) == 1:
+            return wkb_polygon(polys[0])
+        return wkb_multipolygon(polys)
     raise ValueError(f"unsupported shape type {stype}")
 
 
 def write_shp(df: DataFrame, base_path: str, geom_col: str = "geometry") -> None:
-    """Write (fid, <attrs>, geometry WKB) as base_path{.shp,.shx,.dbf}."""
-    rows = df.collect()
-    recs = [_shape_record(r[geom_col]) for r in rows]
-    bounds = [np.inf, np.inf, -np.inf, -np.inf]
-    for r in rows:
-        b = parse_wkb(bytes(r[geom_col])).bounds()
-        bounds = [min(bounds[0], b[0]), min(bounds[1], b[1]),
-                  max(bounds[2], b[2]), max(bounds[3], b[3])]
-    stype = {b"\x01": 1}.get(recs[0][:1])  # from first record
-    (stype,) = struct.unpack_from("<i", recs[0], 0)
+    """Write (fid, <attrs>, geometry WKB) as base_path{.shp,.shx,.dbf}.
 
-    def header(total_words: int) -> bytes:
-        return (
-            struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
-            + struct.pack(">i", total_words)
-            + struct.pack("<ii4d", 1000, stype, *bounds)
-            + struct.pack("<4d", 0, 0, 0, 0)
-        )
-
-    shp = bytearray()
-    shx = bytearray()
-    offset_words = 50
-    for i, rec in enumerate(recs):
-        clen = len(rec) // 2
-        shp += struct.pack(">ii", i + 1, clen) + rec
-        shx += struct.pack(">ii", offset_words, clen)
-        offset_words += 4 + clen
-    with open(base_path + ".shp", "wb") as f:
-        f.write(header(offset_words) + bytes(shp))
-    with open(base_path + ".shx", "wb") as f:
-        f.write(header(50 + 4 * len(recs)) + bytes(shx))
-    # .dbf
+    Shapefiles are an inherently single-file sequential format (the
+    reference's shape driver writes serially too), but the funnel
+    streams `df.toLocalIterator()` — driver memory stays O(one Spark
+    partition), never the whole layer. Placeholder headers are written
+    first and patched (seek 0) once totals/bounds are known.
+    """
     fields = [
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
         if f.name != geom_col
@@ -153,12 +152,41 @@ def write_shp(df: DataFrame, base_path: str, geom_col: str = "geometry") -> None
             width, dec,
         )
     rec_len = 1 + sum(widths)
-    hdr = struct.pack(
-        "<BBBBIHH20x", 3, 124, 1, 1, len(rows), 32 + len(descs) + 1, rec_len
-    )
-    with open(base_path + ".dbf", "wb") as f:
-        f.write(hdr + descs + b"\x0d")
-        for r in rows:
+
+    def header(total_words: int, stype: int, bounds: list[float]) -> bytes:
+        return (
+            struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+            + struct.pack(">i", total_words)
+            + struct.pack("<ii4d", 1000, stype, *bounds)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    placeholder = header(50, 0, [0.0, 0.0, 0.0, 0.0])
+    bounds = [np.inf, np.inf, -np.inf, -np.inf]
+    stype = 0
+    n_rows = 0
+    offset_words = 50
+    with open(base_path + ".shp", "wb") as fshp, open(
+        base_path + ".shx", "wb"
+    ) as fshx, open(base_path + ".dbf", "wb") as fdbf:
+        fshp.write(placeholder)
+        fshx.write(placeholder)
+        fdbf.write(
+            struct.pack("<BBBBIHH20x", 3, 124, 1, 1, 0, 32 + len(descs) + 1,
+                        rec_len)
+            + descs + b"\x0d"
+        )
+        for r in df.toLocalIterator():
+            rec = _shape_record(r[geom_col])
+            if n_rows == 0:
+                (stype,) = struct.unpack_from("<i", rec, 0)
+            b = parse_wkb(bytes(r[geom_col])).bounds()
+            bounds = [min(bounds[0], b[0]), min(bounds[1], b[1]),
+                      max(bounds[2], b[2]), max(bounds[3], b[3])]
+            clen = len(rec) // 2
+            fshp.write(struct.pack(">ii", n_rows + 1, clen) + rec)
+            fshx.write(struct.pack(">ii", offset_words, clen))
+            offset_words += 4 + clen
             out = b" "
             for (name, dt), width in zip(fields, widths):
                 v = r[name]
@@ -169,8 +197,18 @@ def write_shp(df: DataFrame, base_path: str, geom_col: str = "geometry") -> None
                 else:
                     s = str(v)[:width].ljust(width)
                 out += s.encode()
-            f.write(out)
-        f.write(b"\x1a")
+            fdbf.write(out)
+            n_rows += 1
+        fdbf.write(b"\x1a")
+        fshp.seek(0)
+        fshp.write(header(offset_words, stype, bounds))
+        fshx.seek(0)
+        fshx.write(header(50 + 4 * n_rows, stype, bounds))
+        fdbf.seek(0)
+        fdbf.write(
+            struct.pack("<BBBBIHH20x", 3, 124, 1, 1, n_rows,
+                        32 + len(descs) + 1, rec_len)
+        )
 
 
 def read_shp(
