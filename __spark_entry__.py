@@ -64,6 +64,21 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     spark.sparkContext.addPyFile(zpath)
     spark._gdal_spark_shipped = True
 
+def _artifact_path(name: str) -> str:
+    """Per-user 0700 scratch path for query round-trip artifacts
+    (same hardening as _ensure_workers_can_import's zip cache: fixed
+    world-writable /tmp names are pre-creatable by other users and
+    racy across concurrent runs — write_gpkg's os.remove/connect
+    follows symlinks). A per-process suffix de-races concurrent
+    drivers; local-mode executors are threads of this process, so the
+    path stays readable everywhere it is used."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"gdal_spark_{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return os.path.join(d, f"{name}_p{os.getpid()}")
+
+
 from gdal_spark.fixtures import georef
 from gdal_spark.fixtures.images import build_images
 from gdal_spark.fixtures.sites import build_sites
@@ -915,9 +930,7 @@ def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
         "fid", "eas_id", "kind", "geometry"
     )
-    path = os.path.join(
-        "/tmp", f"gdal_spark_gpkg_{os.path.basename(sf_dir)}.gpkg"
-    )
+    path = _artifact_path(f"gpkg_{os.path.basename(sf_dir)}.gpkg")
     write_gpkg(zones, path, "zones")
     back = read_gpkg(spark, path, "zones")
     schema = T2.StructType(
@@ -979,9 +992,7 @@ def q_shp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
         "fid", "eas_id", "kind", "geometry"
     )
-    base = os.path.join(
-        "/tmp", f"gdal_spark_shp_{os.path.basename(sf_dir)}"
-    )
+    base = _artifact_path(f"shp_{os.path.basename(sf_dir)}")
     write_shp(zones, base)
     back = read_shp(spark, base)
     schema = T2.StructType(
@@ -1055,9 +1066,7 @@ def q_geojsonseq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
         "fid", "eas_id", "kind", "geometry"
     )
-    path = os.path.join(
-        "/tmp", f"gdal_spark_gjs_{os.path.basename(sf_dir)}"
-    )
+    path = _artifact_path(f"gjs_{os.path.basename(sf_dir)}")
     write_geojsonseq(zones, path)
     back = read_geojsonseq(spark, path, "fid long, eas_id long, kind string")
     schema = T2.StructType(
@@ -2041,20 +2050,39 @@ def _blob_layers(spark: SparkSession, sf_dir: str):
     return a, b
 
 
-def _overlay_q(verb: str, cols: tuple[str, ...]):
+def _blob_layers_deg(spark: SparkSession, sf_dir: str):
+    """Degenerate pair: layer 'a' and layer 'c' share the INTEGER
+    lattice and the same pitch-16 cells (same fid domain), so operand
+    boundaries share edges, vertices and collinear overlaps — for
+    fid % 3 == 0 the two blobs are bit-identical."""
+    from gdal_spark.fixtures.blobs import build_blobs
+
+    ids = _zone_ids(spark, sf_dir)
+    a = build_blobs(spark, "a", ids_df=ids, fid_col="fid")
+    c = build_blobs(spark, "c", ids_df=ids, fid_col="fid")
+    return a, c
+
+
+def _overlay_q(verb: str, cols: tuple[str, ...], layers_fn=None):
     from gdal_spark.operators.overlay import overlay_features
 
+    layers_fn = layers_fn or _blob_layers
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        a, b = _blob_layers(spark, sf_dir)
+        a, b = layers_fn(spark, sf_dir)
         out = overlay_features(a, b, verb)
         return out.select(*[F.col(c).cast("long") for c in cols])
 
+    deg = " COINCIDENT-BOUNDARY (a x c lattice-sharing) pair;" if (
+        layers_fn is _blob_layers_deg
+    ) else ""
     q.__doc__ = (
         f"General layer algebra '{verb}' (ogrlayer.cpp:3345-5806) on "
-        "the non-convex holed blob family: Greiner-Hormann kernel "
-        "emits result WKB; area_q4 is recomputed from the emitted "
-        "bytes (round-trip proof) and matched against the closed-form "
-        "rectangle inclusion-exclusion oracle."
+        f"the non-convex holed blob family:{deg} the arrangement "
+        "kernel (geo/arrangement.py) emits result WKB; area_q4 is "
+        "recomputed from the emitted bytes (round-trip proof) and "
+        "matched against the closed-form rectangle "
+        "inclusion-exclusion oracle."
     )
     return q
 
@@ -2067,12 +2095,33 @@ q_overlay_update = _overlay_q("update", ("fid_a", "fid_b", "area_q4"))
 q_overlay_clip = _overlay_q("clip", ("fid_a", "area_q4"))
 q_overlay_erase = _overlay_q("erase", ("fid_a", "area_q4"))
 
+q_overlay_deg_inter = _overlay_q(
+    "intersection", ("fid_a", "fid_b", "area_q4"), _blob_layers_deg
+)
+q_overlay_deg_union = _overlay_q(
+    "union", ("fid_a", "fid_b", "area_q4"), _blob_layers_deg
+)
+q_overlay_deg_identity = _overlay_q(
+    "identity", ("fid_a", "fid_b", "area_q4"), _blob_layers_deg
+)
+q_overlay_deg_symdiff = _overlay_q(
+    "symdifference", ("fid_a", "fid_b", "area_q4"), _blob_layers_deg
+)
+q_overlay_deg_update = _overlay_q(
+    "update", ("fid_a", "fid_b", "area_q4"), _blob_layers_deg
+)
+q_overlay_deg_clip = _overlay_q("clip", ("fid_a", "area_q4"), _blob_layers_deg)
+q_overlay_deg_erase = _overlay_q("erase", ("fid_a", "area_q4"), _blob_layers_deg)
 
-def _overlay_oracles() -> dict[str, str]:
+
+def _overlay_oracles(degenerate: bool = False) -> dict[str, str]:
     from gdal_spark.fixtures import blobs
 
     cta = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
-    ctb = blobs.sql_blob_cte("c_custkey", "customer", "b")
+    if degenerate:
+        ctb = blobs.sql_blob_cte("s_suppkey", "supplier", "c")
+    else:
+        ctb = blobs.sql_blob_cte("c_custkey", "customer", "b")
     inter = blobs.sql_pair_inter_q4("ba", "bb")
     own_a = blobs.sql_blob_area_q4("ba")
     own_b = blobs.sql_blob_area_q4("bb")
@@ -2108,15 +2157,27 @@ rem_b AS (
         f"SELECT cast(NULL as bigint) AS fid_a, bb.fid AS fid_b, "
         f"cast({own_b} as bigint) AS area_q4 FROM bb"
     )
+    if degenerate:
+        names = (
+            "overlay_deg_inter", "overlay_deg_union", "overlay_deg_identity",
+            "overlay_deg_symdiff", "overlay_deg_update", "overlay_deg_clip",
+            "overlay_deg_erase",
+        )
+    else:
+        names = (
+            "overlay_geom", "overlay_union", "overlay_identity",
+            "overlay_symdiff", "overlay_update", "overlay_clip",
+            "overlay_erase",
+        )
     return {
-        "overlay_geom": f"WITH {base} {pairs}",
-        "overlay_union": f"WITH {base} {pairs} UNION ALL {rem_a_rows} UNION ALL {rem_b_rows}",
-        "overlay_identity": f"WITH {base} {pairs} UNION ALL {rem_a_rows}",
-        "overlay_symdiff": f"WITH {base} {rem_a_rows} UNION ALL {rem_b_rows}",
-        "overlay_update": f"WITH {base} {rem_a_rows} UNION ALL {b_pass}",
-        "overlay_clip": f"""WITH {base}
+        names[0]: f"WITH {base} {pairs}",
+        names[1]: f"WITH {base} {pairs} UNION ALL {rem_a_rows} UNION ALL {rem_b_rows}",
+        names[2]: f"WITH {base} {pairs} UNION ALL {rem_a_rows}",
+        names[3]: f"WITH {base} {rem_a_rows} UNION ALL {rem_b_rows}",
+        names[4]: f"WITH {base} {rem_a_rows} UNION ALL {b_pass}",
+        names[5]: f"""WITH {base}
 SELECT fid_a, cast(sum(q4) as bigint) AS area_q4 FROM p GROUP BY fid_a HAVING sum(q4) > 0""",
-        "overlay_erase": f"""WITH {base}
+        names[6]: f"""WITH {base}
 SELECT fid_a, cast(q4 as bigint) AS area_q4 FROM rem_a WHERE q4 > 0""",
     }
 
@@ -3170,6 +3231,15 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS_r01.json come first so the artifact verifies them;
     # long-green, judge-re-verified queries sit at the tail.
     return {
+        # -- new in round 3: coincident-boundary overlay (arrangement
+        #    kernel robustness gate)
+        "overlay_deg_inter": q_overlay_deg_inter,
+        "overlay_deg_union": q_overlay_deg_union,
+        "overlay_deg_identity": q_overlay_deg_identity,
+        "overlay_deg_symdiff": q_overlay_deg_symdiff,
+        "overlay_deg_update": q_overlay_deg_update,
+        "overlay_deg_clip": q_overlay_deg_clip,
+        "overlay_deg_erase": q_overlay_deg_erase,
         # -- new in round 2: general overlay verbs + distributed dedup
         "overlay_geom": q_overlay_geom,
         "overlay_union": q_overlay_union,
@@ -4683,6 +4753,7 @@ GROUP BY 1, 2, 3
         "tile_overview": _o_tile_overview(),
         "overlay": _o_overlay(),
         **_overlay_oracles(),
+        **_overlay_oracles(degenerate=True),
         "geom_predicates": _o_geom_predicates(),
         "st_distance": _o_st_distance(),
         "contour_lines": _o_contour_lines(),

@@ -48,13 +48,18 @@ _B_MULT = (11, 7, 41, 43, 47, 53, 59)
 def blob_params(fid: int, layer: str) -> dict[str, float]:
     """Closed-form rect bounds (outer R, notch N, hole H) for a blob.
     Layer 'a': integer coords; layer 'b': half-integer coords with a
-    half-pitch origin shift."""
+    half-pitch origin shift (general position vs 'a' guaranteed);
+    layer 'c': layer-b multipliers on the INTEGER lattice with NO
+    offsets — collocated with layer 'a' cells and sharing lattice
+    lines: the DEGENERATE-overlay fixture (shared edges/vertices,
+    collinear overlaps; for fid % 3 == 0 the 'a' and 'c' blobs are
+    bit-identical)."""
     m = _A_MULT if layer == "a" else _B_MULT
     col = fid % GRID_COLS
     row = fid // GRID_COLS
-    ox = col * PITCH + (0 if layer == "a" else PITCH // 2)
-    oy = row * PITCH + (0 if layer == "a" else PITCH // 2)
-    half = 0.0 if layer == "a" else 0.5
+    ox = col * PITCH + (PITCH // 2 if layer == "b" else 0)
+    oy = row * PITCH + (PITCH // 2 if layer == "b" else 0)
+    half = 0.5 if layer == "b" else 0.0
     x0 = ox + 2 + (fid * m[0]) % 3 + half
     y0 = oy + 2 + (fid * m[1]) % 3 + half
     x1 = x0 + 9 + (fid * m[2]) % 3
@@ -115,8 +120,8 @@ def build_blobs(
         ids_df = spark.range(n).withColumnRenamed("id", "fid")
     df = ids_df.select(F.col(fid_col).cast("long").alias("fid"))
     m = _A_MULT if layer == "a" else _B_MULT
-    shift = 0 if layer == "a" else PITCH // 2
-    half = 0.0 if layer == "a" else 0.5
+    shift = PITCH // 2 if layer == "b" else 0
+    half = 0.5 if layer == "b" else 0.0
     col = F.col("fid") % GRID_COLS
     row = F.expr(f"fid div {GRID_COLS}")
     x0 = col * PITCH + shift + 2 + (F.col("fid") * m[0]) % 3 + half
@@ -140,8 +145,8 @@ def sql_blob_cte(id_expr: str, src: str, layer: str) -> str:
     """CTE body: one row per fid with outer/notch/hole bounds in
     half-units (all BIGINT; layer b's +0.5 becomes +1)."""
     m = _A_MULT if layer == "a" else _B_MULT
-    shift = 0 if layer == "a" else PITCH // 2
-    halfu = 0 if layer == "a" else 1  # +0.5 in half-units
+    shift = PITCH // 2 if layer == "b" else 0
+    halfu = 1 if layer == "b" else 0  # +0.5 in half-units
     p2 = 2 * PITCH
     return f"""
 SELECT fid,

@@ -67,13 +67,20 @@ class TestKernel:
         assert len(polys) == 2
         assert polyset_area(out) == 1.5 * 1 + 1.5 * 1
 
-    def test_degenerate_raises(self):
+    def test_degenerate_handled(self):
+        # the arrangement backend accepts coincident boundaries (the
+        # old GH kernel raised DegenerateGeometry on these)
         a = [rect(0, 0, 4, 4)]
         shared_edge = [rect(4, 0, 8, 4)]
-        with pytest.raises(DegenerateGeometry):
-            boolean_op(a, shared_edge, "inter")
-        with pytest.raises(DegenerateGeometry):
-            boolean_op(a, [rect(0, 0, 4, 4)], "inter")
+        assert polyset_area(boolean_op(a, shared_edge, "inter")) == 0.0
+        assert polyset_area(boolean_op(a, shared_edge, "union")) == 32.0
+        identical = [rect(0, 0, 4, 4)]
+        assert polyset_area(boolean_op(a, identical, "inter")) == 16.0
+        assert polyset_area(boolean_op(a, identical, "diff")) == 0.0
+        # vertex-on-edge T-junction
+        t = [rect(1, 4, 3, 6)]
+        assert polyset_area(boolean_op(a, t, "union")) == 20.0
+        assert polyset_area(boolean_op(a, t, "inter")) == 0.0
 
     def test_membership_property_random(self):
         rng = np.random.default_rng(11)
@@ -98,8 +105,10 @@ class TestKernel:
             except DegenerateGeometry:
                 continue
             aa, ab = polyset_area(a), polyset_area(b)
-            assert abs(polyset_area(i) + polyset_area(u) - aa - ab) < 1e-9
-            assert abs(polyset_area(d) - (aa - polyset_area(i))) < 1e-9
+            # the kernel snaps vertices to the 2^-20 grid: area moves
+            # by up to ~perimeter * 5e-7 for non-dyadic input
+            assert abs(polyset_area(i) + polyset_area(u) - aa - ab) < 1e-4
+            assert abs(polyset_area(d) - (aa - polyset_area(i))) < 1e-4
             for _ in range(20):
                 x, y = rng.uniform(-4, 4, 2)
                 ia = point_in_polyset(x, y, a)
