@@ -2356,6 +2356,235 @@ WHERE {inter} = 0
 """
 
 
+def _blob_geo_query(spark, sf_dir, schema_fields, per_fid):
+    """Shared shape: zone ids -> per-fid numpy geometry -> rows."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _zone_ids(spark, sf_dir)
+    schema = T2.StructType(schema_fields)
+    names = [f.name for f in schema_fields]
+
+    def run(batches):
+        for pdf in batches:
+            recs = [per_fid(int(fid)) for fid in pdf["fid"]]
+            yield pd.DataFrame(recs, columns=names)
+
+    return ids.mapInPandas(run, schema)
+
+
+def q_build_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_BuildArea (ogrgeometry.cpp:6916): the blob's closed
+    linework (8-vertex notched outer ring + hole ring) rebuilt into
+    an areal region under the alternating rule — recovered area must
+    equal the closed-form |R|-|N|-|H| (round-tripped through WKB)."""
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.blobs import blob_rings
+    from gdal_spark.geo.arrangement import build_area
+    from gdal_spark.geo.boolean import rings_to_polygons
+    from gdal_spark.geo.geom import ring_area
+    from gdal_spark.geo.wkb import parse_wkb, wkb_multipolygon
+
+    def one(fid):
+        polys = rings_to_polygons(build_area(blob_rings(fid, "a")))
+        polys = parse_wkb(wkb_multipolygon(polys)).all_rings()
+        area = 0.0
+        n_rings = 0
+        for p in polys:
+            area += abs(ring_area(p[0]))
+            for hole in p[1:]:
+                area -= abs(ring_area(hole))
+            n_rings += len(p)
+        return {
+            "fid": fid, "n_rings": n_rings,
+            "area_q4": int(np.rint(area * 4)),
+        }
+
+    return _blob_geo_query(
+        spark, sf_dir,
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("n_rings", T2.IntegerType()),
+            T2.StructField("area_q4", T2.LongType()),
+        ],
+        one,
+    )
+
+
+def q_polygonize_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry Polygonize (ogrgeometry.cpp:6789, JTS Polygonizer):
+    the blob linework polygonizes into exactly TWO faces — the
+    notched-outer-minus-hole donut (which keeps the hole ring) and
+    the hole itself as its own polygon. Total face area is therefore
+    |R|-|N| (the hole counted once as a cut and once as a face)."""
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.blobs import blob_rings
+    from gdal_spark.geo.arrangement import polygonize_faces
+    from gdal_spark.geo.geom import ring_area
+    from gdal_spark.geo.wkb import parse_wkb, wkb_multipolygon
+
+    def one(fid):
+        polys = polygonize_faces(blob_rings(fid, "a"))
+        polys = parse_wkb(wkb_multipolygon(polys)).all_rings()
+        area = 0.0
+        for p in polys:
+            area += abs(ring_area(p[0]))
+            for hole in p[1:]:
+                area -= abs(ring_area(hole))
+        return {
+            "fid": fid, "n_polys": len(polys),
+            "area_q4": int(np.rint(area * 4)),
+        }
+
+    return _blob_geo_query(
+        spark, sf_dir,
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("n_polys", T2.IntegerType()),
+            T2.StructField("area_q4", T2.LongType()),
+        ],
+        one,
+    )
+
+
+def q_st_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Normalize (ogrgeometry.cpp:4106, JTS canonical form): the
+    normalized blob polygon's shell must start at its minimum vertex
+    (x0, y0) and wind CW; the hole starts at (hx0, hy0) and winds
+    CCW. Emitted in half-units, orientation as sign flags."""
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.blobs import blob_rings
+    from gdal_spark.geo.constructive import normalize_polys
+    from gdal_spark.geo.geom import ring_area
+    from gdal_spark.geo.wkb import parse_wkb, wkb_polygon
+
+    def one(fid):
+        rings = blob_rings(fid, "a")
+        polys = normalize_polys([[rings[0], rings[1]]])
+        polys = parse_wkb(wkb_polygon(polys[0])).all_rings()
+        shell, hole = polys[0][0], polys[0][1]
+        return {
+            "fid": fid,
+            "sx2": int(shell[0, 0] * 2), "sy2": int(shell[0, 1] * 2),
+            "hx2": int(hole[0, 0] * 2), "hy2": int(hole[0, 1] * 2),
+            "shell_cw": bool(ring_area(shell) < 0),
+            "hole_ccw": bool(ring_area(hole) > 0),
+        }
+
+    return _blob_geo_query(
+        spark, sf_dir,
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("sx2", T2.LongType()),
+            T2.StructField("sy2", T2.LongType()),
+            T2.StructField("hx2", T2.LongType()),
+            T2.StructField("hy2", T2.LongType()),
+            T2.StructField("shell_cw", T2.BooleanType()),
+            T2.StructField("hole_ccw", T2.BooleanType()),
+        ],
+        one,
+    )
+
+
+def q_set_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_SetPrecision (ogrgeometry.cpp:6608): layer-b blobs (all
+    coordinates half-integers) snapped to the grid=2 lattice; the
+    result area follows the closed form with every bound mapped
+    through s(v) = 2*floor(v/2 + 1/2) (snapping preserves rect widths
+    mod the step function, so the |R'|-|N'|-|H'| formula stays
+    exact)."""
+    import numpy as np
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.blobs import blob_rings
+    from gdal_spark.geo.arrangement import set_precision
+    from gdal_spark.geo.boolean import rings_to_polygons
+    from gdal_spark.geo.geom import ring_area
+    from gdal_spark.geo.wkb import parse_wkb, wkb_multipolygon
+
+    def one(fid):
+        out = set_precision(blob_rings(fid, "b"), 2.0)
+        polys = rings_to_polygons(out)
+        polys = parse_wkb(wkb_multipolygon(polys)).all_rings()
+        area = 0.0
+        for p in polys:
+            area += abs(ring_area(p[0]))
+            for hole in p[1:]:
+                area -= abs(ring_area(hole))
+        return {"fid": fid, "area_q4": int(np.rint(area * 4))}
+
+    return _blob_geo_query(
+        spark, sf_dir,
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("area_q4", T2.LongType()),
+        ],
+        one,
+    )
+
+
+def _o_build_area() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cte = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
+    own = blobs.sql_blob_area_q4("ba")
+    return f"""
+WITH ba AS ({cte})
+SELECT fid, cast(2 as int) AS n_rings, cast({own} as bigint) AS area_q4 FROM ba
+"""
+
+
+def _o_polygonize_geom() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cte = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
+    return f"""
+WITH ba AS ({cte})
+SELECT fid, cast(2 as int) AS n_polys,
+  cast((ba.x1 - ba.x0) * (ba.y1 - ba.y0)
+     - (ba.nx1 - ba.nx0) * (ba.ny1 - ba.ny0) as bigint) AS area_q4
+FROM ba
+"""
+
+
+def _o_st_normalize() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cte = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
+    return f"""
+WITH ba AS ({cte})
+SELECT fid, cast(x0 as bigint) AS sx2, cast(y0 as bigint) AS sy2,
+       cast(hx0 as bigint) AS hx2, cast(hy0 as bigint) AS hy2,
+       true AS shell_cw, true AS hole_ccw
+FROM ba
+"""
+
+
+def _o_set_precision() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cte = blobs.sql_blob_cte("s_suppkey", "supplier", "b")
+
+    # half-unit bound v2 -> snapped half-unit 4*floor((v2+2)/4)
+    def s(v):
+        return f"(4 * (({v} + 2) // 4))"
+
+    area = (
+        f"({s('x1')} - {s('x0')}) * ({s('y1')} - {s('y0')})"
+        f" - ({s('nx1')} - {s('nx0')}) * ({s('ny1')} - {s('ny0')})"
+        f" - ({s('hx1')} - {s('hx0')}) * ({s('hy1')} - {s('hy0')})"
+    )
+    return f"""
+WITH ba AS ({cte})
+SELECT fid, cast({area} as bigint) AS area_q4 FROM ba
+"""
+
+
 def q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MakeValid (ogrgeometry.cpp:3922): self-intersecting bowtie
     quads repaired by noding + planar face traversal + odd-winding
@@ -3087,6 +3316,67 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_dedup.cluster_near_dups(_read(spark, sf_dir, "documents"))
 
 
+PHASH_MOD = 7  # orderkey subset for the brute-force DuckDB twin
+
+
+def _planted_phash_expr() -> str:
+    """62-bit planted perceptual-hash twin (SQL-portable Spark
+    expression): groups of 8 consecutive ids share a 62-bit LCG base;
+    members 1..7 flip one distinct bit, so within-group pairs sit at
+    hamming 1-2 and cross-group pairs at ~31. This oracles the BAND
+    EQUI-JOIN pair search of multimodal.phash_pairs exactly; the
+    pixel-derived 8x8 aHash itself is pytest-verified
+    (tests/test_multimodal.py) because block means of decoded pixels
+    are not SQL-expressible."""
+    base = (
+        "(shiftleft(((i div 8) * 2654435761) & 2147483647, 31) | "
+        "(((i div 8) * 1103515245 + 12345) & 2147483647))"
+    )
+    return (
+        f"CASE WHEN i % 8 = 0 THEN {base} "
+        f"ELSE {base} ^ shiftleft(cast(1 as bigint), cast((i % 8) * 7 as int)) END"
+    )
+
+
+def q_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by 64-bit perceptual hash
+    (multimodal.phash_pairs: 4x16-bit band equi-join, hamming <= 3 —
+    the image twin of simhash64's scale discipline, never an
+    all-pairs comparison). Hash values are the planted closed form so
+    DuckDB can brute-force the same pairs."""
+    ids = (
+        _image_ids(spark, sf_dir)
+        .where(F.col("i") % PHASH_MOD == 0)
+        .select("i", F.expr(_planted_phash_expr()).alias("phash"))
+    )
+    return multimodal.phash_pairs(ids, id_col="i").select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hdist").cast("int"),
+    )
+
+
+def _o_phash_pairs() -> str:
+    base = (
+        "(((((i // 8) * 2654435761) & 2147483647) << 31) | "
+        "((((i // 8) * 1103515245) + 12345) & 2147483647))"
+    )
+    ph = (
+        f"CASE WHEN i % 8 = 0 THEN {base} "
+        f"ELSE xor({base}, 1::BIGINT << ((i % 8) * 7)) END"
+    )
+    return f"""
+WITH ids AS (
+  SELECT cast(o_orderkey as bigint) AS i FROM orders
+  WHERE o_orderkey % {PHASH_MOD} = 0
+),
+v AS (SELECT i, {ph} AS ph FROM ids)
+SELECT a.i AS id_a, b.i AS id_b,
+       cast(bit_count(xor(a.ph, b.ph)) as int) AS hdist
+FROM v a JOIN v b ON a.i < b.i
+WHERE bit_count(xor(a.ph, b.ph)) <= 3
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash values per document."""
     return txt_dedup.simhash(_read(spark, sf_dir, "documents"))
@@ -3240,6 +3530,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_deg_update": q_overlay_deg_update,
         "overlay_deg_clip": q_overlay_deg_clip,
         "overlay_deg_erase": q_overlay_deg_erase,
+        "phash_pairs": q_phash_pairs,
+        "build_area": q_build_area,
+        "polygonize_geom": q_polygonize_geom,
+        "st_normalize": q_st_normalize,
+        "set_precision": q_set_precision,
         # -- new in round 2: general overlay verbs + distributed dedup
         "overlay_geom": q_overlay_geom,
         "overlay_union": q_overlay_union,
@@ -4849,6 +5144,11 @@ WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
         "simhash": txt_dedup.sql_simhash(),
         "simhash64": txt_dedup.sql_simhash64(),
         "simhash_pairs": txt_dedup.sql_simhash_pairs(),
+        "phash_pairs": _o_phash_pairs(),
+        "build_area": _o_build_area(),
+        "polygonize_geom": _o_polygonize_geom(),
+        "st_normalize": _o_st_normalize(),
+        "set_precision": _o_set_precision(),
         "ann_topk": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K
         ),

@@ -132,10 +132,18 @@ def _ring_segments(rings: list[np.ndarray]) -> list[tuple[tuple, tuple]]:
 
 
 def _node_all(
-    segs: list[tuple[tuple, tuple, int]]
+    segs: list[tuple[tuple, tuple, int]], mode: str = "parity"
 ) -> dict[tuple[tuple, tuple], list[int]]:
     """Fully node the segment soup; -> undirected edge -> [pA, pB]
-    crossing parities. segs entries are (key_a, key_b, src 0|1)."""
+    crossing parities. segs entries are (key_a, key_b, src 0|1).
+
+    mode='parity' (overlay semantics): coincident copies XOR — an
+    edge covered an even number of times by one operand changes
+    nothing for that operand and is dropped when (0,0).
+    mode='keep' (linework semantics, the JTS noding contract used by
+    Polygonize/BuildArea): duplicates collapse to ONE edge with a
+    crossing flip of (1, 0) — the edge is a boundary regardless of
+    how many input lines traced it."""
     n = len(segs)
     coords = [( _coord(a), _coord(b)) for a, b, _s in segs]
     splits: list[set[tuple]] = [set() for _ in range(n)]
@@ -200,7 +208,12 @@ def _node_all(
                 continue
             e = (p, q) if p <= q else (q, p)
             par = edges.setdefault(e, [0, 0])
-            par[src] ^= 1
+            if mode == "keep":
+                par[0] = 1
+            else:
+                par[src] ^= 1
+    if mode == "keep":
+        return edges
     return {e: p for e, p in edges.items() if p[0] or p[1]}
 
 
@@ -281,38 +294,13 @@ _KEEP = {
 }
 
 
-def overlay_rings(
-    a: list[np.ndarray], b: list[np.ndarray], op: str
-) -> list[np.ndarray]:
-    """Robust boolean overlay of two even-odd polysets; accepts every
-    degeneracy the GH kernel rejects. -> even-odd result ring set."""
-    if op not in _KEEP:
-        raise ValueError(op)
-    keep_fn = _KEEP[op]
-    a_s = snap_rings(a)
-    b_s = snap_rings(b)
-    if not a_s or not b_s:
-        if op == "inter":
-            return []
-        if op == "diff":
-            return [r.copy() for r in a_s]
-        return [r.copy() for r in a_s + b_s]  # union / xor
-    segs: list[tuple[tuple, tuple, int]] = []
-    ring_src: list[tuple[np.ndarray, int, tuple]] = []  # (ring, src, a node key)
-    for src, rings in ((0, a_s), (1, b_s)):
-        for r in rings:
-            for seg in _ring_segments([r]):
-                segs.append((seg[0], seg[1], src))
-            ring_src.append((r, src, _key(r[0, 0], r[0, 1])))
-    edges = _node_all(segs)
-    if not edges:
-        return []  # operands cancelled exactly
-    face_of, cycles, outgoing, rot = _faces(edges)
-    comp = _components(edges)
-    # face -> component (via any node on its cycle)
+def _face_parities(edges, face_of, cycles, comp, ring_src):
+    """Global (parityA, parityB) per face: per-component BFS from the
+    component's unbounded face, XOR-ing edge parities, plus a
+    cross-component nesting base from strictly-non-degenerate
+    point-in-ring tests."""
     face_comp = [comp[cyc[0]] for cyc in cycles]
     n_comp = 1 + max(comp.values())
-    # per component: outer face = minimum cycle area (the CW walk)
     outer_face = [-1] * n_comp
     outer_area = [np.inf] * n_comp
     for fid, cyc in enumerate(cycles):
@@ -321,7 +309,6 @@ def overlay_rings(
         if area < outer_area[c]:
             outer_area[c] = area
             outer_face[c] = fid
-    # parity BFS per component over the face adjacency
     adj: dict[int, list[tuple[int, int, int]]] = {}
     for (e, par) in edges.items():
         f1 = face_of[(e[0], e[1])]
@@ -336,16 +323,13 @@ def overlay_rings(
         while stack:
             f = stack.pop()
             pa, pb = parity[f]
-            for (g, fa, fb) in adj.get(f, ()):  # noqa: B905
+            for (g, fa, fb) in adj.get(f, ()):
                 np_ = (pa ^ fa, pb ^ fb)
                 if parity[g] is None:
                     parity[g] = np_
                     stack.append(g)
                 elif parity[g] != np_ and f != g:
                     raise ArrangementError("inconsistent face parity")
-    # cross-component nesting: base parity of each component = even-odd
-    # of one of its nodes vs OTHER components' rings (strictly off
-    # their boundaries by construction)
     base = [(0, 0)] * n_comp
     if n_comp > 1:
         comp_nodes: dict[int, tuple] = {}
@@ -355,27 +339,31 @@ def overlay_rings(
             px, py = _coord(comp_nodes[c])
             pa = pb = 0
             for ring, src, k0 in ring_src:
-                rc = comp.get(k0)
-                if rc == c:
+                if comp.get(k0) == c:
                     continue
-                if rc is None:
-                    # ring fully cancelled against an identical twin:
-                    # contributions XOR out pairwise either way
-                    pass
+                # a fully-cancelled ring pair (comp None) still XORs
+                # out pairwise, so it is safe to include
                 if points_in_ring(np.asarray([px]), np.asarray([py]), ring)[0]:
                     if src == 0:
                         pa ^= 1
                     else:
                         pb ^= 1
             base[c] = (pa, pb)
-    keep: list[bool] = []
+    out = []
     for fid in range(len(cycles)):
         pa, pb = parity[fid]
         ba, bb = base[face_comp[fid]]
-        keep.append(bool(keep_fn(pa ^ ba, pb ^ bb)))
-    # boundary extraction: half-edges with kept face left, unkept right
+        out.append((pa ^ ba, pb ^ bb))
+    return out, face_comp, outer_face
+
+
+def _extract_boundary(edges, face_of, outgoing, rot, keep):
+    """Chain the kept-region boundary: half-edges whose left face is
+    kept and right face is not, continued by rotating clockwise from
+    the incoming twin to the first boundary half-edge (kept region
+    stays on the left; outers trace CCW, holes CW)."""
     boundary: set[tuple[tuple, tuple]] = set()
-    for (e, _par) in edges.items():
+    for e in edges:
         h1 = (e[0], e[1])
         h2 = (e[1], e[0])
         k1, k2 = keep[face_of[h1]], keep[face_of[h2]]
@@ -411,3 +399,127 @@ def overlay_rings(
             if ring_area(ring) != 0.0:
                 result.append(ring)
     return result
+
+
+def _ring_sources(rings_by_src):
+    """[(src, rings)] -> (segs, ring_src) inputs for the arrangement."""
+    segs: list[tuple[tuple, tuple, int]] = []
+    ring_src: list[tuple[np.ndarray, int, tuple]] = []
+    for src, rings in rings_by_src:
+        for r in rings:
+            for seg in _ring_segments([r]):
+                segs.append((seg[0], seg[1], src))
+            ring_src.append((r, src, _key(r[0, 0], r[0, 1])))
+    return segs, ring_src
+
+
+def overlay_rings(
+    a: list[np.ndarray], b: list[np.ndarray], op: str
+) -> list[np.ndarray]:
+    """Robust boolean overlay of two even-odd polysets; accepts every
+    degeneracy the GH kernel rejected. -> even-odd result ring set."""
+    if op not in _KEEP:
+        raise ValueError(op)
+    keep_fn = _KEEP[op]
+    a_s = snap_rings(a)
+    b_s = snap_rings(b)
+    if not a_s or not b_s:
+        if op == "inter":
+            return []
+        if op == "diff":
+            return [r.copy() for r in a_s]
+        return [r.copy() for r in a_s + b_s]  # union / xor
+    segs, ring_src = _ring_sources(((0, a_s), (1, b_s)))
+    edges = _node_all(segs)
+    if not edges:
+        return []  # operands cancelled exactly
+    face_of, cycles, outgoing, rot = _faces(edges)
+    comp = _components(edges)
+    parities, _fc, _of = _face_parities(edges, face_of, cycles, comp, ring_src)
+    keep = [bool(keep_fn(pa, pb)) for pa, pb in parities]
+    return _extract_boundary(edges, face_of, outgoing, rot, keep)
+
+
+def build_area(linework: list[np.ndarray]) -> list[np.ndarray]:
+    """ST_BuildArea (ogrgeometry.cpp:6916 -> GEOSBuildArea): form the
+    areal region bounded by fully-noded closed linework under the
+    ALTERNATING rule (rings nested inside other rings become holes,
+    doubly-nested rings islands, ...). Input: closed rings (open
+    chains should be pre-closed by the caller); dangling/unclosed
+    geometry contributes nothing (its edges bound no parity change
+    only when duplicated — single dangling segments raise through the
+    parity consistency check). -> even-odd result ring set."""
+    a_s = snap_rings(linework)
+    if not a_s:
+        return []
+    segs, ring_src = _ring_sources(((0, a_s),))
+    edges = _node_all(segs, mode="keep")
+    if not edges:
+        return []
+    face_of, cycles, outgoing, rot = _faces(edges)
+    comp = _components(edges)
+    parities, _fc, _of = _face_parities(edges, face_of, cycles, comp, ring_src)
+    keep = [pa == 1 for pa, _pb in parities]
+    return _extract_boundary(edges, face_of, outgoing, rot, keep)
+
+
+def polygonize_faces(linework: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Geometry Polygonize (ogrgeometry.cpp:6789 -> GEOSPolygonize /
+    the JTS Polygonizer): every bounded face of the noded linework
+    becomes its own polygon; a component nested inside a face
+    additionally cuts a hole into that face's polygon (two concentric
+    squares -> a donut AND the inner square). -> list of polygons as
+    ring groups (outer CCW first, holes CW)."""
+    a_s = snap_rings(linework)
+    if not a_s:
+        return []
+    segs, _ring_src = _ring_sources(((0, a_s),))
+    edges = _node_all(segs, mode="keep")
+    if not edges:
+        return []
+    face_of, cycles, outgoing, rot = _faces(edges)
+    comp = _components(edges)
+    face_comp = [comp[cyc[0]] for cyc in cycles]
+    n_comp = 1 + max(comp.values())
+    areas = [_cycle_area(cyc) for cyc in cycles]
+    outer_face = [-1] * n_comp
+    outer_area = [np.inf] * n_comp
+    for fid, a in enumerate(areas):
+        c = face_comp[fid]
+        if a < outer_area[c]:
+            outer_area[c] = a
+            outer_face[c] = fid
+    def cyc_ring(fid, reverse=False):
+        pts = [_coord(k) for k in cycles[fid]]
+        if reverse:
+            pts = pts[::-1]
+        return np.asarray(pts + [pts[0]], dtype=np.float64)
+    # direct nesting: component -> smallest bounded face (of another
+    # component) containing one of its nodes; strictly non-degenerate
+    holes_of: dict[int, list[int]] = {}
+    if n_comp > 1:
+        comp_nodes: dict[int, tuple] = {}
+        for k, c in comp.items():
+            comp_nodes.setdefault(c, k)
+        bounded = [fid for fid in range(len(cycles)) if areas[fid] > 0.0]
+        for c in range(n_comp):
+            px, py = _coord(comp_nodes[c])
+            best = None
+            for fid in bounded:
+                if face_comp[fid] == c:
+                    continue
+                ring = cyc_ring(fid)
+                if points_in_ring(np.asarray([px]), np.asarray([py]), ring)[0]:
+                    if best is None or areas[fid] < areas[best]:
+                        best = fid
+            if best is not None:
+                holes_of.setdefault(best, []).append(c)
+    polys: list[list[np.ndarray]] = []
+    for fid in range(len(cycles)):
+        if areas[fid] <= 0.0:
+            continue
+        rings = [cyc_ring(fid)]
+        for c in holes_of.get(fid, ()):  # nested components cut holes
+            rings.append(cyc_ring(outer_face[c], reverse=False))
+        polys.append(rings)
+    return polys

@@ -20,6 +20,7 @@ from gdal_spark.geo import ops
 from gdal_spark.geo.geom import points_in_polygon, polygon_area, polygon_centroid
 from gdal_spark.geo.wkb import (
     WKB_LINESTRING,
+    WKB_MULTIPOLYGON,
     WKB_POINT,
     WKB_POLYGON,
     Geometry,
@@ -536,6 +537,131 @@ st_difference = _pairwise_overlay("diff")
 st_symdifference = _pairwise_overlay("symdiff")
 
 
+@F.pandas_udf(T.BinaryType())
+def st_buildarea(wkb: pd.Series) -> pd.Series:
+    """ST_BuildArea (ogrgeometry.cpp:6916 -> GEOSBuildArea): areal
+    region bounded by the input's closed linework, alternating-rule
+    nesting (geo/arrangement.build_area)."""
+    from gdal_spark.geo.arrangement import build_area
+    from gdal_spark.geo.boolean import rings_to_polygons
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    def one(b):
+        rings = _rings(parse_wkb(bytes(b)))
+        polys = rings_to_polygons(build_area(rings))
+        return wkb_multipolygon(polys) if polys else None
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_polygonize(wkb: pd.Series) -> pd.Series:
+    """ST_Polygonize (ogrgeometry.cpp:6789 -> GEOSPolygonize): every
+    bounded face of the noded linework as its own polygon, nested
+    components cutting holes (geo/arrangement.polygonize_faces).
+    Returns a MultiPolygon of all faces."""
+    from gdal_spark.geo.arrangement import polygonize_faces
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    def one(b):
+        rings = _rings(parse_wkb(bytes(b)))
+        polys = polygonize_faces(rings)
+        return wkb_multipolygon(polys) if polys else None
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_concavehull(wkb: pd.Series, ratio: pd.Series) -> pd.Series:
+    """ST_ConcaveHull (ogrgeometry.cpp:4305, GEOS >= 3.11 semantics;
+    geo/constructive.concave_hull) over the geometry's vertices."""
+    from gdal_spark.geo.constructive import concave_hull
+
+    def f(b, r):
+        g = parse_wkb(bytes(b))
+        pts = np.vstack(
+            [p[:-1] if len(p) > 1 and np.array_equal(p[0], p[-1]) else p
+             for p in g.parts]
+        )
+        pts = np.unique(pts, axis=0)
+        return wkb_polygon([concave_hull(pts, float(r))])
+
+    return pd.Series([f(b, r) for b, r in zip(wkb, ratio)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_normalize(wkb: pd.Series) -> pd.Series:
+    """ST_Normalize (ogrgeometry.cpp:4106 -> GEOSNormalize / JTS
+    canonical form): rings anchored at their minimum vertex, shells
+    CW, holes CCW + sorted; LineStrings reversed when the reverse
+    compares smaller (geo/constructive)."""
+    from gdal_spark.geo.constructive import normalize_line, normalize_polys
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    def one(b):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            return geometry_to_wkb(
+                Geometry(WKB_LINESTRING, parts=[normalize_line(g.parts[0])])
+            )
+        polys = normalize_polys(g.all_rings())
+        if g.type_id == WKB_MULTIPOLYGON or len(polys) > 1:
+            return wkb_multipolygon(polys)
+        return wkb_polygon(polys[0])
+
+    return wkb.map(one)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplifypreservetopology(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    """ST_SimplifyPreserveTopology (ogrgeometry.cpp:6440): DP with
+    per-ring validity/simplicity fallback (geo/constructive)."""
+    from gdal_spark.geo.constructive import simplify_preserve_topology
+
+    def f(b, t):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            return geometry_to_wkb(
+                Geometry(
+                    WKB_LINESTRING,
+                    parts=[ops.douglas_peucker(g.parts[0], float(t))],
+                )
+            )
+        return wkb_polygon(simplify_preserve_topology(_rings(g), float(t)))
+
+    return pd.Series([f(b, t) for b, t in zip(wkb, tol)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_setprecision(wkb: pd.Series, grid: pd.Series) -> pd.Series:
+    """ST_SetPrecision (ogrgeometry.cpp:6608 SetPrecision): snap
+    vertices to the grid, drop collapsed edges/spikes/rings
+    (geo/arrangement.set_precision). NULL when the geometry collapses
+    entirely."""
+    from gdal_spark.geo.arrangement import set_precision
+    from gdal_spark.geo.boolean import rings_to_polygons
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    def f(b, gsize):
+        g = parse_wkb(bytes(b))
+        if g.type_id == WKB_LINESTRING:
+            snapped = np.floor(g.parts[0] / float(gsize) + 0.5) * float(gsize)
+            keep = [0] + [
+                i for i in range(1, len(snapped))
+                if not np.array_equal(snapped[i], snapped[i - 1])
+            ]
+            if len(keep) < 2:
+                return None
+            return geometry_to_wkb(
+                Geometry(WKB_LINESTRING, parts=[snapped[keep]])
+            )
+        out = set_precision(_rings(g), float(gsize))
+        polys = rings_to_polygons(out)
+        return wkb_multipolygon(polys) if polys else None
+
+    return pd.Series([f(b, gsize) for b, gsize in zip(wkb, grid)])
+
+
 _REGISTRY = {
     "ST_Area": st_area,
     "ST_MakeValid": st_makevalid,
@@ -575,6 +701,12 @@ _REGISTRY = {
     "ST_PointOnSurface": st_pointonsurface,
     "ST_X": st_x,
     "ST_Y": st_y,
+    "ST_BuildArea": st_buildarea,
+    "ST_Polygonize": st_polygonize,
+    "ST_ConcaveHull": st_concavehull,
+    "ST_Normalize": st_normalize,
+    "ST_SimplifyPreserveTopology": st_simplifypreservetopology,
+    "ST_SetPrecision": st_setprecision,
 }
 
 
