@@ -2585,6 +2585,149 @@ SELECT fid, cast({area} as bigint) AS area_q4 FROM ba
 """
 
 
+_LPP_FLAGS = ["intersects", "crosses", "within", "touches", "disjoint"]
+
+
+def q_line_poly_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line x polygon DE-9IM predicates (ogrgeometry.cpp:5734 Crosses
+    L/A plus Intersects/Within/Touches/Disjoint) via the
+    split-and-classify line relate engine: per fid a horizontal probe
+    segment is placed below (disjoint), ON the bottom edge (touches /
+    collinear boundary overlap), through the hole band (crosses /
+    endpoint-touch), or in a clean interior band (within vs crosses
+    by right-edge overshoot) of the collocated layer-'a' blob. Every
+    flag has a rectilinear closed form in half-units."""
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.blobs import blob_params, blob_rings
+    from gdal_spark.geo.predicates import line_polygon_relate
+
+    def one(fid):
+        import numpy as np
+
+        p = blob_params(fid, "a")
+        case = fid % 4
+        l2 = 2 + (fid * 19) % 24
+        if case == 3:
+            xl0 = p["x0"] + 1.0
+        else:
+            xl0 = p["x0"] - 2.0 + 0.5 * ((fid * 7) % 3)
+        xl1 = xl0 + 0.5 * l2
+        yl = p["y0"] + (-2.0, 0.0, 2.0, 4.0)[case]
+        line = np.array([[xl0, yl], [xl1, yl]], dtype=np.float64)
+        rel = line_polygon_relate(line, blob_rings(fid, "a"))
+        out = {"fid": fid}
+        out.update({k: bool(rel[k]) for k in _LPP_FLAGS})
+        return out
+
+    return _blob_geo_query(
+        spark, sf_dir,
+        [T2.StructField("fid", T2.LongType())]
+        + [T2.StructField(k, T2.BooleanType()) for k in _LPP_FLAGS],
+        one,
+    )
+
+
+def _o_line_poly_predicates() -> str:
+    from gdal_spark.fixtures import blobs
+
+    cte = blobs.sql_blob_cte("s_suppkey", "supplier", "a")
+    return f"""
+WITH ba AS ({cte}),
+ln AS (
+  SELECT fid, x0, x1,
+    CASE WHEN fid % 4 = 3 THEN x0 + 2
+         ELSE x0 - 4 + ((fid * 7) % 3) END AS xl0,
+    CASE WHEN fid % 4 = 3 THEN x0 + 2
+         ELSE x0 - 4 + ((fid * 7) % 3) END + 2 + ((fid * 19) % 24) AS xl1
+  FROM ba
+)
+SELECT fid,
+  CASE fid % 4 WHEN 0 THEN false WHEN 1 THEN xl1 >= x0
+               WHEN 2 THEN xl1 >= x0 ELSE true END AS intersects,
+  CASE fid % 4 WHEN 2 THEN xl1 > x0 WHEN 3 THEN xl1 > x1
+               ELSE false END AS crosses,
+  CASE WHEN fid % 4 = 3 THEN xl1 <= x1 ELSE false END AS within,
+  CASE fid % 4 WHEN 1 THEN xl1 >= x0 WHEN 2 THEN xl1 = x0
+               ELSE false END AS touches,
+  CASE fid % 4 WHEN 0 THEN true WHEN 1 THEN xl1 < x0
+               WHEN 2 THEN xl1 < x0 ELSE false END AS disjoint
+FROM ln
+"""
+
+
+_LLP_FLAGS = [
+    "intersects", "crosses", "touches", "overlaps", "contains", "disjoint",
+]
+
+
+def q_line_line_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line x line DE-9IM predicates (ogrgeometry.cpp:5734,5661,5989
+    for line pairs): per fid a horizontal base segment meets (case 0)
+    a vertical probe — proper cross / endpoint-touch / disjoint by
+    LCG offsets; (case 1) a collinear probe — 1-D overlap vs
+    containment vs endpoint-only touch; (case 2) a parallel offset
+    probe — always disjoint. All flags closed-form in integers."""
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.predicates import line_line_relate
+
+    def one(fid):
+        import numpy as np
+
+        bx = float(fid * 16)
+        a = np.array([[bx, 10.0], [bx + 10.0, 10.0]])
+        case = fid % 3
+        if case == 0:
+            xoff = float((fid * 7) % 13)
+            by0 = float(6 + (fid * 5) % 6)
+            b = np.array([[bx + xoff, by0], [bx + xoff, by0 + 5.0]])
+        elif case == 1:
+            o = float(-6 + (fid * 11) % 17)
+            b = np.array([[bx + o, 10.0], [bx + o + 8.0, 10.0]])
+        else:
+            yy = float(11 + fid % 2)
+            b = np.array([[bx, yy], [bx + 10.0, yy]])
+        rel = line_line_relate(a, b)
+        out = {"fid": fid}
+        out.update({k: bool(rel[k]) for k in _LLP_FLAGS})
+        return out
+
+    return _blob_geo_query(
+        spark, sf_dir,
+        [T2.StructField("fid", T2.LongType())]
+        + [T2.StructField(k, T2.BooleanType()) for k in _LLP_FLAGS],
+        one,
+    )
+
+
+def _o_line_line_predicates() -> str:
+    return """
+WITH ids AS (SELECT cast(s_suppkey as bigint) AS fid FROM supplier),
+v AS (
+  SELECT fid, fid % 3 AS c,
+    (fid * 7) % 13 AS xoff,
+    6 + (fid * 5) % 6 AS by0,
+    -6 + (fid * 11) % 17 AS o
+  FROM ids
+)
+SELECT fid,
+  CASE c WHEN 0 THEN xoff <= 10 AND by0 <= 10
+         WHEN 1 THEN true ELSE false END AS intersects,
+  CASE c WHEN 0 THEN xoff > 0 AND xoff < 10 AND by0 < 10
+         ELSE false END AS crosses,
+  CASE c WHEN 0 THEN (xoff <= 10 AND by0 <= 10)
+                     AND NOT (xoff > 0 AND xoff < 10 AND by0 < 10)
+         WHEN 1 THEN o = 10 ELSE false END AS touches,
+  CASE c WHEN 1 THEN o < 10 AND NOT (o >= 0 AND o + 8 <= 10)
+         ELSE false END AS overlaps,
+  CASE c WHEN 1 THEN o >= 0 AND o + 8 <= 10 ELSE false END AS contains,
+  CASE c WHEN 0 THEN NOT (xoff <= 10 AND by0 <= 10)
+         WHEN 1 THEN false ELSE true END AS disjoint
+FROM v
+"""
+
+
 def q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MakeValid (ogrgeometry.cpp:3922): self-intersecting bowtie
     quads repaired by noding + planar face traversal + odd-winding
@@ -3535,6 +3678,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize_geom": q_polygonize_geom,
         "st_normalize": q_st_normalize,
         "set_precision": q_set_precision,
+        "line_poly_predicates": q_line_poly_predicates,
+        "line_line_predicates": q_line_line_predicates,
         # -- new in round 2: general overlay verbs + distributed dedup
         "overlay_geom": q_overlay_geom,
         "overlay_union": q_overlay_union,
@@ -5149,6 +5294,8 @@ WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
         "polygonize_geom": _o_polygonize_geom(),
         "st_normalize": _o_st_normalize(),
         "set_precision": _o_set_precision(),
+        "line_poly_predicates": _o_line_poly_predicates(),
+        "line_line_predicates": _o_line_line_predicates(),
         "ann_topk": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K
         ),

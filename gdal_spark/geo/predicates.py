@@ -42,6 +42,8 @@ __all__ = [
     "polygon_relate",
     "polygon_distance2",
     "point_polygon_distance2",
+    "line_line_relate",
+    "line_polygon_relate",
 ]
 
 
@@ -206,6 +208,175 @@ def _rings_equal(a_rings: list[np.ndarray], b_rings: list[np.ndarray]) -> bool:
         return min(fwd.tobytes(), rev.tobytes())
 
     return sorted(norm(r) for r in a_rings) == sorted(norm(r) for r in b_rings)
+
+
+def _seg_events(p1, p2, q1, q2):
+    """Intersection events of segment (p1,p2) with (q1,q2), exact for
+    dyadic coordinates. -> (kind, t, u) list where kind is 'proper'
+    (transversal interior-interior), 'touch' (an endpoint of one on
+    the other, t/u give the location params), or 'overlap' (collinear
+    1-D overlap; t,u are the [lo,hi] params of the overlap on p)."""
+    d1 = p2 - p1
+    d2 = q2 - q1
+    den = d1[0] * d2[1] - d1[1] * d2[0]
+    e = q1 - p1
+    out = []
+    if den == 0.0:
+        if e[0] * d1[1] - e[1] * d1[0] != 0.0:
+            return out  # parallel, not collinear
+        ln = float(d1 @ d1)
+        if ln == 0.0:
+            return out
+        t1 = float(e @ d1) / ln
+        t2 = float((q2 - p1) @ d1) / ln
+        lo, hi = min(t1, t2), max(t1, t2)
+        lo_c, hi_c = max(lo, 0.0), min(hi, 1.0)
+        if lo_c < hi_c:
+            out.append(("overlap", lo_c, hi_c))
+        elif lo_c == hi_c:
+            out.append(("touch", lo_c, 0.0 if lo == lo_c else 1.0))
+        return out
+    t = (e[0] * d2[1] - e[1] * d2[0]) / den
+    u = (e[0] * d1[1] - e[1] * d1[0]) / den
+    if t < 0.0 or t > 1.0 or u < 0.0 or u > 1.0:
+        return out
+    if 0.0 < t < 1.0 and 0.0 < u < 1.0:
+        out.append(("proper", t, u))
+    else:
+        out.append(("touch", t, u))
+    return out
+
+
+def _cover_union(intervals: list[tuple[float, float]]) -> float:
+    """Total covered length of [0,1] by the interval union."""
+    if not intervals:
+        return 0.0
+    intervals = sorted(intervals)
+    total = 0.0
+    cur_lo, cur_hi = intervals[0]
+    for lo, hi in intervals[1:]:
+        if lo > cur_hi:
+            total += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    return total + (cur_hi - cur_lo)
+
+
+def _line_covered_by(a: np.ndarray, b: np.ndarray) -> bool:
+    """Every point of polyline `a` lies on polyline `b` (collinear
+    cover of each a-segment by b-segments)."""
+    for i in range(len(a) - 1):
+        p1, p2 = a[i], a[i + 1]
+        if np.array_equal(p1, p2):
+            continue
+        ivs = []
+        for j in range(len(b) - 1):
+            for kind, x, y in _seg_events(p1, p2, b[j], b[j + 1]):
+                if kind == "overlap":
+                    ivs.append((x, y))
+        if _cover_union(ivs) < 1.0 - 1e-12:
+            return False
+    return True
+
+
+def line_line_relate(a: np.ndarray, b: np.ndarray) -> dict[str, bool]:
+    """DE-9IM predicates for two open polylines (the reference's
+    GEOS-backed Crosses/Touches/Overlaps for line pairs,
+    ogrgeometry.cpp:5734,5661,5989). Line boundary = the two global
+    endpoints; every other point is interior.
+
+    crosses  <=> dim(I x I) == 0  (point contacts between interiors,
+                 no collinear overlap)
+    overlaps <=> dim(I x I) == 1 and neither covers the other
+    touches  <=> intersection nonempty and I x I empty
+    """
+    a_ends = (a[0], a[-1])
+    b_ends = (b[0], b[-1])
+
+    def is_end(p, ends):
+        return any(np.array_equal(p, e) for e in ends)
+
+    ii0 = ii1 = contact = False
+    for i in range(len(a) - 1):
+        p1, p2 = a[i], a[i + 1]
+        for j in range(len(b) - 1):
+            q1, q2 = b[j], b[j + 1]
+            for kind, t, u in _seg_events(p1, p2, q1, q2):
+                contact = True
+                if kind == "overlap":
+                    ii1 = True
+                elif kind == "proper":
+                    ii0 = True
+                else:  # touch at a point: interior iff not a global end
+                    pt = p1 + t * (p2 - p1)
+                    if not is_end(pt, a_ends) and not is_end(pt, b_ends):
+                        ii0 = True
+    within = contact and _line_covered_by(a, b)
+    contains = contact and _line_covered_by(b, a)
+    equals = within and contains
+    return {
+        "intersects": contact,
+        "disjoint": not contact,
+        "crosses": ii0 and not ii1,
+        "overlaps": ii1 and not within and not contains,
+        "touches": contact and not ii0 and not ii1,
+        "within": within,
+        "contains": contains,
+        "equals": equals,
+    }
+
+
+def line_polygon_relate(
+    line: np.ndarray, rings: list[np.ndarray]
+) -> dict[str, bool]:
+    """DE-9IM predicates for an open polyline vs an even-odd areal
+    geometry (ogrgeometry.cpp:5734 Crosses L/A et al.): split the
+    line at every boundary contact, classify each piece's midpoint as
+    inside / on-boundary / outside, then:
+
+    crosses <=> pieces both inside and outside
+    within  <=> some piece inside, none outside (endpoints may lie on
+                the boundary)
+    touches <=> contact but no piece inside
+    """
+    has_in = has_out = has_on = contact = False
+    for i in range(len(line) - 1):
+        p1, p2 = line[i], line[i + 1]
+        if np.array_equal(p1, p2):
+            continue
+        cuts = {0.0, 1.0}
+        for r in rings:
+            for j in range(len(r) - 1):
+                for kind, t, u in _seg_events(p1, p2, r[j], r[j + 1]):
+                    contact = True
+                    if kind == "overlap":
+                        cuts.add(t)
+                        cuts.add(u)
+                    else:
+                        cuts.add(t)
+        ts = sorted(cuts)
+        for lo, hi in zip(ts[:-1], ts[1:]):
+            if hi <= lo:
+                continue
+            mid = p1 + 0.5 * (lo + hi) * (p2 - p1)
+            if point_on_boundary(mid[0], mid[1], rings):
+                has_on = True
+            elif bool(points_in_polygon([mid[0]], [mid[1]], rings)[0]):
+                has_in = True
+            else:
+                has_out = True
+    intersects = has_in or has_on or contact
+    return {
+        "intersects": intersects,
+        "disjoint": not intersects,
+        "crosses": has_in and has_out,
+        "within": has_in and not has_out,
+        "touches": intersects and not has_in,
+        "overlaps": False,
+        "contains": False,
+        "equals": False,
+    }
 
 
 def _pts_seg_dist2(px, py, sx1, sy1, sx2, sy2) -> np.ndarray:

@@ -210,6 +210,31 @@ def _pairwise_predicate(name: str):
     return pred
 
 
+@F.pandas_udf(T.BooleanType())
+def st_crosses(wa: pd.Series, wb: pd.Series) -> pd.Series:
+    """ST_Crosses (ogrgeometry.cpp:5734): DE-9IM crosses for
+    line x line (dim(IxI) == 0) and line x areal / areal x line (the
+    line has pieces both inside and outside) via the line relate
+    engine (geo/predicates.line_line_relate /
+    line_polygon_relate). Areal x areal pairs can never cross
+    (equal-dimension crosses is undefined -> false), matching GEOS."""
+    from gdal_spark.geo import predicates as P
+
+    def one(ba, bb):
+        ga, gb = parse_wkb(bytes(ba)), parse_wkb(bytes(bb))
+        a_line = ga.type_id == WKB_LINESTRING
+        b_line = gb.type_id == WKB_LINESTRING
+        if a_line and b_line:
+            return P.line_line_relate(ga.parts[0], gb.parts[0])["crosses"]
+        if a_line:
+            return P.line_polygon_relate(ga.parts[0], _rings(gb))["crosses"]
+        if b_line:
+            return P.line_polygon_relate(gb.parts[0], _rings(ga))["crosses"]
+        return False
+
+    return pd.Series([one(a, b) for a, b in zip(wa, wb)])
+
+
 st_intersects = _pairwise_predicate("intersects")
 st_disjoint = _pairwise_predicate("disjoint")
 st_within = _pairwise_predicate("within")
@@ -701,6 +726,7 @@ _REGISTRY = {
     "ST_PointOnSurface": st_pointonsurface,
     "ST_X": st_x,
     "ST_Y": st_y,
+    "ST_Crosses": st_crosses,
     "ST_BuildArea": st_buildarea,
     "ST_Polygonize": st_polygonize,
     "ST_ConcaveHull": st_concavehull,
