@@ -1506,22 +1506,26 @@ def q_grid_tin(spark: SparkSession, sf_dir: str) -> DataFrame:
     which ANY valid triangulation reproduces exactly — so the oracle
     is the closed-form plane over all pixels (corner points pin the
     hull to the full grid) without expressing the TIN in SQL."""
-    import numpy as np
+    from gdal_spark.operators.gridded import tin_grid_points
 
-    from gdal_spark.operators.gridded import tin_grid
-
-    ids = np.array(
-        [r["i"] for r in _site_ids(spark, sf_dir).collect()], dtype=np.int64
-    )
-    px = ((ids * 29) % 256) / 4.0
-    py = ((ids * 37) % 256) / 4.0
-    pts = np.unique(np.c_[px, py], axis=0)
     g = float(TIN_GRID)
-    pts = np.unique(
-        np.vstack([pts, [[0, 0], [g, 0], [0, g], [g, g]]]), axis=0
+    sites = _site_ids(spark, sf_dir).select(
+        (((F.col("i") * 29) % 256) / 4.0).alias("px"),
+        (((F.col("i") * 37) % 256) / 4.0).alias("py"),
     )
-    vals = 3.0 * pts[:, 0] + 5.0 * pts[:, 1]
-    out = tin_grid(spark, pts, vals, TIN_GRID, TIN_GRID, (0.0, 0.0, g, g))
+    # domain pins: corners + boundary points every 8 units, so every
+    # border cell's halo'd neighborhood hull covers its pixels (a
+    # metadata-sized constant list, not data)
+    pins = [(float(t), e) for t in range(0, TIN_GRID + 1, 8) for e in (0.0, g)]
+    pins_df = spark.createDataFrame(
+        [(x, y) for x, y in pins] + [(y, x) for x, y in pins], "px double, py double"
+    )
+    points = (
+        sites.unionByName(pins_df)
+        .distinct()
+        .withColumn("v", 3.0 * F.col("px") + 5.0 * F.col("py"))
+    )
+    out = tin_grid_points(points, TIN_GRID, TIN_GRID, (0.0, 0.0, g, g))
     return out.select(
         F.col("gx").cast("int"), F.col("gy").cast("int"),
         F.round(F.col("v") * 4).cast("long").alias("v_q4"),

@@ -51,3 +51,67 @@ def test_outside_hull_masked():
     v, m = tin_interpolate_grid(pts, vals, 32, 32, (0, 0, 32, 32))
     assert m.any() and not m.all()
     assert not m[0, 0]  # far corner outside the triangle
+
+
+class TestTinGridPoints:
+    """Distributed TIN gridding (operators/gridded.tin_grid_points):
+    the point set is a DataFrame — never collected — cell-partitioned
+    with halo."""
+
+    def _points(self, spark, n=300, skew=False):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(5)
+        px = rng.uniform(0, 32, n).round(2)
+        py = rng.uniform(0, 32, n).round(2)
+        if skew:
+            # dump 80% of the points into one cell (hot key)
+            px[: int(n * 0.8)] = rng.uniform(0, 4, int(n * 0.8)).round(2)
+            py[: int(n * 0.8)] = rng.uniform(0, 4, int(n * 0.8)).round(2)
+        pins = [(float(t), float(e)) for t in range(0, 33, 4)
+                for e in (0.0, 32.0)]
+        rows = (
+            [(float(x), float(y)) for x, y in zip(px, py)]
+            + pins + [(y, x) for x, y in pins]
+        )
+        return (
+            spark.createDataFrame(rows, "px double, py double")
+            .distinct()
+            .withColumn("v", 2.0 * F.col("px") - 7.0 * F.col("py"))
+        )
+
+    def _expected(self, gx, gy):
+        # linear field at pixel centers: any triangulation is exact
+        x = gx + 0.5
+        y = gy + 0.5
+        return 2.0 * x - 7.0 * y
+
+    def test_linear_field_full_coverage(self, spark):
+        from gdal_spark.operators.gridded import tin_grid_points
+
+        out = tin_grid_points(
+            self._points(spark), 32, 32, (0.0, 0.0, 32.0, 32.0), cell_px=8
+        ).collect()
+        assert len(out) == 32 * 32
+        for r in out:
+            assert abs(r.v - self._expected(r.gx, r.gy)) < 1e-9
+
+    def test_skewed_points_still_exact(self, spark):
+        from gdal_spark.operators.gridded import tin_grid_points
+
+        out = tin_grid_points(
+            self._points(spark, skew=True), 32, 32,
+            (0.0, 0.0, 32.0, 32.0), cell_px=8,
+        ).collect()
+        assert len(out) == 32 * 32
+        for r in out:
+            assert abs(r.v - self._expected(r.gx, r.gy)) < 1e-9
+
+    def test_no_driver_collect_in_operator(self):
+        import inspect
+
+        from gdal_spark.operators import gridded
+
+        src = inspect.getsource(gridded.tin_grid_points)
+        assert ".collect()" not in src
