@@ -1404,6 +1404,51 @@ def q_contour_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTOUR_POLY_LEVELS = [0.25, 16.25, 32.25, 48.25]
+
+
+def q_contour_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour POLYGON bands (`gdal_contour -p`; alg/contour.cpp +
+    alg/marching_squares/polygon_ring_appender.h) over an L1-cone
+    surface spanning a 2x2 tile block: each [lo, hi) band is a
+    diamond annulus (1 polygon, outer + hole = 2 rings) whose area is
+    the closed form 2*(hi^2 - lo^2). The apex sits on the lattice so
+    the surface is linear inside every marching cell — the assembled
+    ring geometry, and hence area_q16, is exact; quarter-offset
+    levels make every crossing dyadic (t = 0.25/0.75)."""
+    from gdal_spark.operators import stencil
+    from gdal_spark.operators.gridded import contour_polygons
+
+    tiles = stencil.diamond_tiles(
+        spark, [(0, 0), (1, 0), (0, 1), (1, 1)], stencil.TILE, stencil.TILE
+    )
+    out = contour_polygons(
+        tiles, CONTOUR_POLY_LEVELS, stencil.TILE,
+        2 * stencil.TILE, 2 * stencil.TILE,
+    )
+    return out.select(
+        F.col("band").cast("int"),
+        F.col("n_polys").cast("int"),
+        F.col("n_rings").cast("int"),
+        F.col("area_q16").cast("long"),
+    )
+
+
+def _o_contour_polygons() -> str:
+    rows = ", ".join(
+        f"({bi}, {int(4 * CONTOUR_POLY_LEVELS[bi])},"
+        f" {int(4 * CONTOUR_POLY_LEVELS[bi + 1])})"
+        for bi in range(len(CONTOUR_POLY_LEVELS) - 1)
+    )
+    return f"""
+WITH bands(band, lo4, hi4) AS (VALUES {rows})
+SELECT cast(band as int) AS band, cast(1 as int) AS n_polys,
+       cast(2 as int) AS n_rings,
+       cast(2 * (hi4 * hi4 - lo4 * lo4) as bigint) AS area_q16
+FROM bands
+"""
+
+
 def _o_contour_lines() -> str:
     from gdal_spark.operators.gridded import _CASE_EDGES
 
@@ -3684,6 +3729,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_precision": q_set_precision,
         "line_poly_predicates": q_line_poly_predicates,
         "line_line_predicates": q_line_line_predicates,
+        "contour_polygons": q_contour_polygons,
         # -- new in round 2: general overlay verbs + distributed dedup
         "overlay_geom": q_overlay_geom,
         "overlay_union": q_overlay_union,
@@ -5300,6 +5346,7 @@ WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
         "set_precision": _o_set_precision(),
         "line_poly_predicates": _o_line_poly_predicates(),
         "line_line_predicates": _o_line_line_predicates(),
+        "contour_polygons": _o_contour_polygons(),
         "ann_topk": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K
         ),

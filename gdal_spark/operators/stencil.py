@@ -36,6 +36,46 @@ def surface_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
     return ((3 * gx + 5 * gy) % 512) / 2.0
 
 
+def diamond_value(gx: np.ndarray, gy: np.ndarray, cx: int, cy: int) -> np.ndarray:
+    """L1-cone surface |x-cx| + |y-cy| with the apex ON the lattice:
+    the fold lines x=cx / y=cy coincide with cell boundaries, so the
+    surface is exactly linear inside every marching cell and
+    edge-interpolated contour geometry is exact (quarter-offset
+    levels give dyadic crossings). Iso-lines are diamonds; contour
+    POLYGON bands are diamond annuli with closed-form areas
+    2*(hi^2 - lo^2)."""
+    return np.abs(gx - cx) + np.abs(gy - cy).astype(np.float64)
+
+
+def diamond_tiles(
+    spark: SparkSession, tiles: list[tuple[int, int]], cx: int, cy: int
+) -> DataFrame:
+    """Materialize float64 tile buffers of the L1-cone surface."""
+    schema = T.StructType(
+        [
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        for pdf in batches:
+            recs = []
+            for tx, ty in zip(pdf["tile_x"], pdf["tile_y"]):
+                gx = np.arange(TILE) + int(tx) * TILE
+                gy = (np.arange(TILE) + int(ty) * TILE)[:, None]
+                arr = diamond_value(gx[None, :], gy, cx, cy)
+                recs.append(
+                    {"tile_x": int(tx), "tile_y": int(ty),
+                     "data": arr.astype("<f8").tobytes()}
+                )
+            yield pd.DataFrame(recs, columns=["tile_x", "tile_y", "data"])
+
+    df = spark.createDataFrame(tiles, "tile_x int, tile_y int")
+    return df.mapInPandas(build, schema)
+
+
 def surface_tiles(spark: SparkSession, tiles: list[tuple[int, int]]) -> DataFrame:
     """Materialize float64 tile buffers of the demo surface."""
     schema = T.StructType(

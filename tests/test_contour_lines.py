@@ -73,3 +73,63 @@ def test_global_chaining_cone_rings_across_tiles(spark):
         assert r["n_polylines"] == 1 and r["n_closed"] == 1
         circumference = 2 * np.pi * radius
         assert abs(r["total_len_e4"] / 1e4 - circumference) < 0.2
+
+
+class TestContourPolygons:
+    """Contour polygon bands (operators/gridded.contour_polygons;
+    reference alg/contour.cpp -p + polygon_ring_appender.h)."""
+
+    def _tiles(self, spark, n, cx, cy):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T2
+
+        rows = []
+        for tx in (0, 1):
+            for ty in (0, 1):
+                gx = np.arange(n) + tx * n
+                gy = (np.arange(n) + ty * n)[:, None]
+                arr = (np.abs(gx[None, :] - cx) + np.abs(gy - cy)).astype(
+                    np.float64
+                )
+                rows.append((tx, ty, arr.tobytes()))
+        schema = T2.StructType(
+            [
+                T2.StructField("tile_x", T2.IntegerType()),
+                T2.StructField("tile_y", T2.IntegerType()),
+                T2.StructField("data", T2.BinaryType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def test_interior_annuli(self, spark):
+        from gdal_spark.operators.gridded import contour_polygons
+
+        tiles = self._tiles(spark, 16, 16, 16)
+        out = {
+            r.band: r
+            for r in contour_polygons(
+                tiles, [2.25, 6.25, 10.25], 16, 32, 32
+            ).collect()
+        }
+        for bi, (lo, hi) in enumerate([(2.25, 6.25), (6.25, 10.25)]):
+            r = out[bi]
+            assert r.n_polys == 1 and r.n_rings == 2
+            assert r.area_q16 == round(16 * 2 * (hi * hi - lo * lo))
+
+    def test_border_clipped_bands_partition_domain(self, spark):
+        from gdal_spark.operators.gridded import contour_polygons
+
+        # apex at (8, 8): outer bands get clipped by the raster edge;
+        # bands spanning below-min to above-max must tile the whole
+        # 31x31 marching domain exactly
+        tiles = self._tiles(spark, 16, 8, 8)
+        rows = contour_polygons(
+            tiles, [-0.25, 10.25, 20.25, 100.25], 16, 32, 32
+        ).collect()
+        assert sum(r.area_q16 for r in rows) == 16 * 31 * 31
+        # the lowest band: diamond radius 10.25 at (8,8), clipped by
+        # the x=0 and y=0 borders (two 2.25-leg corner triangles cut)
+        low = next(r for r in rows if r.band == 0)
+        assert low.n_polys == 1 and low.n_rings == 1
+        assert low.area_q16 == round(16 * (2 * 10.25**2 - 2 * 2.25**2))
