@@ -1051,6 +1051,60 @@ FROM zn z JOIN oa o ON o.fid = z.fid LEFT JOIN ha h ON h.fid = z.fid
 """
 
 
+def q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FlatGeobuf IO (ogr/ogrsf_frmts/flatgeobuf semantics,
+    flatbuffers wire format + packed Hilbert R-tree re-derived from
+    struct level): zones write with an IN-SPARK Hilbert sort + leaf
+    index, read back as a leaf-sampled distributed scan; recovered
+    attributes, ring counts, and exact polygon areas match the
+    fixture closed forms (coordinates roundtrip bit-exactly through
+    the float64 xy vector)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.geom import polygon_area
+    from gdal_spark.geo.wkb import parse_wkb
+    from gdal_spark.sources.flatgeobuf import read_fgb, write_fgb
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"fgb_{os.path.basename(sf_dir)}.fgb")
+    write_fgb(zones, path, layer_name="zones", geometry_type="Polygon")
+    back = read_fgb(spark, path)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("eas_id", T2.LongType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("n_rings", T2.IntegerType()),
+            T2.StructField("area_e6", T2.LongType()),
+        ]
+    )
+
+    def shape(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for fid, eas, kind, wkb in zip(
+                pdf["fid"], pdf["eas_id"], pdf["kind"], pdf["geometry"]
+            ):
+                rings = parse_wkb(bytes(wkb)).all_rings()[0]
+                recs.append(
+                    {
+                        "fid": int(fid), "eas_id": int(eas), "kind": kind,
+                        "n_rings": len(rings),
+                        "area_e6": int(np.floor(polygon_area(rings) * 1e6)),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["fid", "eas_id", "kind", "n_rings", "area_e6"]
+            )
+
+    return back.mapInPandas(shape, schema)
+
+
 def q_geojsonseq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSONSeq IO (newline-delimited Features, the reference's
     GeoJSONSeq driver): fully DISTRIBUTED write (plain text sink) and
@@ -3763,6 +3817,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "shp_roundtrip": q_shp_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
+        "fgb_roundtrip": q_fgb_roundtrip,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -5418,6 +5473,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "gpkg_roundtrip": _o_gpkg_roundtrip(),
         "shp_roundtrip": _o_shp_roundtrip(),
         "geojsonseq_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "fgb_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
