@@ -1105,6 +1105,84 @@ def q_fgb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.mapInPandas(shape, schema)
 
 
+def _roundtrip_shape(back: DataFrame):
+    """Shared (fid, eas_id, kind, n_rings, area_e6) projection for the
+    vector-format roundtrip family."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.geom import polygon_area
+    from gdal_spark.geo.wkb import parse_wkb
+
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("eas_id", T2.LongType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("n_rings", T2.IntegerType()),
+            T2.StructField("area_e6", T2.LongType()),
+        ]
+    )
+
+    def shape(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for fid, eas, kind, wkb in zip(
+                pdf["fid"], pdf["eas_id"], pdf["kind"], pdf["geometry"]
+            ):
+                rings = parse_wkb(bytes(wkb)).all_rings()[0]
+                recs.append(
+                    {
+                        "fid": int(fid), "eas_id": int(eas), "kind": kind,
+                        "n_rings": len(rings),
+                        "area_e6": int(np.floor(polygon_area(rings) * 1e6)),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["fid", "eas_id", "kind", "n_rings", "area_e6"]
+            )
+
+    return back.mapInPandas(shape, schema)
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV WKT-column IO (ogr/ogrsf_frmts/csv WKT mode): zones stream
+    to one .csv through the driver funnel (repr-exact WKT doubles),
+    then Spark's native splittable CSV scan + Arrow WKT parse reads
+    them back distributed; recovered areas match the fixture closed
+    forms bit-for-bit."""
+    from gdal_spark.sources.csvgeo import read_csv_wkt, write_csv_wkt
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"csv_{os.path.basename(sf_dir)}.csv")
+    write_csv_wkt(zones, path)
+    back = read_csv_wkt(
+        spark, path, "fid long, eas_id long, kind string"
+    )
+    return _roundtrip_shape(back)
+
+
+def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON FeatureCollection IO (ogr/ogrsf_frmts/geojson, RFC
+    7946 one-feature-per-line writer layout): streamed single-file
+    write, distributed line-scan read; repr-exact coordinates."""
+    from gdal_spark.sources.geojson import read_geojson, write_geojson
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"gj_{os.path.basename(sf_dir)}.geojson")
+    write_geojson(zones, path)
+    back = read_geojson(
+        spark, path, "fid long, eas_id long, kind string"
+    )
+    return _roundtrip_shape(back)
+
+
 def q_geojsonseq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSONSeq IO (newline-delimited Features, the reference's
     GeoJSONSeq driver): fully DISTRIBUTED write (plain text sink) and
@@ -3818,6 +3896,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_roundtrip": q_shp_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         "fgb_roundtrip": q_fgb_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
         # -- rows absent from CORRECTNESS_r01.json (driver cap)
         "polygonize": q_polygonize,
         "dissolve": q_dissolve,
@@ -5474,6 +5554,8 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "shp_roundtrip": _o_shp_roundtrip(),
         "geojsonseq_roundtrip": _o_shp_roundtrip(),  # same output contract
         "fgb_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "csv_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "geojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
