@@ -2909,6 +2909,171 @@ FROM v
 """
 
 
+def q_datum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General datum pipeline (ogr/ogrct.cpp:1018 PROJ chain,
+    Helmert class re-derived in geo/datum.py): WGS84 geographic ->
+    geocentric -> towgs84 Helmert (3-param ED50 and full 7-param
+    OSGB36) -> Bowring inverse. Engine and DuckDB twin share the
+    formula term for term; outputs floor to 1e-6 deg (cross-engine
+    float error ~1e-12 deg — 1e6x margin)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.georef import LCG_M, np_lcg
+    from gdal_spark.geo.datum import datum_shift
+
+    ids = _site_ids(spark, sf_dir)
+    schema = T2.StructType(
+        [T2.StructField("i", T2.LongType())]
+        + [
+            T2.StructField(c, T2.LongType())
+            for c in ("ed50_lon_e6", "ed50_lat_e6", "osgb_lon_e6",
+                      "osgb_lat_e6")
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            i = pdf["i"].to_numpy()
+            u1, u2 = np_lcg(i)
+            lon = -180.0 + 360.0 * u1 / float(LCG_M)
+            lat = -85.0 + 170.0 * u2 / float(LCG_M)
+            elon, elat, _h = datum_shift(lon, lat, "WGS84", "ED50")
+            olon, olat, _h2 = datum_shift(lon, lat, "WGS84", "OSGB36")
+            yield pd.DataFrame(
+                {
+                    "i": i,
+                    "ed50_lon_e6": np.floor(elon * 1e6).astype(np.int64),
+                    "ed50_lat_e6": np.floor(elat * 1e6).astype(np.int64),
+                    "osgb_lon_e6": np.floor(olon * 1e6).astype(np.int64),
+                    "osgb_lat_e6": np.floor(olat * 1e6).astype(np.int64),
+                }
+            )
+
+    return ids.mapInPandas(run, schema)
+
+
+def _o_datum_shift() -> str:
+    # STAGED CTEs: every helper substitutes its argument strings many
+    # times, so each pipeline step must see simple column names (a
+    # single inlined expression blows up combinatorially)
+    from gdal_spark.fixtures.georef import LCG_M, sql_lcg
+    from gdal_spark.geo.datum import (
+        DATUMS,
+        _sql_geocentric,
+        _sql_geodetic,
+        _sql_helmert,
+    )
+    from gdal_spark.tiles import tilemath as _tm
+
+    u1, u2 = sql_lcg("cast(c_custkey as bigint)")
+    lon = f"(-180.0 + 360.0 * {u1} / {_tm.sql_double(float(LCG_M))})"
+    lat = f"(-85.0 + 170.0 * {u2} / {_tm.sql_double(float(LCG_M))})"
+    gx, gy, gz = _sql_geocentric("lon", "lat", "WGS84")
+    ex, ey, ez = _sql_helmert("x", "y", "z", DATUMS["ED50"][1], inverse=True)
+    ox, oy, oz = _sql_helmert("x", "y", "z", DATUMS["OSGB36"][1], inverse=True)
+    elon, elat = _sql_geodetic("ex", "ey", "ez", "ED50")
+    olon, olat = _sql_geodetic("ox", "oy", "oz", "OSGB36")
+    return f"""
+WITH pts AS (
+  SELECT cast(c_custkey as bigint) AS i, {lon} AS lon, {lat} AS lat
+  FROM customer
+),
+gc AS (SELECT i, {gx} AS x, {gy} AS y, {gz} AS z FROM pts),
+hh AS (
+  SELECT i, {ex} AS ex, {ey} AS ey, {ez} AS ez,
+         {ox} AS ox, {oy} AS oy, {oz} AS oz
+  FROM gc
+)
+SELECT i,
+  cast(floor({elon} * 1e6) as bigint) AS ed50_lon_e6,
+  cast(floor({elat} * 1e6) as bigint) AS ed50_lat_e6,
+  cast(floor({olon} * 1e6) as bigint) AS osgb_lon_e6,
+  cast(floor({olat} * 1e6) as bigint) AS osgb_lat_e6
+FROM hh
+"""
+
+
+def q_bng_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSG:27700 end-to-end (the classic 'needs PROJ' pipeline):
+    WGS84 -> OSGB36 Helmert -> Airy-1830 Krüger transverse Mercator
+    with the British National Grid origin — validated against the OS
+    worked example to sub-mm in tests. Points confined to the grid's
+    domain; outputs floor to 1 cm (cross-engine error ~1e-8 m)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.fixtures.georef import LCG_M, np_lcg
+    from gdal_spark.geo.datum import bng_forward
+
+    ids = _site_ids(spark, sf_dir)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("e_cm", T2.LongType()),
+            T2.StructField("n_cm", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            i = pdf["i"].to_numpy()
+            u1, u2 = np_lcg(i)
+            lon = -8.0 + 10.0 * u1 / float(LCG_M)
+            lat = 49.8 + 9.0 * u2 / float(LCG_M)
+            e, n = bng_forward(lon, lat)
+            yield pd.DataFrame(
+                {
+                    "i": i,
+                    "e_cm": np.floor(e * 100.0).astype(np.int64),
+                    "n_cm": np.floor(n * 100.0).astype(np.int64),
+                }
+            )
+
+    return ids.mapInPandas(run, schema)
+
+
+def _o_bng_transform() -> str:
+    # staged like _o_datum_shift: geocentric -> helmert -> geodetic
+    # -> TM, each step over simple column names
+    from gdal_spark.fixtures.georef import LCG_M, sql_lcg
+    from gdal_spark.geo.datum import (
+        BNG,
+        DATUMS,
+        _sql_geocentric,
+        _sql_geodetic,
+        _sql_helmert,
+        sql_tm_forward,
+    )
+    from gdal_spark.tiles import tilemath as _tm
+
+    u1, u2 = sql_lcg("cast(c_custkey as bigint)")
+    lon = f"(-8.0 + 10.0 * {u1} / {_tm.sql_double(float(LCG_M))})"
+    lat = f"(49.8 + 9.0 * {u2} / {_tm.sql_double(float(LCG_M))})"
+    gx, gy, gz = _sql_geocentric("lon", "lat", "WGS84")
+    ox, oy, oz = _sql_helmert("x", "y", "z", DATUMS["OSGB36"][1], inverse=True)
+    olon, olat = _sql_geodetic("ox", "oy", "oz", "OSGB36")
+    e, n = sql_tm_forward(
+        "lon2", "lat2", "OSGB36", BNG["k0"], BNG["lon0"], BNG["lat0"],
+        BNG["fe"], BNG["fn"],
+    )
+    return f"""
+WITH pts AS (
+  SELECT cast(c_custkey as bigint) AS i, {lon} AS lon, {lat} AS lat
+  FROM customer
+),
+gc AS (SELECT i, {gx} AS x, {gy} AS y, {gz} AS z FROM pts),
+hh AS (SELECT i, {ox} AS ox, {oy} AS oy, {oz} AS oz FROM gc),
+gd AS (SELECT i, {olon} AS lon2, {olat} AS lat2 FROM hh)
+SELECT i,
+  cast(floor({e} * 100.0) as bigint) AS e_cm,
+  cast(floor({n} * 100.0) as bigint) AS n_cm
+FROM gd
+"""
+
+
 def q_make_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MakeValid (ogrgeometry.cpp:3922): self-intersecting bowtie
     quads repaired by noding + planar face traversal + odd-winding
@@ -3862,6 +4027,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_poly_predicates": q_line_poly_predicates,
         "line_line_predicates": q_line_line_predicates,
         "contour_polygons": q_contour_polygons,
+        "datum_shift": q_datum_shift,
+        "bng_transform": q_bng_transform,
         # -- new in round 2: general overlay verbs + distributed dedup
         "overlay_geom": q_overlay_geom,
         "overlay_union": q_overlay_union,
@@ -5482,6 +5649,8 @@ WHERE s.quality_milli >= 700 AND s.n_tokens >= 10
         "line_poly_predicates": _o_line_poly_predicates(),
         "line_line_predicates": _o_line_line_predicates(),
         "contour_polygons": _o_contour_polygons(),
+        "datum_shift": _o_datum_shift(),
+        "bng_transform": _o_bng_transform(),
         "ann_topk": sim.sql_cosine_topk(
             f"vec_id % {ANN_QUERY_MOD} = 0", ANN_K
         ),

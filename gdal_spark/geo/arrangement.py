@@ -12,10 +12,12 @@ algebra is full of coincident boundaries (parcels, admin units).
 
 Method (classic arrangement overlay, exact at snapped coordinates):
 
-1. SNAP-ROUND every vertex to the key grid (2^-20), the
-   ST_SetPrecision-style pre-pass (ogrgeometry.cpp:6608 semantics).
-   Coordinates become dyadic rationals k/2^20 — exact in float64, so
-   every orientation/intersection test downstream is reproducible.
+1. KEY every vertex on the 2^-20 identity grid (vertices within a
+   key cell merge into one node) while geometry math and emitted
+   rings keep the ORIGINAL float64 coordinates — robustness of a
+   snap-rounding pass without displacing exact inputs (an explicit
+   vertex snap is available separately as set_precision, the
+   ogrgeometry.cpp:6608 ST_SetPrecision analog).
 2. NODE all segments of both operands pairwise: proper crossings
    split both segments, T-junctions (vertex-on-edge) split the edge
    at the exact vertex key, collinear overlaps split both segments at
@@ -60,19 +62,35 @@ from gdal_spark.geo.geom import points_in_ring, ring_area
 
 __all__ = ["set_precision", "overlay_rings", "snap_rings", "ArrangementError"]
 
-_Q = 1 << 20  # key grid: 2^-20 units, dyadic -> exact in float64
+_Q = 1 << 20  # node-identity grid: vertices within 2^-20 merge
 
 
 class ArrangementError(ValueError):
-    """Internal inconsistency (should not happen on snapped input)."""
+    """Internal inconsistency (should not happen on exact input)."""
 
 
 def _key(x: float, y: float) -> tuple[int, int]:
     return (int(np.floor(x * _Q + 0.5)), int(np.floor(y * _Q + 0.5)))
 
 
+# key -> representative ORIGINAL coordinate (first registration wins).
+# Keys quantize node IDENTITY only; geometry math and emitted rings
+# use the original float64 coordinates, so non-dyadic inputs (e.g.
+# mercator-derived lon/lat) round-trip without the ~5e-7 displacement
+# a vertex snap would cause. Reset by each public entry point; pandas
+# UDF workers are single-threaded, so a module global is safe.
+_REG: dict[tuple[int, int], tuple[float, float]] = {}
+
+
+def _register(x: float, y: float) -> tuple[int, int]:
+    k = _key(x, y)
+    _REG.setdefault(k, (float(x), float(y)))
+    return k
+
+
 def _coord(k: tuple[int, int]) -> tuple[float, float]:
-    return (k[0] / _Q, k[1] / _Q)
+    c = _REG.get(k)
+    return c if c is not None else (k[0] / _Q, k[1] / _Q)
 
 
 def _clean_ring(pts: np.ndarray) -> np.ndarray | None:
@@ -115,8 +133,41 @@ def set_precision(rings: list[np.ndarray], grid: float) -> list[np.ndarray]:
 
 
 def snap_rings(rings: list[np.ndarray]) -> list[np.ndarray]:
-    """Snap to the arrangement key grid (2^-20) and clean."""
-    return set_precision(rings, 1.0 / _Q)
+    """Clean rings by NODE KEY (consecutive same-key vertices and
+    key-spikes dropped, degenerate rings removed) while PRESERVING
+    original float coordinates, and register every kept vertex as its
+    key's representative coordinate."""
+    out = []
+    for r in rings:
+        pts = [tuple(p) for p in np.asarray(r, dtype=np.float64)[:-1]]
+        keys: list[tuple[int, int]] = []
+        kept: list[tuple[float, float]] = []
+        for p in pts:
+            k = _key(p[0], p[1])
+            if keys and k == keys[-1]:
+                continue
+            while len(keys) >= 2 and k == keys[-2]:
+                keys.pop()
+                kept.pop()
+            keys.append(k)
+            kept.append(p)
+        while len(keys) >= 2 and keys[0] == keys[-1]:
+            keys.pop()
+            kept.pop()
+        while len(keys) >= 3 and keys[1] == keys[-1]:
+            keys.pop()
+            kept.pop()
+            keys.pop(0)
+            kept.pop(0)
+        if len(kept) < 3:
+            continue
+        ring = np.asarray(kept + [kept[0]], dtype=np.float64)
+        if ring_area(ring) == 0.0:
+            continue
+        for x, y in kept:
+            _register(x, y)
+        out.append(ring)
+    return out
 
 
 def _ring_segments(rings: list[np.ndarray]) -> list[tuple[tuple, tuple]]:
@@ -145,7 +196,7 @@ def _node_all(
     crossing flip of (1, 0) — the edge is a boundary regardless of
     how many input lines traced it."""
     n = len(segs)
-    coords = [( _coord(a), _coord(b)) for a, b, _s in segs]
+    coords = [(_coord(a), _coord(b)) for a, b, _s in segs]
     splits: list[set[tuple]] = [set() for _ in range(n)]
     for i in range(n):
         (ax, ay), (bx, by) = coords[i]
@@ -188,7 +239,7 @@ def _node_all(
                 splits[i].add(segs[j][0] if u == 0.0 else segs[j][1])
             else:
                 px, py = ax + t * d1x, ay + t * d1y
-                k = _key(px, py)
+                k = _register(px, py)
                 splits[i].add(k)
                 splits[j].add(k)
     edges: dict[tuple[tuple, tuple], list[int]] = {}
@@ -421,6 +472,7 @@ def overlay_rings(
     if op not in _KEEP:
         raise ValueError(op)
     keep_fn = _KEEP[op]
+    _REG.clear()
     a_s = snap_rings(a)
     b_s = snap_rings(b)
     if not a_s or not b_s:
@@ -449,6 +501,7 @@ def build_area(linework: list[np.ndarray]) -> list[np.ndarray]:
     geometry contributes nothing (its edges bound no parity change
     only when duplicated — single dangling segments raise through the
     parity consistency check). -> even-odd result ring set."""
+    _REG.clear()
     a_s = snap_rings(linework)
     if not a_s:
         return []
@@ -470,6 +523,7 @@ def polygonize_faces(linework: list[np.ndarray]) -> list[list[np.ndarray]]:
     additionally cuts a hole into that face's polygon (two concentric
     squares -> a donut AND the inner square). -> list of polygons as
     ring groups (outer CCW first, holes CW)."""
+    _REG.clear()
     a_s = snap_rings(linework)
     if not a_s:
         return []

@@ -31,9 +31,10 @@ testing against dense grid-sampled ground truth:
    arrangement kernel matches ground truth on 400/400 randomized
    trials and on every closed-form blob oracle.
 
-Coordinates are snapped to the 2^-20 dyadic grid inside the kernel
-(the ST_SetPrecision-style pre-pass) — exact for the engine's
-fixture families, and bounded 5e-7 displacement otherwise.
+Node identity quantizes on the 2^-20 key grid (vertices closer than
+that merge), but all geometry math and emitted rings carry the
+ORIGINAL float64 coordinates — exact passthrough for any input, no
+displacement.
 
 DegenerateGeometry remains defined here: the self-noding paths
 (geo/makevalid.node_ring) still raise it for contacts they cannot
