@@ -195,16 +195,36 @@ def st_y(wkb: pd.Series) -> pd.Series:
 # pairwise predicates + distance (ogrgeometry.cpp:579,3562,5588-6050)
 # ---------------------------------------------------------------------------
 
-def _pairwise_predicate(name: str):
+def _relate_any(ga: Geometry, gb: Geometry) -> dict:
+    """Type-dispatched DE-9IM flag set: areal x areal via
+    polygon_relate, any LINESTRING operand via the line relate engine
+    (geo/predicates.line_line_relate / line_polygon_relate), with the
+    asymmetric flags swapped when the line is the second operand."""
     from gdal_spark.geo import predicates as P
 
+    a_line = ga.type_id == WKB_LINESTRING
+    b_line = gb.type_id == WKB_LINESTRING
+    if a_line and b_line:
+        return P.line_line_relate(ga.parts[0], gb.parts[0])
+    if a_line:
+        return P.line_polygon_relate(ga.parts[0], _rings(gb))
+    if b_line:
+        r = dict(P.line_polygon_relate(gb.parts[0], _rings(ga)))
+        r["within"], r["contains"] = r["contains"], r["within"]
+        return r
+    r = dict(P.polygon_relate(_rings(ga), _rings(gb)))
+    r.setdefault("crosses", False)
+    return r
+
+
+def _pairwise_predicate(name: str):
     @F.pandas_udf(T.BooleanType())
     def pred(wa: pd.Series, wb: pd.Series) -> pd.Series:
         out = []
         for ba, bb in zip(wa, wb):
-            ra = _rings(parse_wkb(bytes(ba)))
-            rb = _rings(parse_wkb(bytes(bb)))
-            out.append(P.polygon_relate(ra, rb)[name])
+            out.append(
+                _relate_any(parse_wkb(bytes(ba)), parse_wkb(bytes(bb)))[name]
+            )
         return pd.Series(out)
 
     return pred
@@ -218,19 +238,11 @@ def st_crosses(wa: pd.Series, wb: pd.Series) -> pd.Series:
     engine (geo/predicates.line_line_relate /
     line_polygon_relate). Areal x areal pairs can never cross
     (equal-dimension crosses is undefined -> false), matching GEOS."""
-    from gdal_spark.geo import predicates as P
 
     def one(ba, bb):
-        ga, gb = parse_wkb(bytes(ba)), parse_wkb(bytes(bb))
-        a_line = ga.type_id == WKB_LINESTRING
-        b_line = gb.type_id == WKB_LINESTRING
-        if a_line and b_line:
-            return P.line_line_relate(ga.parts[0], gb.parts[0])["crosses"]
-        if a_line:
-            return P.line_polygon_relate(ga.parts[0], _rings(gb))["crosses"]
-        if b_line:
-            return P.line_polygon_relate(gb.parts[0], _rings(ga))["crosses"]
-        return False
+        return _relate_any(parse_wkb(bytes(ba)), parse_wkb(bytes(bb)))[
+            "crosses"
+        ]
 
     return pd.Series([one(a, b) for a, b in zip(wa, wb)])
 
