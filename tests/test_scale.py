@@ -135,3 +135,19 @@ def test_resumable_writer_path_backcompat(spark, tmp_path):
     m = w.run(spark.range(6).toDF("k"))
     assert m["rows"] == 2
     assert spark.read.parquet(out).count() == 6
+
+
+def test_no_full_layer_collect_in_sources():
+    """Round-2 verdict #2 done-criterion: no single-file sink may
+    collect() the whole layer to the driver — they stream
+    toLocalIterator() instead (sqlite/shp/fgb/csv/geojson are
+    inherently single-writer formats; memory must stay O(partition))."""
+    import pathlib
+
+    src_dir = pathlib.Path(__file__).resolve().parent.parent / "gdal_spark" / "sources"
+    for py in src_dir.glob("*.py"):
+        text = py.read_text()
+        assert ".collect()" not in text, f"{py.name} collects a layer"
+        if py.name in ("gpkg.py", "shapefile.py", "flatgeobuf.py",
+                       "csvgeo.py", "geojson.py"):
+            assert "toLocalIterator" in text, f"{py.name} should stream"
