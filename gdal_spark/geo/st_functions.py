@@ -202,6 +202,10 @@ def _relate_any(ga: Geometry, gb: Geometry) -> dict:
     asymmetric flags swapped when the line is the second operand."""
     from gdal_spark.geo import predicates as P
 
+    a_pt = ga.type_id == WKB_POINT
+    b_pt = gb.type_id == WKB_POINT
+    if a_pt or b_pt:
+        return _point_relate(ga, gb)
     a_line = ga.type_id == WKB_LINESTRING
     b_line = gb.type_id == WKB_LINESTRING
     if a_line and b_line:
@@ -215,6 +219,69 @@ def _relate_any(ga: Geometry, gb: Geometry) -> dict:
     r = dict(P.polygon_relate(_rings(ga), _rings(gb)))
     r.setdefault("crosses", False)
     return r
+
+
+def _point_relate(ga: Geometry, gb: Geometry) -> dict:
+    """DE-9IM flags when either operand is a POINT. Point boundary is
+    empty, so a point on a line/polygon BOUNDARY intersects+touches;
+    strictly interior -> within; two points relate by equality."""
+    from gdal_spark.geo import predicates as P
+
+    flags = dict.fromkeys(
+        ("intersects", "disjoint", "within", "contains", "overlaps",
+         "touches", "equals", "crosses"), False
+    )
+    a_pt = ga.type_id == WKB_POINT
+    b_pt = gb.type_id == WKB_POINT
+    if a_pt and b_pt:
+        eq = bool(np.array_equal(ga.parts[0][0], gb.parts[0][0]))
+        flags.update(
+            intersects=eq, disjoint=not eq, equals=eq, within=eq,
+            contains=eq,
+        )
+        return flags
+    pt, other, pt_first = (
+        (ga, gb, True) if a_pt else (gb, ga, False)
+    )
+    x, y = (float(v) for v in pt.parts[0][0])
+    if other.type_id == WKB_LINESTRING:
+        coords = other.parts[0]
+        on = False
+        at_end = False
+        for i in range(len(coords) - 1):
+            p1, p2 = coords[i], coords[i + 1]
+            d = p2 - p1
+            cr = d[0] * (y - p1[1]) - d[1] * (x - p1[0])
+            if cr == 0.0:
+                t = (x - p1[0]) * d[0] + (y - p1[1]) * d[1]
+                if 0.0 <= t <= float(d @ d):
+                    on = True
+        for e in (coords[0], coords[-1]):
+            if e[0] == x and e[1] == y:
+                at_end = True
+        inside = on and not at_end
+        flags.update(
+            intersects=on, disjoint=not on, touches=on and at_end,
+        )
+        if pt_first:
+            flags["within"] = inside
+        else:
+            flags["contains"] = inside
+        return flags
+    rings = _rings(other)
+    on_b = P.point_on_boundary(x, y, rings)
+    inside = (not on_b) and bool(
+        points_in_polygon([x], [y], rings)[0]
+    )
+    flags.update(
+        intersects=on_b or inside, disjoint=not (on_b or inside),
+        touches=on_b,
+    )
+    if pt_first:
+        flags["within"] = inside
+    else:
+        flags["contains"] = inside
+    return flags
 
 
 def _pairwise_predicate(name: str):
