@@ -298,6 +298,66 @@ def q_tile_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tile_render_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEBP tile payloads (apps/gdalalg_raster_tile.cpp:358 third
+    output format; VP8L lossless re-derived in raster/webp.py): the
+    rendered tile rasters round-trip through encode_webp_lossless ->
+    decode_webp and the per-band GDAL checksums of the DECODED pixels
+    must still match the tile_render closed form — a lossless-codec
+    proof inside the driver gate."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("n_px", T2.LongType()),
+        ]
+    )
+
+    def roundtrip(batches):
+        import numpy as np
+
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.webp import decode_webp, encode_webp_lossless
+
+        for pdf in batches:
+            recs = []
+            for tx, ty, band, npx, data in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["band"], pdf["n_px"],
+                pdf["data"],
+            ):
+                # render_tiles(with_data=True) rows carry ONE band
+                # plane each; grayscale-encode it
+                arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(
+                    256, 256
+                )
+                dec = decode_webp(encode_webp_lossless(arr))[:, :, 0]
+                recs.append(
+                    {
+                        "tile_x": int(tx), "tile_y": int(ty),
+                        "band": int(band),
+                        "checksum": int(gdal_checksum(dec)),
+                        "n_px": int(npx),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["tile_x", "tile_y", "band", "checksum", "n_px"]
+            )
+
+    return out.mapInPandas(roundtrip, schema)
+
+
 def q_tile_render_sortfield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTI mosaic SORT_FIELD option (gdaltileindexdataset.cpp:87-110):
     composite order flipped to DESCENDING image id, so the lowest id
@@ -4033,6 +4093,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_roundtrip": q_fgb_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
+        "tile_render_webp": q_tile_render_webp,
         # -- rows NOT in CORRECTNESS_r02.json (round-2 tail; the first
         #    30 land inside this round's ~50-row artifact)
         "tile_counts": q_tile_counts,
@@ -4385,6 +4446,17 @@ bands AS (
   SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
   FROM range(0, 3) AS b(band)
 )"""
+
+
+def _o_tile_render_webp() -> str:
+    return f"""{_render_win_ctes(f" AND o_orderkey % {5 * RENDER_MOD} = 0")}
+SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
+       cast(b.band as int) AS band,
+       cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum,
+       count(*) AS n_px
+FROM win w CROSS JOIN bands b
+GROUP BY w.tx, w.ty, b.band
+"""
 
 
 def _o_tile_render() -> str:
@@ -5528,6 +5600,8 @@ FROM d WHERE rnk <= k
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_render": _o_tile_render(),
+        # lossless roundtrip: same closed form, tighter image subset
+        "tile_render_webp": _o_tile_render_webp(),
         "tile_render_cubicspline": _o_kernel_render("cubicspline"),
         "tile_render_lanczos": _o_kernel_render("lanczos"),
         "tile_render_decoded": f"""{_render_win_ctes(" AND (o_orderkey % 3) <> 1")}

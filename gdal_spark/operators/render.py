@@ -374,14 +374,14 @@ def encode_tiles(
     quality: int = 90,
 ) -> DataFrame:
     """Tile sink (apps/gdalalg_raster_tile.cpp:358 GenerateTile):
-    assemble the 3 band planes of each tile and encode a PNG or JPEG
-    payload (the reference's --output-format choices minus WEBP,
-    whose codec isn't re-derived); `path` follows the
+    assemble the 3 band planes of each tile and encode a PNG, JPEG,
+    or WEBP (VP8L lossless, raster/webp.py) payload — the reference's
+    --output-format choices; `path` follows the
     {z}/{x}/{fileY}.{ext} layout with the XYZ/TMS y-convention
     (:348-352). Input: render_tiles(..., with_data=True) rows."""
-    if fmt not in ("png", "jpeg"):
+    if fmt not in ("png", "jpeg", "webp"):
         raise ValueError(f"unsupported tile format: {fmt}")
-    ext = "png" if fmt == "png" else "jpg"
+    ext = {"png": "png", "jpeg": "jpg", "webp": "webp"}[fmt]
     out_schema = T.StructType(
         [
             T.StructField("tile_z", T.IntegerType()),

@@ -13,8 +13,9 @@ import numpy as np
 from gdal_spark.raster.jpeg import decode_jpeg, encode_jpeg
 from gdal_spark.raster.png import decode_png, encode_png
 from gdal_spark.raster.tiff import decode_tiff, encode_tiff
+from gdal_spark.raster.webp import decode_webp, encode_webp_lossless
 
-LOSSLESS = {"png", "tiff"}
+LOSSLESS = {"png", "tiff", "webp"}
 
 
 def sniff_format(data: bytes) -> str:
@@ -24,6 +25,8 @@ def sniff_format(data: bytes) -> str:
         return "jpeg"
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
     raise ValueError("unknown image format")
 
 
@@ -35,15 +38,20 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
         return encode_jpeg(arr, quality=quality)
     if fmt in ("tiff", "tif"):
         return encode_tiff(arr)
+    if fmt == "webp":
+        return encode_webp_lossless(arr)
     raise ValueError(f"unsupported format: {fmt}")
 
 
 def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
-    fmt = (fmt or sniff_format(bytes(data[:8]))).lower()
+    fmt = (fmt or sniff_format(bytes(data[:12]))).lower()
     if fmt == "png":
         return decode_png(data)
     if fmt in ("jpeg", "jpg"):
         return decode_jpeg(data)
     if fmt in ("tiff", "tif"):
         return decode_tiff(data)
+    if fmt == "webp":
+        # VP8L decodes RGBA; callers of the 3-band model take RGB
+        return decode_webp(data)[:, :, :3]
     raise ValueError(f"unsupported format: {fmt}")
