@@ -95,6 +95,7 @@ from gdal_spark.operators.knn import knn_join
 from gdal_spark.operators.spatial_join import pip_join
 from gdal_spark.operators.tiling import assign_tiles
 from gdal_spark.tiles import tilemath as tm
+from gdal_spark.tiles import s2 as s2mod
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -193,6 +194,40 @@ def q_quadkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx, ty = tm.tile_xy_cols(F.col("cx"), F.col("cy"), 9)
     return img.select(
         "image_id", tm.quadkey_col(tx, ty, 9).alias("quadkey")
+    )
+
+
+S2_LEVEL = 12
+
+
+def q_s2_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True S2 cell encode (north rule "H3/S2 cell encodes"): face,
+    level-12 Hilbert position, BIGINT-safe join key, canonical token.
+
+    From-scratch public-algorithm implementation (cube face + quadratic
+    ST + 4-state Hilbert lookup); see gdal_spark/tiles/s2.py. The
+    Hilbert fold is 8 BroadcastHashJoins against a 1024-row chunk
+    table — narrow map at any corpus size.
+    """
+    img = _images_geo(spark, sf_dir)
+    out = s2mod.with_s2_cell(img, F.col("lon_c"), F.col("lat_c"), S2_LEVEL)
+    return out.select(
+        "image_id",
+        F.col("s2_face").cast("int"),
+        F.col("s2_pos").cast("long"),
+        F.col("s2_key").cast("long"),
+        "s2_token",
+    )
+
+
+def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-S2-cell image counts at level 8 — the cell-key aggregation
+    a 10^12-image spatial partitioner would run (one shuffle on the
+    bigint key)."""
+    img = _images_geo(spark, sf_dir)
+    out = s2mod.with_s2_cell(img, F.col("lon_c"), F.col("lat_c"), 8)
+    return out.groupBy("s2_key").agg(F.count("*").alias("n_images")).select(
+        F.col("s2_key").cast("long"), F.col("n_images").cast("long")
     )
 
 
@@ -4073,6 +4108,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3 (20): coincident-boundary overlay,
         #    constructives, line predicates, contour polygons, datum
         #    pipelines, new vector formats
+        "s2_cell": q_s2_cell,
+        "s2_cell_counts": q_s2_cell_counts,
         "overlay_deg_inter": q_overlay_deg_inter,
         "overlay_deg_union": q_overlay_deg_union,
         "overlay_deg_identity": q_overlay_deg_identity,
@@ -4230,6 +4267,25 @@ SELECT {tm.sql_tile_x('cx', COUNT_Z)} AS tile_x,
        {tm.sql_tile_y('cy', COUNT_Z)} AS tile_y,
        count(*) AS n_images
 FROM img GROUP BY 1, 2
+"""
+
+
+def _o_s2_cell() -> str:
+    """DuckDB twin of the S2 encode: same face/UV/ST closed forms, the
+    same 1024-entry Hilbert chunk table as a VALUES CTE joined 8
+    times, the same hi/lo token split."""
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    src = f"SELECT image_id, lon_c, lat_c FROM ({img})"
+    return s2mod.sql_s2_query(src, "lon_c", "lat_c", "image_id", S2_LEVEL)
+
+
+def _o_s2_cell_counts() -> str:
+    img = georef.sql_images_cte("o_orderkey", "orders")
+    src = f"SELECT image_id, lon_c, lat_c FROM ({img})"
+    inner = s2mod.sql_s2_query(src, "lon_c", "lat_c", "image_id", 8)
+    return f"""
+SELECT s2_key, cast(count(*) as bigint) AS n_images
+FROM ({inner}) GROUP BY s2_key
 """
 
 
@@ -5805,6 +5861,8 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "tile_assign": _o_tile_assign(),
         "tile_counts": _o_tile_counts(),
         "quadkey": _o_quadkey(),
+        "s2_cell": _o_s2_cell(),
+        "s2_cell_counts": _o_s2_cell_counts(),
         "pip_join": _o_pip_join(),
         "knn": _o_knn(),
         "knn_perk": _o_knn_perk(),
