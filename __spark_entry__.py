@@ -13,6 +13,7 @@ independent SQL oracle over the same parquet inputs.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import zipfile
@@ -2144,6 +2145,27 @@ def q_dem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HILLSHADE_MODES = ["hillshade_combined", "hillshade_multidir", "hillshade_igor"]
+
+
+def q_hillshade_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -combined / -multidirectional / -igor over the
+    halo-exchanged surface tiles (GDALHillshadeCombinedAlg :1140,
+    GDALHillshadeMultiDirectionalAlg :1235, GDALHillshadeIgorAlg :943
+    in apps/gdaldem_lib.cpp); per-tile GDAL checksums of the float
+    byte values."""
+    from gdal_spark.operators import stencil
+
+    tiles = stencil.surface_tiles(spark, DEM_TILES)
+    out = stencil.stencil_metrics(tiles, HILLSHADE_MODES)
+    return out.select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        "metric",
+        F.col("checksum").cast("int"),
+    )
+
+
 def q_geom_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGR geometry measures via registered ST_* functions
     (get_Area ogr/ogrsurface.cpp:18, get_Length, Centroid
@@ -4109,6 +4131,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    constructives, line predicates, contour polygons, datum
         #    pipelines, new vector formats
         "s2_cell": q_s2_cell,
+        "hillshade_modes": q_hillshade_modes,
         "s2_cell_counts": q_s2_cell_counts,
         "overlay_deg_inter": q_overlay_deg_inter,
         "overlay_deg_union": q_overlay_deg_union,
@@ -5493,6 +5516,113 @@ FROM ints GROUP BY 1, 2, 3
 """
 
 
+def _o_hillshade_modes() -> str:
+    """DuckDB twin of the three hillshade variants: same closed-form
+    surface, Horn sums staged through CTEs, trig constants embedded as
+    exact Python doubles (identical to the kernel's math.* scalars)."""
+    txs = sorted({t[0] for t in DEM_TILES})[1:-1]
+    tys = sorted({t[1] for t in DEM_TILES})[1:-1]
+
+    def d(i: int, j: int) -> str:
+        return f"(((3 * (X + {i}) + 5 * (Y + {j})) % 512) / 2.0)"
+
+    a, b, c = d(-1, -1), d(0, -1), d(1, -1)
+    e0, f = d(-1, 0), d(1, 0)
+    g, hh, i2 = d(-1, 1), d(0, 1), d(1, 1)
+    dx_s = f"(({a} + 2 * {e0} + {g}) - ({c} + 2 * {f} + {i2}))"
+    dy_s = f"(({g} + 2 * {hh} + {i2}) - ({a} + 2 * {b} + {c}))"
+
+    sd = tm.sql_double
+    az = math.radians(315.0)
+    alt = math.radians(45.0)
+    sin_alt = sd(math.sin(alt))
+    cos_alt = math.cos(alt)
+    cosaz_cosalt = sd(math.cos(az) * cos_alt)
+    sinaz_cosalt = sd(math.sin(az) * cos_alt)
+    c225_cosalt = sd(math.cos(math.radians(225.0)) * cos_alt)
+    inv_halfpi2 = sd(4.0 / (math.pi * math.pi))
+    flat_multi = sd(1.0 + 254.0 * math.sin(alt))
+    n2 = math.fmod(3.0 * math.pi / 2.0 - az, 2.0 * math.pi)
+    if n2 < 0:
+        n2 += 2.0 * math.pi
+    n2_s = sd(n2)
+    pi_s = sd(math.pi)
+    twopi_s = sd(2.0 * math.pi)
+    one = sd(1.0)
+
+    combined = f"""
+  SELECT tx, ty, pidx, 'hillshade_combined' AS metric,
+    CASE WHEN cang <= {sd(0.0)} THEN {one}
+         ELSE {one} + {sd(254.0)} * cang END AS v
+  FROM (
+    SELECT tx, ty, pidx,
+      {one} - acos(greatest({sd(-1.0)}, least({one},
+        ({sin_alt} - (sy * {cosaz_cosalt} - sx * {sinaz_cosalt}))
+        / sqrt({one} + ss)))) * atan(sqrt(ss)) * {inv_halfpi2} AS cang
+    FROM g2)"""
+
+    multi = f"""
+  SELECT tx, ty, pidx, 'hillshade_multidir' AS metric,
+    CASE WHEN ss = {sd(0.0)} THEN {flat_multi}
+         ELSE {one} + {sd(127.0)}
+              * (w225 * v225 + w270 * v270 + w315 * v315 + w360 * v360)
+              / ss / sqrt({one} + ss) END AS v
+  FROM (
+    SELECT tx, ty, pidx, ss,
+      greatest({sd(0.0)}, {sin_alt} + (sx - sy) * {c225_cosalt}) AS v225,
+      greatest({sd(0.0)}, {sin_alt} - sx * {sd(cos_alt)}) AS v270,
+      greatest({sd(0.0)}, {sin_alt} + (sx + sy) * {c225_cosalt}) AS v315,
+      greatest({sd(0.0)}, {sin_alt} - sy * {sd(cos_alt)}) AS v360,
+      {sd(0.5)} * ss - sx * sy AS w225,
+      sx * sx AS w270,
+      ss - ({sd(0.5)} * ss - sx * sy) AS w315,
+      sy * sy AS w360
+    FROM g2)"""
+
+    igor = f"""
+  SELECT tx, ty, pidx, 'hillshade_igor' AS metric,
+    {sd(255.0)} * ({one} - (degrees(atan(sqrt(ss))) / {sd(90.0)})
+      * ({one} - (CASE WHEN dfa > {pi_s} THEN {twopi_s} - dfa ELSE dfa END)
+         / {pi_s})) AS v
+  FROM (
+    SELECT tx, ty, pidx, ss,
+      abs((CASE WHEN fmod(atan2(dyr, dxr), {twopi_s}) < {sd(0.0)}
+                THEN {twopi_s} + fmod(atan2(dyr, dxr), {twopi_s})
+                ELSE fmod(atan2(dyr, dxr), {twopi_s}) END) - {n2_s}) AS dfa
+    FROM g2)"""
+
+    return f"""
+WITH px AS (
+  SELECT t.tx, t.ty,
+    t.tx * 256 + gx.x AS X, t.ty * 256 + gy.y AS Y,
+    gy.y * 256 + gx.x AS pidx
+  FROM (SELECT tx.v AS tx, ty.v AS ty
+        FROM (VALUES {", ".join(f"({t})" for t in txs)}) tx(v),
+             (VALUES {", ".join(f"({t})" for t in tys)}) ty(v)) t,
+       range(0, 256) AS gx(x), range(0, 256) AS gy(y)
+),
+grad AS (
+  SELECT tx, ty, pidx, {dx_s} AS dxr, {dy_s} AS dyr FROM px
+),
+g2 AS (
+  SELECT tx, ty, pidx, dxr, dyr,
+    dxr / 8.0 AS sx, dyr / 8.0 AS sy,
+    (dxr / 8.0) * (dxr / 8.0) + (dyr / 8.0) * (dyr / 8.0) AS ss
+  FROM grad
+),
+vals AS ({combined}
+  UNION ALL {multi}
+  UNION ALL {igor}
+),
+ints AS (
+  SELECT tx, ty, pidx, metric, cast(floor(v + 0.5) as bigint) AS iv FROM vals
+)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y, metric,
+  cast((((sum(iv % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536) as int) AS checksum
+FROM ints GROUP BY 1, 2, 3
+"""
+
+
 def _o_geom_measures() -> str:
     zn = georef.sql_zones_cte("s_suppkey", "supplier")
     return f"""
@@ -5862,6 +5992,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "tile_counts": _o_tile_counts(),
         "quadkey": _o_quadkey(),
         "s2_cell": _o_s2_cell(),
+        "hillshade_modes": _o_hillshade_modes(),
         "s2_cell_counts": _o_s2_cell_counts(),
         "pip_join": _o_pip_join(),
         "knn": _o_knn(),

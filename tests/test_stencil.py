@@ -54,3 +54,69 @@ def test_distributed_stencil_matches_local(spark):
     padded = stencil.surface_value(gx[None, :], gy)
     assert got[(4, 3, "slope")] == gdal_checksum(dem.slope_horn(padded))
     assert got[(4, 3, "tpi")] == gdal_checksum(dem.tpi(padded))
+
+
+def test_hillshade_combined_flat_is_full_bright():
+    """Flat terrain: acos(sin_alt) * atan(0) = 0 -> cang = 1 -> 255."""
+    p = np.full((12, 12), 7.25)
+    v = dem.hillshade_combined(p)
+    assert np.allclose(v, 255.0)
+
+
+def test_hillshade_multidirectional_flat_quirk():
+    """The reference returns 1 + 254*sin(alt) on flat cells (the full
+    two-fold scale, despite the 127 scale elsewhere)."""
+    import math
+
+    p = np.full((12, 12), 3.0)
+    v = dem.hillshade_multidirectional(p, altitude_deg=45.0)
+    assert np.allclose(v, 1.0 + 254.0 * math.sin(math.radians(45.0)))
+
+
+def test_hillshade_igor_flat_and_slope_facing():
+    """Flat -> 255; a slope FACING the light (aspect toward az) darkens
+    less than the same slope facing away."""
+    p = np.full((12, 12), 1.0)
+    assert np.allclose(dem.hillshade_igor(p), 255.0)
+    # planes along the light axis (az=315, NW): the slope whose aspect
+    # points INTO the light keeps full brightness (aspectStrength 0 at
+    # the half-pi fold), the opposite one darkens
+    yy, xx = np.mgrid[0:12, 0:12]
+    toward = dem.hillshade_igor((xx + yy) * 2.0)[5, 5]
+    away = dem.hillshade_igor(-(xx + yy) * 2.0)[5, 5]
+    assert toward == 255.0
+    assert away < 60.0
+
+
+def test_hillshade_igor_ignores_altitude_arg():
+    """-igor has no altitude parameter (the reference rejects -alt)."""
+    import inspect
+
+    assert "altitude_deg" not in inspect.signature(dem.hillshade_igor).parameters
+
+
+def test_hillshade_multidirectional_matches_manual_single_cell():
+    """One hand-computed window against the USGS weighted formula."""
+    import math
+
+    p = np.zeros((3, 3))
+    p[:, 2] = 8.0  # gradient in +x
+    x = ((p[0, 0] + 2 * p[1, 0] + p[2, 0]) - (p[0, 2] + 2 * p[1, 2] + p[2, 2])) / 8.0
+    y = 0.0
+    alt = math.radians(45.0)
+    v270 = max(0.0, math.sin(alt) - x * math.cos(alt))
+    v225 = max(
+        0.0, math.sin(alt) + (x - y) * math.cos(math.radians(225.0)) * math.cos(alt)
+    )
+    v315 = max(
+        0.0, math.sin(alt) + (x + y) * math.cos(math.radians(225.0)) * math.cos(alt)
+    )
+    ss = x * x
+    w225 = 0.5 * ss
+    w315 = ss - w225
+    want = 1.0 + 127.0 * (
+        (w225 * v225 + ss * v270 + w315 * v315) / ss
+    ) / math.sqrt(1.0 + ss)
+    got = dem.hillshade_multidirectional(np.pad(p, 1, mode="edge"))[1, 1]
+    # center cell of the padded 3x3 == our manual window
+    assert abs(got - want) < 1e-12
