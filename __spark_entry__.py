@@ -394,6 +394,63 @@ def q_tile_render_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(roundtrip, schema)
 
 
+def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MBTiles IO (frmts/mbtiles/mbtilesdataset.cpp semantics via
+    stdlib sqlite3): rendered tiles encode to PNG payloads, stream
+    into a .mbtiles archive (TMS south-up tile_row, metadata table),
+    read back as a rowid-partitioned distributed scan, decode, and
+    the per-band GDAL checksums must still match the render closed
+    form — file-format roundtrip inside the driver gate."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    enc = render.encode_tiles(out, TILE_Z, fmt="png")
+    path = _artifact_path(f"mbtiles_{os.path.basename(sf_dir)}.mbtiles")
+    write_mbtiles(enc, path, name="render", fmt="png")
+    back = read_mbtiles(spark, path)
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.codecs import decode_image
+
+        for pdf in batches:
+            recs = []
+            for tx, ty, payload in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["payload"]
+            ):
+                arr = decode_image(bytes(payload), "png")
+                for band in range(arr.shape[2]):
+                    recs.append(
+                        {
+                            "tile_x": int(tx), "tile_y": int(ty),
+                            "band": band,
+                            "checksum": int(gdal_checksum(arr[:, :, band])),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["tile_x", "tile_y", "band", "checksum"]
+            )
+
+    return back.mapInPandas(decode, schema)
+
+
 def q_tile_render_sortfield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GTI mosaic SORT_FIELD option (gdaltileindexdataset.cpp:87-110):
     composite order flipped to DESCENDING image id, so the lowest id
@@ -4132,6 +4189,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    pipelines, new vector formats
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
+        "mbtiles_roundtrip": q_mbtiles_roundtrip,
         "s2_cell_counts": q_s2_cell_counts,
         "overlay_deg_inter": q_overlay_deg_inter,
         "overlay_deg_union": q_overlay_deg_union,
@@ -4533,6 +4591,20 @@ SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
        cast(b.band as int) AS band,
        cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum,
        count(*) AS n_px
+FROM win w CROSS JOIN bands b
+GROUP BY w.tx, w.ty, b.band
+"""
+
+
+def _o_mbtiles_roundtrip() -> str:
+    # Same closed form as the webp subset but summed over the covered
+    # pixels only (uncovered tile pixels decode to 0, contributing 0
+    # to the prime-mod sum), and no n_px (not recoverable from the
+    # decoded archive payload).
+    return f"""{_render_win_ctes(f" AND o_orderkey % {5 * RENDER_MOD} = 0")}
+SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
+       cast(b.band as int) AS band,
+       cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum
 FROM win w CROSS JOIN bands b
 GROUP BY w.tx, w.ty, b.band
 """
@@ -5993,6 +6065,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "quadkey": _o_quadkey(),
         "s2_cell": _o_s2_cell(),
         "hillshade_modes": _o_hillshade_modes(),
+        "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
         "s2_cell_counts": _o_s2_cell_counts(),
         "pip_join": _o_pip_join(),
         "knn": _o_knn(),
