@@ -232,6 +232,44 @@ def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_edges(spark: SparkSession, sf_dir: str):
+    """Deterministic routable graph over the customer id domain 1..N:
+    a directed ring (i -> i+1, N -> 1) plus an expander chord
+    (i -> 1 + (7i + 3) mod N), weights 1 + LCG(i) % 4 — strongly
+    connected, SQL-twin-expressible, diameter O(log N)."""
+    ids = _site_ids(spark, sf_dir)
+    n = ids.count()  # scalar metadata action (domain size), not data
+    u1 = georef.lcg_next(F.col("i"))
+    u2 = georef.lcg_next(u1)
+    ring = ids.select(
+        F.col("i").alias("src"),
+        (F.lit(1) + (F.col("i") % F.lit(n))).alias("dst"),
+        (F.lit(1) + (u1 % 4)).alias("w"),
+    )
+    chord = ids.select(
+        F.col("i").alias("src"),
+        (F.lit(1) + ((F.lit(7) * F.col("i") + F.lit(3)) % F.lit(n))).alias("dst"),
+        (F.lit(1) + (u2 % 4)).alias("w"),
+    )
+    return ring.unionByName(chord)
+
+
+def q_gnm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNM network analysis: single-source shortest-path distances
+    (gnm/gnmgraph.h:173 CalcShortestPath — driver-side binary-heap
+    Dijkstra in the reference, re-expressed as distributed frontier
+    Bellman-Ford joins in operators/graph.py:shortest_paths; identical
+    distances on positive weights). Oracle: DuckDB recursive CTE walk
+    bounded by dist < 64 (any truncation surfaces as a row-count
+    mismatch — see builder comment)."""
+    from gdal_spark.operators.graph import shortest_paths
+
+    edges = _graph_edges(spark, sf_dir)
+    src = spark.createDataFrame([(1,)], "node long")
+    out = shortest_paths(edges, src)
+    return out.select(F.col("node").cast("long"), F.col("dist").cast("long"))
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _images_geo(spark, sf_dir)
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
@@ -449,6 +487,62 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return back.mapInPandas(decode, schema)
+
+
+# gdalwarp -cutline fixture: two polygons in EXACT zoom-12 pixel
+# coordinates — a half-world rectangle (vertical edges at integer x)
+# and a convex hexagon whose sloped edges have inverse slope 1/4, so
+# every scanline intersection is an exact dyadic (x.125/.375/.625/
+# .875) at least 0.125 from the floor(x+0.5) rounding boundary; the
+# deg->pixel roundtrip error (~1e-10 px) can never flip a run end.
+CUT_HEX_CX, CUT_HEX_CY = 700000.0, 524288.0
+
+
+def _cutline_polys_px() -> list[list[tuple[float, float]]]:
+    n = float(256 * (1 << TILE_Z))
+    rect = [(0.0, 0.0), (524288.0, 0.0), (524288.0, n), (0.0, n), (0.0, 0.0)]
+    cx, cy = CUT_HEX_CX, CUT_HEX_CY
+    hexv = [
+        (cx - 200000, cy - 400000),
+        (cx + 200000, cy - 400000),
+        (cx + 300000, cy),
+        (cx + 200000, cy + 400000),
+        (cx - 200000, cy + 400000),
+        (cx - 300000, cy),
+        (cx - 200000, cy - 400000),
+    ]
+    return [rect, hexv]
+
+
+def _cutline_wkbs() -> list[bytes]:
+    import numpy as np
+
+    from gdal_spark.geo.wkb import wkb_polygon
+
+    res = tm.resolution(TILE_Z)
+    out = []
+    for ring in _cutline_polys_px():
+        pts = []
+        for px, py in ring:
+            mx = -tm.ORIGIN + px * res
+            my = tm.ORIGIN - py * res
+            lon, lat = tm.np_inv_merc(mx, my)
+            pts.append((float(lon), float(lat)))
+        out.append(wkb_polygon([np.array(pts)]))
+    return out
+
+
+def q_warp_cutline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalwarp -cutline: rendered tiles masked by a cutline layer
+    (reference path: cutline rasterized to a validity mask with the
+    gdal_rasterize scanline rule, then masked-out destination pixels
+    take dstnodata 0 — alg/gdalwarpoperation.cpp cutline masker +
+    alg/llrasterize.cpp:58-209). Mask travels as per-tile runs, never
+    pixels; per-band GDAL checksums of the masked tiles."""
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir), TILE_Z, with_data=True
+    ).where(F.col("n_px") > 0)
+    return rz.apply_cutline(out, _cutline_wkbs(), TILE_Z)
 
 
 def q_tile_render_sortfield(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4190,6 +4284,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
+        "warp_cutline": q_warp_cutline,
+        "gnm_shortest_path": q_gnm_shortest_path,
         "s2_cell_counts": q_s2_cell_counts,
         "overlay_deg_inter": q_overlay_deg_inter,
         "overlay_deg_union": q_overlay_deg_union,
@@ -4367,6 +4463,41 @@ def _o_s2_cell_counts() -> str:
     return f"""
 SELECT s2_key, cast(count(*) as bigint) AS n_images
 FROM ({inner}) GROUP BY s2_key
+"""
+
+
+GNM_DMAX = 64
+
+
+def _o_gnm_shortest_path() -> str:
+    """Recursive-CTE SSSP twin. The walk explores every path of total
+    weight < GNM_DMAX from node 1 (UNION dedups (node, dist) pairs;
+    positive integer weights bound the recursion depth). If any true
+    distance were >= GNM_DMAX the node would be MISSING here while the
+    engine still returns it -> row-count mismatch fails the gate
+    loudly; with weights <= 4 and an expander chord the real diameter
+    is far below 64."""
+    u1, u2 = georef.sql_lcg("i")
+    return f"""
+WITH RECURSIVE
+nodes AS (SELECT c_custkey AS i FROM customer),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT i AS src, 1 + (i % nn.n) AS dst, 1 + ({u1} % 4) AS w
+  FROM nodes, nn
+  UNION ALL
+  SELECT i, 1 + ((7 * i + 3) % nn.n), 1 + ({u2} % 4)
+  FROM nodes, nn
+),
+walk(node, dist) AS (
+  SELECT 1, 0
+  UNION
+  SELECT e.dst, w.dist + e.w
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist + e.w < {GNM_DMAX}
+)
+SELECT cast(node as bigint) AS node, cast(min(dist) as bigint) AS dist
+FROM walk GROUP BY node
 """
 
 
@@ -4605,6 +4736,43 @@ def _o_mbtiles_roundtrip() -> str:
 SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
        cast(b.band as int) AS band,
        cast(sum(((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]) % 65536 as int) AS checksum
+FROM win w CROSS JOIN bands b
+GROUP BY w.tx, w.ty, b.band
+"""
+
+
+def _o_warp_cutline() -> str:
+    """Masked-render twin: per-pixel inside test for the two cutline
+    polygons in closed form (all arithmetic dyadic-exact in double).
+    Contribution outside the mask is 0, matching dstnodata=0."""
+    cx, cy = CUT_HEX_CX, CUT_HEX_CY
+    sd = tm.sql_double
+    inside = f"""(
+      (w.tx * 256 + w.px) < 524288
+      OR (
+        CASE
+          WHEN (w.ty * 256 + w.py + {sd(0.5)}) >= {sd(cy - 400000)}
+           AND (w.ty * 256 + w.py + {sd(0.5)}) < {sd(cy)}
+          THEN (w.tx * 256 + w.px) >= floor({sd(cx - 200000)}
+                 - ((w.ty * 256 + w.py + {sd(0.5)}) - {sd(cy - 400000)}) / 4.0 + {sd(0.5)})
+           AND (w.tx * 256 + w.px) < floor({sd(cx + 200000)}
+                 + ((w.ty * 256 + w.py + {sd(0.5)}) - {sd(cy - 400000)}) / 4.0 + {sd(0.5)})
+          WHEN (w.ty * 256 + w.py + {sd(0.5)}) >= {sd(cy)}
+           AND (w.ty * 256 + w.py + {sd(0.5)}) < {sd(cy + 400000)}
+          THEN (w.tx * 256 + w.px) >= floor({sd(cx - 300000)}
+                 + ((w.ty * 256 + w.py + {sd(0.5)}) - {sd(cy)}) / 4.0 + {sd(0.5)})
+           AND (w.tx * 256 + w.px) < floor({sd(cx + 300000)}
+                 - ((w.ty * 256 + w.py + {sd(0.5)}) - {sd(cy)}) / 4.0 + {sd(0.5)})
+          ELSE FALSE
+        END
+      )
+    )"""
+    return f"""{_render_win_ctes()}
+SELECT cast(w.tx as int) AS tile_x, cast(w.ty as int) AS tile_y,
+       cast(b.band as int) AS band,
+       cast(sum(CASE WHEN {inside}
+                THEN ((w.base + b.phase) % 256) % ({_PRIMES_SQL})[((w.py * 256 + w.px) % 11) + 1]
+                ELSE 0 END) % 65536 as int) AS checksum
 FROM win w CROSS JOIN bands b
 GROUP BY w.tx, w.ty, b.band
 """
@@ -6066,6 +6234,8 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "s2_cell": _o_s2_cell(),
         "hillshade_modes": _o_hillshade_modes(),
         "mbtiles_roundtrip": _o_mbtiles_roundtrip(),
+        "warp_cutline": _o_warp_cutline(),
+        "gnm_shortest_path": _o_gnm_shortest_path(),
         "s2_cell_counts": _o_s2_cell_counts(),
         "pip_join": _o_pip_join(),
         "knn": _o_knn(),

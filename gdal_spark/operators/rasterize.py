@@ -135,6 +135,86 @@ def rasterize_tile_add(zones: DataFrame, z: int) -> DataFrame:
     )
 
 
+def cutline_tile_mask(
+    rings_px: list[list[np.ndarray]], tx: int, ty: int, z: int
+) -> np.ndarray:
+    """Boolean validity mask of one 256x256 tile under a cutline.
+
+    Same pixel-center scanline rule as gdal_rasterize
+    (alg/llrasterize.cpp:58-209), evaluated ONLY over this tile's 256
+    scanline window (fill_polygon_runs y-window) — a world-spanning
+    cutline polygon costs O(256 * edges) per tile, never its full
+    pixel height. Union across features; per-feature holes resolve by
+    even-odd parity inside fill_polygon_runs.
+    """
+    n = TILE * (1 << z)
+    x0, y0 = tx * TILE, ty * TILE
+    m = np.zeros((TILE, TILE), dtype=bool)
+    for rings in rings_px:
+        xs = np.concatenate([r[:, 0] for r in rings])
+        ys = np.concatenate([r[:, 1] for r in rings])
+        if xs.max() < x0 or xs.min() >= x0 + TILE:
+            continue
+        if ys.max() < y0 or ys.min() >= y0 + TILE:
+            continue
+        for y, xa, xb in fill_polygon_runs(rings, n, y0, y0 + TILE):
+            lo = max(xa, x0)
+            hi = min(xb, x0 + TILE)
+            if hi > lo:
+                m[y - y0, lo - x0 : hi - x0] = True
+    return m
+
+
+def apply_cutline(
+    tiles: DataFrame, cutline_wkbs: list[bytes], z: int
+) -> DataFrame:
+    """gdalwarp -cutline: mask rendered tile band planes and
+    re-checksum.
+
+    The reference rasterizes the cutline layer into a per-chunk
+    validity mask with the gdal_rasterize scanline rule and writes
+    dstnodata (0) outside it (alg/gdalwarpoperation.cpp cutline
+    masker + alg/llrasterize.cpp). Here the cutline layer — which is
+    metadata-sized by construction (a vector of boundary polygons,
+    not a corpus) — ships pre-projected in the task closure, and each
+    tile rasterizes only its own 256-scanline window
+    (cutline_tile_mask), so the mask never exists as pixels or runs
+    on the wire. One groupBy(tile) shuffle on the render side only.
+
+    `tiles`: render_tiles(..., with_data=True) rows
+    (tile_x, tile_y, band, data).
+    """
+    rings_px = [_pixel_rings(bytes(w), z) for w in cutline_wkbs]
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("tile_y", T.IntegerType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("checksum", T.IntegerType()),
+        ]
+    )
+
+    def mask(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        m = cutline_tile_mask(rings_px, tx, ty, z)
+        recs = []
+        for band, data in zip(pdf["band"], pdf["data"]):
+            arr = np.frombuffer(bytes(data), dtype=np.uint8).reshape(TILE, TILE)
+            recs.append(
+                {
+                    "tile_x": tx,
+                    "tile_y": ty,
+                    "band": int(band),
+                    "checksum": gdal_checksum(np.where(m, arr, 0)),
+                }
+            )
+        return pd.DataFrame(
+            recs, columns=["tile_x", "tile_y", "band", "checksum"]
+        )
+
+    return tiles.groupBy("tile_x", "tile_y").applyInPandas(mask, out_schema)
+
+
 def covering_tiles(
     zones: DataFrame,
     z: int,

@@ -34,18 +34,28 @@ __all__ = [
 
 
 def fill_polygon_runs(
-    rings: list[np.ndarray], height: int
+    rings: list[np.ndarray],
+    height: int,
+    y_min: int | None = None,
+    y_max: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """Scanline-fill a polygon given rings in PIXEL coordinates.
 
     Returns burn runs as (y, x_start, x_end_exclusive) with the exact
     reference rounding (llrasterize.cpp:109,193: floor(intersect+0.5),
     fill polyInts[i] .. polyInts[i+1]-1). x runs are NOT clipped here;
-    the caller clips to its buffer. y is clipped to [0, height).
+    the caller clips to its buffer. y is clipped to [0, height), and
+    optionally to the window [y_min, y_max) — callers rasterizing one
+    tile of a world-spanning polygon restrict the scan to their own
+    rows instead of walking the full y extent.
     """
     ys = np.concatenate([r[:, 1] for r in rings])
     miny = max(int(ys.min()), 0)
     maxy = min(int(ys.max()), height - 1)
+    if y_min is not None:
+        miny = max(miny, y_min)
+    if y_max is not None:
+        maxy = min(maxy, y_max - 1)
     runs: list[tuple[int, int, int]] = []
     for y in range(miny, maxy + 1):
         dy = y + 0.5

@@ -128,3 +128,67 @@ def test_tile_checksum_consistency(spark):
     rows = out.collect()
     assert rows
     assert all(0 <= r["checksum"] <= 0xFFFF for r in rows)
+
+
+def test_fill_polygon_runs_y_window_equals_full_scan():
+    """The windowed fill is the full fill restricted to [y0, y1)."""
+    import numpy as np
+
+    from gdal_spark.raster.rasterize import fill_polygon_runs
+
+    ring = np.array(
+        [[3.2, 1.1], [40.7, 5.3], [35.1, 44.9], [10.0, 30.2], [3.2, 1.1]]
+    )
+    full = fill_polygon_runs([ring], 64)
+    for y0, y1 in [(0, 64), (8, 16), (20, 21), (50, 60)]:
+        win = fill_polygon_runs([ring], 64, y0, y1)
+        assert win == [r for r in full if y0 <= r[0] < y1]
+
+
+def test_cutline_tile_mask_matches_global_fill():
+    """Per-tile windowed mask == the global fill clipped to the tile,
+    including a polygon far larger than one tile."""
+    import numpy as np
+
+    from gdal_spark.operators.rasterize import TILE, cutline_tile_mask
+    from gdal_spark.raster.rasterize import fill_polygon_runs
+
+    z = 2  # 4x4 tiles, n = 1024
+    n = TILE * (1 << z)
+    big = np.array(
+        [[100.0, 50.0], [900.0, 120.0], [800.0, 1000.0], [60.0, 700.0],
+         [100.0, 50.0]]
+    )
+    want_global = np.zeros((n, n), dtype=bool)
+    for y, xa, xb in fill_polygon_runs([big], n):
+        want_global[y, max(xa, 0) : min(xb, n)] = True
+    for tx, ty in [(0, 0), (1, 1), (2, 3), (3, 0)]:
+        got = cutline_tile_mask([[big]], tx, ty, z)
+        want = want_global[
+            ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+        ]
+        assert np.array_equal(got, want)
+
+
+def test_cutline_tile_mask_union_and_hole():
+    """Two features union; a hole ring (even-odd parity) punches out."""
+    import numpy as np
+
+    from gdal_spark.operators.rasterize import cutline_tile_mask
+
+    outer = np.array(
+        [[10.0, 10.0], [120.0, 10.0], [120.0, 120.0], [10.0, 120.0],
+         [10.0, 10.0]]
+    )
+    hole = np.array(
+        [[40.0, 40.0], [80.0, 40.0], [80.0, 80.0], [40.0, 80.0],
+         [40.0, 40.0]]
+    )
+    other = np.array(
+        [[60.0, 60.0], [70.0, 60.0], [70.0, 70.0], [60.0, 70.0],
+         [60.0, 60.0]]
+    )
+    with_hole = cutline_tile_mask([[outer, hole]], 0, 0, 0)
+    assert with_hole[20, 20] and not with_hole[60, 60]
+    unioned = cutline_tile_mask([[outer, hole], [other]], 0, 0, 0)
+    assert unioned[65, 65] and not unioned[45, 45]

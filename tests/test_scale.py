@@ -151,3 +151,32 @@ def test_no_full_layer_collect_in_sources():
         if py.name in ("gpkg.py", "shapefile.py", "flatgeobuf.py",
                        "csvgeo.py", "geojson.py"):
             assert "toLocalIterator" in text, f"{py.name} should stream"
+
+
+def test_shortest_paths_hand_graph(spark):
+    """Distributed Bellman-Ford == hand Dijkstra on a small graph with
+    a tempting-but-wrong greedy route and an unreachable node."""
+    from gdal_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1),  # 1->2 best = 3
+            (2, 5, 5), (5, 2, 1),                          # cycle back
+            (6, 7, 2),                                     # island
+        ],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(edges, src).collect()}
+    assert got == {1: 0, 3: 1, 4: 2, 2: 3, 5: 8}
+
+
+def test_shortest_paths_multi_source(spark):
+    from gdal_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4), (9, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    src = spark.createDataFrame([(1,), (9,)], "node long")
+    got = {r.node: r.dist for r in shortest_paths(edges, src).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2}
