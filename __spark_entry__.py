@@ -97,6 +97,7 @@ from gdal_spark.operators.spatial_join import pip_join
 from gdal_spark.operators.tiling import assign_tiles
 from gdal_spark.tiles import tilemath as tm
 from gdal_spark.tiles import s2 as s2mod
+from gdal_spark.operators import multidim as mdim
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -268,6 +269,231 @@ def q_gnm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = spark.createDataFrame([(1,)], "node long")
     out = shortest_paths(edges, src)
     return out.select(F.col("node").cast("long"), F.col("dist").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# multidim arrays (GDALMDArray views, gcore/gdalmultidim.cpp)
+# ---------------------------------------------------------------------------
+
+MDIM_Y, MDIM_X = 5, 10      # trailing dims; T scales with the sf
+MDIM_NODATA = 17.0
+
+
+def _mdim_cube(spark: SparkSession, sf_dir: str) -> "mdim.MDArray":
+    """Deterministic (T, 5, 10) hypercube over the customer id domain:
+    i = c_custkey (0-based) reshaped to (t, y, x) with
+    value = (7t + 13y + 29x + 3) % 251 — pure integer math, so every
+    view below has an exact DuckDB twin.  T = N/50 (TPC-H customer
+    counts are multiples of 50 at every sf)."""
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("i")  # c_custkey is 0-based
+    )
+    n = cust.count()  # scalar metadata action (domain size), not data
+    per_t = MDIM_Y * MDIM_X
+    t_size = n // per_t
+    df = cust.select(
+        (F.col("i") / per_t).cast("long").alias("t"),
+        ((F.col("i") % per_t) / MDIM_X).cast("long").alias("y"),
+        (F.col("i") % MDIM_X).cast("long").alias("x"),
+        (
+            (
+                F.lit(7) * (F.col("i") / per_t).cast("long")
+                + F.lit(13) * ((F.col("i") % per_t) / MDIM_X).cast("long")
+                + F.lit(29) * (F.col("i") % MDIM_X)
+                + F.lit(3)
+            )
+            % 251
+        ).cast("int").alias("value"),
+    )
+    return mdim.MDArray(
+        df=df,
+        dims=(("t", t_size), ("y", MDIM_Y), ("x", MDIM_X)),
+        nodata=MDIM_NODATA,
+    )
+
+
+def q_mdim_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetView basic slicing (gdalmultidim.cpp:5677): open-ended
+    range, negative-step reversal, and strided range in one
+    expression — "[1:, ::-1, 2:9:3]".  Narrow filter+reindex map."""
+    md = _mdim_cube(spark, sf_dir)
+    out = mdim.get_view(md, "[1:, ::-1, 2:9:3]")
+    return out.df.select(
+        F.col("t").cast("long"),
+        F.col("y").cast("long"),
+        F.col("x").cast("long"),
+        F.col("value").cast("int"),
+    )
+
+
+def q_mdim_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transpose (gdalmultidim.cpp:6204) with axis map [-1, 2, 0, 1]:
+    new size-1 axis inserted, then (x, t, y) reorder — zero shuffle."""
+    md = _mdim_cube(spark, sf_dir)
+    out = mdim.transpose(md, [-1, 2, 0, 1])
+    return out.df.select(
+        F.col("newdim0").cast("long"),
+        F.col("x").cast("long"),
+        F.col("t").cast("long"),
+        F.col("y").cast("long"),
+        F.col("value").cast("int"),
+    )
+
+
+def q_mdim_unscaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View stack: GetView("[0]") slice then GetUnscaled
+    (gdalmultidim.cpp:6634) — value*0.5+10 as Float64 (exact dyadics),
+    nodata 17 -> NULL, composed as chained narrow maps."""
+    md = _mdim_cube(spark, sf_dir)
+    out = mdim.get_unscaled(mdim.get_view(md, "[0]"), scale=0.5, offset=10.0)
+    return out.df.select(
+        F.col("y").cast("long"),
+        F.col("x").cast("long"),
+        F.col("value").cast("double"),
+    )
+
+
+def q_mdim_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GetResampled integer-decimation subset (gdalmultidim.cpp:8522):
+    2x5 block max over the trailing (y, x) dims — one groupBy shuffle
+    with map-side partials, one row per OUTPUT cell."""
+    md = _mdim_cube(spark, sf_dir)
+    out = mdim.resample_decimate(md, 2, 5, alg="max")
+    return out.df.select(
+        F.col("t").cast("long"),
+        F.col("y").cast("long"),
+        F.col("x").cast("long"),
+        F.col("value").cast("int"),
+    )
+
+
+def q_mdim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slab (t) statistics over valid (non-nodata) cells — the
+    ComputeStatistics analog; exact integer outputs."""
+    md = _mdim_cube(spark, sf_dir)
+    out = mdim.statistics(md, by=["t"])
+    return out.select(
+        F.col("t").cast("long"),
+        F.col("vmin").cast("int"),
+        F.col("vmax").cast("int"),
+        F.col("vsum").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAC ItemCollection scans (frmts/stacit/stacitdataset.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _stac_pages(spark: SparkSession, sf_dir: str) -> str:
+    """Write the fixture ItemCollection pages for this sf (idempotent,
+    distributed) and return the page-file glob."""
+    from gdal_spark.fixtures import stacfix
+    from gdal_spark.sources.stac import write_stac_pages
+
+    ids = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("i")  # c_custkey is 0-based
+    )
+    feats = stacfix.feature_json(stacfix.item_params(ids))
+    out_dir = _artifact_path(f"stac_{os.path.basename(sf_dir)}")
+    write_stac_pages(feats, out_dir)
+    return out_dir
+
+
+def _stac_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gdal_spark.sources.stac import read_stac_items
+
+    return read_stac_items(spark, _stac_pages(spark, sf_dir))
+
+
+_STAC_ITEM_ID = r"item_(\d+)"
+
+
+def q_stac_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STACIT item-index scan: paged ItemCollection JSON -> one row
+    per image asset, applying every ParseAsset skip rule (bad type /
+    thumbnail role / missing CRS / inconsistent or invalid
+    proj:transform) and the 3-way proj:bbox/shape/transform extent
+    derivation (stacitdataset.cpp:185-425)."""
+    items = _stac_items(spark, sf_dir)
+    return items.select(
+        "collection",
+        "asset",
+        "crs",
+        F.regexp_extract("href", _STAC_ITEM_ID, 1).cast("long").alias("i"),
+        "datetime",
+        F.col("xmin").cast("long"),
+        F.col("ymin").cast("long"),
+        F.col("xmax").cast("long"),
+        F.col("ymax").cast("long"),
+        F.col("w").cast("long"),
+        F.col("h").cast("long"),
+    )
+
+
+def q_stac_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STACIT mosaic assembly (SetupDataset :430-520): per
+    (collection, asset, CRS) group — item count, union bounds, and
+    the raster size under all three RESOLUTION modes (AVERAGE
+    default, HIGHEST, LOWEST)."""
+    from gdal_spark.sources.stac import mosaic_params
+
+    items = _stac_items(spark, sf_dir)
+    keys = ["collection", "asset", "crs"]
+    avg = mosaic_params(items, "AVERAGE")
+    high = mosaic_params(items, "HIGHEST").select(
+        *keys,
+        F.col("nx").alias("nx_high"),
+        F.col("ny").alias("ny_high"),
+    )
+    low = mosaic_params(items, "LOWEST").select(
+        *keys,
+        F.col("nx").alias("nx_low"),
+        F.col("ny").alias("ny_low"),
+    )
+    return (
+        avg.join(high, keys).join(low, keys)
+        .select(
+            *keys,
+            "n_items",
+            F.col("xmin").cast("long"),
+            F.col("ymin").cast("long"),
+            F.col("xmax").cast("long"),
+            F.col("ymax").cast("long"),
+            F.col("nx").alias("nx_avg"),
+            F.col("ny").alias("ny_avg"),
+            "nx_high", "ny_high", "nx_low", "ny_low",
+        )
+    )
+
+
+def q_stac_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ascending-datetime compositing order (stacitdataset.cpp:582):
+    for 200 probe points, the item on top of each (collection, asset,
+    CRS) mosaic at that point + covering count — via the cell-key
+    equi-join (no nested-loop range join)."""
+    from gdal_spark.sources.stac import latest_item_per_point
+
+    items = _stac_items(spark, sf_dir)
+    p = F.col("id")
+    probes = spark.range(200).select(
+        p.alias("p"),
+        (F.lit(3000) + (p * 997) % 20000).alias("px"),
+        (F.lit(203000) + (p * 6007) % 20000).alias("py"),
+    )
+    top = latest_item_per_point(items, probes)
+    return top.select(
+        F.col("p").cast("long"),
+        "collection",
+        "asset",
+        "crs",
+        F.regexp_extract("top_href", _STAC_ITEM_ID, 1)
+        .cast("long")
+        .alias("top_i"),
+        "top_datetime",
+        F.col("n_cover").cast("long"),
+    )
 
 
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4281,6 +4507,14 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3 (20): coincident-boundary overlay,
         #    constructives, line predicates, contour polygons, datum
         #    pipelines, new vector formats
+        "mdim_view": q_mdim_view,
+        "mdim_transpose": q_mdim_transpose,
+        "mdim_unscaled": q_mdim_unscaled,
+        "mdim_resample": q_mdim_resample,
+        "mdim_stats": q_mdim_stats,
+        "stac_index": q_stac_index,
+        "stac_mosaic": q_stac_mosaic,
+        "stac_latest": q_stac_latest,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6023,8 +6257,101 @@ FROM d WHERE rnk <= k
 """
 
 
+_MDIM_CUBE_CTE = f"""
+cube AS (
+  SELECT cast(c_custkey // {MDIM_Y * MDIM_X} as bigint) AS t,
+         cast((c_custkey % {MDIM_Y * MDIM_X}) // {MDIM_X} as bigint) AS y,
+         cast(c_custkey % {MDIM_X} as bigint) AS x,
+         cast((7 * (c_custkey // {MDIM_Y * MDIM_X})
+             + 13 * ((c_custkey % {MDIM_Y * MDIM_X}) // {MDIM_X})
+             + 29 * (c_custkey % {MDIM_X}) + 3) % 251 as int) AS value
+  FROM customer
+)"""
+
+
+from gdal_spark.fixtures.stacfix import sql_item_params as _sql_stac_params
+
+_STAC_VALID_CTE = f"""
+sp AS ({_sql_stac_params("c_custkey", "customer")}),
+sv AS (
+  SELECT i, collection, asset, 'EPSG:' || cast(epsg as varchar) AS crs,
+         rx, ry, w, h, x0 AS xmin, ymin, xmax, y0 AS ymax, datetime
+  FROM sp WHERE skip NOT IN (1, 2, 3, 4, 5)
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "stac_index": f"""
+WITH {_STAC_VALID_CTE}
+SELECT collection, asset, crs, i, datetime, xmin, ymin, xmax, ymax, w, h
+FROM sv
+""",
+        "stac_mosaic": f"""
+WITH {_STAC_VALID_CTE},
+g AS (
+  SELECT collection, asset, crs, count(*) AS n_items,
+         min(xmin) AS xmin, min(ymin) AS ymin,
+         max(xmax) AS xmax, max(ymax) AS ymax,
+         cast(sum(rx) as bigint) AS srx, cast(sum(ry) as bigint) AS sry,
+         min(rx) AS rxh, max(rx) AS rxl, min(ry) AS ryh, max(ry) AS ryl
+  FROM sv GROUP BY 1, 2, 3)
+SELECT collection, asset, crs, n_items, xmin, ymin, xmax, ymax,
+  cast(round((xmax - xmin) / (cast(srx as double) / n_items)) as bigint)
+    AS nx_avg,
+  cast(round((ymax - ymin) / (cast(sry as double) / n_items)) as bigint)
+    AS ny_avg,
+  cast(round(cast(xmax - xmin as double) / rxh) as bigint) AS nx_high,
+  cast(round(cast(ymax - ymin as double) / ryh) as bigint) AS ny_high,
+  cast(round(cast(xmax - xmin as double) / rxl) as bigint) AS nx_low,
+  cast(round(cast(ymax - ymin as double) / ryl) as bigint) AS ny_low
+FROM g
+""",
+        "stac_latest": f"""
+WITH {_STAC_VALID_CTE},
+probes AS (
+  SELECT p, 3000 + (p * 997) % 20000 AS px,
+         203000 + (p * 6007) % 20000 AS py
+  FROM range(0, 200) t(p)),
+cov AS (
+  SELECT pr.p, sv.collection, sv.asset, sv.crs, sv.i, sv.datetime
+  FROM probes pr JOIN sv
+    ON pr.px >= sv.xmin AND pr.px < sv.xmax
+   AND pr.py > sv.ymin AND pr.py <= sv.ymax)
+SELECT p, collection, asset, crs,
+       arg_max(i, datetime) AS top_i, max(datetime) AS top_datetime,
+       count(*) AS n_cover
+FROM cov GROUP BY 1, 2, 3, 4
+""",
+        "mdim_view": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t - 1 AS t, {MDIM_Y - 1} - y AS y, (x - 2) // 3 AS x, value
+FROM cube
+WHERE t >= 1 AND x >= 2 AND x < 9 AND (x - 2) % 3 = 0
+""",
+        "mdim_transpose": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT cast(0 as bigint) AS newdim0, x, t, y, value FROM cube
+""",
+        "mdim_unscaled": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT y, x,
+       CASE WHEN value = 17 THEN NULL
+            ELSE cast(value as double) * cast('0.5' as double)
+                 + cast('10.0' as double) END AS value
+FROM cube WHERE t = 0
+""",
+        "mdim_resample": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t, y // 2 AS y, x // 5 AS x, max(value) AS value
+FROM cube GROUP BY 1, 2, 3
+""",
+        "mdim_stats": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t, min(value) AS vmin, max(value) AS vmax,
+       cast(sum(value) as bigint) AS vsum, count(*) AS n
+FROM cube WHERE value <> 17 GROUP BY t
+""",
         "tile_render": _o_tile_render(),
         # lossless roundtrip: same closed form, tighter image subset
         "tile_render_webp": _o_tile_render_webp(),
