@@ -496,6 +496,40 @@ def q_stac_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntv2_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTv2 grid-based datum shift (frmts/raw/ntv2dataset.cpp wire
+    format; PROJ-hgridshift application semantics): write the
+    two-subgrid synthetic .gsb, read it back, and forward-shift LCG
+    probe points — child grid refines parent, outside points pass
+    through flagged.  The DuckDB twin re-derives the bilinear sample
+    from the closed-form node values with the identical operation
+    order (fixtures/shiftgrid.py)."""
+    from gdal_spark.fixtures import shiftgrid
+    from gdal_spark.geo.gridshift import apply_ntv2
+    from gdal_spark.raster.ntv2 import read_ntv2, write_ntv2
+
+    path = _artifact_path(f"ntv2_{os.path.basename(sf_dir)}.gsb")
+    write_ntv2(path, shiftgrid.make_grids())
+    _, grids = read_ntv2(path)
+
+    i = F.col("c_custkey").cast("long")
+    u1 = georef.lcg_next(i + F.lit(shiftgrid.NTV2_OFFSET))
+    u2 = georef.lcg_next(u1)
+    m = float(georef.LCG_M)
+    pts = _read(spark, sf_dir, "customer").select(
+        i.alias("i"),
+        (F.lit(39.5) + F.lit(5.0) * u1 / F.lit(m)).alias("lat"),
+        (F.lit(-4.5) + F.lit(5.0) * u2 / F.lit(m)).alias("lon"),
+    )
+    out = apply_ntv2(pts, grids)
+    return out.select(
+        "i",
+        "shifted",
+        F.floor(F.col("lat_out") * 1e6).cast("long").alias("lat_e6"),
+        F.floor(F.col("lon_out") * 1e6).cast("long").alias("lon_e6"),
+    )
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _images_geo(spark, sf_dir)
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
@@ -4515,6 +4549,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_index": q_stac_index,
         "stac_mosaic": q_stac_mosaic,
         "stac_latest": q_stac_latest,
+        "ntv2_shift": q_ntv2_shift,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6280,8 +6315,21 @@ sv AS (
 )"""
 
 
+def _o_ntv2_shift() -> str:
+    from gdal_spark.fixtures.shiftgrid import sql_shift_cte
+
+    return f"""
+WITH {sql_shift_cte("c_custkey", "customer")}
+SELECT i, shifted,
+       cast(floor(lat_out * 1000000.0) as bigint) AS lat_e6,
+       cast(floor(lon_out * 1000000.0) as bigint) AS lon_e6
+FROM nshift
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ntv2_shift": _o_ntv2_shift(),
         "stac_index": f"""
 WITH {_STAC_VALID_CTE}
 SELECT collection, asset, crs, i, datetime, xmin, ymin, xmax, ymax, w, h
