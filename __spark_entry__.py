@@ -4166,6 +4166,95 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+VIDEO_MOD = 7
+
+
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: synthetic RGB frame stacks (exact integer
+    pixel rule value(x,y,c,f,j) = (x + 2y + 3f + 17c + j) % 256)
+    serialize as uncompressed RIFF/AVI (raster/avi.py 24-bit DIB),
+    decode back through the chunk walker, and per-sampled-frame stats
+    — R-plane GDAL checksum + all-band pixel sum — close in SQL.
+    Videos j = s_suppkey % VIDEO_MOD == 0; w = 16 + (j%3)*8,
+    h = 12 + (j%4)*4, n_frames = 4 + j%5, every 2nd frame sampled."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark import multimodal
+    from gdal_spark.raster.avi import encode_avi
+
+    ids = _zone_ids(spark, sf_dir).where(F.col("fid") % VIDEO_MOD == 0)
+
+    pay_schema = T2.StructType(
+        [
+            T2.StructField("video_id", T2.StringType()),
+            T2.StructField("bytes", T2.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for j in pdf["fid"]:
+                j = int(j)
+                w = 16 + (j % 3) * 8
+                h = 12 + (j % 4) * 4
+                nf = 4 + j % 5
+                f, y, x, c = np.meshgrid(
+                    np.arange(nf), np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                frames = ((x + 2 * y + 3 * f + 17 * c + j) % 256).astype(
+                    np.uint8
+                )
+                recs.append(
+                    {
+                        "video_id": f"vid_{j:08d}",
+                        "bytes": encode_avi(frames, fps=25),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["video_id", "bytes"])
+
+    videos = ids.mapInPandas(gen, pay_schema)
+    out = multimodal.video_frame_stats(videos, every_n=2)
+    return out.select(
+        F.regexp_extract("video_id", r"vid_(\d+)", 1).cast("long").alias("j"),
+        F.col("frame_idx").cast("int"),
+        F.col("w").cast("int"),
+        F.col("h").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("px_sum").cast("long"),
+    )
+
+
+def _o_video_frame_stats() -> str:
+    return f"""
+WITH vids AS (
+  SELECT cast(s_suppkey as bigint) AS j,
+         16 + (cast(s_suppkey as bigint) % 3) * 8 AS w,
+         12 + (cast(s_suppkey as bigint) % 4) * 4 AS h,
+         4 + cast(s_suppkey as bigint) % 5 AS nf
+  FROM supplier WHERE s_suppkey % {VIDEO_MOD} = 0),
+cells AS (
+  SELECT v.j, v.w, v.h, gf.f, gy.y, gx.x, gc.c,
+         (gx.x + 2 * gy.y + 3 * gf.f + 17 * gc.c + v.j) % 256 AS val
+  FROM vids v, range(0, 8) gf(f), range(0, 24) gy(y),
+       range(0, 32) gx(x), range(0, 3) gc(c)
+  WHERE gf.f < v.nf AND gf.f % 2 = 0 AND gy.y < v.h AND gx.x < v.w)
+SELECT j, cast(f as int) AS frame_idx, cast(w as int) AS w,
+       cast(h as int) AS h,
+       cast(sum(CASE WHEN c = 0 THEN val
+                     % ({_PRIMES_SQL_V})[((y * w + x) % 11) + 1]
+                     ELSE 0 END) % 65536 as int) AS checksum,
+       cast(sum(val) as bigint) AS px_sum
+FROM cells GROUP BY j, f, w, h
+"""
+
+
+_PRIMES_SQL_V = "[7,11,13,17,19,23,29,31,37,41,43]"
+
+
 AUDIO_MOD = 29
 
 
@@ -4550,6 +4639,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_mosaic": q_stac_mosaic,
         "stac_latest": q_stac_latest,
         "ntv2_shift": q_ntv2_shift,
+        "video_frame_stats": q_video_frame_stats,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6330,6 +6420,7 @@ FROM nshift
 def oracle_sql() -> dict[str, str]:
     return {
         "ntv2_shift": _o_ntv2_shift(),
+        "video_frame_stats": _o_video_frame_stats(),
         "stac_index": f"""
 WITH {_STAC_VALID_CTE}
 SELECT collection, asset, crs, i, datetime, xmin, ymin, xmax, ymax, w, h

@@ -313,11 +313,14 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 def sample_video_frames(videos: DataFrame, every_n: int = 10,
                         id_col: str = "video_id", payload_col: str = "bytes") -> DataFrame:
-    """STUB decode: treats the payload as a concatenation of fixed
-    64-byte 'frames' and emits every n-th — the real operator swaps in
-    an ffmpeg GOP-aware reader; partitioning/explode shape is what
-    matters here (1 input row -> many frame rows, still a narrow op).
-    """
+    """Frame sampling with REAL decode for RIFF/AVI payloads
+    (raster/avi.py, uncompressed 24-bit DIB — frame_bytes is the raw
+    top-down RGB24 plane) and the fixed-64-byte stub as the documented
+    fallback for codec-bearing formats this container cannot decode.
+    Shape either way: 1 input row -> many frame rows, still a narrow
+    map (no shuffle)."""
+    from gdal_spark.raster.avi import decode_avi, is_avi
+
     frame_size = 64
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -325,6 +328,17 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10,
             recs = []
             for _, row in pdf.iterrows():
                 data = bytes(row[payload_col])
+                if is_avi(data):
+                    frames, _fps = decode_avi(data)
+                    for fi in range(0, len(frames), every_n):
+                        recs.append(
+                            {
+                                "video_id": row[id_col],
+                                "frame_idx": fi,
+                                "frame_bytes": frames[fi].tobytes(),
+                            }
+                        )
+                    continue
                 n_frames = len(data) // frame_size
                 for fi in range(0, n_frames, every_n):
                     recs.append(
@@ -339,6 +353,54 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10,
     return videos.select(
         F.col(id_col).alias("video_id"), F.col(payload_col)
     ).mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(videos: DataFrame, every_n: int = 1,
+                      id_col: str = "video_id",
+                      payload_col: str = "bytes") -> DataFrame:
+    """Decode AVI payloads and emit per-sampled-frame pixel stats:
+    the GDAL 16-bit checksum of the luma-free band-0 (R) plane plus
+    the all-band pixel sum — the video dual of image_stats, and the
+    oracle surface proving the DIB decode is bit-exact."""
+    from gdal_spark.raster.avi import decode_avi
+    from gdal_spark.raster.checksum import gdal_checksum
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                frames, _fps = decode_avi(bytes(row[payload_col]))
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi]
+                    recs.append(
+                        {
+                            "video_id": row[id_col],
+                            "frame_idx": fi,
+                            "w": fr.shape[1],
+                            "h": fr.shape[0],
+                            "checksum": int(gdal_checksum(fr[:, :, 0])),
+                            "px_sum": int(fr.sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in VIDEO_FRAME_STATS_SCHEMA]
+            )
+
+    return videos.select(
+        F.col(id_col).alias("video_id"), F.col(payload_col)
+    ).mapInPandas(stats, VIDEO_FRAME_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

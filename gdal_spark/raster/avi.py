@@ -1,0 +1,132 @@
+"""Uncompressed RIFF/AVI video codec (pure struct/numpy) — a REAL
+video container for the multimodal frame-sampling pipeline, replacing
+the fixed-64-byte stub for payloads that carry RIFF 'AVI ' bytes
+(the stub remains the documented fallback for codec-bearing formats;
+this container ships no ffmpeg/codec stack).
+
+Scope: the canonical uncompressed-DIB AVI — RIFF('AVI ') with
+LIST('hdrl') { 'avih', LIST('strl') { 'strh' vids/DIB, 'strf'
+BITMAPINFOHEADER } }, LIST('movi') of '00db' frames, and an 'idx1'
+index.  Frames are 24-bit BGR, bottom-up rows padded to 4 bytes (the
+classic DIB layout).  Same RIFF chunk-walking discipline as
+raster/wav.py.
+
+The multimodal dispatch parallel in the reference is the
+header-identify driver loop (gcore/gdaldataset.cpp:3809-3862): a
+format is recognized by its magic bytes, never by file name.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_avi", "decode_avi", "is_avi"]
+
+
+def is_avi(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def _dib(frame: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> bottom-up padded BGR rows."""
+    h, w, _ = frame.shape
+    stride = (w * 3 + 3) & ~3
+    row = np.zeros((h, stride), dtype=np.uint8)
+    row[:, : w * 3] = frame[::-1, :, ::-1].reshape(h, w * 3)
+    return row.tobytes()
+
+
+def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
+    """frames: (n, h, w, 3) uint8 RGB -> RIFF/AVI bytes."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    size_image = stride * h
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, n, size_image, 0, 0,
+        0, 0, w, h,
+    )
+    strl = (
+        b"LIST"
+        + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf))
+        + b"strl"
+        + b"strh" + struct.pack("<I", len(strh)) + strh
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1000000 // fps, size_image * fps, 0, 0x10,  # AVIF_HASINDEX
+        n, 0, 1, size_image, w, h, 0, 0, 0, 0,
+    )
+    hdrl = (
+        b"LIST"
+        + struct.pack("<I", 4 + 8 + len(avih) + len(strl))
+        + b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+        + strl
+    )
+    movi = bytearray(b"LIST" + b"\x00" * 4 + b"movi")
+    offsets = []
+    for k in range(n):
+        payload = _dib(frames[k])
+        offsets.append(len(movi) - 8)  # offset from 'movi' fourcc
+        movi += b"00db" + struct.pack("<I", len(payload)) + payload
+    struct.pack_into("<I", movi, 4, len(movi) - 8)
+    idx1 = bytearray(b"idx1" + struct.pack("<I", 16 * n))
+    for off in offsets:
+        idx1 += struct.pack("<4sIII", b"00db", 0x10, off, size_image)
+    body = b"AVI " + hdrl + bytes(movi) + bytes(idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
+    """-> ((n, h, w, 3) uint8 RGB frames, fps).  Walks RIFF chunks;
+    tolerates extra chunks ('JUNK', vedit lists, ...)."""
+    if not is_avi(data):
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = bits = None
+    scale, rate = 1, 25
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal w, h, bits, scale, rate
+        while off + 8 <= end:
+            cid, sz = struct.unpack_from("<4sI", data, off)
+            off += 8
+            if cid == b"LIST":
+                walk(off + 4, off + sz)  # skip the list-type fourcc
+            elif cid == b"strh":
+                fcc_type, _h, _f, _p, _l, _init, scale, rate = (
+                    struct.unpack_from("<4s4sIHHIII", data, off)
+                )
+                if fcc_type != b"vids":
+                    scale, rate = 1, 25
+            elif cid == b"strf" and w is None:
+                _bsz, w, h, _planes, bits = struct.unpack_from(
+                    "<IiiHH", data, off
+                )
+            elif cid in (b"00db", b"00dc"):
+                frames.append(data[off : off + sz])
+            off += sz + (sz & 1)
+
+    walk(12, len(data))
+    if w is None or not frames:
+        raise ValueError("missing strf/frame chunks")
+    if bits != 24:
+        raise ValueError(f"unsupported biBitCount={bits} (24-bit DIB only)")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for k, payload in enumerate(frames):
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        out[k] = rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+    fps = int(round(rate / max(1, scale)))
+    return out, fps
