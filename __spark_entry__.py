@@ -4166,6 +4166,98 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def q_ascii_grid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAIGrid + XYZ text-raster codecs (frmts/aaigrid/
+    aaigriddataset.cpp, frmts/xyz/xyzdataset.cpp): synthetic DEMs
+    (value = (3x + 5y + j) % 97) encode through BOTH formats —
+    alternating xllcorner/xllcenter headers, nodata rows, comma vs
+    space XYZ separators — decode back, and emit GDAL checksums plus
+    the doubled geotransform origin (exact integers: cell sizes are
+    ints, center shifts are half-cells)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.asciigrid import (
+        decode_aaigrid, decode_xyz, encode_aaigrid, encode_xyz,
+    )
+    from gdal_spark.raster.checksum import gdal_checksum
+
+    ids = _zone_ids(spark, sf_dir)
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("j", T2.LongType()),
+            T2.StructField("w", T2.IntegerType()),
+            T2.StructField("h", T2.IntegerType()),
+            T2.StructField("cs_aai", T2.IntegerType()),
+            T2.StructField("cs_xyz", T2.IntegerType()),
+            T2.StructField("x0_q2", T2.LongType()),
+            T2.StructField("y0_q2", T2.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for j in pdf["fid"]:
+                j = int(j)
+                h, w = 10 + j % 5, 12 + j % 4
+                cell = 1 + j % 3
+                y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                dem = ((3 * x + 5 * y + j) % 97).astype(np.float64)
+                center = j % 3 == 0
+                buf = encode_aaigrid(
+                    dem, xll=j, yll=2 * j, cellsize=cell,
+                    nodata=255.0 if j % 2 else None, center=center,
+                )
+                back, geo = decode_aaigrid(buf)
+                xbuf = encode_xyz(
+                    back, geo["x0"], geo["y0"], geo["dx"], geo["dy"],
+                    sep="," if j % 2 else " ", header=j % 4 < 2,
+                )
+                xback, _xgeo = decode_xyz(xbuf)
+                recs.append(
+                    {
+                        "j": j, "w": w, "h": h,
+                        "cs_aai": int(gdal_checksum(back)),
+                        "cs_xyz": int(gdal_checksum(xback)),
+                        "x0_q2": int(np.floor(geo["x0"] * 2)),
+                        "y0_q2": int(np.floor(geo["y0"] * 2)),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema])
+
+    return ids.mapInPandas(kernel, out_schema)
+
+
+def _o_ascii_grid_roundtrip() -> str:
+    return f"""
+WITH grids AS (
+  SELECT cast(s_suppkey as bigint) AS j,
+         12 + cast(s_suppkey as bigint) % 4 AS w,
+         10 + cast(s_suppkey as bigint) % 5 AS h,
+         1 + cast(s_suppkey as bigint) % 3 AS cell
+  FROM supplier),
+cells AS (
+  SELECT g.j, g.w, g.h, g.cell, gy.y, gx.x,
+         (3 * gx.x + 5 * gy.y + g.j) % 97 AS val
+  FROM grids g, range(0, 14) gy(y), range(0, 15) gx(x)
+  WHERE gy.y < g.h AND gx.x < g.w),
+cs AS (
+  SELECT j, w, h, cell,
+         cast(sum(val % ({_PRIMES_SQL_V})[((y * w + x) % 11) + 1])
+              % 65536 as int) AS csum
+  FROM cells GROUP BY j, w, h, cell)
+SELECT j, cast(w as int) AS w, cast(h as int) AS h,
+       csum AS cs_aai, csum AS cs_xyz,
+       CASE WHEN j % 3 = 0 THEN 2 * j - cell ELSE 2 * j END AS x0_q2,
+       CASE WHEN j % 3 = 0 THEN 4 * j + 2 * h * cell - cell
+            ELSE 4 * j + 2 * h * cell END AS y0_q2
+FROM cs
+"""
+
+
 VIDEO_MOD = 7
 
 
@@ -4640,6 +4732,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_latest": q_stac_latest,
         "ntv2_shift": q_ntv2_shift,
         "video_frame_stats": q_video_frame_stats,
+        "ascii_grid_roundtrip": q_ascii_grid_roundtrip,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6421,6 +6514,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ntv2_shift": _o_ntv2_shift(),
         "video_frame_stats": _o_video_frame_stats(),
+        "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "stac_index": f"""
 WITH {_STAC_VALID_CTE}
 SELECT collection, asset, crs, i, datetime, xmin, ymin, xmax, ymax, w, h
