@@ -233,6 +233,59 @@ def q_s2_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEX_RES = 9
+HEX_COUNT_RES = 2
+
+
+def q_hex_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 icosahedral hex-cell encode (the H3 architecture
+    from scratch — gnomonic face projection, sqrt(7)/19.1066-deg
+    lattice sequence, cube rounding; tiles/hexcell.py).  Cell ids are
+    self-consistent, not h3lib-bit-compatible (the public library's
+    base-cell numbering is hand-assigned data; h3.latlng_to_cell is
+    the drop-in where bit parity is required).  Oracle: the full
+    encode re-derived in staged SQL with repr-embedded constants."""
+    from gdal_spark.tiles import hexcell
+
+    img = _images_geo(spark, sf_dir)
+    out = hexcell.with_hex_cell(
+        img, F.col("lat_c"), F.col("lon_c"), HEX_RES
+    )
+    return out.select(
+        F.col("image_id"), F.col("hex_cell").cast("long")
+    )
+
+
+def q_hex_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hex-cell image counts at a coarse res — the cell-key
+    partitioning aggregation (one shuffle on the bigint key), hex
+    dual of s2_cell_counts."""
+    from gdal_spark.tiles import hexcell
+
+    img = _images_geo(spark, sf_dir)
+    out = hexcell.with_hex_cell(
+        img, F.col("lat_c"), F.col("lon_c"), HEX_COUNT_RES
+    )
+    return out.groupBy("hex_cell").agg(F.count("*").alias("n_images")).select(
+        F.col("hex_cell").cast("long"), F.col("n_images").cast("long")
+    )
+
+
+def _o_hex_cell(res: int, counts: bool) -> str:
+    from gdal_spark.fixtures.georef import sql_images_cte
+    from gdal_spark.tiles.hexcell import sql_hex_cell
+
+    imgs = sql_images_cte("cast(o_orderkey as bigint)", "orders")
+    hex_ctes = sql_hex_cell("imgs", "lat_c", "lon_c", res,
+                            key_cols="image_id")
+    if counts:
+        final = ("SELECT hex_cell, count(*) AS n_images FROM hcell "
+                 "GROUP BY hex_cell")
+    else:
+        final = "SELECT image_id, hex_cell FROM hcell"
+    return f"WITH imgs AS ({imgs}),\n{hex_ctes}\n{final}"
+
+
 def _graph_edges(spark: SparkSession, sf_dir: str):
     """Deterministic routable graph over the customer id domain 1..N:
     a directed ring (i -> i+1, N -> 1) plus an expander chord
@@ -4733,6 +4786,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntv2_shift": q_ntv2_shift,
         "video_frame_stats": q_video_frame_stats,
         "ascii_grid_roundtrip": q_ascii_grid_roundtrip,
+        "hex_cell": q_hex_cell,
+        "hex_cell_counts": q_hex_cell_counts,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6515,6 +6570,8 @@ def oracle_sql() -> dict[str, str]:
         "ntv2_shift": _o_ntv2_shift(),
         "video_frame_stats": _o_video_frame_stats(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
+        "hex_cell": _o_hex_cell(HEX_RES, counts=False),
+        "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),
         "stac_index": f"""
 WITH {_STAC_VALID_CTE}
 SELECT collection, asset, crs, i, datetime, xmin, ymin, xmax, ymax, w, h
