@@ -45,6 +45,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 # ---------------------------------------------------------------------------
 # Icosahedron geometry (derived, not tabulated)
@@ -242,18 +243,15 @@ def with_hex_cell(df, lat_col, lon_col, res: int, out_col: str = "hex_cell"):
     Arrow-batched vectorized encode, narrow map, no shuffle.  The
     bigint key then drives the same equi-join/groupBy discipline as
     the quadkey and S2 cell columns."""
-    import pandas
     from pyspark.sql.functions import pandas_udf
 
-    def _enc(lat: pandas.Series, lon: pandas.Series) -> pandas.Series:
-        return pandas.Series(
+    @pandas_udf("long")
+    def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
             encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), res)
         )
 
-    _enc.__annotations__ = {
-        "lat": pandas.Series, "lon": pandas.Series, "return": pandas.Series
-    }
-    return df.withColumn(out_col, pandas_udf(_enc, "long")(lat_col, lon_col))
+    return df.withColumn(out_col, _enc(lat_col, lon_col))
 
 
 # ---------------------------------------------------------------------------
