@@ -1726,6 +1726,22 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML IO (ogr/ogrsf_frmts/kml Placemark + ExtendedData model,
+    ogr/ogr2kmlgeometry.cpp ring serialization): streamed single-file
+    write with repr-exact coordinates, distributed per-line
+    ElementTree parse."""
+    from gdal_spark.sources.kml import read_kml, write_kml
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"kml_{os.path.basename(sf_dir)}.kml")
+    write_kml(zones, path)
+    back = read_kml(spark, path, "fid long, eas_id long, kind string")
+    return _roundtrip_shape(back)
+
+
 def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON FeatureCollection IO (ogr/ogrsf_frmts/geojson, RFC
     7946 one-feature-per-line writer layout): streamed single-file
@@ -4788,6 +4804,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_grid_roundtrip": q_ascii_grid_roundtrip,
         "hex_cell": q_hex_cell,
         "hex_cell_counts": q_hex_cell_counts,
+        "kml_roundtrip": q_kml_roundtrip,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6840,6 +6857,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "fgb_roundtrip": _o_shp_roundtrip(),  # same output contract
         "csv_roundtrip": _o_shp_roundtrip(),  # same output contract
         "geojson_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "kml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
