@@ -89,7 +89,8 @@ def write_stac_pages(features: DataFrame, out_dir: str) -> None:
     pages are hash-partitioned across executors; each task writes
     only its own page files."""
     os.makedirs(out_dir, exist_ok=True)
-    n_pages = features.agg(F.max("page")).collect()[0][0] + 1  # scalar only
+    # scalar metadata action (page count), never a layer collect
+    n_pages = features.agg(F.max("page")).first()[0] + 1
 
     def write_partition(rows) -> None:
         by_page: dict[int, list] = {}
