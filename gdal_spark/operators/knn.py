@@ -69,6 +69,11 @@ def knn_join(
 ) -> DataFrame:
     """-> DataFrame(query_key, rank, point_key, dist_m) with rank 1..k."""
     if index_zoom is None:
+        # fallback when neither a zoom nor a size hint is given: ONE
+        # scalar count() action (a columnless parquet scan — cheap,
+        # but still a job). At catalog scale pass n_points_hint from
+        # table metadata (Iceberg snapshot stats) or pin index_zoom;
+        # _auto_zoom only needs the order of magnitude.
         n = n_points_hint if n_points_hint is not None else points_df.count()
         index_zoom = _auto_zoom(n, k)
     span = tm.resolution(index_zoom) * tm.TILE_SIZE
