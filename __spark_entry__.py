@@ -1974,6 +1974,58 @@ def q_pixel_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CALC_EXPRS = {
+    # gdal_calc masking idiom: comparisons are 0/1 masks
+    "masked_diff": "where(A > B, A - B, B - A)",
+    "band_mix": "(A * 3 + B * 2 + C) // 6",
+    "threshold": "(A > 100) * 255 + (A <= 100) * (C % 50)",
+}
+
+
+def q_calc_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_calc expression surface (osgeo_utils/gdal_calc.py --calc):
+    band-letter expressions compiled through the whitelisted-AST
+    numpy interpreter (operators/calc.py) over decoded payloads —
+    integer-exact operator subset, per-result checksum + value sum."""
+    from gdal_spark.operators.calc import image_calc
+
+    out = image_calc(_payload_subset(spark, sf_dir), CALC_EXPRS)
+    return out.select(
+        "image_id", "expr_name",
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
+def _o_calc_expr() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS b0,
+    (gx.x + gy.y + i.i + 85) % 256 AS b1,
+    (gx.x + gy.y + i.i + 170) % 256 AS b2,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+vals AS (
+  SELECT image_id, 'masked_diff' AS expr_name,
+         CASE WHEN b0 > b1 THEN b0 - b1 ELSE b1 - b0 END AS v, pidx FROM px
+  UNION ALL SELECT image_id, 'band_mix', (b0 * 3 + b1 * 2 + b2) // 6, pidx
+  FROM px
+  UNION ALL SELECT image_id, 'threshold',
+    CASE WHEN b0 > 100 THEN 255 ELSE 0 END
+    + CASE WHEN b0 <= 100 THEN b2 % 50 ELSE 0 END, pidx FROM px
+)
+SELECT image_id, expr_name,
+  cast((((sum(v % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536)
+       as int) AS checksum,
+  cast(sum(v) as bigint) AS vsum
+FROM vals GROUP BY 1, 2
+"""
+
+
 INTERP_Z = 4  # footprint zoom for the point-query join (big footprints)
 
 
@@ -4805,6 +4857,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell": q_hex_cell,
         "hex_cell_counts": q_hex_cell_counts,
         "kml_roundtrip": q_kml_roundtrip,
+        "calc_expr": q_calc_expr,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6817,6 +6870,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "fillnodata": _o_fillnodata(),
         "translate": _o_translate(),
         "pixel_calc": _o_pixel_calc(),
+        "calc_expr": _o_calc_expr(),
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
