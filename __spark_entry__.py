@@ -2026,6 +2026,57 @@ FROM vals GROUP BY 1, 2
 """
 
 
+RECLASS_MAPS = {
+    "classes": "NO_DATA=0;[0,63]=1;(63,127]=2;DEFAULT=9",
+    "clamp_pt": "[0,99]=PASS_THROUGH;DEFAULT=255",
+}
+RECLASS_NODATA = 200.0
+
+
+def q_reclassify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal raster reclassify` mapping grammar (frmts/vrt/
+    vrtreclassifier.cpp: interval/NO_DATA/DEFAULT sources,
+    constant/NO_DATA/PASS_THROUGH destinations, open bounds via
+    nextafter, overlap rejection): two mappings over band 0 of every
+    decoded payload, per-result checksum + value sum."""
+    from gdal_spark.raster.reclassify import reclassify_image
+
+    out = reclassify_image(
+        _payload_subset(spark, sf_dir), RECLASS_MAPS, nodata=RECLASS_NODATA
+    )
+    return out.select(
+        "image_id", "mapping",
+        F.col("checksum").cast("int"), F.col("vsum").cast("long"),
+    )
+
+
+def _o_reclassify() -> str:
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id, (gx.x + gy.y + i.i) % 256 AS v,
+         gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+vals AS (
+  SELECT image_id, 'classes' AS mapping,
+         CASE WHEN v = 200 THEN 0
+              WHEN v >= 0 AND v <= 63 THEN 1
+              WHEN v > 63 AND v <= 127 THEN 2
+              ELSE 9 END AS v, pidx FROM px
+  UNION ALL SELECT image_id, 'clamp_pt',
+         CASE WHEN v >= 0 AND v <= 99 THEN v ELSE 255 END, pidx FROM px
+)
+SELECT image_id, mapping,
+  cast((((sum(v % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536) + 65536) % 65536)
+       as int) AS checksum,
+  cast(sum(v) as bigint) AS vsum
+FROM vals GROUP BY 1, 2
+"""
+
+
 INTERP_Z = 4  # footprint zoom for the point-query join (big footprints)
 
 
@@ -4858,6 +4909,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_cell_counts": q_hex_cell_counts,
         "kml_roundtrip": q_kml_roundtrip,
         "calc_expr": q_calc_expr,
+        "reclassify": q_reclassify,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6871,6 +6923,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "translate": _o_translate(),
         "pixel_calc": _o_pixel_calc(),
         "calc_expr": _o_calc_expr(),
+        "reclassify": _o_reclassify(),
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
