@@ -2026,6 +2026,85 @@ FROM vals GROUP BY 1, 2
 """
 
 
+COVSIMP_TOL = 1.2  # VW area threshold 1.44: removes bulge area 4a < 1.44
+
+
+def q_simplify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal vector simplify_coverage` (GEOSCoverageSimplifyVW dual,
+    operators/coverage.py): per supplier fid, a pair of adjacent
+    squares sharing a 2-segment edge with one bulge vertex of
+    amplitude a = (fid%3)/4 — VW triangle area 4a, so tolerance 1.2
+    (area 1.44) removes the a=0 and a=0.25 bulges but keeps a=0.5.
+    BOTH owners lose the vertex together (no slivers/gaps): signed
+    ring areas move to exactly 64 where simplified, and the pair's
+    area sum is 128 regardless."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.wkb import wkb_polygon
+    from gdal_spark.operators.coverage import simplify_coverage
+
+    ids = _zone_ids(spark, sf_dir)
+
+    pay = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("geometry", T2.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for j in pdf["fid"]:
+                j = int(j)
+                cx, cy = float((j % 40) * 20), float((j // 40) * 20)
+                a = (j % 3) * 0.25
+                left = [
+                    (cx, cy), (cx + 4, cy), (cx + 4 + a, cy + 4),
+                    (cx + 4, cy + 8), (cx, cy + 8), (cx, cy),
+                ]
+                right = [
+                    (cx + 4, cy), (cx + 8, cy), (cx + 8, cy + 8),
+                    (cx + 4, cy + 8), (cx + 4 + a, cy + 4), (cx + 4, cy),
+                ]
+                recs.append(
+                    {"fid": 2 * j, "geometry": wkb_polygon([left])}
+                )
+                recs.append(
+                    {"fid": 2 * j + 1, "geometry": wkb_polygon([right])}
+                )
+            yield pd.DataFrame(recs, columns=["fid", "geometry"])
+
+    polys = ids.mapInPandas(gen, pay)
+    out = simplify_coverage(polys, COVSIMP_TOL)
+    return out.select(
+        F.col("fid").cast("long"),
+        F.col("ring").cast("int"),
+        F.col("n_pts").cast("int"),
+        (F.col("area2") * 2).cast("long").alias("area4"),
+    )
+
+
+def _o_simplify_coverage() -> str:
+    return """
+WITH s AS (
+  SELECT cast(s_suppkey as bigint) AS j,
+         (cast(s_suppkey as bigint) % 3) AS am  -- amplitude a = am/4
+  FROM supplier),
+sides AS (
+  SELECT j, am, side FROM s, (VALUES (0), (1)) AS t(side))
+SELECT 2 * j + side AS fid, 0 AS ring,
+       CASE WHEN am * 1.0 < 1.44 THEN 4 ELSE 5 END AS n_pts,
+       -- area4 = 4*area: base 128; bulge area 4a = am -> +-4*am
+       CASE WHEN am * 1.0 < 1.44
+            THEN 128
+            ELSE 128 + (CASE WHEN side = 0 THEN 1 ELSE -1 END) * 4 * am
+       END AS area4
+FROM sides
+"""
+
+
 RECLASS_MAPS = {
     "classes": "NO_DATA=0;[0,63]=1;(63,127]=2;DEFAULT=9",
     "clamp_pt": "[0,99]=PASS_THROUGH;DEFAULT=255",
@@ -4910,6 +4989,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": q_kml_roundtrip,
         "calc_expr": q_calc_expr,
         "reclassify": q_reclassify,
+        "simplify_coverage": q_simplify_coverage,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -6924,6 +7004,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "pixel_calc": _o_pixel_calc(),
         "calc_expr": _o_calc_expr(),
         "reclassify": _o_reclassify(),
+        "simplify_coverage": _o_simplify_coverage(),
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
