@@ -2026,6 +2026,106 @@ FROM vals GROUP BY 1, 2
 """
 
 
+# fixed 8-color palette (RGB cube corners): the declarative half of
+# rgb_to_palette — nearest-color assignment without error diffusion
+PALETTE8 = [
+    (0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+    (255, 255, 0), (255, 0, 255), (0, 255, 255), (255, 255, 255),
+]
+
+
+def q_palette_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-palette-color mapping (`gdal raster rgb-to-palette`
+    without dithering; the color-table assignment half of
+    alg/gdaldither.cpp): squared-distance argmin over a fixed 8-color
+    table (tie -> lowest index), per image: index-plane checksum +
+    per-index pixel counts as a 8-slot array sum."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.checksum import gdal_checksum
+    from gdal_spark.raster.codecs import decode_image
+
+    pal = np.array(PALETTE8, dtype=np.int64)
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("idx_sum", T2.LongType()),
+            T2.StructField("n_white", T2.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                arr = decode_image(bytes(row["bytes"]), row["fmt"]).astype(
+                    np.int64
+                )
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[:, :, None], 3, axis=2)
+                d = (
+                    (arr[:, :, None, :3] - pal[None, None, :, :]) ** 2
+                ).sum(axis=3)
+                idx = np.argmin(d, axis=2)  # first minimum = lowest index
+                recs.append(
+                    {
+                        "image_id": row["image_id"],
+                        "checksum": int(gdal_checksum(idx)),
+                        "idx_sum": int(idx.sum(dtype=np.int64)),
+                        "n_white": int((idx == 7).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in out_schema])
+
+    imgs = _payload_subset(spark, sf_dir)
+    return imgs.select("image_id", "fmt", "bytes").mapInPandas(
+        kernel, out_schema
+    ).select(
+        "image_id", F.col("checksum").cast("int"),
+        F.col("idx_sum").cast("long"), F.col("n_white").cast("long"),
+    )
+
+
+def _o_palette_map() -> str:
+    pal_rows = ",\n    ".join(
+        f"({k}, {r}, {g}, {b})" for k, (r, g, b) in enumerate(PALETTE8)
+    )
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS b0,
+    (gx.x + gy.y + i.i + 85) % 256 AS b1,
+    (gx.x + gy.y + i.i + 170) % 256 AS b2,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+pal (k, pr, pg, pb) AS (VALUES
+    {pal_rows}),
+scored AS (
+  SELECT image_id, pidx, k,
+         row_number() OVER (
+           PARTITION BY image_id, pidx
+           ORDER BY (b0 - pr) * (b0 - pr) + (b1 - pg) * (b1 - pg)
+                  + (b2 - pb) * (b2 - pb), k
+         ) AS rn
+  FROM px, pal),
+idx AS (
+  SELECT image_id, pidx, k FROM scored WHERE rn = 1)
+SELECT image_id,
+  cast(sum(k % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int) AS checksum,
+  cast(sum(k) as bigint) AS idx_sum,
+  cast(sum(CASE WHEN k = 7 THEN 1 ELSE 0 END) as bigint) AS n_white
+FROM idx GROUP BY 1
+"""
+
+
 COVSIMP_TOL = 1.2  # VW area threshold 1.44: removes bulge area 4a < 1.44
 
 
@@ -4990,6 +5090,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calc_expr": q_calc_expr,
         "reclassify": q_reclassify,
         "simplify_coverage": q_simplify_coverage,
+        "palette_map": q_palette_map,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -7005,6 +7106,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "calc_expr": _o_calc_expr(),
         "reclassify": _o_reclassify(),
         "simplify_coverage": _o_simplify_coverage(),
+        "palette_map": _o_palette_map(),
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
