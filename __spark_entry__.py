@@ -2026,6 +2026,66 @@ FROM vals GROUP BY 1, 2
 """
 
 
+OGR_SQL_LITERAL = """
+SELECT FID, "kind", CAST(eas_id AS character(10)) AS eas_str,
+       SUBSTR("kind", 1, 2) AS k2, OGR_GEOM_AREA AS area
+FROM zones
+WHERE "kind" LIKE 'PA%' OR eas_id BETWEEN 200 AND 260
+ORDER BY FID LIMIT 500
+"""
+
+
+def q_ogr_sql_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OGR SQL DIALECT executed from a literal string
+    (ogr/swq_parser.y grammar -> Spark SQL via token-level
+    translation, gdal_spark/ogrsql.py): double-quoted identifiers,
+    case-insensitive LIKE (swq_op_general.cpp:1090-1128), FID and
+    OGR_GEOM_AREA special fields (ogr/ogr_p.h:167-174), and
+    CAST(... AS character(10)) all in one statement."""
+    from gdal_spark.ogrsql import execute_ogr_sql
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    out = execute_ogr_sql(spark, {"zones": zones}, OGR_SQL_LITERAL)
+    return out.select(
+        F.col("FID").cast("long"),
+        "kind",
+        "eas_str",
+        "k2",
+        F.floor(F.col("area") * 1e4).cast("long").alias("area_e4"),
+    )
+
+
+def _o_ogr_sql_exec() -> str:
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH zn AS ({zn}),
+outer_edges AS ({_zone_edges_cte('r')}),
+hole_edges AS ({_zone_edges_cte('hole_r')}),
+oa AS (
+  SELECT fid, abs(sum(x1 * y2 - x2 * y1)) / 2 AS area
+  FROM outer_edges GROUP BY fid
+),
+ha AS (
+  SELECT e.fid, abs(sum(e.x1 * e.y2 - e.x2 * e.y1)) / 2 AS area
+  FROM hole_edges e JOIN zn z ON z.fid = e.fid
+  WHERE z.has_hole GROUP BY e.fid
+),
+feat AS (
+  SELECT z.fid,
+         CASE z.fid % 4 WHEN 0 THEN 'park' WHEN 1 THEN 'water'
+                        WHEN 2 THEN 'urban' ELSE 'farm' END AS kind,
+         z.eas_id, o.area - coalesce(h.area, 0) AS area
+  FROM zn z JOIN oa o ON o.fid = z.fid LEFT JOIN ha h ON h.fid = z.fid
+)
+SELECT fid AS FID, kind, cast(eas_id as varchar) AS eas_str,
+       substr(kind, 1, 2) AS k2,
+       cast(floor(area * 1e4) as bigint) AS area_e4
+FROM feat
+WHERE kind ILIKE 'PA%' OR eas_id BETWEEN 200 AND 260
+ORDER BY fid LIMIT 500
+"""
+
+
 # fixed 8-color palette (RGB cube corners): the declarative half of
 # rgb_to_palette — nearest-color assignment without error diffusion
 PALETTE8 = [
@@ -5091,6 +5151,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reclassify": q_reclassify,
         "simplify_coverage": q_simplify_coverage,
         "palette_map": q_palette_map,
+        "ogr_sql_exec": q_ogr_sql_exec,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -7107,6 +7168,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "reclassify": _o_reclassify(),
         "simplify_coverage": _o_simplify_coverage(),
         "palette_map": _o_palette_map(),
+        "ogr_sql_exec": _o_ogr_sql_exec(),
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
