@@ -2026,6 +2026,28 @@ FROM vals GROUP BY 1, 2
 """
 
 
+def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zarr v2 chunked-array IO (frmts/zarr/zarr_v2_array.cpp wire
+    format): the mdim cube writes as zlib chunk objects (edge chunks
+    padded with fill_value 255) through ONE groupBy, reads back as a
+    distributed binaryFile chunk scan, and per-slab statistics must
+    match the cube closed form — padding leaks would break counts."""
+    from gdal_spark.sources.zarr import read_zarr, write_zarr
+
+    md = _mdim_cube(spark, sf_dir)
+    out_dir = _artifact_path(f"zarr_{os.path.basename(sf_dir)}")
+    write_zarr(md, out_dir, chunks=(4, 5, 5), dtype="<i4", fill_value=255)
+    back = read_zarr(spark, out_dir)
+    st = mdim.statistics(back, by=["t"])
+    return st.select(
+        F.col("t").cast("long"),
+        F.col("vmin").cast("int"),
+        F.col("vmax").cast("int"),
+        F.col("vsum").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
 OGR_SQL_LITERAL = """
 SELECT FID, "kind", CAST(eas_id AS character(10)) AS eas_str,
        SUBSTR("kind", 1, 2) AS k2, OGR_GEOM_AREA AS area
@@ -5152,6 +5174,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_coverage": q_simplify_coverage,
         "palette_map": q_palette_map,
         "ogr_sql_exec": q_ogr_sql_exec,
+        "zarr_roundtrip": q_zarr_roundtrip,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -7169,6 +7192,12 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "simplify_coverage": _o_simplify_coverage(),
         "palette_map": _o_palette_map(),
         "ogr_sql_exec": _o_ogr_sql_exec(),
+        "zarr_roundtrip": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t, min(value) AS vmin, max(value) AS vmax,
+       cast(sum(value) as bigint) AS vsum, count(*) AS n
+FROM cube GROUP BY t
+""",
         "zonal_stats": _o_zonal_stats(),
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
