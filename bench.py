@@ -104,6 +104,14 @@ def main():
         .agg(F.count("*").alias("n"), F.sum("tile_x").alias("sx"))
         .collect(),
     )
+    from gdal_spark.tiles import hexcell
+
+    timed(
+        "hex_cell",
+        lambda: hexcell.with_hex_cell(images, F.col("lat_c"), F.col("lon_c"), 9)
+        .agg(F.count("*"), F.sum(F.col("hex_cell") % 1000003))
+        .collect(),
+    )
     timed(
         "pip_join",
         lambda: pip_join(images, zones).agg(F.count("*")).collect(),
