@@ -158,3 +158,27 @@ def test_spark_plan_is_broadcast_joins(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_numpy_method_bit_identical(spark):
+    """The Arrow fast path and the 8-join Column path must agree on
+    every output column."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.tiles import s2 as s2mod
+
+    ids = spark.range(2000).select(F.col("id").alias("i"))
+    img = build_images(spark, ids_df=ids, with_payload=False)
+    cols = ["i", "s2_face", "s2_pos", "s2_key", "s2_token"]
+    a = (
+        s2mod.with_s2_cell(img, F.col("lon_c"), F.col("lat_c"), 12)
+        .select(cols).toPandas().sort_values("i").reset_index(drop=True)
+    )
+    b = (
+        s2mod.with_s2_cell(
+            img, F.col("lon_c"), F.col("lat_c"), 12, method="numpy"
+        )
+        .select(cols).toPandas().sort_values("i").reset_index(drop=True)
+    )
+    assert a.equals(b)
