@@ -87,7 +87,8 @@ def write_stac_pages(features: DataFrame, out_dir: str) -> None:
     JSON document per page (`page_<p>.json`), each carrying the
     reference's `"links":[{"rel":"next",...}]` chain.  Distributed:
     pages are hash-partitioned across executors; each task writes
-    only its own page files."""
+    only its own page files (shared output filesystem assumed, as for
+    any Spark file sink)."""
     os.makedirs(out_dir, exist_ok=True)
     # scalar metadata action (page count), never a layer collect
     n_pages = features.agg(F.max("page")).first()[0] + 1

@@ -20,7 +20,9 @@ materializes chunks with ONE groupBy (each task writes only its own
 chunk files); the source lists chunk files as a `binaryFile` scan —
 one Spark task per chunk — and explodes to the long format, dropping
 edge padding.  Only `.zarray` (a few hundred bytes) ever touches the
-driver.
+driver.  Like every Spark file sink, the distributed write assumes
+executors share the output filesystem (HDFS/S3/NFS; local-mode
+threads trivially do).
 """
 
 from __future__ import annotations
