@@ -104,11 +104,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
             if cid == b"LIST":
                 walk(off + 4, off + sz)  # skip the list-type fourcc
             elif cid == b"strh":
-                fcc_type, _h, _f, _p, _l, _init, scale, rate = (
+                fcc_type, _h, _f, _p, _l, _init, sc, rt = (
                     struct.unpack_from("<4s4sIHHIII", data, off)
                 )
-                if fcc_type != b"vids":
-                    scale, rate = 1, 25
+                # only the VIDEO stream header sets the frame rate —
+                # a later audio strh must not clobber it
+                if fcc_type == b"vids":
+                    scale, rate = sc, rt
             elif cid == b"strf" and w is None:
                 _bsz, w, h, _planes, bits = struct.unpack_from(
                     "<IiiHH", data, off

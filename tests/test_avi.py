@@ -80,3 +80,22 @@ def test_video_frame_stats_golden(spark):
         assert (r["w"], r["h"]) == (8, 6)
         assert r["checksum"] == gdal_checksum(src[fi, :, :, 0])
         assert r["px_sum"] == int(src[fi].sum(dtype=np.int64))
+
+
+def test_audio_strh_does_not_clobber_video_rate():
+    """A second (non-video) stream header after the video strh must
+    not reset the decoded frame rate."""
+    src = _frames(n=2)
+    buf = bytearray(encode_avi(src, fps=30))
+    auds = b"auds" + b"\x00" * 4 + struct.pack(
+        "<IHHIIIIIIi", 0, 0, 0, 0, 1, 44100, 0, 0, 0, 0
+    ) + struct.pack("<4H", 0, 0, 0, 0)
+    chunk = b"strh" + struct.pack("<I", len(auds)) + auds
+    movi = buf.index(b"LIST", 12)
+    while buf[movi + 8 : movi + 12] != b"movi":
+        movi = buf.index(b"LIST", movi + 1)
+    buf[movi:movi] = chunk
+    struct.pack_into("<I", buf, 4, len(buf) - 8)
+    out, fps = decode_avi(bytes(buf))
+    assert fps == 30
+    np.testing.assert_array_equal(out, src)
