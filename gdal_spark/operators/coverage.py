@@ -168,7 +168,14 @@ def _explode_segments(polys: DataFrame, geom_col: str) -> DataFrame:
             recs = []
             for fid, blob in zip(pdf["fid"], pdf[geom_col]):
                 g = wkbmod.parse_wkb(bytes(blob))
-                for ri, ring in enumerate(g.all_rings()[0]):
+                # rings of EVERY polygon part (MultiPolygon members
+                # get distinct ring ids: part * 4096 + ring)
+                all_rings = [
+                    (pi * 4096 + k, ring)
+                    for pi, rings in enumerate(g.all_rings())
+                    for k, ring in enumerate(rings)
+                ]
+                for ri, ring in all_rings:
                     ring = np.asarray(ring, dtype=np.float64)
                     if np.array_equal(ring[0], ring[-1]):
                         ring = ring[:-1]

@@ -96,3 +96,21 @@ def test_preserve_boundary_flag(spark):
     simp = simplify_coverage(df, 1.2, preserve_boundary=False).toPandas()
     assert simp.loc[0, "n_pts"] == 4
     assert simp.loc[0, "area2"] == 64.0
+
+
+def test_multipolygon_member_rings_not_dropped(spark):
+    """A MultiPolygon coverage member contributes EVERY part's rings
+    (ring id = part*4096 + ring)."""
+    from gdal_spark.geo.wkb import wkb_multipolygon
+
+    a_ = [(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)]
+    b_ = [(10, 0), (14, 0), (14, 4), (10, 4), (10, 0)]
+    df = spark.createDataFrame(
+        [(0, bytearray(wkb_multipolygon(
+            [[np.array(a_, float)], [np.array(b_, float)]]
+        )))],
+        "fid long, geometry binary",
+    )
+    out = simplify_coverage(df, 0.5).toPandas().sort_values("ring")
+    assert list(out["ring"]) == [0, 4096]
+    assert list(out["area2"]) == [32.0, 32.0]
