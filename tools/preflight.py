@@ -26,6 +26,11 @@ SAMPLE = [
     "overlay_geom", "dedup_clusters", "geom_predicates", "make_valid",
     "contour_lines", "grid_tin", "ann_ivf", "cog_roundtrip",
     "gpkg_roundtrip", "tps_transform",
+    # round-3 families
+    "overlay_deg_union", "contour_polygons", "datum_shift",
+    "fgb_roundtrip", "s2_cell", "hex_cell", "mdim_view", "stac_index",
+    "ntv2_shift", "zarr_roundtrip", "simplify_coverage", "calc_expr",
+    "ogr_sql_exec", "video_frame_stats",
 ]
 
 
