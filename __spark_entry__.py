@@ -1742,6 +1742,26 @@ def q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoParquet IO (ogr/ogrsf_frmts/parquet writer metadata,
+    ogrparquetwriterlayer.cpp:640-760): per-partition pyarrow shards
+    carrying the spec's file-level `geo` JSON (WKB encoding,
+    geometry_types, per-file bbox, WGS84 crs omission), read back as
+    a plain distributed parquet scan + one footer metadata read."""
+    from gdal_spark.sources.geoparquet import (
+        read_geoparquet, write_geoparquet,
+    )
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"geopq_{os.path.basename(sf_dir)}")
+    write_geoparquet(zones, path)
+    back, geo = read_geoparquet(spark, path)
+    assert geo["columns"]["geometry"]["encoding"] == "WKB"
+    return _roundtrip_shape(back)
+
+
 def q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON FeatureCollection IO (ogr/ogrsf_frmts/geojson, RFC
     7946 one-feature-per-line writer layout): streamed single-file
@@ -5175,6 +5195,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "palette_map": q_palette_map,
         "ogr_sql_exec": q_ogr_sql_exec,
         "zarr_roundtrip": q_zarr_roundtrip,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -7239,6 +7260,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "csv_roundtrip": _o_shp_roundtrip(),  # same output contract
         "geojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "kml_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "geoparquet_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
