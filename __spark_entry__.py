@@ -1742,6 +1742,23 @@ def q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GML IO (ogr/ogrsf_frmts/gml FeatureCollection layout,
+    ogr2gmlgeometry.cpp GML 2 coordinates/boundaryIs elements):
+    streamed one-featureMember-per-line write with repr-exact
+    coordinates, distributed per-line namespace-wrapped ElementTree
+    reads."""
+    from gdal_spark.sources.gml import read_gml, write_gml
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"gml_{os.path.basename(sf_dir)}.gml")
+    write_gml(zones, path, layer="zones")
+    back = read_gml(spark, path, "eas_id long, kind string")
+    return _roundtrip_shape(back)
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet IO (ogr/ogrsf_frmts/parquet writer metadata,
     ogrparquetwriterlayer.cpp:640-760): per-partition pyarrow shards
@@ -5196,6 +5213,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_sql_exec": q_ogr_sql_exec,
         "zarr_roundtrip": q_zarr_roundtrip,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "gml_roundtrip": q_gml_roundtrip,
         "s2_cell": q_s2_cell,
         "hillshade_modes": q_hillshade_modes,
         "mbtiles_roundtrip": q_mbtiles_roundtrip,
@@ -7261,6 +7279,7 @@ FROM scored WHERE z IS NOT NULL AND abs(z) >= 2.0
         "geojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "kml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "geoparquet_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "gml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proximity": _o_proximity(),
         "contour_cells": _o_contour_cells(),
         "rasterize_count": _o_rasterize_count(),
