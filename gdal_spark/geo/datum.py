@@ -53,6 +53,7 @@ ELLIPSOIDS = {
     "airy": (6377563.396, 299.3249646),  # Airy 1830
     "bessel": (6377397.155, 299.1528128),
     "krass": (6378245.0, 298.3),         # Krassowsky 1940
+    "clrk66": (6378206.4, 294.978698214),  # Clarke 1866
 }
 
 # name -> (ellipsoid, towgs84 (tx, ty, tz, rx", ry", rz", s_ppm))
@@ -66,6 +67,14 @@ DATUMS = {
     ),
     "GGRS87": ("GRS80", (-199.87, 74.79, 246.62, 0.0, 0.0, 0.0, 0.0)),
     "PULKOVO42": ("krass", (28.0, -130.0, -95.0, 0.0, 0.0, 0.0, 0.0)),
+    # Amersfoort (RD New) — published 7-param towgs84
+    "AMERSFOORT": (
+        "bessel",
+        (565.2369, 50.0087, 465.658, -0.406857, 0.350733, -1.87035, 4.0812),
+    ),
+    # NAD27 mean-CONUS 3-param (grid shifts are the real method; this
+    # entry mainly registers the Clarke 1866 ellipsoid for projections)
+    "NAD27": ("clrk66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _AS2RAD = np.pi / (180.0 * 3600.0)

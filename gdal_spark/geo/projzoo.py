@@ -1,0 +1,688 @@
+"""Projection zoo: closed-form forward/inverse for the high-frequency
+PROJ methods beyond the Mercator/TM/LCC families, behind a small
+EPSG-parameter registry so `reproject(x, y, src, dst)` works for any
+pair among the supported methods.
+
+The reference delegates all of this to PROJ pipeline selection
+(/root/reference/ogr/ogrct.cpp:1018,1091; conformance surface
+/root/reference/autotest/osr/osr_ct.py).  This engine implements the
+methods themselves from the published formulas (Snyder 1987 "Map
+Projections — A Working Manual"; EPSG Guidance Note 7-2), numpy first
+with DuckDB SQL twins that walk the identical expression trees:
+
+- Albers Equal-Area Conic 2SP (EPSG method 9822, Snyder 14)
+- Polar Stereographic variant B (EPSG 9829, Snyder 21) N + S aspects
+- Oblique Stereographic (EPSG 9809, double/Gauss-Schreiber — the
+  RD New / Amersfoort method)
+- Sinusoidal (Snyder 30, ellipsoidal)
+- Equidistant Cylindrical (EPSG 1028)
+
+plus a registry mapping EPSG codes (and a few ESRI codes without an
+EPSG twin) to (method, datum, parameters).  Datum crossings reuse the
+Helmert machinery in gdal_spark.geo.datum.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gdal_spark.geo.datum import DATUMS, ELLIPSOIDS, datum_shift
+
+
+def _d(v: float) -> str:
+    """Exact float literal for DuckDB (bare literals parse DECIMAL)."""
+    return f"cast({float(v)!r} as double)"
+
+
+def ell_consts(datum: str) -> tuple[float, float, float]:
+    """(a, e, e2) of the datum's ellipsoid."""
+    a, inv_f = ELLIPSOIDS[DATUMS[datum][0]]
+    f = 1.0 / inv_f
+    e2 = f * (2.0 - f)
+    return a, math.sqrt(e2), e2
+
+
+# ---------------------------------------------------------------------------
+# Meridian arc M(phi) and its inverse (rectifying-latitude series,
+# Snyder 3-21/3-26) — shared by Sinusoidal and Equidistant Cylindrical.
+# ---------------------------------------------------------------------------
+
+def merid_coeffs(e2: float) -> tuple[float, float, float, float]:
+    c0 = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+    c2 = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+    c4 = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+    c6 = 35.0 * e2**3 / 3072.0
+    return c0, c2, c4, c6
+
+
+def merid_arc(phi, a: float, e2: float):
+    c0, c2, c4, c6 = merid_coeffs(e2)
+    return a * (
+        c0 * phi - c2 * np.sin(2 * phi) + c4 * np.sin(4 * phi)
+        - c6 * np.sin(6 * phi)
+    )
+
+
+def inv_merid_coeffs(e2: float) -> tuple[float, float, float, float]:
+    e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+    d2 = 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0
+    d4 = 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0
+    d6 = 151.0 * e1**3 / 96.0
+    d8 = 1097.0 * e1**4 / 512.0
+    return d2, d4, d6, d8
+
+
+def inv_merid_arc(M, a: float, e2: float):
+    c0 = merid_coeffs(e2)[0]
+    d2, d4, d6, d8 = inv_merid_coeffs(e2)
+    mu = np.asarray(M, dtype=np.float64) / (a * c0)
+    return (
+        mu + d2 * np.sin(2 * mu) + d4 * np.sin(4 * mu)
+        + d6 * np.sin(6 * mu) + d8 * np.sin(8 * mu)
+    )
+
+
+def sql_merid_arc(phi: str, a: float, e2: float) -> str:
+    c0, c2, c4, c6 = merid_coeffs(e2)
+    return (
+        f"({_d(a)} * ({_d(c0)} * ({phi}) - {_d(c2)} * sin(2 * ({phi})) + "
+        f"{_d(c4)} * sin(4 * ({phi})) - {_d(c6)} * sin(6 * ({phi}))))"
+    )
+
+
+def sql_inv_merid_arc(M: str, a: float, e2: float) -> str:
+    """-> phi expression (radians); mirrors inv_merid_arc."""
+    c0 = merid_coeffs(e2)[0]
+    d2, d4, d6, d8 = inv_merid_coeffs(e2)
+    mu = f"(({M}) / {_d(a * c0)})"
+    return (
+        f"({mu} + {_d(d2)} * sin(2 * {mu}) + {_d(d4)} * sin(4 * {mu}) + "
+        f"{_d(d6)} * sin(6 * {mu}) + {_d(d8)} * sin(8 * {mu}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Albers Equal-Area Conic 2SP (EPSG 9822 / Snyder 14, ellipsoidal)
+# ---------------------------------------------------------------------------
+
+def _alb_q(sphi, e: float, e2: float):
+    return (1.0 - e2) * (
+        sphi / (1.0 - e2 * sphi * sphi)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sphi) / (1.0 + e * sphi))
+    )
+
+
+def albers_consts(datum: str, lat1: float, lat2: float, lat0: float):
+    """(n, C, rho0) of the cone — folded to plain floats so the SQL
+    twins embed the SAME numpy-computed literals."""
+    a, e, e2 = ell_consts(datum)
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    s1, s2, s0 = math.sin(p1), math.sin(p2), math.sin(p0)
+    m1 = math.cos(p1) / math.sqrt(1.0 - e2 * s1 * s1)
+    m2 = math.cos(p2) / math.sqrt(1.0 - e2 * s2 * s2)
+    q1 = float(_alb_q(np.float64(s1), e, e2))
+    q2 = float(_alb_q(np.float64(s2), e, e2))
+    q0 = float(_alb_q(np.float64(s0), e, e2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def albers_forward(lon, lat, datum: str, lat1: float, lat2: float,
+                   lat0: float, lon0: float, fe: float = 0.0,
+                   fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    n, C, rho0 = albers_consts(datum, lat1, lat2, lat0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    q = _alb_q(np.sin(phi), e, e2)
+    rho = a * np.sqrt(C - n * q) / n  # mirrored in the SQL twin
+    th = n * (lam - math.radians(lon0))
+    return fe + rho * np.sin(th), fn + rho0 - rho * np.cos(th)
+
+
+def albers_inverse(x, y, datum: str, lat1: float, lat2: float,
+                   lat0: float, lon0: float, fe: float = 0.0,
+                   fn: float = 0.0, iters: int = 8):
+    a, e, e2 = ell_consts(datum)
+    n, C, rho0 = albers_consts(datum, lat1, lat2, lat0)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sqrt(xp * xp + yp * yp)
+    th = np.arctan2(xp, yp)
+    if n < 0.0:  # southern cone: rho and theta flip sign (Snyder 14-11)
+        rho = -rho
+        th = np.arctan2(-xp, -yp)
+    q = (C - (rho * n / a) ** 2) / n
+    phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+    for _ in range(iters):
+        s = np.sin(phi)
+        phi = phi + (1.0 - e2 * s * s) ** 2 / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e2)
+            - s / (1.0 - e2 * s * s)
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    return (
+        np.degrees(th / n + math.radians(lon0)),
+        np.degrees(phi),
+    )
+
+
+def sql_albers_forward(lon: str, lat: str, datum: str, lat1: float,
+                       lat2: float, lat0: float, lon0: float,
+                       fe: float = 0.0, fn: float = 0.0
+                       ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    n, C, rho0 = albers_consts(datum, lat1, lat2, lat0)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    q = (
+        f"({_d(1.0 - e2)} * (({s}) / (1.0 - {_d(e2)} * ({s}) * ({s})) - "
+        f"{_d(1.0 / (2.0 * e))} * ln((1.0 - {_d(e)} * ({s})) / "
+        f"(1.0 + {_d(e)} * ({s})))))"
+    )
+    rho = f"({_d(a)} * sqrt({_d(C)} - {_d(n)} * {q}) / {_d(n)})"
+    th = f"({_d(n)} * (radians({lon}) - {_d(math.radians(lon0))}))"
+    return (
+        f"({_d(fe)} + {rho} * sin({th}))",
+        f"({_d(fn + rho0)} - {rho} * cos({th}))",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Polar Stereographic variant B (EPSG 9829 / Snyder 21)
+# ---------------------------------------------------------------------------
+
+def _ps_tc(e: float) -> float:
+    """sqrt((1+e)^(1+e) (1-e)^(1-e)) — the variant-B scale constant."""
+    return math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+
+
+def polar_stereo_consts(datum: str, lat_ts: float) -> float:
+    """k0 implied by the standard parallel (EPSG 9829)."""
+    a, e, e2 = ell_consts(datum)
+    south = lat_ts < 0.0
+    pf = math.radians(abs(lat_ts))
+    sf = math.sin(pf)
+    mf = math.cos(pf) / math.sqrt(1.0 - e2 * sf * sf)
+    tf = math.tan(math.pi / 4.0 - pf / 2.0) * (
+        (1.0 + e * sf) / (1.0 - e * sf)
+    ) ** (e / 2.0)
+    del south
+    return mf * _ps_tc(e) / (2.0 * tf)
+
+
+def polar_stereo_forward(lon, lat, datum: str, lat_ts: float,
+                         lon0: float, fe: float = 0.0, fn: float = 0.0):
+    """North aspect for lat_ts > 0, south aspect for lat_ts < 0."""
+    a, e, e2 = ell_consts(datum)
+    k0 = polar_stereo_consts(datum, lat_ts)
+    south = lat_ts < 0.0
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    if south:
+        phi = -phi  # mirror: compute in the north aspect
+    s = np.sin(phi)
+    # exp(c * ln(x)) staging (not **) so the SQL twin walks the
+    # identical expression tree (same discipline as geo/crs.py LCC)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * np.exp(
+        (e / 2.0) * np.log((1.0 + e * s) / (1.0 - e * s))
+    )
+    rho = 2.0 * a * k0 * t / _ps_tc(e)
+    x = fe + rho * np.sin(lam)
+    y = fn + rho * np.cos(lam) if south else fn - rho * np.cos(lam)
+    return x, y
+
+
+def polar_stereo_inverse(x, y, datum: str, lat_ts: float, lon0: float,
+                         fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    k0 = polar_stereo_consts(datum, lat_ts)
+    south = lat_ts < 0.0
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    rho = np.sqrt(xp * xp + yp * yp)
+    t = rho * _ps_tc(e) / (2.0 * a * k0)  # mirrored in the SQL twin
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)  # north-aspect conformal lat
+    # conformal -> geodetic series (Snyder 3-5)
+    A = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+    B = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    Cc = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    Dd = 4279.0 * e2**4 / 161280.0
+    phi = (
+        chi + A * np.sin(2 * chi) + B * np.sin(4 * chi)
+        + Cc * np.sin(6 * chi) + Dd * np.sin(8 * chi)
+    )
+    if south:
+        lam = np.arctan2(xp, yp)
+        phi = -phi
+    else:
+        lam = np.arctan2(xp, -yp)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_polar_stereo_forward(lon: str, lat: str, datum: str,
+                             lat_ts: float, lon0: float,
+                             fe: float = 0.0, fn: float = 0.0
+                             ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    k0 = polar_stereo_consts(datum, lat_ts)
+    south = lat_ts < 0.0
+    phi = f"(- radians({lat}))" if south else f"radians({lat})"
+    lam = f"(radians({lon}) - {_d(math.radians(lon0))})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0 - ({phi}) / 2.0) * exp({_d(e / 2.0)} * "
+        f"ln((1.0 + {_d(e)} * ({s})) / (1.0 - {_d(e)} * ({s})))))"
+    )
+    rho = f"({_d(2.0 * a * k0)} * {t} / {_d(_ps_tc(e))})"
+    x = f"({_d(fe)} + {rho} * sin({lam}))"
+    if south:
+        y = f"({_d(fn)} + {rho} * cos({lam}))"
+    else:
+        y = f"({_d(fn)} - {rho} * cos({lam}))"
+    return x, y
+
+
+def sql_polar_stereo_inverse(x: str, y: str, datum: str, lat_ts: float,
+                             lon0: float, fe: float = 0.0,
+                             fn: float = 0.0) -> tuple[str, str]:
+    """-> (lon_deg, lat_deg) expressions; mirrors polar_stereo_inverse
+    (closed form — the conformal-latitude series, no iteration)."""
+    a, e, e2 = ell_consts(datum)
+    k0 = polar_stereo_consts(datum, lat_ts)
+    south = lat_ts < 0.0
+    xp = f"(({x}) - {_d(fe)})"
+    yp = f"(({y}) - {_d(fn)})"
+    rho = f"sqrt({xp} * {xp} + {yp} * {yp})"
+    t = f"({rho} * {_d(_ps_tc(e))} / {_d(2.0 * a * k0)})"
+    chi = f"(pi() / 2.0 - 2.0 * atan({t}))"
+    A = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+    B = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    Cc = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    Dd = 4279.0 * e2**4 / 161280.0
+    phi = (
+        f"(({chi}) + {_d(A)} * sin(2 * ({chi})) + {_d(B)} * sin(4 * ({chi}))"
+        f" + {_d(Cc)} * sin(6 * ({chi})) + {_d(Dd)} * sin(8 * ({chi})))"
+    )
+    if south:
+        lam = f"atan2({xp}, {yp})"
+        lat_out = f"(- degrees({phi}))"
+    else:
+        lam = f"atan2({xp}, - ({yp}))"
+        lat_out = f"degrees({phi})"
+    return f"degrees(({lam}) + {_d(math.radians(lon0))})", lat_out
+
+
+# ---------------------------------------------------------------------------
+# Oblique Stereographic (EPSG 9809 — double projection via the
+# conformal sphere; the RD New / Amersfoort method)
+# ---------------------------------------------------------------------------
+
+def oblique_stereo_consts(datum: str, lat0: float, lon0: float):
+    """(R, n, c, chi0, lam0) of the conformal sphere at the origin."""
+    a, e, e2 = ell_consts(datum)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * s0 * s0) ** 1.5
+    nu0 = a / math.sqrt(1.0 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1.0 + e2 * math.cos(p0) ** 4 / (1.0 - e2))
+    S1 = (1.0 + s0) / (1.0 - s0)
+    S2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi00 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + s0) * (1.0 - sin_chi00) / ((n - s0) * (1.0 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    return R, n, c, chi0, math.radians(lon0)
+
+
+def oblique_stereo_forward(lon, lat, datum: str, lat0: float,
+                           lon0: float, k0: float, fe: float = 0.0,
+                           fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    R, n, c, chi0, lam0 = oblique_stereo_consts(datum, lat0, lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    Lml = n * (lam - lam0)  # Lam - lam0 directly (SQL-twin staging)
+    s = np.sin(phi)
+    # exp(n * (ln Sa + e ln Sb)) staging mirrors the SQL twin exactly
+    w = c * np.exp(
+        n * (
+            np.log((1.0 + s) / (1.0 - s))
+            + e * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+    )
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    B = (
+        1.0
+        + np.sin(chi) * math.sin(chi0)
+        + np.cos(chi) * math.cos(chi0) * np.cos(Lml)
+    )
+    x = fe + 2.0 * R * k0 * np.cos(chi) * np.sin(Lml) / B
+    y = fn + 2.0 * R * k0 * (
+        np.sin(chi) * math.cos(chi0)
+        - np.cos(chi) * math.sin(chi0) * np.cos(Lml)
+    ) / B
+    return x, y
+
+
+def oblique_stereo_inverse(x, y, datum: str, lat0: float, lon0: float,
+                           k0: float, fe: float = 0.0, fn: float = 0.0,
+                           iters: int = 8):
+    """EPSG 9809 inverse: conformal sphere back-projection, then the
+    isometric-latitude iteration back to the ellipsoid."""
+    a, e, e2 = ell_consts(datum)
+    R, n, c, chi0, lam0 = oblique_stereo_consts(datum, lat0, lon0)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    g = 2.0 * R * k0 * math.tan(math.pi / 4.0 - chi0 / 2.0)
+    hh = 4.0 * R * k0 * math.tan(chi0) + g
+    i = np.arctan2(xp, hh + yp)
+    j = np.arctan2(xp, g - yp) - i
+    chi = chi0 + 2.0 * np.arctan((yp - xp * np.tan(j / 2.0)) / (2.0 * R * k0))
+    Lam = j + 2.0 * i + lam0
+    lam = (Lam - lam0) / n + lam0
+    # isometric latitude on the sphere -> ellipsoid iteration
+    psi = 0.5 * np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    for _ in range(iters):
+        s = np.sin(phi)
+        psi_i = np.log(
+            np.tan(phi / 2.0 + np.pi / 4.0)
+            * ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+        )
+        nu = a / np.sqrt(1.0 - e2 * s * s)
+        rho = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * s * s) / (1.0 - e2)
+        del nu, rho
+    return np.degrees(lam), np.degrees(phi)
+
+
+def sql_oblique_stereo_forward(lon: str, lat: str, datum: str,
+                               lat0: float, lon0: float, k0: float,
+                               fe: float = 0.0, fn: float = 0.0
+                               ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    R, n, c, chi0, lam0 = oblique_stereo_consts(datum, lat0, lon0)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    Lml = f"({_d(n)} * (radians({lon}) - {_d(lam0)}))"  # Lam - lam0
+    w = (
+        f"({_d(c)} * exp({_d(n)} * (ln((1.0 + ({s})) / (1.0 - ({s}))) + "
+        f"{_d(e)} * ln((1.0 - {_d(e)} * ({s})) / (1.0 + {_d(e)} * ({s}))))))"
+    )
+    chi = f"asin((({w}) - 1.0) / (({w}) + 1.0))"
+    B = (
+        f"(1.0 + sin({chi}) * {_d(math.sin(chi0))} + cos({chi}) * "
+        f"{_d(math.cos(chi0))} * cos({Lml}))"
+    )
+    x = f"({_d(fe)} + {_d(2.0 * R * k0)} * cos({chi}) * sin({Lml}) / ({B}))"
+    y = (
+        f"({_d(fn)} + {_d(2.0 * R * k0)} * (sin({chi}) * "
+        f"{_d(math.cos(chi0))} - cos({chi}) * {_d(math.sin(chi0))} * "
+        f"cos({Lml})) / ({B}))"
+    )
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# Sinusoidal (Snyder 30, ellipsoidal) and Equidistant Cylindrical
+# (EPSG 1028)
+# ---------------------------------------------------------------------------
+
+def sinusoidal_forward(lon, lat, datum: str, lon0: float = 0.0,
+                       fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    s = np.sin(phi)
+    x = fe + a * lam * np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+    y = fn + merid_arc(phi, a, e2)
+    return x, y
+
+
+def sinusoidal_inverse(x, y, datum: str, lon0: float = 0.0,
+                       fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    phi = inv_merid_arc(np.asarray(y, dtype=np.float64) - fn, a, e2)
+    s = np.sin(phi)
+    lam = (np.asarray(x, dtype=np.float64) - fe) * np.sqrt(
+        1.0 - e2 * s * s
+    ) / (a * np.cos(phi))
+    return np.degrees(lam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_sinusoidal_forward(lon: str, lat: str, datum: str,
+                           lon0: float = 0.0, fe: float = 0.0,
+                           fn: float = 0.0) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    lam = f"(radians({lon}) - {_d(math.radians(lon0))})"
+    x = (
+        f"({_d(fe)} + {_d(a)} * ({lam}) * cos({phi}) / "
+        f"sqrt(1.0 - {_d(e2)} * ({s}) * ({s})))"
+    )
+    y = f"({_d(fn)} + {sql_merid_arc(phi, a, e2)})"
+    return x, y
+
+
+def sql_sinusoidal_inverse(x: str, y: str, datum: str,
+                           lon0: float = 0.0, fe: float = 0.0,
+                           fn: float = 0.0) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    phi = sql_inv_merid_arc(f"(({y}) - {_d(fn)})", a, e2)
+    s = f"sin({phi})"
+    lam = (
+        f"((({x}) - {_d(fe)}) * sqrt(1.0 - {_d(e2)} * ({s}) * ({s})) / "
+        f"({_d(a)} * cos({phi})))"
+    )
+    return f"degrees(({lam}) + {_d(math.radians(lon0))})", f"degrees({phi})"
+
+
+def eqc_forward(lon, lat, datum: str, lat1: float = 0.0,
+                lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    p1 = math.radians(lat1)
+    s1 = math.sin(p1)
+    nu1c = a * math.cos(p1) / math.sqrt(1.0 - e2 * s1 * s1)
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return fe + nu1c * lam, fn + merid_arc(phi, a, e2)
+
+
+def eqc_inverse(x, y, datum: str, lat1: float = 0.0, lon0: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    p1 = math.radians(lat1)
+    s1 = math.sin(p1)
+    nu1c = a * math.cos(p1) / math.sqrt(1.0 - e2 * s1 * s1)
+    lam = (np.asarray(x, dtype=np.float64) - fe) / nu1c
+    phi = inv_merid_arc(np.asarray(y, dtype=np.float64) - fn, a, e2)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_eqc_forward(lon: str, lat: str, datum: str, lat1: float = 0.0,
+                    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0
+                    ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    p1 = math.radians(lat1)
+    s1 = math.sin(p1)
+    nu1c = a * math.cos(p1) / math.sqrt(1.0 - e2 * s1 * s1)
+    x = f"({_d(fe)} + {_d(nu1c)} * (radians({lon}) - {_d(math.radians(lon0))}))"
+    y = f"({_d(fn)} + {sql_merid_arc(f'radians({lat})', a, e2)})"
+    return x, y
+
+
+def sql_eqc_inverse(x: str, y: str, datum: str, lat1: float = 0.0,
+                    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0
+                    ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    p1 = math.radians(lat1)
+    s1 = math.sin(p1)
+    nu1c = a * math.cos(p1) / math.sqrt(1.0 - e2 * s1 * s1)
+    lam = f"((({x}) - {_d(fe)}) / {_d(nu1c)})"
+    phi = sql_inv_merid_arc(f"(({y}) - {_d(fn)})", a, e2)
+    return f"degrees(({lam}) + {_d(math.radians(lon0))})", f"degrees({phi})"
+
+
+# ---------------------------------------------------------------------------
+# EPSG parameter registry + reproject dispatch
+# (the engine's stand-in for PROJ's database-driven pipeline
+# selection, ogr/ogrct.cpp:1091)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class CrsDef:
+    method: str
+    datum: str
+    params: dict = field(default_factory=dict)
+
+
+def _utm_def(zone: int, south: bool) -> CrsDef:
+    return CrsDef("utm", "WGS84", {"zone": zone, "south": south})
+
+
+REGISTRY: dict[int | str, CrsDef] = {
+    4326: CrsDef("geographic", "WGS84"),
+    4269: CrsDef("geographic", "NAD83"),
+    4277: CrsDef("geographic", "OSGB36"),
+    4289: CrsDef("geographic", "AMERSFOORT"),
+    3857: CrsDef("webmerc", "WGS84"),
+    # NAD83 / Conus Albers
+    5070: CrsDef("albers", "NAD83", dict(
+        lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0, fe=0.0, fn=0.0)),
+    # WGS 84 / Antarctic Polar Stereographic
+    3031: CrsDef("polar_stereo", "WGS84", dict(
+        lat_ts=-71.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    3413: CrsDef("polar_stereo", "WGS84", dict(
+        lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0)),
+    # Amersfoort / RD New (oblique stereographic, Bessel)
+    28992: CrsDef("oblique_stereo", "AMERSFOORT", dict(
+        lat0=52.15616055555555, lon0=5.38763888888889,
+        k0=0.9999079, fe=155000.0, fn=463000.0)),
+    # WGS 84 / World Equidistant Cylindrical (EPSG 1028)
+    4087: CrsDef("eqc", "WGS84", dict(lat1=0.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # World Sinusoidal (ESRI:54008; no EPSG twin)
+    "ESRI:54008": CrsDef("sinusoidal", "WGS84", dict(
+        lon0=0.0, fe=0.0, fn=0.0)),
+}
+# WGS84 UTM zones 326xx (N) / 327xx (S)
+for _z in range(1, 61):
+    REGISTRY[32600 + _z] = _utm_def(_z, south=False)
+    REGISTRY[32700 + _z] = _utm_def(_z, south=True)
+
+
+def crs_datum(code: int | str) -> str:
+    return REGISTRY[code].datum
+
+
+def forward(code: int | str, lon, lat):
+    """lon/lat degrees (on the CRS's own datum) -> projected x, y."""
+    d = REGISTRY[code]
+    p = d.params
+    if d.method == "geographic":
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if d.method == "webmerc":
+        R = 6378137.0
+        return (
+            R * np.radians(np.asarray(lon, dtype=np.float64)),
+            R * np.log(np.tan(np.pi / 4.0 + np.radians(
+                np.asarray(lat, dtype=np.float64)) / 2.0)),
+        )
+    if d.method == "utm":
+        from gdal_spark.geo import crs as _crs
+
+        x, y = _crs.utm_forward(lon, lat, p["zone"])
+        if p["south"]:
+            y = y + _crs.FALSE_NORTHING_SOUTH
+        return x, y
+    if d.method == "albers":
+        return albers_forward(lon, lat, d.datum, **p)
+    if d.method == "polar_stereo":
+        return polar_stereo_forward(lon, lat, d.datum, **p)
+    if d.method == "oblique_stereo":
+        return oblique_stereo_forward(lon, lat, d.datum, **p)
+    if d.method == "sinusoidal":
+        return sinusoidal_forward(lon, lat, d.datum, **p)
+    if d.method == "eqc":
+        return eqc_forward(lon, lat, d.datum, **p)
+    raise KeyError(f"unsupported method {d.method!r}")
+
+
+def inverse(code: int | str, x, y):
+    """projected x, y -> lon/lat degrees on the CRS's own datum."""
+    d = REGISTRY[code]
+    p = d.params
+    if d.method == "geographic":
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if d.method == "webmerc":
+        R = 6378137.0
+        return (
+            np.degrees(np.asarray(x, dtype=np.float64) / R),
+            np.degrees(2.0 * np.arctan(np.exp(
+                np.asarray(y, dtype=np.float64) / R)) - np.pi / 2.0),
+        )
+    if d.method == "utm":
+        from gdal_spark.geo import crs as _crs
+
+        return _crs.utm_inverse(x, y, p["zone"], northern=not p["south"])
+    if d.method == "albers":
+        return albers_inverse(x, y, d.datum, **p)
+    if d.method == "polar_stereo":
+        return polar_stereo_inverse(x, y, d.datum, **p)
+    if d.method == "oblique_stereo":
+        return oblique_stereo_inverse(x, y, d.datum, **p)
+    if d.method == "sinusoidal":
+        return sinusoidal_inverse(x, y, d.datum, **p)
+    if d.method == "eqc":
+        return eqc_inverse(x, y, d.datum, **p)
+    raise KeyError(f"unsupported method {d.method!r}")
+
+
+def reproject(x, y, src: int | str, dst: int | str):
+    """Any supported pair: inverse(src) -> Helmert datum crossing
+    (through WGS84, gdal_spark.geo.datum) -> forward(dst)."""
+    lon, lat = inverse(src, x, y)
+    sd, dd = crs_datum(src), crs_datum(dst)
+    if sd != dd:
+        lon, lat, _h = datum_shift(lon, lat, sd, dd)
+    return forward(dst, lon, lat)
+
+
+def sql_forward(code: int | str, lon: str, lat: str) -> tuple[str, str]:
+    """DuckDB SQL twins of forward() (oracle side)."""
+    d = REGISTRY[code]
+    p = d.params
+    if d.method == "albers":
+        return sql_albers_forward(lon, lat, d.datum, **p)
+    if d.method == "polar_stereo":
+        return sql_polar_stereo_forward(lon, lat, d.datum, **p)
+    if d.method == "oblique_stereo":
+        return sql_oblique_stereo_forward(lon, lat, d.datum, **p)
+    if d.method == "sinusoidal":
+        return sql_sinusoidal_forward(lon, lat, d.datum, **p)
+    if d.method == "eqc":
+        return sql_eqc_forward(lon, lat, d.datum, **p)
+    raise KeyError(f"no SQL twin for method {d.method!r}")
+
+
+def sql_inverse(code: int | str, x: str, y: str) -> tuple[str, str]:
+    """DuckDB SQL twins of inverse() for the closed-form inverses
+    (polar stereographic, sinusoidal, equidistant cylindrical)."""
+    d = REGISTRY[code]
+    p = d.params
+    if d.method == "polar_stereo":
+        return sql_polar_stereo_inverse(x, y, d.datum, **p)
+    if d.method == "sinusoidal":
+        return sql_sinusoidal_inverse(x, y, d.datum, **p)
+    if d.method == "eqc":
+        return sql_eqc_inverse(x, y, d.datum, **p)
+    raise KeyError(f"no closed-form SQL inverse for {d.method!r}")

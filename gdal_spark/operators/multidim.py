@@ -295,8 +295,10 @@ def resample_decimate(
     lead = [n for n, _ in md.dims[:-2]]
     (yname, ysize), (xname, xsize) = md.dims[-2], md.dims[-1]
     oy, ox = (ysize + fy - 1) // fy, (xsize + fx - 1) // fx
-    df = md.df.withColumn("_by", (F.col(yname) / F.lit(fy)).cast("long"))
-    df = df.withColumn("_bx", (F.col(xname) / F.lit(fx)).cast("long"))
+    # integer floor-div on the long index (float division is exact
+    # only below 2^53 — wrong bins for hypercube indices beyond that)
+    df = md.df.withColumn("_by", F.expr(f"{yname} div {fy}"))
+    df = df.withColumn("_bx", F.expr(f"{xname} div {fx}"))
     v = F.col(md.value_col)
     if alg == "average":
         agg = F.avg(v)

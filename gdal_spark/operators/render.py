@@ -366,6 +366,157 @@ def render_tiles_utm(
     )
 
 
+# ---------------------------------------------------------------------------
+# Generalized reprojection warp through the projection-zoo registry
+# (gdal_spark/geo/projzoo.py): same GenImgProj lifecycle as
+# render_tiles_utm but with the source CRS dispatched by EPSG code —
+# the engine's counterpart of gdalwarp accepting any -s_srs the CRS
+# registry supports (alg/gdaltransformer.cpp:2187 chain).
+# ---------------------------------------------------------------------------
+
+# synthetic per-CRS georeference rules (top-left anchored; the polar
+# window is an annulus away from the pole so footprints stay inside
+# Web Mercator's |lat| <= 85 domain)
+PROJ_RENDER = {
+    5070: dict(res=100.0, x0=-1800000.0, xstep=3000.0,
+               y0=2800000.0, ystep=-2000.0),
+    3031: dict(res=200.0, x0=1000000.0, xstep=2000.0,
+               y0=-1000000.0, ystep=-2000.0),
+}
+
+
+def proj_image_geo(ids_df: DataFrame, code: int, id_col: str = "i") -> DataFrame:
+    """Synthetic sources georeferenced in the given projected CRS:
+    deterministic top-left (e0, n0) from the row id — SQL-expressible
+    so the full warp has a value-level oracle."""
+    p = PROJ_RENDER[code]
+    i = F.col(id_col).cast("long")
+    df = georef.with_image_geo(ids_df, id_col).select(id_col, "w", "h")
+    return (
+        df.withColumn(
+            "e0", F.lit(p["x0"]) + (i % 997).cast("double") * F.lit(p["xstep"])
+        ).withColumn(
+            "n0", F.lit(p["y0"]) + ((i * 7) % 1009).cast("double") * F.lit(p["ystep"])
+        )
+    )
+
+
+def render_tiles_proj(
+    images: DataFrame, z: int, code: int, with_data: bool = False
+) -> DataFrame:
+    """Full reprojection warp: registry-CRS sources -> WebMercator
+    tiles.  Mirrors render_tiles_utm's three steps (21-point suggested
+    output, covering-tile explode, per-tile dst->src pixel chain) with
+    projzoo.forward/inverse as the transformer pair."""
+    res = PROJ_RENDER[code]["res"]
+    res_z = tm.resolution(z)
+    bbox_schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("w", T.IntegerType()),
+            T.StructField("h", T.IntegerType()),
+            T.StructField("e0", T.DoubleType()),
+            T.StructField("n0", T.DoubleType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+
+    def suggest(batches):
+        from gdal_spark.geo import projzoo as pz
+
+        ts = np.linspace(0.0, 1.0, 21)
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
+                e0, n0 = float(row["e0"]), float(row["n0"])
+                ew, nh = w * res, h * res
+                es, ns = [], []
+                for (ea, na), (eb, nb) in (
+                    ((e0, n0), (e0 + ew, n0)),
+                    ((e0 + ew, n0), (e0 + ew, n0 - nh)),
+                    ((e0 + ew, n0 - nh), (e0, n0 - nh)),
+                    ((e0, n0 - nh), (e0, n0)),
+                ):
+                    es.append(ea + ts * (eb - ea))
+                    ns.append(na + ts * (nb - na))
+                lon, lat = pz.inverse(code, np.concatenate(es), np.concatenate(ns))
+                mx = tm.EARTH_RADIUS * np.radians(lon)
+                my = tm.EARTH_RADIUS * np.log(
+                    np.tan(np.pi / 4 + np.radians(lat) / 2)
+                )
+                recs.append(
+                    {
+                        "i": i, "w": w, "h": h, "e0": e0, "n0": n0,
+                        "xmin": float(mx.min()), "ymin": float(my.min()),
+                        "xmax": float(mx.max()), "ymax": float(my.max()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in bbox_schema])
+
+    boxed = images.select("i", "w", "h", "e0", "n0").mapInPandas(
+        suggest, bbox_schema
+    )
+    fields = [
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("checksum", T.IntegerType()),
+        T.StructField("n_px", T.LongType()),
+    ]
+    if with_data:
+        fields.append(T.StructField("data", T.BinaryType()))
+    schema = T.StructType(fields)
+
+    def composite(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        from gdal_spark.geo import projzoo as pz
+        from gdal_spark.raster.checksum import gdal_checksum as cks
+
+        tx, ty = int(key[0]), int(key[1])
+        buf = np.zeros((TILE, TILE, BANDS), dtype=np.uint8)
+        covered = np.zeros((TILE, TILE), dtype=bool)
+        px = np.arange(TILE, dtype=np.float64)
+        wx = -tm.ORIGIN + (tx * TILE + px + 0.5) * res_z
+        wy = tm.ORIGIN - (ty * TILE + px + 0.5) * res_z
+        lon = np.degrees(wx / tm.EARTH_RADIUS)
+        lat = np.degrees(
+            2 * np.arctan(np.exp(wy / tm.EARTH_RADIUS)) - np.pi / 2
+        )
+        LON = np.broadcast_to(lon[None, :], (TILE, TILE))
+        LAT = np.broadcast_to(lat[:, None], (TILE, TILE))
+        E, N = pz.forward(code, LON, LAT)
+        for _, row in pdf.sort_values("i").iterrows():
+            i, w, h = int(row["i"]), int(row["w"]), int(row["h"])
+            sx = np.floor((E - float(row["e0"])) / res).astype(np.int64)
+            sy = np.floor((float(row["n0"]) - N) / res).astype(np.int64)
+            mask = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+            base = (sx + sy + i) % 256
+            for b, phase in enumerate((0, 85, 170)):
+                buf[:, :, b][mask] = ((base[mask] + phase) % 256).astype(np.uint8)
+            covered |= mask
+        n_px = int(covered.sum())
+        recs = []
+        for b in range(BANDS):
+            rec = {
+                "tile_x": tx, "tile_y": ty, "band": b,
+                "checksum": cks(buf[:, :, b]), "n_px": n_px,
+            }
+            if with_data:
+                rec["data"] = buf[:, :, b].tobytes()
+            recs.append(rec)
+        return pd.DataFrame(recs)
+
+    return (
+        covering_tiles(boxed, z)
+        .select("tile_x", "tile_y", "i", "w", "h", "e0", "n0")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(composite, schema)
+    )
+
+
 def encode_tiles(
     tiles: DataFrame,
     z: int,

@@ -95,9 +95,10 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     w = h = bits = None
     scale, rate = 1, 25
     frames: list[bytes] = []
+    last_strh = None  # fccType of the most recent strh seen
 
     def walk(off: int, end: int) -> None:
-        nonlocal w, h, bits, scale, rate
+        nonlocal w, h, bits, scale, rate, last_strh
         while off + 8 <= end:
             cid, sz = struct.unpack_from("<4sI", data, off)
             off += 8
@@ -107,11 +108,15 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                 fcc_type, _h, _f, _p, _l, _init, sc, rt = (
                     struct.unpack_from("<4s4sIHHIII", data, off)
                 )
+                last_strh = fcc_type
                 # only the VIDEO stream header sets the frame rate —
                 # a later audio strh must not clobber it
                 if fcc_type == b"vids":
                     scale, rate = sc, rt
-            elif cid == b"strf" and w is None:
+            elif cid == b"strf" and w is None and last_strh == b"vids":
+                # only the strf that FOLLOWS the vids strh is a
+                # BITMAPINFOHEADER — an audio strl's strf is a
+                # WAVEFORMATEX and must not bind w/h/bits
                 _bsz, w, h, _planes, bits = struct.unpack_from(
                     "<IiiHH", data, off
                 )

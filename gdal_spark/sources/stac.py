@@ -91,7 +91,10 @@ def write_stac_pages(features: DataFrame, out_dir: str) -> None:
     any Spark file sink)."""
     os.makedirs(out_dir, exist_ok=True)
     # scalar metadata action (page count), never a layer collect
-    n_pages = features.agg(F.max("page")).first()[0] + 1
+    mp = features.agg(F.max("page")).first()[0]
+    if mp is None:  # empty feature set: write no pages
+        return
+    n_pages = mp + 1
 
     def write_partition(rows) -> None:
         by_page: dict[int, list] = {}

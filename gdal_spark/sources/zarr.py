@@ -85,7 +85,9 @@ def write_zarr(
     np_dtype = _DTYPES[dtype][1]  # must not capture md (df/SparkContext)
     df = md.df
     ckey = [
-        (F.col(d) / c).cast("long").alias(f"_c{i}")
+        # integer floor-div keeps chunk keys exact at any index
+        # magnitude (float division drifts past 2^53)
+        F.expr(f"{d} div {int(c)}").alias(f"_c{i}")
         for i, (d, c) in enumerate(zip(dims, chunks))
     ]
     keyed = df.select(*ckey, *dims, value_col)

@@ -1,0 +1,165 @@
+"""Projection zoo (gdal_spark/geo/projzoo.py): published worked
+examples (Snyder 1987; EPSG Guidance Note 7-2), forward/inverse
+roundtrips, SQL-twin agreement, and registry dispatch.
+
+Reference conformance surface: /root/reference/autotest/osr/osr_ct.py
+(the reference itself delegates to PROJ, ogr/ogrct.cpp:1018)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+
+from gdal_spark.geo import projzoo as pz
+
+
+def test_albers_snyder_worked_example():
+    # Snyder p.292 (ellipsoidal Albers, Clarke 1866): lat1=29.5,
+    # lat2=45.5, lat0=23, lon0=-96; (35N, 75W) -> 1885472.7, 1535925.0
+    x, y = pz.albers_forward(-75.0, 35.0, "NAD27", 29.5, 45.5, 23.0, -96.0)
+    assert abs(x - 1885472.7) < 0.1
+    assert abs(y - 1535925.0) < 0.1
+
+
+def test_polar_stereo_epsg_worked_example():
+    # EPSG GN7-2 Polar Stereographic variant B example (EPSG:3032
+    # parameters): latF=-71, lon0=70E, FE=FN=6000000;
+    # (75S, 120E) -> E 7255380.79, N 7053389.56
+    x, y = pz.polar_stereo_forward(
+        120.0, -75.0, "WGS84", -71.0, 70.0, 6000000.0, 6000000.0
+    )
+    assert abs(x - 7255380.79) < 0.02
+    assert abs(y - 7053389.56) < 0.02
+
+
+def test_oblique_stereo_epsg_worked_example():
+    # EPSG GN7-2 Oblique Stereographic example (Amersfoort / RD New):
+    # (53N, 6E) -> E 196105.283, N 557057.739
+    d = pz.REGISTRY[28992]
+    x, y = pz.oblique_stereo_forward(6.0, 53.0, d.datum, **d.params)
+    assert abs(x - 196105.283) < 0.002
+    assert abs(y - 557057.739) < 0.002
+
+
+def test_sinusoidal_snyder_worked_example():
+    # Snyder p.365 (ellipsoidal sinusoidal, Clarke 1866): lon0=-90;
+    # (50S, 75W) -> x 1075471.5, y -5540628.0
+    x, y = pz.sinusoidal_forward(-75.0, -50.0, "NAD27", lon0=-90.0)
+    assert abs(x - 1075471.5) < 0.1
+    assert abs(y - (-5540628.0)) < 0.1
+
+
+def test_quarter_meridian():
+    # WGS84 quarter meridian = 10001965.7293 m (well-known constant)
+    a, _e, e2 = pz.ell_consts("WGS84")
+    assert abs(pz.merid_arc(np.pi / 2.0, a, e2) - 10001965.7293) < 1e-3
+
+
+def test_eqc_epsg_worked_example():
+    # EPSG method 1028: WGS84, lat1=0, lon0=0; (55N, 10E) ->
+    # E 1113194.91, N 6097230.31
+    x, y = pz.eqc_forward(10.0, 55.0, "WGS84")
+    assert abs(x - 1113194.91) < 0.02
+    assert abs(y - 6097230.31) < 0.02
+
+
+@pytest.mark.parametrize(
+    "code,lon,lat",
+    [
+        (5070, -100.0, 40.0),
+        (3031, 45.0, -70.0),
+        (3413, -100.0, 75.0),
+        (28992, 5.5, 52.0),
+        ("ESRI:54008", 123.0, -33.0),
+        (4087, -77.0, 12.0),
+        (32631, 3.0, 48.0),
+        (32733, 15.0, -20.0),
+    ],
+)
+def test_forward_inverse_roundtrip(code, lon, lat):
+    x, y = pz.forward(code, lon, lat)
+    lon2, lat2 = pz.inverse(code, x, y)
+    assert abs(lon2 - lon) < 1e-8
+    assert abs(lat2 - lat) < 1e-8
+
+
+def test_reproject_crosses_datums():
+    # 4326 -> 28992 must include the Amersfoort Helmert: the naive
+    # no-datum projection differs by tens of meters
+    x, y = pz.reproject(5.38763888888889, 52.15616055555555, 4326, 28992)
+    d = pz.REGISTRY[28992]
+    x0, y0 = pz.oblique_stereo_forward(
+        5.38763888888889, 52.15616055555555, d.datum, **d.params
+    )
+    shift = math.hypot(x - x0, y - y0)
+    assert 10.0 < shift < 200.0
+    # and the chain roundtrips through the inverse + back-shift
+    lon, lat = pz.inverse(28992, np.float64(x), np.float64(y))
+    from gdal_spark.geo.datum import datum_shift
+
+    lon2, lat2, _h = datum_shift(lon, lat, "AMERSFOORT", "WGS84")
+    assert abs(lon2 - 5.38763888888889) < 1e-7
+    assert abs(lat2 - 52.15616055555555) < 1e-7
+
+
+def test_projected_to_projected_chain():
+    x0, y0 = pz.forward(4087, 10.0, 55.0)
+    x1, y1 = pz.reproject(x0, y0, 4087, "ESRI:54008")
+    xs, ys = pz.forward("ESRI:54008", 10.0, 55.0)
+    # inv_merid series truncation only — well under a meter
+    assert abs(x1 - xs) < 0.01
+    assert abs(y1 - ys) < 0.01
+
+
+@pytest.mark.parametrize(
+    "code,lon,lat",
+    [
+        (5070, -75.0, 35.0),
+        (3031, 120.0, -75.0),
+        (3413, -45.0, 80.0),
+        (28992, 6.0, 53.0),
+        ("ESRI:54008", -75.0, -50.0),
+        (4087, 10.0, 55.0),
+    ],
+)
+def test_sql_forward_twin_agrees(code, lon, lat):
+    xs, ys = pz.sql_forward(code, repr(lon), repr(lat))
+    dx, dy = duckdb.sql(f"SELECT {xs}, {ys}").fetchone()
+    nx, ny = pz.forward(code, lon, lat)
+    assert abs(dx - float(nx)) < 1e-6
+    assert abs(dy - float(ny)) < 1e-6
+
+
+@pytest.mark.parametrize("code", [3031, 3413, 4087, "ESRI:54008"])
+def test_sql_inverse_twin_agrees(code):
+    x, y = pz.forward(code, 20.0, -70.0 if code == 3031 else 70.0)
+    xs, ys = pz.sql_inverse(code, repr(float(x)), repr(float(y)))
+    dlon, dlat = duckdb.sql(f"SELECT {xs}, {ys}").fetchone()
+    nlon, nlat = pz.inverse(code, float(x), float(y))
+    assert abs(dlon - float(nlon)) < 1e-9
+    assert abs(dlat - float(nlat)) < 1e-9
+
+
+def test_albers_equal_area_property():
+    # a 1-degree quad at two very different latitudes maps to (nearly)
+    # identical ellipsoidal areas — the defining property of 9822
+    def quad_area(lat):
+        lons = np.array([-100.0, -99.0, -99.0, -100.0])
+        lats = np.array([lat, lat, lat + 1.0, lat + 1.0])
+        x, y = pz.forward(5070, lons, lats)
+        return 0.5 * abs(
+            np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        )
+
+    # planar quad areas approximate the ellipsoidal ones to ~1e-4;
+    # compare against the cos(lat) scaling a non-equal-area map has
+    a30, a45 = quad_area(30.0), quad_area(45.0)
+    ratio = a45 / a30
+    expected = math.cos(math.radians(45.5)) / math.cos(math.radians(30.5))
+    assert abs(ratio - expected) < 0.01
+
+
+def test_unknown_code_raises():
+    with pytest.raises(KeyError):
+        pz.forward(999999, 0.0, 0.0)
