@@ -583,6 +583,113 @@ def q_ntv2_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# geolocation fixture: 33x33 node grid bound to a 256x256 pixel space
+# (PIXEL_STEP = LINE_STEP = 8); node values from a bilinear-exact
+# closed form shared by the numpy arrays and the DuckDB twin
+GEOLOC_N = 33
+GEOLOC_STEP = 8.0
+
+
+def _geoloc_arrays():
+    import numpy as np
+
+    from gdal_spark.geo.geoloc import GeolocArrays
+
+    gj, gi = np.meshgrid(
+        np.arange(GEOLOC_N, dtype=np.float64),
+        np.arange(GEOLOC_N, dtype=np.float64),
+        indexing="ij",
+    )
+    lon = -120.0 + 0.01 * gi + 0.002 * gj + 0.0001 * gi * gj
+    lat = 30.0 + 0.008 * gj + 0.001 * gi - 0.00005 * gi * gj
+    return GeolocArrays(lon, lat, 0.0, 0.0, GEOLOC_STEP, GEOLOC_STEP)
+
+
+def q_geoloc_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geolocation-array transformer (alg/gdalgeoloc.cpp
+    GDALCreateGeoLocTransformer; autotest/alg/transformgeoloc.py):
+    LCG probe pixels bilinear-sample the GEOLOC_LON/LAT node arrays
+    through PIXEL_STEP/LINE_STEP binding.  The DuckDB twin re-derives
+    the four node values from the closed form and walks the identical
+    weight-sum expression tree.  The backmap INVERSE
+    (GenerateBackMap) is approximate by construction and is pinned by
+    pytest roundtrip bounds (tests/test_geoloc.py) instead."""
+    from gdal_spark.geo.geoloc import apply_geoloc
+
+    g = _geoloc_arrays()
+    i = F.col("c_custkey").cast("long")
+    u1 = georef.lcg_next(i + F.lit(777))
+    u2 = georef.lcg_next(u1)
+    m = float(georef.LCG_M)
+    pts = _read(spark, sf_dir, "customer").select(
+        i.alias("i"),
+        (F.lit(256.0) * u1 / F.lit(m)).alias("px"),
+        (F.lit(256.0) * u2 / F.lit(m)).alias("ln"),
+    )
+    out = apply_geoloc(pts, g)
+    return out.select(
+        "i",
+        F.floor(F.col("lon") * 1e9).cast("long").alias("lon_e9"),
+        F.floor(F.col("lat") * 1e9).cast("long").alias("lat_e9"),
+    )
+
+
+def _o_geoloc_transform() -> str:
+    from gdal_spark.fixtures.georef import LCG_M, sql_lcg
+
+    d = tm.sql_double
+    u1, u2 = sql_lcg(f"(cast(c_custkey as bigint) + 777)")
+    step = d(GEOLOC_STEP)
+
+    def node(which: str, gi: str, gj: str) -> str:
+        if which == "lon":
+            return (
+                f"({d(-120.0)} + {d(0.01)} * {gi} + {d(0.002)} * {gj} "
+                f"+ {d(0.0001)} * {gi} * {gj})"
+            )
+        return (
+            f"({d(30.0)} + {d(0.008)} * {gj} + {d(0.001)} * {gi} "
+            f"- {d(0.00005)} * {gi} * {gj})"
+        )
+
+    def bilin(which: str) -> str:
+        n00 = node(which, "i0d", "j0d")
+        n10 = node(which, "(i0d + 1.0)", "j0d")
+        n01 = node(which, "i0d", "(j0d + 1.0)")
+        n11 = node(which, "(i0d + 1.0)", "(j0d + 1.0)")
+        return (
+            f"({n00} * (1.0 - fx) * (1.0 - fy) + {n10} * fx * (1.0 - fy) "
+            f"+ {n01} * (1.0 - fx) * fy + {n11} * fx * fy)"
+        )
+
+    nmax = GEOLOC_N - 2
+    return f"""
+WITH pts AS (
+  SELECT cast(c_custkey as bigint) AS i,
+    ({d(256.0)} * {u1} / {d(float(LCG_M))}) AS px,
+    ({d(256.0)} * {u2} / {d(float(LCG_M))}) AS ln
+  FROM customer
+),
+grid AS (
+  SELECT i, (px - 0.0) / {step} AS gx, (ln - 0.0) / {step} AS gy
+  FROM pts
+),
+cell AS (
+  SELECT i, gx, gy,
+    least(greatest(floor(gx), 0.0), {nmax}.0) AS i0d,
+    least(greatest(floor(gy), 0.0), {nmax}.0) AS j0d
+  FROM grid
+),
+frac AS (
+  SELECT i, i0d, j0d, gx - i0d AS fx, gy - j0d AS fy FROM cell
+)
+SELECT i,
+  cast(floor({bilin('lon')} * 1e9) as bigint) AS lon_e9,
+  cast(floor({bilin('lat')} * 1e9) as bigint) AS lat_e9
+FROM frac
+"""
+
+
 def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = _images_geo(spark, sf_dir)
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
@@ -2075,6 +2182,32 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _artifact_path(f"zarr_{os.path.basename(sf_dir)}")
     write_zarr(md, out_dir, chunks=(4, 5, 5), dtype="<i4", fill_value=255)
     back = read_zarr(spark, out_dir)
+    st = mdim.statistics(back, by=["t"])
+    return st.select(
+        F.col("t").cast("long"),
+        F.col("vmin").cast("int"),
+        F.col("vmax").cast("int"),
+        F.col("vsum").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
+def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF classic CDF-2 chunked IO (frmts/netcdf/netcdfdataset.cpp
+    classic-format handling; multidim semantics
+    autotest/gdrivers/netcdf_multidim.py): the mdim cube streams into
+    one classic file with t as THE record dimension, reads back as a
+    distributed byte-range slab scan, and per-slab statistics must
+    match the cube closed form (record striding bugs would skew every
+    t)."""
+    from gdal_spark.sources.netcdf import NC_INT, read_netcdf, write_netcdf
+
+    md = _mdim_cube(spark, sf_dir)
+    path = _artifact_path(f"cube_{os.path.basename(sf_dir)}.nc")
+    write_netcdf(md, path, var_name="data", nc_type=NC_INT,
+                 version=2, record_dim=True,
+                 atts={"title": "gdal_spark mdim cube"})
+    back = read_netcdf(spark, path)
     st = mdim.statistics(back, by=["t"])
     return st.select(
         F.col("t").cast("long"),
@@ -5660,6 +5793,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reproject_chain": q_reproject_chain,
         "tile_render_albers": q_tile_render_albers,
         "tile_render_polar": q_tile_render_polar,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
+        "geoloc_transform": q_geoloc_transform,
         # -- judge-green but never driver-verified (VERDICT r3 ask #6)
         "tile_render_sortfield": q_tile_render_sortfield,
         "translate_outsize": q_translate_outsize,
@@ -7712,7 +7847,14 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "reproject_chain": _o_reproject_chain(),
         "tile_render_albers": _o_tile_render_proj(5070, ALBERS_Z),
         "tile_render_polar": _o_tile_render_proj(3031, POLAR_Z),
+        "geoloc_transform": _o_geoloc_transform(),
         "zarr_roundtrip": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t, min(value) AS vmin, max(value) AS vmax,
+       cast(sum(value) as bigint) AS vsum, count(*) AS n
+FROM cube GROUP BY t
+""",
+        "netcdf_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
        cast(sum(value) as bigint) AS vsum, count(*) AS n

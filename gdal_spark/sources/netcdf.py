@@ -157,49 +157,63 @@ def write_netcdf(
 
     np_dtype = _NP[nc_type]
     value_col = md.value_col
-    ordered = md.df.select(*names, value_col).orderBy(*names)
-    sizes = shape[1:] if record_dim else shape
-    inner = int(np.prod(sizes)) if sizes else 1
-    # strides of the linear index within one record (or the whole
-    # array when there is no record dim)
+    # one "block" per outermost index: a record's slab when
+    # record_dim, else one row-major slice of the contiguous block.
+    # Packing is DISTRIBUTED (one applyInPandas group per block); the
+    # driver only streams the packed payloads in order — never rows.
+    inner_sizes = shape[1:]
+    inner = int(np.prod(inner_sizes)) if inner_sizes else 1
+    if inner * item % 4 != 0 and record_dim:
+        raise ValueError("record slab must be 4-byte aligned "
+                         "(use NC_INT/NC_FLOAT/NC_DOUBLE)")
     strides = []
     acc = 1
-    for s in reversed(sizes):
+    for s in reversed(inner_sizes):
         strides.append(acc)
         acc *= s
     strides = list(reversed(strides))
+    outer_name = names[0]
+    inner_names = names[1:]
+    fv = fill_value
+    slab_pad = (vsize - inner * item) if record_dim else 0
 
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        buf = np.full(inner, fv, dtype=np_dtype)
+        lin = np.zeros(len(pdf), dtype=np.int64)
+        for n, s in zip(inner_names, strides):
+            lin += pdf[n].to_numpy(np.int64) * s
+        buf[lin] = pdf[value_col].to_numpy()
+        return pd.DataFrame(
+            [{"rec": int(key[0]), "payload": buf.tobytes() + b"\x00" * slab_pad}]
+        )
+
+    packed = (
+        md.df.select(*names, value_col)
+        .groupBy(outer_name)
+        .applyInPandas(pack, "rec long, payload binary")
+        .orderBy("rec")
+    )
+
+    total_blocks = shape[0] if shape else 1
+    fill_blob = (
+        np.full(inner, fv, dtype=np_dtype).tobytes() + b"\x00" * slab_pad
+    )
     tmp = path + f".tmp{os.getpid()}"
     with open(tmp, "wb") as fh:
         fh.write(header)
-        buf = np.full(inner, fill_value, dtype=np_dtype)
-        cur_rec = 0
-        wrote_any = False
-
-        def flush():
-            fh.write(buf.tobytes())
-            fh.write(b"\x00" * (vsize - inner * item))
-
-        # stream row-major-sorted rows; one record buffer in memory
-        for row in ordered.toLocalIterator():
-            idx = [int(row[n]) for n in names]
-            rec = idx[0] if record_dim else 0
-            rest = idx[1:] if record_dim else idx
-            while record_dim and rec > cur_rec:
-                flush()
-                buf.fill(fill_value)
-                cur_rec += 1
-            lin = sum(i * s for i, s in zip(rest, strides))
-            buf[lin] = row[value_col]
-            wrote_any = True
-        total_recs = numrecs if record_dim else 1
-        if wrote_any or total_recs:
-            flush()
-            cur_rec += 1
-        while cur_rec < total_recs:
-            buf.fill(fill_value)
-            flush()
-            cur_rec += 1
+        cur = 0
+        for row in packed.toLocalIterator():
+            rec = int(row["rec"])
+            while cur < rec:  # wholly-missing blocks become fill
+                fh.write(fill_blob)
+                cur += 1
+            fh.write(bytes(row["payload"]))
+            cur += 1
+        while cur < total_blocks:
+            fh.write(fill_blob)
+            cur += 1
+        if not record_dim:
+            fh.write(b"\x00" * (vsize - total_blocks * inner * item))
     os.replace(tmp, path)
 
 
