@@ -324,6 +324,75 @@ def q_gnm_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("node").cast("long"), F.col("dist").cast("long"))
 
 
+KSP_L, KSP_K = 10, 5  # ladder layers / paths requested
+
+
+def _ksp_ladder_edges(spark: SparkSession):
+    """Deterministic 2-wide ladder DAG: S=0 -> L layers of {bottom,
+    top} -> T=2L+1; node(l, b) = 1 + 2l + b.  All 2^L s-t paths are
+    loopless, so K-shortest-paths == the K best walk costs, and the
+    oracle enumerates path bitmasks in closed form."""
+    L = KSP_L
+    rows = []
+    for b in (0, 1):
+        rows.append((0, 1 + b, 1 + (5 * b) % 9))
+    for l in range(1, L):
+        for a in (0, 1):
+            for b in (0, 1):
+                rows.append(
+                    (1 + 2 * (l - 1) + a, 1 + 2 * l + b,
+                     1 + (7 * l + 3 * a + 5 * b) % 9)
+                )
+    for a in (0, 1):
+        rows.append((1 + 2 * (L - 1) + a, 2 * L + 1, 1 + (7 * L + 3 * a) % 9))
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def q_gnm_k_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNM K-shortest paths (gnm/gnmgraph.h:195 KShortestPaths —
+    driver-side Yen in the reference).  The engine's scalable dual is
+    k_shortest_walk_costs (per-node top-K cost lists under full
+    Bellman-Ford re-relaxation; exact loopless KSP on the DAG
+    fixture); the loopless general-graph Yen (yen_k_shortest) is
+    pinned to it and to brute force by tests/test_ksp.py."""
+    from gdal_spark.operators.graph import k_shortest_walk_costs
+
+    edges = _ksp_ladder_edges(spark)
+    srcs = spark.createDataFrame([(0,)], "node long")
+    state = k_shortest_walk_costs(edges, srcs, KSP_K)
+    t = 2 * KSP_L + 1
+    return (
+        state.where(F.col("node") == t)
+        .select(F.posexplode("costs").alias("pos", "cost"))
+        .select(
+            (F.col("pos") + 1).cast("long").alias("k"),
+            F.col("cost").cast("long"),
+        )
+    )
+
+
+def _o_gnm_k_shortest() -> str:
+    L, K = KSP_L, KSP_K
+    return f"""
+WITH masks AS (SELECT m FROM range(0, {1 << L}) t(m)),
+mid AS (
+  SELECT k.m,
+    cast(sum(1 + ((7 * l.l + 3 * ((k.m >> (l.l - 1)) & 1)
+                  + 5 * ((k.m >> l.l) & 1)) % 9)) as bigint) AS c
+  FROM masks k, range(1, {L}) l(l)
+  GROUP BY k.m
+),
+costs AS (
+  SELECT k.m,
+    cast((1 + ((5 * ((k.m >> 0) & 1)) % 9)) + mid.c
+       + (1 + ((7 * {L} + 3 * ((k.m >> {L - 1}) & 1)) % 9)) as bigint) AS cost
+  FROM masks k JOIN mid ON mid.m = k.m
+)
+SELECT cast(row_number() OVER (ORDER BY cost) as bigint) AS k, cost
+FROM costs ORDER BY cost LIMIT {K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # multidim arrays (GDALMDArray views, gcore/gdalmultidim.cpp)
 # ---------------------------------------------------------------------------
@@ -4406,6 +4475,89 @@ FROM n
 """
 
 
+def q_curve_fit_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear -> curve write-back (OGRGeometry::getCurveGeometry,
+    ogr/ogrgeometry.cpp:3535): linearize the odd-degree fixture arcs,
+    then re-fit — the recovered circle must reproduce the constructed
+    integer center/radius/sweep EXACTLY (floor(x+0.5) both sides).
+    Intermediate stroke vertices may re-sample (no stealth bits —
+    documented in geo/curves.py); the circle parameters cannot."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo import curves
+
+    ids = _zone_ids(spark, sf_dir)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("n_arcs", T2.IntegerType()),
+            T2.StructField("cx_r", T2.LongType()),
+            T2.StructField("cy_r", T2.LongType()),
+            T2.StructField("r_r", T2.LongType()),
+            T2.StructField("sweep_r", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for fid in pdf["fid"]:
+                fid = int(fid)
+                cx, cy = (fid * 7) % 100, (fid * 11) % 100
+                R = 5 + fid % 7
+                a0 = (fid * 13) % 360
+                s1 = 21 + 2 * (fid % 8)
+                s2 = 33 + 2 * ((fid * 3) % 9)
+                angs = (a0, a0 + s1, a0 + s1 + s2)
+                pts = np.array(
+                    [
+                        [cx + R * math.cos(math.radians(a)),
+                         cy + R * math.sin(math.radians(a))]
+                        for a in angs
+                    ]
+                )
+                line = curves.circular_to_points(pts)
+                segs = curves.line_to_curve_segments(line)
+                arcs = [s for s in segs if s[0] == "arc"]
+                fx = fy = fr = fs = -1
+                if len(arcs) == 1:
+                    fcx, fcy, fR, sweep = arcs[0][2]
+                    fx = int(math.floor(fcx + 0.5))
+                    fy = int(math.floor(fcy + 0.5))
+                    fr = int(math.floor(fR + 0.5))
+                    fs = int(math.floor(abs(math.degrees(sweep)) + 0.5))
+                recs.append(
+                    {
+                        "fid": fid, "n_arcs": len(arcs),
+                        "cx_r": fx, "cy_r": fy, "r_r": fr, "sweep_r": fs,
+                    }
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["fid", "n_arcs", "cx_r", "cy_r", "r_r", "sweep_r"],
+            )
+
+    return ids.mapInPandas(run, schema)
+
+
+def _o_curve_fit_back() -> str:
+    return """
+SELECT cast(s_suppkey as bigint) AS fid,
+  cast(1 as int) AS n_arcs,
+  cast((cast(s_suppkey as bigint) * 7) % 100 as bigint) AS cx_r,
+  cast((cast(s_suppkey as bigint) * 11) % 100 as bigint) AS cy_r,
+  cast(5 + cast(s_suppkey as bigint) % 7 as bigint) AS r_r,
+  cast((21 + 2 * (cast(s_suppkey as bigint) % 8))
+     + (33 + 2 * ((cast(s_suppkey as bigint) * 3) % 9)) as bigint) AS sweep_r
+FROM supplier
+"""
+
+
 def q_gcp_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GCP polynomial transformer (alg/gdal_crs.cpp): least-squares
     order-2 pixel->world fit from 12 control points, applied to the
@@ -5795,6 +5947,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_polar": q_tile_render_polar,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "geoloc_transform": q_geoloc_transform,
+        "gnm_k_shortest": q_gnm_k_shortest,
+        "curve_fit_back": q_curve_fit_back,
         # -- judge-green but never driver-verified (VERDICT r3 ask #6)
         "tile_render_sortfield": q_tile_render_sortfield,
         "translate_outsize": q_translate_outsize,
@@ -7848,6 +8002,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "tile_render_albers": _o_tile_render_proj(5070, ALBERS_Z),
         "tile_render_polar": _o_tile_render_proj(3031, POLAR_Z),
         "geoloc_transform": _o_geoloc_transform(),
+        "gnm_k_shortest": _o_gnm_k_shortest(),
+        "curve_fit_back": _o_curve_fit_back(),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

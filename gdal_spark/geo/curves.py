@@ -212,3 +212,108 @@ def wkb_compoundcurve(parts_wkb: list[bytes]) -> bytes:
     return struct.pack("<BII", 1, WKB_COMPOUNDCURVE, len(parts_wkb)) + b"".join(
         parts_wkb
     )
+
+
+# ---------------------------------------------------------------------------
+# linear -> curve write-back (OGRGeometry::getCurveGeometry,
+# ogr/ogrgeometry.cpp:3535 -> OGRGeometryFactory::curveFromLineString):
+# detect maximal vertex runs on a common circle and re-fit them as
+# CircularString arcs.  The reference's default linearizer hides the
+# through-point angle in low-order coordinate bits ("stealth mode")
+# for bit-exact roundtrips; our linearizer skips that (documented in
+# the module header), so the fit recovers the CIRCLE exactly
+# (center/radius/sweep) while intermediate stroke vertices may
+# re-sample differently — the same behavior the reference has for
+# foreign linearized input.
+# ---------------------------------------------------------------------------
+
+
+def line_to_curve_segments(coords: np.ndarray, eps: float = 1e-6) -> list:
+    """LineString vertices -> [('arc', (p0, pm, p1), (cx, cy, R,
+    sweep_rad)), ('line', [points...])] with maximal arc runs.  An
+    arc needs >= 4 on-circle vertices (the minimum a stroked half-arc
+    produces), monotone angles, consistent turn direction."""
+    n = len(coords)
+    segs: list = []
+    line_run: list = []
+
+    def flush_line():
+        if len(line_run) >= 2:
+            segs.append(("line", [tuple(p) for p in line_run]))
+
+    i = 0
+    while i < n - 1:
+        par = None
+        if i + 2 < n:
+            par = get_curve_parameters(
+                float(coords[i, 0]), float(coords[i, 1]),
+                float(coords[i + 1, 0]), float(coords[i + 1, 1]),
+                float(coords[i + 2, 0]), float(coords[i + 2, 1]),
+            )
+        j = i
+        if par is not None:
+            cx, cy, R, a0, a1, a2 = par
+            sign = 1.0 if a2 > a0 else -1.0
+            j = i + 2
+            a_prev = a2
+            while j + 1 < n:
+                x, y = float(coords[j + 1, 0]), float(coords[j + 1, 1])
+                if abs(math.hypot(x - cx, y - cy) - R) > eps * R:
+                    break
+                a = math.atan2(y - cy, x - cx)
+                # unwrap monotone in the sweep direction
+                while sign * (a - a_prev) < 0.0:
+                    a += sign * 2.0 * math.pi
+                if sign * (a - a_prev) > math.pi:  # direction flip
+                    break
+                a_prev = a
+                j += 1
+        if par is not None and j - i >= 3:
+            flush_line()
+            line_run.clear()
+            mid = i + (j - i) // 2
+            # re-derive the sweep from the accepted run endpoints
+            a_end = a_prev if j > i + 2 else a2
+            sweep = a_end - a0
+            segs.append(
+                (
+                    "arc",
+                    (
+                        tuple(coords[i]),
+                        tuple(coords[mid]),
+                        tuple(coords[j]),
+                    ),
+                    (cx, cy, R, sweep),
+                )
+            )
+            i = j
+            continue
+        if not line_run:
+            line_run.append(coords[i])
+        line_run.append(coords[i + 1])
+        i += 1
+    flush_line()
+    return segs
+
+
+def line_wkb_to_curve_wkb(buf: bytes, eps: float = 1e-6) -> bytes:
+    """LineString WKB -> CircularString / CompoundCurve / LineString
+    WKB (getCurveGeometry's return-the-simplest-type contract)."""
+    g = parse_wkb(buf)
+    coords = g.parts[0]
+    segs = line_to_curve_segments(np.asarray(coords, dtype=np.float64), eps)
+    if not segs:
+        return buf
+    if len(segs) == 1 and segs[0][0] == "arc":
+        p0, pm, p1 = segs[0][1]
+        return wkb_circularstring(np.array([p0, pm, p1]))
+    if all(s[0] == "line" for s in segs):
+        return buf
+    parts = []
+    for s in segs:
+        if s[0] == "arc":
+            p0, pm, p1 = s[1]
+            parts.append(wkb_circularstring(np.array([p0, pm, p1])))
+        else:
+            parts.append(wkb_linestring(np.asarray(s[1], dtype=np.float64)))
+    return wkb_compoundcurve(parts)

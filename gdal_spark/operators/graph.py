@@ -28,7 +28,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "shortest_paths"]
+__all__ = [
+    "connected_components",
+    "shortest_paths",
+    "k_shortest_walk_costs",
+    "yen_k_shortest",
+]
 
 
 def connected_components(
@@ -177,3 +182,240 @@ def shortest_paths(
         )
         frontier = improved
     raise RuntimeError(f"shortest_paths did not converge in {max_iter} rounds")
+
+
+# ---------------------------------------------------------------------------
+# K-shortest paths (gnm/gnmgraph.h:195 KShortestPaths — Yen's
+# algorithm driver-side in the reference).  Two duals here:
+#
+# - k_shortest_walk_costs: the SCALABLE form — per-node top-K cost
+#   lists under full Bellman-Ford re-relaxation (round r holds the K
+#   best <=r-hop walk costs; fixpoint = K best walk costs).  On a DAG
+#   every walk is loopless, so this IS K-shortest-paths there; on
+#   cyclic graphs it is the K-best-walks relaxation (documented).
+#   Every round is one edge-sized shuffle of array<long> state —
+#   nothing driver-side but the scalar convergence check.
+#
+# - yen_k_shortest: faithful loopless Yen for general graphs, driver-
+#   orchestrated over the DISTRIBUTED shortest-path tree (the spur
+#   loop is inherently sequential — the reference runs the whole
+#   thing driver-side; here only the O(K * pathlen) path lists live
+#   on the driver, the graph never does).
+# ---------------------------------------------------------------------------
+
+
+def k_shortest_walk_costs(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 128,
+) -> DataFrame:
+    """-> (node long, costs array<long>): the k smallest walk costs
+    from the source set to every node (with multiplicity — two
+    distinct walks of equal cost count twice, matching Yen's path
+    multiset on DAGs)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint()
+    seed = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("costs", F.array(F.lit(0).cast("long")))
+        .localCheckpoint()
+    )
+    state = seed
+    for _ in range(max_iter):
+        # full re-relaxation: node v's new list is the k smallest of
+        # (seed if source) ++ {c + w | (u,v,w), c in state[u]} —
+        # never state[v] itself, so multiplicity is exact
+        cand = (
+            state.join(e, state["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("transform(costs, c -> c + w)").alias("costs"),
+            )
+            .unionByName(seed)
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("costs"))), 1, k
+                ).alias("costs")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            cand.alias("c")
+            .join(state.alias("s"), "node", "left")
+            .where(
+                F.col("s.costs").isNull()
+                | (F.col("c.costs") != F.col("s.costs"))
+            )
+        )
+        if changed.isEmpty():
+            return state
+        state = cand
+    raise RuntimeError(f"k_shortest_walk_costs: no fixpoint in {max_iter}")
+
+
+def _sp_tree(e: DataFrame, source: int, max_iter: int = 256) -> DataFrame:
+    """Distributed shortest-path tree: (node, dist, pred) from one
+    source over a pre-projected (src, dst, w) edge DataFrame.
+    Deterministic pred tie-break: min (dist, pred) struct."""
+    dist = e.sparkSession.createDataFrame(
+        [(int(source), 0, None)], "node long, dist long, pred long"
+    ).localCheckpoint()
+    frontier = dist
+    for _ in range(max_iter):
+        relax = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+                F.col("src").alias("pred"),
+            )
+            .groupBy("node")
+            .agg(F.min(F.struct("dist", "pred")).alias("dp"))
+            .select("node", F.col("dp.dist").alias("dist"),
+                    F.col("dp.pred").alias("pred"))
+        )
+        improved = (
+            relax.alias("r")
+            .join(dist.alias("d"), "node", "left")
+            .where(
+                F.col("d.dist").isNull() | (F.col("r.dist") < F.col("d.dist"))
+                | (
+                    (F.col("r.dist") == F.col("d.dist"))
+                    & (F.col("r.pred") < F.col("d.pred"))
+                )
+            )
+            .select("node", F.col("r.dist").alias("dist"),
+                    F.col("r.pred").alias("pred"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            return dist
+        dist = (
+            dist.alias("d")
+            .join(improved.alias("i"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    raise RuntimeError(f"_sp_tree did not converge in {max_iter} rounds")
+
+
+def _route(tree_rows: dict, source: int, target: int):
+    """Backtrack target -> source through the pred map (the tree is
+    path-sized by then: only the rows along the walk are touched)."""
+    if target not in tree_rows:
+        return None, None
+    path = [target]
+    cost = tree_rows[target][0]
+    cur = target
+    while cur != source:
+        cur = tree_rows[cur][1]
+        if cur is None:
+            return None, None
+        path.append(cur)
+    return cost, list(reversed(path))
+
+
+def yen_k_shortest(
+    edges: DataFrame,
+    source: int,
+    target: int,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> list[tuple[int, list[int]]]:
+    """Yen's loopless K-shortest paths (gnm/gnmgraph.h:195 semantics)
+    -> [(cost, [nodes])], ascending cost, deterministic path
+    tie-break.  The graph stays a DataFrame; each spur run is a
+    distributed _sp_tree over a filtered edge view.  Driver state is
+    only the K path lists (the answer itself)."""
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint()
+    spark = edges.sparkSession
+
+    def sp(removed_edges: set, removed_nodes: set, s: int):
+        e = e0
+        if removed_nodes:
+            rn = spark.createDataFrame(
+                [(int(n),) for n in removed_nodes], "node long"
+            )
+            e = (
+                e.join(rn, e["src"] == rn["node"], "left_anti")
+                .join(rn, F.col("dst") == rn["node"], "left_anti")
+            )
+        if removed_edges:
+            re_ = spark.createDataFrame(
+                [(int(a), int(b)) for a, b in removed_edges], "rs long, rd long"
+            )
+            e = e.join(
+                re_,
+                (e["src"] == re_["rs"]) & (e["dst"] == re_["rd"]),
+                "left_anti",
+            )
+        tree = _sp_tree(e.localCheckpoint(), s)
+        # the tree is node-count-sized for this spur subgraph; for the
+        # backtrack we only need rows reachable toward target — pull
+        # the (node -> (dist, pred)) map once per spur run.  At true
+        # 10^12 scale the spur loop itself is the bottleneck (the
+        # reference is fully driver-side); K*pathlen map pulls are the
+        # honest cost of loopless Yen.
+        rows = {
+            r["node"]: (r["dist"], r["pred"]) for r in tree.collect()
+        }
+        return _route(rows, s, target)
+
+    cost0, path0 = sp(set(), set(), source)
+    if path0 is None:
+        return []
+    A = [(cost0, path0)]
+    B: list[tuple[int, list[int]]] = []
+    edge_cost: dict = {}
+
+    def w_of(a: int, b: int) -> int:
+        key = (a, b)
+        if key not in edge_cost:
+            row = (
+                e0.where((F.col("src") == a) & (F.col("dst") == b))
+                .agg(F.min("w"))
+                .first()
+            )
+            edge_cost[key] = row[0]
+        return edge_cost[key]
+
+    while len(A) < k:
+        prev_path = A[-1][1]
+        for i in range(len(prev_path) - 1):
+            spur = prev_path[i]
+            root = prev_path[: i + 1]
+            removed_edges = set()
+            for _c, p in A:
+                if p[: i + 1] == root and len(p) > i + 1:
+                    removed_edges.add((p[i], p[i + 1]))
+            removed_nodes = set(root[:-1])
+            spur_cost, spur_path = sp(removed_edges, removed_nodes, spur)
+            if spur_path is None:
+                continue
+            root_cost = sum(
+                w_of(root[j], root[j + 1]) for j in range(len(root) - 1)
+            )
+            cand = (root_cost + spur_cost, root[:-1] + spur_path)
+            if cand not in B and cand not in A:
+                B.append(cand)
+        if not B:
+            break
+        B.sort(key=lambda cp: (cp[0], cp[1]))
+        A.append(B.pop(0))
+    return A

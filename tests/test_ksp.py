@@ -1,0 +1,103 @@
+"""K-shortest paths (gnm/gnmgraph.h:195 KShortestPaths semantics):
+k_shortest_walk_costs (scalable relaxation) and yen_k_shortest
+(loopless Yen) against brute force."""
+
+import itertools
+
+import pytest
+
+from gdal_spark.operators.graph import k_shortest_walk_costs, yen_k_shortest
+
+
+def _ladder_edges(L=4):
+    rows = []
+    for b in (0, 1):
+        rows.append((0, 1 + b, 1 + (5 * b) % 9))
+    for l in range(1, L):
+        for a in (0, 1):
+            for b in (0, 1):
+                rows.append((1 + 2 * (l - 1) + a, 1 + 2 * l + b,
+                             1 + (7 * l + 3 * a + 5 * b) % 9))
+    for a in (0, 1):
+        rows.append((1 + 2 * (L - 1) + a, 2 * L + 1, 1 + (7 * L + 3 * a) % 9))
+    return rows, 0, 2 * L + 1
+
+
+def _brute_ladder_costs(rows, L=4):
+    w = {(a, b): c for a, b, c in rows}
+    costs = []
+    for bits in itertools.product((0, 1), repeat=L):
+        nodes = [0] + [1 + 2 * l + b for l, b in enumerate(bits)] + [2 * L + 1]
+        costs.append(sum(w[(nodes[i], nodes[i + 1])]
+                         for i in range(len(nodes) - 1)))
+    return sorted(costs)
+
+
+def test_walk_costs_match_brute_force_on_dag(spark):
+    rows, s, t = _ladder_edges(L=4)
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(s,)], "node long")
+    state = k_shortest_walk_costs(edges, srcs, k=6)
+    got = state.where(f"node = {t}").first()["costs"]
+    assert list(got) == _brute_ladder_costs(rows, L=4)[:6]
+
+
+def test_yen_matches_walk_costs_on_dag(spark):
+    rows, s, t = _ladder_edges(L=4)
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    paths = yen_k_shortest(edges, s, t, k=4)
+    assert [c for c, _p in paths] == _brute_ladder_costs(rows, L=4)[:4]
+    for c, p in paths:
+        assert p[0] == s and p[-1] == t
+        assert len(set(p)) == len(p)  # loopless
+
+
+def test_yen_on_cyclic_graph(spark):
+    # classic Yen example topology with a cycle; brute force loopless
+    rows = [
+        (1, 2, 3), (1, 3, 2), (2, 3, 1), (3, 2, 1),
+        (2, 4, 4), (3, 4, 2), (3, 5, 3), (4, 5, 2), (5, 1, 9),
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    paths = yen_k_shortest(edges, 1, 5, k=4)
+
+    # brute force: all loopless 1->5 paths
+    adj = {}
+    for a, b, w in rows:
+        adj.setdefault(a, []).append((b, w))
+    best = []
+
+    def walk(node, seen, cost, path):
+        if node == 5:
+            best.append((cost, path[:]))
+            return
+        for b, w in adj.get(node, []):
+            if b not in seen:
+                seen.add(b)
+                path.append(b)
+                walk(b, seen, cost + w, path)
+                path.pop()
+                seen.remove(b)
+
+    walk(1, {1}, 0, [1])
+    best.sort()
+    assert [c for c, _ in paths] == [c for c, _ in best[:4]]
+
+
+def test_walk_costs_multiplicity(spark):
+    # two distinct equal-cost paths both count (multiset semantics)
+    rows = [(0, 1, 2), (0, 2, 2), (1, 3, 2), (2, 3, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    state = k_shortest_walk_costs(edges, srcs, k=3)
+    assert list(state.where("node = 3").first()["costs"]) == [4, 4]
+
+
+def test_walk_costs_cyclic_converges(spark):
+    # cycle 1->2->1 plus exit: k-best WALK costs (documented cyclic
+    # semantics) enumerate loops
+    rows = [(1, 2, 1), (2, 1, 1), (2, 3, 1)]
+    edges = spark.createDataFrame(rows, "src long, dst long, w long")
+    srcs = spark.createDataFrame([(1,)], "node long")
+    state = k_shortest_walk_costs(edges, srcs, k=3)
+    assert list(state.where("node = 3").first()["costs"]) == [2, 4, 6]
