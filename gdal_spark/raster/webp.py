@@ -16,10 +16,17 @@ Specification"):
   form (code-length code over the 19-symbol kCodeLengthCodeOrder;
   this encoder writes every code length literally — no 16/17/18
   RLE symbols — which is valid, just a few hundred bytes larger);
-- pixels as pure literals (G, R, B, A per pixel) — the encoder never
-  emits LZ77 backward references, and the decoder rejects them
-  loudly (documented subset; compression comes from the per-channel
-  entropy coding, which is where most of PNG-filterless gains live).
+- LZ77 backward references: greedy hash-chain matching over the ARGB
+  pixel stream, length/distance emitted with the spec's prefix-coded
+  (code, extra-bits) scheme.  Distances are always emitted as LINEAR
+  plane codes (dist + 120) — spec-valid for any decoder; the 120
+  2-D neighbor plane codes are an optional encoder optimization this
+  encoder never emits and this decoder rejects loudly (with no
+  external webp in the container, a from-memory 120-entry table
+  could not be independently verified — documented subset);
+- color cache: the spec's (0x1e35a7bd * ARGB) >> (32 - bits) hash
+  cache, green symbols 280.., updated on EVERY emitted pixel
+  (literals and backref copies alike).
 
 Canonical code assignment follows the spec (DEFLATE rule: by length,
 then symbol order). Length-limited (15) Huffman via Kraft repair.
@@ -39,8 +46,80 @@ import numpy as np
 __all__ = ["encode_webp_lossless", "decode_webp"]
 
 _ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
-_GREEN_ALPHABET = 256 + 24  # no color cache
+_GREEN_ALPHABET = 256 + 24  # base (cache symbols append past this)
 _DIST_ALPHABET = 40
+_CACHE_MULT = 0x1E35A7BD  # the spec's color-cache hash multiplier
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """LZ77 length/distance prefix coding (the spec's PrefixEncode):
+    value >= 1 -> (code, extra_bit_count, extra_bit_value)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    d = v - 1
+    hb = d.bit_length() - 1
+    eb = hb - 1
+    return 2 * hb + ((d >> eb) & 1), eb, d & ((1 << eb) - 1)
+
+
+def _rev_bits(v: int, n: int) -> int:
+    """Extra bits are LSB-first on the wire; the vectorized emitter
+    writes MSB-first pairs, so pre-reverse."""
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (v & 1)
+        v >>= 1
+    return r
+
+
+def _lz77_tokens(px: np.ndarray, cache_bits: int, use_lz77: bool):
+    """Greedy hash-chain LZ77 + color-cache modeling over the uint32
+    ARGB stream -> list of ('lit', argb) / ('cache', idx) /
+    ('copy', length, dist).  The modeled cache state matches the
+    decoder's exactly (updated for every pixel, init to 0)."""
+    n = len(px)
+    cache_size = 1 << cache_bits if cache_bits else 0
+    cache = np.zeros(cache_size, dtype=np.uint32)
+    shift = 32 - cache_bits if cache_bits else 0
+    head: dict = {}
+    tokens: list = []
+    pxi = px.astype(np.int64)  # python-int friendly view
+    i = 0
+    while i < n:
+        if use_lz77 and i + 3 <= n:
+            key = (pxi[i], pxi[i + 1], pxi[i + 2])
+            j = head.get(key, -1)
+            if j >= 0:
+                maxl = min(n - i, 4096)
+                neq = np.nonzero(px[i : i + maxl] != px[j : j + maxl])[0]
+                L = maxl if len(neq) == 0 else int(neq[0])
+                if L >= 3:
+                    tokens.append(("copy", L, i - j))
+                    end = i + L
+                    for p in range(i, min(end, n - 2)):
+                        head[(pxi[p], pxi[p + 1], pxi[p + 2])] = p
+                    if cache_size:
+                        run = px[i:end]
+                        idxs = (
+                            (run.astype(np.uint64) * _CACHE_MULT)
+                            & 0xFFFFFFFF
+                        ) >> shift
+                        cache[idxs] = run  # duplicate idx: last wins
+                    i = end
+                    continue
+            head[key] = i
+        v = int(pxi[i])
+        if cache_size:
+            idx = ((v * _CACHE_MULT) & 0xFFFFFFFF) >> shift
+            if int(cache[idx]) == v:
+                tokens.append(("cache", idx))
+            else:
+                tokens.append(("lit", v))
+                cache[idx] = v
+        else:
+            tokens.append(("lit", v))
+        i += 1
+    return tokens
 
 
 class _BitWriter:
@@ -221,16 +300,36 @@ def _write_prefix_code(bw: _BitWriter, lengths: np.ndarray) -> None:
         _write_code(bw, int(cl_codes[ln]), int(cl_lengths[ln]))
 
 
-def encode_webp_lossless(arr: np.ndarray) -> bytes:
-    """(h, w, 3|4) uint8 -> .webp bytes (VP8L lossless)."""
+def encode_webp_lossless(
+    arr: np.ndarray, use_lz77: bool = True, cache_bits: int = 8
+) -> bytes:
+    """(h, w, 3|4) uint8 -> .webp bytes (VP8L lossless) with LZ77
+    backward references and a color cache (both off: pure literal
+    stream, the round-3 behavior)."""
     h, w = arr.shape[:2]
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=2)
     has_alpha = arr.shape[2] == 4
-    a = arr[:, :, 3].ravel() if has_alpha else None
+    a = (
+        arr[:, :, 3].ravel()
+        if has_alpha
+        else np.full(h * w, 255, dtype=np.uint8)
+    )
     r = arr[:, :, 0].ravel()
     g = arr[:, :, 1].ravel()
     b = arr[:, :, 2].ravel()
+    px = (
+        a.astype(np.uint32) << 24
+        | r.astype(np.uint32) << 16
+        | g.astype(np.uint32) << 8
+        | b.astype(np.uint32)
+    )
+    tokens = _lz77_tokens(px, cache_bits, use_lz77)
+    if cache_bits and not any(t[0] == "cache" for t in tokens):
+        # unused cache would only enlarge the green alphabet header
+        cache_bits = 0
+    cache_size = 1 << cache_bits if cache_bits else 0
+    green_alpha = _GREEN_ALPHABET + cache_size
 
     bw = _BitWriter()
     bw.write(0x2F, 8)
@@ -239,49 +338,90 @@ def encode_webp_lossless(arr: np.ndarray) -> bytes:
     bw.write(1 if has_alpha else 0, 1)
     bw.write(0, 3)       # version
     bw.write(0, 1)       # no transforms
-    bw.write(0, 1)       # no color cache
+    if cache_bits:
+        bw.write(1, 1)   # color cache present
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
     bw.write(0, 1)       # no entropy image (single huffman group)
 
-    g_freq = np.bincount(g, minlength=_GREEN_ALPHABET).astype(np.int64)
-    r_freq = np.bincount(r, minlength=256).astype(np.int64)
-    b_freq = np.bincount(b, minlength=256).astype(np.int64)
-    if has_alpha:
-        a_freq = np.bincount(a, minlength=256).astype(np.int64)
-    else:
-        a_freq = np.zeros(256, dtype=np.int64)
-        a_freq[255] = h * w
+    g_freq = np.zeros(green_alpha, dtype=np.int64)
+    r_freq = np.zeros(256, dtype=np.int64)
+    b_freq = np.zeros(256, dtype=np.int64)
+    a_freq = np.zeros(256, dtype=np.int64)
     d_freq = np.zeros(_DIST_ALPHABET, dtype=np.int64)
-    d_freq[0] = 1  # unused tree still needs one symbol
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            g_freq[(v >> 8) & 0xFF] += 1
+            r_freq[(v >> 16) & 0xFF] += 1
+            b_freq[v & 0xFF] += 1
+            a_freq[(v >> 24) & 0xFF] += 1
+        elif t[0] == "cache":
+            g_freq[_GREEN_ALPHABET + t[1]] += 1
+        else:
+            lcode, _eb, _ev = _prefix_encode(t[1])
+            g_freq[256 + lcode] += 1
+            dcode, _deb, _dev = _prefix_encode(t[2] + 120)
+            d_freq[dcode] += 1
+    for freq in (r_freq, b_freq, a_freq):
+        if freq.sum() == 0:
+            freq[0] = 1  # empty tree still needs one symbol
+    if d_freq.sum() == 0:
+        d_freq[0] = 1
 
     trees = []
-    for freq, limit in (
-        (g_freq, 15), (r_freq, 15), (b_freq, 15), (a_freq, 15),
-        (d_freq, 15),
-    ):
-        lengths = _code_lengths(freq, limit)
+    for freq in (g_freq, r_freq, b_freq, a_freq, d_freq):
+        lengths = _code_lengths(freq, 15)
         _write_prefix_code(bw, lengths)
         if np.count_nonzero(lengths) == 1:
             # a single-symbol prefix code costs ZERO bits per symbol
             lengths = np.zeros_like(lengths)
         trees.append((lengths, _canonical_codes(lengths)))
+    (gl, gc), (rl, rc), (bl, bc), (al, ac), (dl, dc) = trees
 
-    # VECTORIZED pixel emission: per-symbol (code, length) lookups,
-    # then one bit-array expansion (codes are written MSB-first inside
-    # an LSB-first byte stream)
-    alpha_vals = a if has_alpha else np.full(h * w, 255, dtype=np.uint8)
-    n_px = h * w
-    sym_codes = np.empty(4 * n_px, dtype=np.int64)
-    sym_lens = np.empty(4 * n_px, dtype=np.int64)
-    for ci, (vals, (lengths, codes)) in enumerate(
-        zip((g, r, b, alpha_vals), trees[:4])
-    ):
-        sym_codes[ci::4] = codes[vals]
-        sym_lens[ci::4] = lengths[vals]
+    # token -> (code, nbits) pair stream, then one vectorized
+    # bit-array expansion (codes MSB-first inside the LSB-first byte
+    # stream; extra bits pre-reversed so they land LSB-first)
+    codes: list[int] = []
+    lens: list[int] = []
+
+    def emit(code: int, n: int) -> None:
+        if n:
+            codes.append(code)
+            lens.append(n)
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            gs = (v >> 8) & 0xFF
+            emit(int(gc[gs]), int(gl[gs]))
+            rs = (v >> 16) & 0xFF
+            emit(int(rc[rs]), int(rl[rs]))
+            bs = v & 0xFF
+            emit(int(bc[bs]), int(bl[bs]))
+            as_ = (v >> 24) & 0xFF
+            emit(int(ac[as_]), int(al[as_]))
+        elif t[0] == "cache":
+            s = _GREEN_ALPHABET + t[1]
+            emit(int(gc[s]), int(gl[s]))
+        else:
+            _kind, L, dist = t
+            lcode, leb, lev = _prefix_encode(L)
+            s = 256 + lcode
+            emit(int(gc[s]), int(gl[s]))
+            emit(_rev_bits(lev, leb), leb)
+            dcode, deb, dev = _prefix_encode(dist + 120)
+            emit(int(dc[dcode]), int(dl[dcode]))
+            emit(_rev_bits(dev, deb), deb)
+
+    sym_codes = np.asarray(codes, dtype=np.int64)
+    sym_lens = np.asarray(lens, dtype=np.int64)
     total = int(sym_lens.sum())
-    offsets = np.zeros(4 * n_px, dtype=np.int64)
-    np.cumsum(sym_lens[:-1], out=offsets[1:])
-    keep = sym_lens > 0
-    sym_idx = np.repeat(np.nonzero(keep)[0], sym_lens[keep])
+    offsets = np.zeros(len(sym_lens), dtype=np.int64)
+    if len(sym_lens) > 1:
+        np.cumsum(sym_lens[:-1], out=offsets[1:])
+    sym_idx = np.repeat(np.arange(len(sym_lens)), sym_lens)
     j = np.arange(total, dtype=np.int64) - offsets[sym_idx]
     bits = (
         (sym_codes[sym_idx] >> (sym_lens[sym_idx] - 1 - j)) & 1
@@ -391,22 +531,69 @@ def decode_webp(data: bytes) -> np.ndarray:
         raise ValueError("unknown VP8L version")
     if br.read(1):
         raise ValueError("transforms not in encoder subset")
+    cache_bits = 0
     if br.read(1):
-        raise ValueError("color cache not in encoder subset")
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color-cache bits {cache_bits}")
     if br.read(1):
         raise ValueError("entropy image not in encoder subset")
-    g_tree = _read_prefix_code(br, _GREEN_ALPHABET)
+    cache_size = 1 << cache_bits if cache_bits else 0
+    g_tree = _read_prefix_code(br, _GREEN_ALPHABET + cache_size)
     r_tree = _read_prefix_code(br, 256)
     b_tree = _read_prefix_code(br, 256)
     a_tree = _read_prefix_code(br, 256)
-    _d_tree = _read_prefix_code(br, _DIST_ALPHABET)
-    out = np.zeros((h * w, 4), dtype=np.uint8)
-    for i in range(h * w):
+    d_tree = _read_prefix_code(br, _DIST_ALPHABET)
+    cache = np.zeros(cache_size, dtype=np.uint32)
+    shift = 32 - cache_bits if cache_bits else 0
+
+    def _extra_value(code: int, br_: _BitReader) -> int:
+        # inverse of _prefix_encode
+        if code < 4:
+            return code + 1
+        eb = (code >> 1) - 1
+        base = (2 + (code & 1)) << eb
+        return base + 1 + br_.read(eb)
+
+    n = h * w
+    out = np.zeros((n, 4), dtype=np.uint8)  # r, g, b, a
+    argb = np.zeros(n, dtype=np.uint32)
+    i = 0
+    while i < n:
         gs = g_tree.read(br)
-        if gs >= 256:
-            raise ValueError("LZ77 backward reference not in subset")
-        out[i, 1] = gs
-        out[i, 0] = r_tree.read(br)
-        out[i, 2] = b_tree.read(br)
-        out[i, 3] = a_tree.read(br)
+        if gs < 256:
+            rr = r_tree.read(br)
+            bb = b_tree.read(br)
+            aa = a_tree.read(br)
+            v = (aa << 24) | (rr << 16) | (gs << 8) | bb
+        elif gs < 256 + 24:
+            length = _extra_value(gs - 256, br)
+            plane = _extra_value(d_tree.read(br), br)
+            if plane <= 120:
+                raise ValueError(
+                    "2-D distance plane codes not in encoder subset"
+                )
+            dist = plane - 120
+            if dist > i or i + length > n:
+                raise ValueError("backward reference out of range")
+            for k in range(length):
+                v = int(argb[i - dist + k])
+                argb[i + k] = v
+                if cache_size:
+                    cache[((v * _CACHE_MULT) & 0xFFFFFFFF) >> shift] = v
+            i += length
+            continue
+        else:
+            idx = gs - _GREEN_ALPHABET
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            v = int(cache[idx])
+        argb[i] = v
+        if cache_size:
+            cache[((v * _CACHE_MULT) & 0xFFFFFFFF) >> shift] = v
+        i += 1
+    out[:, 0] = (argb >> 16) & 0xFF
+    out[:, 1] = (argb >> 8) & 0xFF
+    out[:, 2] = argb & 0xFF
+    out[:, 3] = (argb >> 24) & 0xFF
     return out.reshape(h, w, 4)

@@ -238,18 +238,68 @@ def k_ring(cell: int, k: int = 1) -> list[int]:
 # Column API
 # ---------------------------------------------------------------------------
 
-def with_hex_cell(df, lat_col, lon_col, res: int, out_col: str = "hex_cell"):
-    """Append the packed aperture-7 cell id as a BIGINT column —
-    Arrow-batched vectorized encode, narrow map, no shuffle.  The
-    bigint key then drives the same equi-join/groupBy discipline as
-    the quadkey and S2 cell columns."""
+def h3_encode(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
+    """Encode through the PUBLIC `h3` package (h3lib bit-compatible
+    ids — joinable against externally-produced H3 columns).  Supports
+    both the v4 (latlng_to_cell) and v3 (geo_to_h3) APIs.  Raises
+    ImportError with guidance when the package is absent (it is not
+    vendored in this container)."""
+    try:
+        import h3
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise ImportError(
+            "method='h3' needs the public `h3` package (pip install "
+            "h3); the self-consistent native encoder (method='native') "
+            "needs no dependency but its ids are NOT h3-compatible"
+        ) from exc
+    if hasattr(h3, "latlng_to_cell"):  # v4
+        to_cell = h3.latlng_to_cell
+        to_int = h3.str_to_int if hasattr(h3, "str_to_int") else (
+            lambda s: int(s, 16)
+        )
+    else:  # v3
+        to_cell = h3.geo_to_h3
+        to_int = lambda s: int(s, 16)  # noqa: E731
+    out = np.empty(len(lat), dtype=np.int64)
+    for k in range(len(lat)):
+        c = to_cell(float(lat[k]), float(lon[k]), res)
+        out[k] = int(c) if isinstance(c, int) else to_int(c)
+    return out
+
+
+def with_hex_cell(
+    df,
+    lat_col,
+    lon_col,
+    res: int,
+    out_col: str = "hex_cell",
+    method: str = "native",
+):
+    """Append a hex cell id as a BIGINT column — Arrow-batched
+    vectorized encode, narrow map, no shuffle.  The bigint key then
+    drives the same equi-join/groupBy discipline as the quadkey and
+    S2 cell columns.
+
+    method='native' (default): this module's aperture-7 encoder —
+    self-consistent id domain, no dependency, NOT h3lib-compatible.
+    method='h3': h3lib-bit-compatible ids via the public `h3`
+    package (required importable on the executors) — use this when
+    the column must join against externally-produced H3 keys.
+    The two id domains must never be mixed in one join."""
     from pyspark.sql.functions import pandas_udf
+
+    if method not in ("native", "h3"):
+        raise ValueError(f"unknown hex method {method!r}")
+    if method == "h3":
+        h3_encode(np.zeros(0), np.zeros(0), res)  # fail fast if absent
 
     @pandas_udf("long")
     def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
-        return pd.Series(
-            encode(lat.to_numpy(np.float64), lon.to_numpy(np.float64), res)
-        )
+        la = lat.to_numpy(np.float64)
+        lo = lon.to_numpy(np.float64)
+        if method == "h3":
+            return pd.Series(h3_encode(la, lo, res))
+        return pd.Series(encode(la, lo, res))
 
     return df.withColumn(out_col, _enc(lat_col, lon_col))
 

@@ -103,3 +103,89 @@ def test_with_hex_cell_column(spark):
     exp = hx.encode(lat, lon, 6)
     got = out.sort_values("i")["hex_cell"].to_numpy()
     assert (got == exp).all()
+
+
+# ---------------------------------------------------------------------------
+# h3 interop (round-4): golden pins for both id domains + lib
+# cross-check when the public `h3` package is importable
+# ---------------------------------------------------------------------------
+
+_PIN_LATS = [37.7752702151959257, 51.5007, -33.8568, 0.0, 64.1466]
+_PIN_LONS = [-122.418307270836, -0.1246, 151.2153, 0.0, -21.9426]
+_NATIVE_GOLDEN = {
+    5: [785878139036237813, 808396137441525805, 740842141755899822,
+        763360145731223475, 808396137038872532],
+    8: [1218223761916951490, 1240741833403792299, 1173187661691616377,
+        1195705775993910901, 1240741718580526014],
+}
+
+
+def test_native_golden_ids_pinned():
+    # the self-consistent encoder must never drift silently (its SQL
+    # oracle is a same-author mirror — these pins are the anchor)
+    import numpy as np
+
+    from gdal_spark.tiles.hexcell import encode
+
+    for res, want in _NATIVE_GOLDEN.items():
+        got = encode(
+            np.array(_PIN_LATS), np.array(_PIN_LONS), res
+        ).tolist()
+        assert got == want
+
+
+def test_h3_method_requires_package():
+    import pytest
+
+    try:
+        import h3  # noqa: F401
+
+        pytest.skip("h3 present; the absence path is not testable")
+    except ImportError:
+        pass
+    import numpy as np
+
+    from gdal_spark.tiles.hexcell import h3_encode
+
+    with pytest.raises(ImportError, match="h3"):
+        h3_encode(np.zeros(1), np.zeros(1), 5)
+
+
+def test_h3_crosscheck_when_present(spark):
+    import pytest
+
+    h3 = pytest.importorskip("h3")
+    import numpy as np
+
+    from gdal_spark.tiles.hexcell import h3_encode, with_hex_cell
+
+    # the famous doc example pins bit-parity with h3lib
+    got = h3_encode(
+        np.array([37.7752702151959257]), np.array([-122.418307270836]), 9
+    )[0]
+    assert got == int("8928308280fffff", 16)
+
+    # >= 1000-point column contract cross-check
+    rng = np.random.default_rng(42)
+    lats = rng.uniform(-80, 80, 1000)
+    lons = rng.uniform(-180, 180, 1000)
+    df = spark.createDataFrame(
+        [(i, float(lats[i]), float(lons[i])) for i in range(1000)],
+        "i long, lat double, lon double",
+    )
+    rows = with_hex_cell(df, "lat", "lon", 7, method="h3").collect()
+    fn = h3.latlng_to_cell if hasattr(h3, "latlng_to_cell") else h3.geo_to_h3
+    for r in rows:
+        want = fn(r["lat"], r["lon"], 7)
+        want = want if isinstance(want, int) else int(want, 16)
+        assert r["hex_cell"] == want
+
+
+def test_unknown_method_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.0, 2.0)], "lat double, lon double")
+    from gdal_spark.tiles.hexcell import with_hex_cell
+
+    with pytest.raises(ValueError):
+        with_hex_cell(df, "lat", "lon", 5, method="s2")

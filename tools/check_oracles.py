@@ -9,6 +9,8 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 import time
 
@@ -19,6 +21,32 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
+
+# freshness ledger: preflight asserts every registered query has a
+# recent green row here (VERDICT r3 ask #10 — re-verification drift)
+CACHE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".oracle_cache.json",
+)
+
+
+def load_cache() -> dict:
+    try:
+        with open(CACHE_PATH) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def record_green(names: list[str], sf_dir: str) -> None:
+    cache = load_cache()
+    now = time.time()
+    for n in names:
+        cache[n] = {"ts": now, "sf_dir": sf_dir}
+    tmp = CACHE_PATH + f".tmp{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(cache, fh, indent=1, sort_keys=True)
+    os.replace(tmp, CACHE_PATH)
 
 
 def norm_hash(df: pd.DataFrame) -> tuple[int, str, str]:
@@ -52,6 +80,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    greens: list[str] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,6 +94,7 @@ def main():
         t1 = time.time()
         if name not in oracles:
             print(f"[ROWS-ONLY] {name}: {len(sdf)} rows in {t1 - t0:.1f}s")
+            greens.append(name)
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -77,6 +107,8 @@ def main():
         on, os_, oh = norm_hash(odf)
         ok = (sn == on) and (sh == oh)
         status = "OK" if ok else "MISMATCH"
+        if ok:
+            greens.append(name)
         print(
             f"[{status}] {name}: spark {sn} rows ({t1-t0:.1f}s) vs duck {on} rows "
             f"({t2-t1:.1f}s) hash {'=' if sh == oh else f'{sh} != {oh}'}"
@@ -98,6 +130,8 @@ def main():
             except Exception:
                 pass
     print("FAILURES:", failures if failures else "none")
+    if greens:
+        record_green(greens, sf_dir)
     spark.stop()
     sys.exit(1 if failures else 0)
 

@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SAMPLE = [
     "tile_assign", "pip_join", "knn", "rasterize_tile_checksum",
@@ -31,10 +32,21 @@ SAMPLE = [
     "fgb_roundtrip", "s2_cell", "hex_cell", "mdim_view", "stac_index",
     "ntv2_shift", "zarr_roundtrip", "simplify_coverage", "calc_expr",
     "ogr_sql_exec", "video_frame_stats",
+    # round-4 families
+    "proj_albers", "proj_polar_stereo", "reproject_chain",
+    "tile_render_albers", "netcdf_roundtrip", "geoloc_transform",
+    "gnm_k_shortest", "curve_fit_back", "ogr_sql_join",
+    "tile_render_webp",
 ]
 
 
+FRESH_DAYS = 7  # every registered query needs a green local check
+                # at most this old (VERDICT r3 ask #10)
+
+
 def main() -> None:
+    import time
+
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -42,6 +54,27 @@ def main() -> None:
     missing = [n for n in qs if n not in oracles]
     assert not missing, f"queries without oracles: {missing}"
     print(f"[ok] contract: {len(qs)} queries, all oracle-backed")
+
+    from check_oracles import load_cache
+
+    cache = load_cache()
+    cutoff = time.time() - FRESH_DAYS * 86400
+    stale = [
+        n for n in qs
+        if n not in cache or cache[n].get("ts", 0) < cutoff
+    ]
+    if stale:
+        print(
+            f"[STALE] {len(stale)} queries lack a green local check "
+            f"within {FRESH_DAYS} days:\n  " + " ".join(sorted(stale))
+        )
+        print(
+            "  run: python tools/check_oracles.py /root/testdata/sf0.01 "
+            + " ".join(sorted(stale))
+        )
+        raise SystemExit(1)
+    print(f"[ok] freshness: all {len(qs)} queries green within "
+          f"{FRESH_DAYS} days")
 
     from gdal_spark.session import get_spark
 
