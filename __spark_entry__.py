@@ -4979,6 +4979,81 @@ FROM sites WHERE slat >= 55.0
 """
 
 
+def q_proj_mercator_ups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mercator 1SP ellipsoidal (EPSG 9804 / 3395 World Mercator —
+    distinct from 3857's spherical math) for the mid-latitudes plus
+    Universal Polar Stereographic (variant A, EPSG 9810; 5041/5042)
+    for the polar caps — the UTM+UPS companion pairing."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir))
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("epsg", T2.LongType()),
+            T2.StructField("cell_x", T2.LongType()),
+            T2.StructField("cell_y", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.geo import projzoo as pz
+
+        for pdf in batches:
+            lon = pdf["slon"].to_numpy()
+            lat = pdf["slat"].to_numpy()
+            ii = pdf["i"].to_numpy(dtype=np.int64)
+            code = np.where(
+                lat >= 80.0, 5041, np.where(lat <= -80.0, 5042, 3395)
+            )
+            x = np.empty_like(lon)
+            y = np.empty_like(lat)
+            for c in (3395, 5041, 5042):
+                m = code == c
+                if m.any():
+                    x[m], y[m] = pz.forward(int(c), lon[m], lat[m])
+            yield pd.DataFrame(
+                {
+                    "i": ii,
+                    "epsg": code.astype(np.int64),
+                    "cell_x": np.floor(x / PROJ_CELL).astype(np.int64),
+                    "cell_y": np.floor(y / PROJ_CELL).astype(np.int64),
+                }
+            )
+
+    return sites.select("i", "slon", "slat").mapInPandas(run, schema)
+
+
+def _o_proj_mercator_ups() -> str:
+    from gdal_spark.geo import projzoo as pz
+
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    mx, my = pz.sql_forward(3395, "slon", "slat")
+    nx, ny = pz.sql_forward(5041, "slon", "slat")
+    sx, sy = pz.sql_forward(5042, "slon", "slat")
+    cell = tm.sql_double(PROJ_CELL)
+    return f"""
+WITH sites AS ({st})
+SELECT i, 3395 AS epsg,
+       cast(floor({mx} / {cell}) as bigint) AS cell_x,
+       cast(floor({my} / {cell}) as bigint) AS cell_y
+FROM sites WHERE slat > -80.0 AND slat < 80.0
+UNION ALL
+SELECT i, 5041 AS epsg,
+       cast(floor({nx} / {cell}) as bigint) AS cell_x,
+       cast(floor({ny} / {cell}) as bigint) AS cell_y
+FROM sites WHERE slat >= 80.0
+UNION ALL
+SELECT i, 5042 AS epsg,
+       cast(floor({sx} / {cell}) as bigint) AS cell_x,
+       cast(floor({sy} / {cell}) as bigint) AS cell_y
+FROM sites WHERE slat <= -80.0
+"""
+
+
 def q_reproject_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry-driven projected->projected reprojection: site
     coordinates materialized in EPSG:4087 (World Equidistant
@@ -5942,6 +6017,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_stereo_oblique": q_proj_stereo_oblique,
         "proj_sinusoidal": q_proj_sinusoidal,
         "proj_eqc": q_proj_eqc,
+        "proj_mercator_ups": q_proj_mercator_ups,
         "reproject_chain": q_reproject_chain,
         "tile_render_albers": q_tile_render_albers,
         "tile_render_polar": q_tile_render_polar,
@@ -7998,6 +8074,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "proj_stereo_oblique": _o_proj_cells(28992, -15.0, 25.0, 35.0, 65.0),
         "proj_sinusoidal": _o_proj_cells("ESRI:54008", -180.0, 180.0, -84.0, 84.0),
         "proj_eqc": _o_proj_cells(4087, -180.0, 180.0, -84.0, 84.0),
+        "proj_mercator_ups": _o_proj_mercator_ups(),
         "reproject_chain": _o_reproject_chain(),
         "tile_render_albers": _o_tile_render_proj(5070, ALBERS_Z),
         "tile_render_polar": _o_tile_render_proj(3031, POLAR_Z),

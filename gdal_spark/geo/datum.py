@@ -339,3 +339,50 @@ def sql_bng_forward(lon: str, lat: str):
         lon2, lat2, "OSGB36", BNG["k0"], BNG["lon0"], BNG["lat0"],
         BNG["fe"], BNG["fn"],
     )
+
+
+def _tm_inv_coeffs(a: float, f: float):
+    n = f / (2.0 - f)
+    beta = (
+        n / 2.0 - 2.0 * n**2 / 3.0 + 37.0 * n**3 / 96.0,
+        n**2 / 48.0 + n**3 / 15.0,
+        17.0 * n**3 / 480.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n**2 / 3.0 - 2.0 * n**3,
+        7.0 * n**2 / 3.0 - 8.0 * n**3 / 5.0,
+        56.0 * n**3 / 15.0,
+    )
+    return beta, delta
+
+
+def tm_inverse(
+    easting, northing, datum: str, k0: float,
+    lon0_deg: float, lat0_deg: float, fe: float, fn: float,
+):
+    """Inverse of tm_forward (Krüger inverse series over the datum's
+    ellipsoid, honoring the true-origin northing offset)."""
+    a, f, e2 = _ell(datum)
+    A, alpha = _tm_coeffs(a, f)
+    beta, delta = _tm_inv_coeffs(a, f)
+    e = np.sqrt(e2)
+    # xi of the true origin (same series as the forward)
+    phi0 = np.radians(lat0_deg)
+    t0 = np.sinh(np.arctanh(np.sin(phi0)) - e * np.arctanh(e * np.sin(phi0)))
+    xi00 = np.arctan2(t0, 1.0)  # lam = 0 at the origin
+    xs0 = xi00
+    for j, al in enumerate(alpha, start=1):
+        xs0 = xs0 + al * np.sin(2 * j * xi00)  # eta = 0 -> cosh = 1
+    xi = (np.asarray(northing, dtype=np.float64) - fn) / (k0 * A) + xs0
+    eta = (np.asarray(easting, dtype=np.float64) - fe) / (k0 * A)
+    xs = xi.copy()
+    es = eta.copy()
+    for j, b in enumerate(beta, start=1):
+        xs = xs - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        es = es - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    chi = np.arcsin(np.sin(xs) / np.cosh(es))
+    lat = chi.copy()
+    for j, d in enumerate(delta, start=1):
+        lat = lat + d * np.sin(2 * j * chi)
+    lon = lon0_deg + np.degrees(np.arctan2(np.sinh(es), np.cos(xs)))
+    return lon, np.degrees(lat)

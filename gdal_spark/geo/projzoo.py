@@ -319,6 +319,124 @@ def sql_polar_stereo_inverse(x: str, y: str, datum: str, lat_ts: float,
 
 
 # ---------------------------------------------------------------------------
+# Polar Stereographic variant A (EPSG 9810 — k0 given directly; UPS)
+# and Mercator 1SP ellipsoidal (EPSG 9804; World Mercator)
+# ---------------------------------------------------------------------------
+
+def polar_stereo_a_forward(lon, lat, datum: str, k0: float, south: bool,
+                           lon0: float = 0.0, fe: float = 2000000.0,
+                           fn: float = 2000000.0):
+    """Variant A = variant B's math with the scale given at the pole
+    (UPS: k0 = 0.994, FE = FN = 2,000,000)."""
+    a, e, e2 = ell_consts(datum)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    if south:
+        phi = -phi
+    s = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * np.exp(
+        (e / 2.0) * np.log((1.0 + e * s) / (1.0 - e * s))
+    )
+    rho = 2.0 * a * k0 * t / _ps_tc(e)
+    x = fe + rho * np.sin(lam)
+    y = fn + rho * np.cos(lam) if south else fn - rho * np.cos(lam)
+    return x, y
+
+
+def polar_stereo_a_inverse(x, y, datum: str, k0: float, south: bool,
+                           lon0: float = 0.0, fe: float = 2000000.0,
+                           fn: float = 2000000.0):
+    a, e, e2 = ell_consts(datum)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    rho = np.sqrt(xp * xp + yp * yp)
+    t = rho * _ps_tc(e) / (2.0 * a * k0)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    phi = _conformal_to_geodetic(chi, e2)
+    if south:
+        lam = np.arctan2(xp, yp)
+        phi = -phi
+    else:
+        lam = np.arctan2(xp, -yp)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(phi)
+
+
+def _conformal_to_geodetic(chi, e2: float):
+    A = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+    B = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    Cc = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    Dd = 4279.0 * e2**4 / 161280.0
+    return (
+        chi + A * np.sin(2 * chi) + B * np.sin(4 * chi)
+        + Cc * np.sin(6 * chi) + Dd * np.sin(8 * chi)
+    )
+
+
+def sql_polar_stereo_a_forward(lon: str, lat: str, datum: str, k0: float,
+                               south: bool, lon0: float = 0.0,
+                               fe: float = 2000000.0,
+                               fn: float = 2000000.0) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    phi = f"(- radians({lat}))" if south else f"radians({lat})"
+    lam = f"(radians({lon}) - {_d(math.radians(lon0))})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0 - ({phi}) / 2.0) * exp({_d(e / 2.0)} * "
+        f"ln((1.0 + {_d(e)} * ({s})) / (1.0 - {_d(e)} * ({s})))))"
+    )
+    rho = f"({_d(2.0 * a * k0)} * {t} / {_d(_ps_tc(e))})"
+    x = f"({_d(fe)} + {rho} * sin({lam}))"
+    y = (
+        f"({_d(fn)} + {rho} * cos({lam}))"
+        if south
+        else f"({_d(fn)} - {rho} * cos({lam}))"
+    )
+    return x, y
+
+
+def mercator_forward(lon, lat, datum: str, k0: float = 1.0,
+                     lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0):
+    """Ellipsoidal Mercator 1SP (EPSG 9804; 3395 World Mercator —
+    unlike 3857's spherical formulas)."""
+    a, e, e2 = ell_consts(datum)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    s = np.sin(phi)
+    x = fe + a * k0 * lam
+    y = fn + a * k0 * (
+        np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+        + (e / 2.0) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+    return x, y
+
+
+def mercator_inverse(x, y, datum: str, k0: float = 1.0, lon0: float = 0.0,
+                     fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    lam = (np.asarray(x, dtype=np.float64) - fe) / (a * k0)
+    chi = 2.0 * np.arctan(
+        np.exp((np.asarray(y, dtype=np.float64) - fn) / (a * k0))
+    ) - np.pi / 2.0
+    phi = _conformal_to_geodetic(chi, e2)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_mercator_forward(lon: str, lat: str, datum: str, k0: float = 1.0,
+                         lon0: float = 0.0, fe: float = 0.0,
+                         fn: float = 0.0) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    x = f"({_d(fe)} + {_d(a * k0)} * (radians({lon}) - {_d(math.radians(lon0))}))"
+    y = (
+        f"({_d(fn)} + {_d(a * k0)} * (ln(tan(pi() / 4.0 + ({phi}) / 2.0)) "
+        f"+ {_d(e / 2.0)} * ln((1.0 - {_d(e)} * ({s})) / "
+        f"(1.0 + {_d(e)} * ({s})))))"
+    )
+    return x, y
+
+
+# ---------------------------------------------------------------------------
 # Oblique Stereographic (EPSG 9809 — double projection via the
 # conformal sphere; the RD New / Amersfoort method)
 # ---------------------------------------------------------------------------
@@ -564,12 +682,23 @@ REGISTRY: dict[int | str, CrsDef] = {
     # WGS 84 / NSIDC Sea Ice Polar Stereographic North
     3413: CrsDef("polar_stereo", "WGS84", dict(
         lat_ts=70.0, lon0=-45.0, fe=0.0, fn=0.0)),
+    # OSGB36 / British National Grid (Airy TM + Helmert via datum.py)
+    27700: CrsDef("tm", "OSGB36", dict(
+        k0=0.9996012717, lon0=-2.0, lat0=49.0, fe=400000.0,
+        fn=-100000.0)),
     # Amersfoort / RD New (oblique stereographic, Bessel)
     28992: CrsDef("oblique_stereo", "AMERSFOORT", dict(
         lat0=52.15616055555555, lon0=5.38763888888889,
         k0=0.9999079, fe=155000.0, fn=463000.0)),
     # WGS 84 / World Equidistant Cylindrical (EPSG 1028)
     4087: CrsDef("eqc", "WGS84", dict(lat1=0.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # WGS 84 / World Mercator (ellipsoidal 1SP)
+    3395: CrsDef("mercator", "WGS84", dict(k0=1.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # Universal Polar Stereographic (variant A, k0 = 0.994)
+    5041: CrsDef("polar_stereo_a", "WGS84", dict(
+        k0=0.994, south=False, lon0=0.0, fe=2000000.0, fn=2000000.0)),
+    5042: CrsDef("polar_stereo_a", "WGS84", dict(
+        k0=0.994, south=True, lon0=0.0, fe=2000000.0, fn=2000000.0)),
     # World Sinusoidal (ESRI:54008; no EPSG twin)
     "ESRI:54008": CrsDef("sinusoidal", "WGS84", dict(
         lon0=0.0, fe=0.0, fn=0.0)),
@@ -604,10 +733,19 @@ def forward(code: int | str, lon, lat):
         if p["south"]:
             y = y + _crs.FALSE_NORTHING_SOUTH
         return x, y
+    if d.method == "tm":
+        from gdal_spark.geo.datum import tm_forward as _tmf
+
+        return _tmf(lon, lat, d.datum, p["k0"], p["lon0"], p["lat0"],
+                    p["fe"], p["fn"])
     if d.method == "albers":
         return albers_forward(lon, lat, d.datum, **p)
     if d.method == "polar_stereo":
         return polar_stereo_forward(lon, lat, d.datum, **p)
+    if d.method == "polar_stereo_a":
+        return polar_stereo_a_forward(lon, lat, d.datum, **p)
+    if d.method == "mercator":
+        return mercator_forward(lon, lat, d.datum, **p)
     if d.method == "oblique_stereo":
         return oblique_stereo_forward(lon, lat, d.datum, **p)
     if d.method == "sinusoidal":
@@ -634,10 +772,19 @@ def inverse(code: int | str, x, y):
         from gdal_spark.geo import crs as _crs
 
         return _crs.utm_inverse(x, y, p["zone"], northern=not p["south"])
+    if d.method == "tm":
+        from gdal_spark.geo.datum import tm_inverse as _tmi
+
+        return _tmi(x, y, d.datum, p["k0"], p["lon0"], p["lat0"],
+                    p["fe"], p["fn"])
     if d.method == "albers":
         return albers_inverse(x, y, d.datum, **p)
     if d.method == "polar_stereo":
         return polar_stereo_inverse(x, y, d.datum, **p)
+    if d.method == "polar_stereo_a":
+        return polar_stereo_a_inverse(x, y, d.datum, **p)
+    if d.method == "mercator":
+        return mercator_inverse(x, y, d.datum, **p)
     if d.method == "oblique_stereo":
         return oblique_stereo_inverse(x, y, d.datum, **p)
     if d.method == "sinusoidal":
@@ -665,6 +812,10 @@ def sql_forward(code: int | str, lon: str, lat: str) -> tuple[str, str]:
         return sql_albers_forward(lon, lat, d.datum, **p)
     if d.method == "polar_stereo":
         return sql_polar_stereo_forward(lon, lat, d.datum, **p)
+    if d.method == "polar_stereo_a":
+        return sql_polar_stereo_a_forward(lon, lat, d.datum, **p)
+    if d.method == "mercator":
+        return sql_mercator_forward(lon, lat, d.datum, **p)
     if d.method == "oblique_stereo":
         return sql_oblique_stereo_forward(lon, lat, d.datum, **p)
     if d.method == "sinusoidal":

@@ -163,3 +163,69 @@ def test_albers_equal_area_property():
 def test_unknown_code_raises():
     with pytest.raises(KeyError):
         pz.forward(999999, 0.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# round-4 tail: Mercator 1SP + UPS (polar stereographic variant A)
+# ---------------------------------------------------------------------------
+
+def test_ups_epsg_worked_example():
+    # EPSG GN7-2 Polar Stereographic variant A example (UPS North,
+    # k0 = 0.994): (73N, 44E) -> E 3320416.75, N 632668.43
+    x, y = pz.forward(5041, 44.0, 73.0)
+    assert abs(x - 3320416.75) < 0.02
+    assert abs(y - 632668.43) < 0.02
+
+
+def test_mercator_1sp_epsg_worked_example():
+    # EPSG GN7-2 Mercator 1SP example (Makassar / NEIEZ, Bessel,
+    # k0 = 0.997, lon0 = 110E, FE = 3900000, FN = 900000):
+    # (3S, 120E) -> E 5009726.58, N 569150.82
+    x, y = pz.mercator_forward(
+        120.0, -3.0, "AMERSFOORT", k0=0.997, lon0=110.0,
+        fe=3900000.0, fn=900000.0,
+    )
+    assert abs(x - 5009726.58) < 0.02
+    assert abs(y - 569150.82) < 0.02
+
+
+@pytest.mark.parametrize(
+    "code,lon,lat",
+    [(3395, 10.0, 55.0), (5041, -50.0, 75.0), (5042, 120.0, -75.0)],
+)
+def test_mercator_ups_roundtrip_and_sql(code, lon, lat):
+    import duckdb as dd
+
+    x, y = pz.forward(code, lon, lat)
+    lon2, lat2 = pz.inverse(code, float(x), float(y))
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+    xs, ys = pz.sql_forward(code, repr(lon), repr(lat))
+    dx, dy = dd.sql(f"SELECT {xs}, {ys}").fetchone()
+    assert abs(dx - float(x)) < 1e-7 and abs(dy - float(y)) < 1e-7
+
+
+def test_world_mercator_differs_from_webmerc():
+    # 3395 is ellipsoidal — at 55N it sits ~20 km south of 3857
+    _x1, y1 = pz.forward(3395, 0.0, 55.0)
+    _x2, y2 = pz.forward(3857, 0.0, 55.0)
+    assert 15000 < (y2 - y1) < 40000
+
+
+def test_bng_via_registry_matches_datum_pipeline():
+    # reproject(4326 -> 27700) through the registry == the dedicated
+    # bng_forward Helmert+Airy-TM pipeline (oracle bng_transform)
+    from gdal_spark.geo.datum import bng_forward
+
+    lons = np.array([-3.0, -1.2, 0.5])
+    lats = np.array([51.0, 53.4, 55.9])
+    x1, y1 = pz.reproject(lons, lats, 4326, 27700)
+    x2, y2 = bng_forward(lons, lats)
+    assert np.max(np.abs(x1 - x2)) < 1e-9
+    assert np.max(np.abs(y1 - y2)) < 1e-9
+    # and the registry inverse undoes the projection on OSGB36
+    lon_o, lat_o = pz.inverse(27700, x1, y1)
+    from gdal_spark.geo.datum import datum_shift
+
+    lon_w, lat_w, _h = datum_shift(lon_o, lat_o, "OSGB36", "WGS84")
+    assert np.max(np.abs(lon_w - lons)) < 1e-7
+    assert np.max(np.abs(lat_w - lats)) < 1e-7
