@@ -796,7 +796,12 @@ def inverse(code: int | str, x, y):
 
 def reproject(x, y, src: int | str, dst: int | str):
     """Any supported pair: inverse(src) -> Helmert datum crossing
-    (through WGS84, gdal_spark.geo.datum) -> forward(dst)."""
+    (through WGS84, gdal_spark.geo.datum) -> forward(dst).
+    src/dst accept anything resolve_crs takes ('EPSG:n', proj4, …)."""
+    if src not in REGISTRY:
+        src = resolve_crs(src)
+    if dst not in REGISTRY:
+        dst = resolve_crs(dst)
     lon, lat = inverse(src, x, y)
     sd, dd = crs_datum(src), crs_datum(dst)
     if sd != dd:
@@ -837,3 +842,107 @@ def sql_inverse(code: int | str, x: str, y: str) -> tuple[str, str]:
     if d.method == "eqc":
         return sql_eqc_inverse(x, y, d.datum, **p)
     raise KeyError(f"no closed-form SQL inverse for {d.method!r}")
+
+
+# ---------------------------------------------------------------------------
+# user-input CRS resolution (OGRSpatialReference::SetFromUserInput,
+# ogr/ogrspatialreference.cpp — "EPSG:n", bare codes, and the
+# high-frequency proj4 strings map onto the registry)
+# ---------------------------------------------------------------------------
+
+_PROJ4_METHODS = {
+    "longlat": "geographic",
+    "merc": "mercator",
+    "tmerc": "tm",
+    "utm": "utm",
+    "aea": "albers",
+    "stere": "polar_stereo_a",
+    "sterea": "oblique_stereo",
+    "sinu": "sinusoidal",
+    "eqc": "eqc",
+}
+
+
+def resolve_crs(user_input) -> int | str:
+    """Resolve a user CRS spec to a registry key.  Accepts an int
+    EPSG code, 'EPSG:n' / 'ESRI:n', a bare numeric string, or a
+    '+proj=' proj4 string matching one of the supported methods with
+    registry-identical parameters.  Raises KeyError with the
+    supported-method list when unresolvable."""
+    if isinstance(user_input, int):
+        if user_input not in REGISTRY:
+            raise KeyError(f"EPSG:{user_input} not in the registry")
+        return user_input
+    s = str(user_input).strip()
+    up = s.upper()
+    if up.startswith("EPSG:"):
+        return resolve_crs(int(up[5:]))
+    if up.startswith("ESRI:"):
+        key = f"ESRI:{int(up[5:])}"
+        if key not in REGISTRY:
+            raise KeyError(f"{key} not in the registry")
+        return key
+    if s.isdigit():
+        return resolve_crs(int(s))
+    if s.startswith("+"):
+        kv = {}
+        for part in s.split():
+            if "=" in part:
+                k, v = part[1:].split("=", 1)
+                kv[k] = v
+            else:
+                kv[part[1:]] = True
+        method = _PROJ4_METHODS.get(kv.get("proj", ""))
+        if method == "utm" and "zone" in kv:
+            zone = int(kv["zone"])
+            return (32700 if kv.get("south") else 32600) + zone
+        if method == "geographic":
+            return 4326
+        # match a registry entry by method + parameter values
+        def close(a: float, b: float) -> bool:
+            return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+
+        p4_of = {
+            "mercator": {"k0": "k_0", "lon0": "lon_0",
+                         "fe": "x_0", "fn": "y_0"},
+            "tm": {"k0": "k_0", "lon0": "lon_0", "lat0": "lat_0",
+                   "fe": "x_0", "fn": "y_0"},
+            "albers": {"lat1": "lat_1", "lat2": "lat_2",
+                       "lat0": "lat_0", "lon0": "lon_0",
+                       "fe": "x_0", "fn": "y_0"},
+            "polar_stereo_a": {"k0": "k_0", "lon0": "lon_0",
+                               "fe": "x_0", "fn": "y_0"},
+            "oblique_stereo": {"k0": "k_0", "lon0": "lon_0",
+                               "lat0": "lat_0", "fe": "x_0",
+                               "fn": "y_0"},
+            "sinusoidal": {"lon0": "lon_0", "fe": "x_0", "fn": "y_0"},
+            "eqc": {"lat1": "lat_ts", "lon0": "lon_0",
+                    "fe": "x_0", "fn": "y_0"},
+        }
+        defaults = {"k_0": 1.0, "lon_0": 0.0, "lat_0": 0.0,
+                    "lat_ts": 0.0, "x_0": 0.0, "y_0": 0.0,
+                    "lat_1": 0.0, "lat_2": 0.0}
+        if method in p4_of:
+            for key, d in REGISTRY.items():
+                if d.method != method:
+                    continue
+                ok = True
+                for pk, p4k in p4_of[method].items():
+                    if pk == "south":
+                        continue
+                    want = d.params.get(pk)
+                    got = float(kv.get(p4k, defaults.get(p4k, 0.0)))
+                    if want is None or not close(float(want), got):
+                        ok = False
+                        break
+                if ok and method == "polar_stereo_a":
+                    south = d.params.get("south", False)
+                    lat0 = float(kv.get("lat_0", 90.0))
+                    if south != (lat0 < 0):
+                        ok = False
+                if ok:
+                    return key
+    raise KeyError(
+        f"cannot resolve CRS {user_input!r}; registry methods: "
+        f"{sorted({d.method for d in REGISTRY.values()})}"
+    )

@@ -229,3 +229,25 @@ def test_bng_via_registry_matches_datum_pipeline():
     lon_w, lat_w, _h = datum_shift(lon_o, lat_o, "OSGB36", "WGS84")
     assert np.max(np.abs(lon_w - lons)) < 1e-7
     assert np.max(np.abs(lat_w - lats)) < 1e-7
+
+
+def test_resolve_crs_user_inputs():
+    assert pz.resolve_crs("EPSG:3031") == 3031
+    assert pz.resolve_crs(5070) == 5070
+    assert pz.resolve_crs("ESRI:54008") == "ESRI:54008"
+    assert pz.resolve_crs("+proj=utm +zone=31") == 32631
+    assert pz.resolve_crs("+proj=utm +zone=33 +south") == 32733
+    assert pz.resolve_crs("+proj=merc +k_0=1.0") == 3395
+    assert pz.resolve_crs("+proj=longlat") == 4326
+    assert pz.resolve_crs("+proj=sinu") == "ESRI:54008"
+    assert pz.resolve_crs(
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96"
+    ) == 5070
+    with pytest.raises(KeyError):
+        pz.resolve_crs("+proj=krovak")
+    with pytest.raises(KeyError):
+        pz.resolve_crs("EPSG:999999")
+    # reproject accepts the string forms end-to-end
+    x1, y1 = pz.reproject(10.0, 55.0, "EPSG:4326", "+proj=merc +k_0=1.0")
+    x2, y2 = pz.forward(3395, 10.0, 55.0)
+    assert float(x1) == float(x2) and float(y1) == float(y2)
