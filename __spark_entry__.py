@@ -4887,16 +4887,18 @@ def _o_proj_cells(code, lon_lo, lon_hi, lat_lo, lat_hi) -> str:
         hx, hy, hz = _sql_helmert("x", "y", "z", DATUMS[dst_datum][1],
                                   inverse=True)
         dlon, dlat = _sql_geodetic("hx", "hy", "hz", dst_datum)
-        px, py = pz.sql_forward(code, "dlon", "dlat")
+        fw_stages, px, py, src = pz.sql_forward_stages(
+            code, "dlon", "dlat", "ll")
         stages = f"""
 gc AS (SELECT i, {gx} AS x, {gy} AS y, {gz} AS z FROM sites WHERE {box}),
 hh AS (SELECT i, {hx} AS hx, {hy} AS hy, {hz} AS hz FROM gc),
 ll AS (SELECT i, {dlon} AS dlon, {dlat} AS dlat FROM hh)"""
-        src = "ll"
     else:
-        px, py = pz.sql_forward(code, "slon", "slat")
+        fw_stages, px, py, src = pz.sql_forward_stages(
+            code, "slon", "slat", "ll")
         stages = f"ll AS (SELECT * FROM sites WHERE {box})"
-        src = "ll"
+    if fw_stages:
+        stages = stages + ",\n" + fw_stages
     return f"""
 WITH sites AS ({st}),
 {stages}
@@ -4907,6 +4909,9 @@ FROM {src}
 
 
 q_proj_albers = _proj_cells_query(5070, -130.0, -60.0, 20.0, 50.0)
+q_proj_laea = _proj_cells_query(3035, -60.0, 80.0, 5.0, 84.0)
+q_proj_cea = _proj_cells_query(6933, -180.0, 180.0, -84.0, 84.0)
+q_proj_mollweide = _proj_cells_query("ESRI:54009", -178.0, 178.0, -84.0, 84.0)
 q_proj_sinusoidal = _proj_cells_query("ESRI:54008", -180.0, 180.0, -84.0, 84.0)
 q_proj_eqc = _proj_cells_query(4087, -180.0, 180.0, -84.0, 84.0)
 q_proj_stereo_oblique = _proj_cells_query(28992, -15.0, 25.0, 35.0, 65.0)
@@ -6012,6 +6017,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4
         "ogr_sql_join": q_ogr_sql_join,
+        "proj_laea": q_proj_laea,
+        "proj_cea": q_proj_cea,
+        "proj_mollweide": q_proj_mollweide,
         "proj_albers": q_proj_albers,
         "proj_polar_stereo": q_proj_polar_stereo,
         "proj_stereo_oblique": q_proj_stereo_oblique,
@@ -8069,6 +8077,10 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "palette_map": _o_palette_map(),
         "ogr_sql_exec": _o_ogr_sql_exec(),
         "ogr_sql_join": _o_ogr_sql_join(),
+        "proj_laea": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
+        "proj_cea": _o_proj_cells(6933, -180.0, 180.0, -84.0, 84.0),
+        "proj_mollweide": _o_proj_cells(
+            "ESRI:54009", -178.0, 178.0, -84.0, 84.0),
         "proj_albers": _o_proj_cells(5070, -130.0, -60.0, 20.0, 50.0),
         "proj_polar_stereo": _o_proj_polar_stereo(),
         "proj_stereo_oblique": _o_proj_cells(28992, -15.0, 25.0, 35.0, 65.0),

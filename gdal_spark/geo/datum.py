@@ -60,6 +60,8 @@ ELLIPSOIDS = {
 DATUMS = {
     "WGS84": ("WGS84", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
     "NAD83": ("GRS80", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+    # ETRS89 is WGS84-coincident at the engine's accuracy contract
+    "ETRS89": ("GRS80", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
     "ED50": ("intl", (-87.0, -98.0, -121.0, 0.0, 0.0, 0.0, 0.0)),
     "OSGB36": (
         "airy",

@@ -651,6 +651,280 @@ def sql_eqc_inverse(x: str, y: str, datum: str, lat1: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
+# Authalic latitude: q(phi), qp, and the beta -> phi series
+# (Snyder 3-11/3-12/3-18) — shared by the equal-area methods
+# (LAEA 9820, Cylindrical Equal Area 9835).
+# ---------------------------------------------------------------------------
+
+def _auth_series(e2: float) -> tuple[float, float, float]:
+    e4 = e2 * e2
+    e6 = e4 * e2
+    return (
+        e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0,
+        23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0,
+        761.0 * e6 / 45360.0,
+    )
+
+
+def _beta_to_phi(beta, e2: float):
+    c2, c4, c6 = _auth_series(e2)
+    return (
+        beta
+        + c2 * np.sin(2.0 * beta)
+        + c4 * np.sin(4.0 * beta)
+        + c6 * np.sin(6.0 * beta)
+    )
+
+
+def _sql_beta_to_phi(beta: str, e2: float) -> str:
+    c2, c4, c6 = _auth_series(e2)
+    return (
+        f"(({beta}) + {_d(c2)} * sin(2.0 * ({beta})) + "
+        f"{_d(c4)} * sin(4.0 * ({beta})) + "
+        f"{_d(c6)} * sin(6.0 * ({beta})))"
+    )
+
+
+def _qp(e: float, e2: float) -> float:
+    return float(_alb_q(np.float64(1.0), e, e2))
+
+
+# ---------------------------------------------------------------------------
+# Lambert Azimuthal Equal Area, oblique ellipsoidal (EPSG method 9820,
+# Snyder 24 / EPSG Guidance 7-2 §3.5.2) — EPSG:3035 LAEA Europe.
+# ---------------------------------------------------------------------------
+
+def laea_consts(datum: str, lat0: float):
+    """(qp, beta1, Rq, D) folded to plain floats so the SQL twin
+    embeds the SAME numpy-computed literals."""
+    a, e, e2 = ell_consts(datum)
+    p0 = math.radians(lat0)
+    s0 = math.sin(p0)
+    qp = _qp(e, e2)
+    q1 = float(_alb_q(np.float64(s0), e, e2))
+    beta1 = math.asin(q1 / qp)
+    Rq = a * math.sqrt(qp / 2.0)
+    m1 = math.cos(p0) / math.sqrt(1.0 - e2 * s0 * s0)
+    D = a * m1 / (Rq * math.cos(beta1))
+    return qp, beta1, Rq, D
+
+
+def laea_forward(lon, lat, datum: str, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    qp, beta1, Rq, D = laea_consts(datum, lat0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    q = _alb_q(np.sin(phi), e, e2)
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    sb, cb = np.sin(beta), np.cos(beta)
+    B = Rq * np.sqrt(
+        2.0 / (1.0 + math.sin(beta1) * sb
+               + math.cos(beta1) * cb * np.cos(dlam))
+    )
+    x = fe + B * D * cb * np.sin(dlam)
+    y = fn + (B / D) * (math.cos(beta1) * sb
+                        - math.sin(beta1) * cb * np.cos(dlam))
+    return x, y
+
+
+def laea_inverse(x, y, datum: str, lat0: float, lon0: float,
+                 fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    qp, beta1, Rq, D = laea_consts(datum, lat0)
+    xp = (np.asarray(x, dtype=np.float64) - fe) / D
+    yp = D * (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.sqrt(xp * xp + yp * yp)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+    sc, cc = np.sin(ce), np.cos(ce)
+    # rho == 0 (the projection centre) -> beta = beta1, dlam = 0
+    safe = np.where(rho == 0.0, 1.0, rho)
+    beta = np.arcsin(np.clip(
+        cc * math.sin(beta1) + yp * sc * math.cos(beta1) / safe,
+        -1.0, 1.0))
+    beta = np.where(rho == 0.0, beta1, beta)
+    dlam = np.arctan2(
+        xp * sc,
+        safe * math.cos(beta1) * cc - yp * math.sin(beta1) * sc,
+    )
+    dlam = np.where(rho == 0.0, 0.0, dlam)
+    phi = _beta_to_phi(beta, e2)
+    return np.degrees(dlam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_laea_forward(lon: str, lat: str, datum: str, lat0: float,
+                     lon0: float, fe: float = 0.0, fn: float = 0.0
+                     ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    qp, beta1, Rq, D = laea_consts(datum, lat0)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    q = (
+        f"({_d(1.0 - e2)} * (({s}) / (1.0 - {_d(e2)} * ({s}) * ({s})) - "
+        f"{_d(1.0 / (2.0 * e))} * ln((1.0 - {_d(e)} * ({s})) / "
+        f"(1.0 + {_d(e)} * ({s})))))"
+    )
+    beta = f"asin(greatest(-1.0, least(1.0, {q} / {_d(qp)})))"
+    dlam = f"(radians({lon}) - {_d(math.radians(lon0))})"
+    B = (
+        f"({_d(Rq)} * sqrt(2.0 / (1.0 + {_d(math.sin(beta1))} * "
+        f"sin({beta}) + {_d(math.cos(beta1))} * cos({beta}) * "
+        f"cos({dlam}))))"
+    )
+    x = f"({_d(fe)} + {B} * {_d(D)} * cos({beta}) * sin({dlam}))"
+    y = (
+        f"({_d(fn)} + ({B} / {_d(D)}) * ({_d(math.cos(beta1))} * "
+        f"sin({beta}) - {_d(math.sin(beta1))} * cos({beta}) * "
+        f"cos({dlam})))"
+    )
+    return x, y
+
+
+# ---------------------------------------------------------------------------
+# (Lambert) Cylindrical Equal Area, ellipsoidal (EPSG method 9835,
+# Snyder 10) — EPSG:6933 WGS 84 / NSIDC EASE-Grid 2.0 Global.
+# ---------------------------------------------------------------------------
+
+def cea_consts(datum: str, lat_ts: float) -> float:
+    """k0 implied by the standard parallel."""
+    _a, _e, e2 = ell_consts(datum)
+    p1 = math.radians(lat_ts)
+    s1 = math.sin(p1)
+    return math.cos(p1) / math.sqrt(1.0 - e2 * s1 * s1)
+
+
+def cea_forward(lon, lat, datum: str, lat_ts: float, lon0: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    k0 = cea_consts(datum, lat_ts)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    q = _alb_q(np.sin(phi), e, e2)
+    return fe + a * k0 * dlam, fn + a * q / (2.0 * k0)
+
+
+def cea_inverse(x, y, datum: str, lat_ts: float, lon0: float = 0.0,
+                fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    k0 = cea_consts(datum, lat_ts)
+    qp = _qp(e, e2)
+    dlam = (np.asarray(x, dtype=np.float64) - fe) / (a * k0)
+    q = 2.0 * (np.asarray(y, dtype=np.float64) - fn) * k0 / a
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    phi = _beta_to_phi(beta, e2)
+    return np.degrees(dlam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_cea_forward(lon: str, lat: str, datum: str, lat_ts: float,
+                    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0
+                    ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    k0 = cea_consts(datum, lat_ts)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    q = (
+        f"({_d(1.0 - e2)} * (({s}) / (1.0 - {_d(e2)} * ({s}) * ({s})) - "
+        f"{_d(1.0 / (2.0 * e))} * ln((1.0 - {_d(e)} * ({s})) / "
+        f"(1.0 + {_d(e)} * ({s})))))"
+    )
+    x = (
+        f"({_d(fe)} + {_d(a * k0)} * (radians({lon}) - "
+        f"{_d(math.radians(lon0))}))"
+    )
+    y = f"({_d(fn)} + {_d(a)} * {q} / {_d(2.0 * k0)})"
+    return x, y
+
+
+def sql_cea_inverse(x: str, y: str, datum: str, lat_ts: float,
+                    lon0: float = 0.0, fe: float = 0.0, fn: float = 0.0
+                    ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    k0 = cea_consts(datum, lat_ts)
+    qp = _qp(e, e2)
+    dlam = f"((({x}) - {_d(fe)}) / {_d(a * k0)})"
+    q = f"(2.0 * (({y}) - {_d(fn)}) * {_d(k0)} / {_d(a)})"
+    beta = f"asin(greatest(-1.0, least(1.0, {q} / {_d(qp)})))"
+    phi = _sql_beta_to_phi(beta, e2)
+    return (
+        f"degrees(({dlam}) + {_d(math.radians(lon0))})",
+        f"degrees({phi})",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mollweide, spherical on the ellipsoid's semi-major axis — the
+# PROJ/ESRI convention for ESRI:54009 World Mollweide (Snyder 31).
+# Forward solves 2t + sin(2t) = pi*sin(phi) with a FIXED count of
+# Newton steps from t0 = phi; the SQL twin (sql_mollweide_stages)
+# unrolls the same count through staged CTEs so both engines walk the
+# identical expression tree (nesting the iterate inline would blow up
+# combinatorially — see the contributor guide's staged-CTE rule).
+# ---------------------------------------------------------------------------
+
+MOLL_ITERS = 8
+
+
+def mollweide_forward(lon, lat, datum: str, lon0: float = 0.0,
+                      fe: float = 0.0, fn: float = 0.0):
+    a, _e, _e2 = ell_consts(datum)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    c = np.pi * np.sin(phi)
+    t = phi.copy()
+    for _ in range(MOLL_ITERS):
+        den = 2.0 + 2.0 * np.cos(2.0 * t)
+        # at the exact poles the iterate is 0/0; t = phi is already the
+        # solution there (no-op everywhere the SQL twin's domain reaches)
+        t = np.where(
+            den < 1e-12, t,
+            t - (2.0 * t + np.sin(2.0 * t) - c) / np.where(
+                den < 1e-12, 1.0, den),
+        )
+    cx = 2.0 * math.sqrt(2.0) / math.pi * a
+    cy = math.sqrt(2.0) * a
+    return fe + cx * dlam * np.cos(t), fn + cy * np.sin(t)
+
+
+def mollweide_inverse(x, y, datum: str, lon0: float = 0.0,
+                      fe: float = 0.0, fn: float = 0.0):
+    a, _e, _e2 = ell_consts(datum)
+    cx = 2.0 * math.sqrt(2.0) / math.pi * a
+    cy = math.sqrt(2.0) * a
+    t = np.arcsin(np.clip((np.asarray(y, dtype=np.float64) - fn) / cy,
+                          -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * t + np.sin(2.0 * t)) / np.pi, -1.0, 1.0))
+    dlam = (np.asarray(x, dtype=np.float64) - fe) / (cx * np.cos(t))
+    return np.degrees(dlam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_mollweide_stages(lon: str, lat: str, datum: str, src: str,
+                         lon0: float = 0.0, fe: float = 0.0,
+                         fn: float = 0.0, keep: str = "i"
+                         ) -> tuple[str, str, str, str]:
+    """Staged-CTE SQL twin of mollweide_forward: returns
+    (stages_sql, x_expr, y_expr, final_src).  `src` must expose
+    columns {keep}, {lon}, {lat}; each Newton step sees simple column
+    names from the previous stage."""
+    a, _e, _e2 = ell_consts(datum)
+    cx = 2.0 * math.sqrt(2.0) / math.pi * a
+    cy = math.sqrt(2.0) * a
+    stages = [
+        f"_m0 AS (SELECT {keep}, radians({lon}) - "
+        f"{_d(math.radians(lon0))} AS dlam, "
+        f"pi() * sin(radians({lat})) AS c, radians({lat}) AS t FROM {src})"
+    ]
+    for k in range(MOLL_ITERS):
+        stages.append(
+            f"_m{k + 1} AS (SELECT {keep}, dlam, c, "
+            f"t - (2.0 * t + sin(2.0 * t) - c) / "
+            f"(2.0 + 2.0 * cos(2.0 * t)) AS t FROM _m{k})"
+        )
+    x = f"({_d(fe)} + {_d(cx)} * dlam * cos(t))"
+    y = f"({_d(fn)} + {_d(cy)} * sin(t))"
+    return ",\n".join(stages), x, y, f"_m{MOLL_ITERS}"
+
+
+# ---------------------------------------------------------------------------
 # EPSG parameter registry + reproject dispatch
 # (the engine's stand-in for PROJ's database-driven pipeline
 # selection, ogr/ogrct.cpp:1091)
@@ -702,6 +976,16 @@ REGISTRY: dict[int | str, CrsDef] = {
     # World Sinusoidal (ESRI:54008; no EPSG twin)
     "ESRI:54008": CrsDef("sinusoidal", "WGS84", dict(
         lon0=0.0, fe=0.0, fn=0.0)),
+    4258: CrsDef("geographic", "ETRS89"),
+    # ETRS89-extended / LAEA Europe (EPSG method 9820)
+    3035: CrsDef("laea", "ETRS89", dict(
+        lat0=52.0, lon0=10.0, fe=4321000.0, fn=3210000.0)),
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global (EPSG method 9835)
+    6933: CrsDef("cea", "WGS84", dict(
+        lat_ts=30.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # World Mollweide (ESRI:54009; spherical on a, the PROJ convention)
+    "ESRI:54009": CrsDef("mollweide", "WGS84", dict(
+        lon0=0.0, fe=0.0, fn=0.0)),
 }
 # WGS84 UTM zones 326xx (N) / 327xx (S)
 for _z in range(1, 61):
@@ -752,6 +1036,12 @@ def forward(code: int | str, lon, lat):
         return sinusoidal_forward(lon, lat, d.datum, **p)
     if d.method == "eqc":
         return eqc_forward(lon, lat, d.datum, **p)
+    if d.method == "laea":
+        return laea_forward(lon, lat, d.datum, **p)
+    if d.method == "cea":
+        return cea_forward(lon, lat, d.datum, **p)
+    if d.method == "mollweide":
+        return mollweide_forward(lon, lat, d.datum, **p)
     raise KeyError(f"unsupported method {d.method!r}")
 
 
@@ -791,6 +1081,12 @@ def inverse(code: int | str, x, y):
         return sinusoidal_inverse(x, y, d.datum, **p)
     if d.method == "eqc":
         return eqc_inverse(x, y, d.datum, **p)
+    if d.method == "laea":
+        return laea_inverse(x, y, d.datum, **p)
+    if d.method == "cea":
+        return cea_inverse(x, y, d.datum, **p)
+    if d.method == "mollweide":
+        return mollweide_inverse(x, y, d.datum, **p)
     raise KeyError(f"unsupported method {d.method!r}")
 
 
@@ -827,7 +1123,25 @@ def sql_forward(code: int | str, lon: str, lat: str) -> tuple[str, str]:
         return sql_sinusoidal_forward(lon, lat, d.datum, **p)
     if d.method == "eqc":
         return sql_eqc_forward(lon, lat, d.datum, **p)
+    if d.method == "laea":
+        return sql_laea_forward(lon, lat, d.datum, **p)
+    if d.method == "cea":
+        return sql_cea_forward(lon, lat, d.datum, **p)
     raise KeyError(f"no SQL twin for method {d.method!r}")
+
+
+def sql_forward_stages(code: int | str, lon: str, lat: str, src: str,
+                       keep: str = "i") -> tuple[str, str, str, str]:
+    """Staged-CTE SQL twin of forward() for methods whose expression
+    tree must not be nested inline (fixed-iteration Mollweide).
+    Returns (stages_sql, x_expr, y_expr, final_src); stages_sql is ''
+    for methods whose sql_forward is a plain expression pair."""
+    d = REGISTRY[code]
+    if d.method == "mollweide":
+        return sql_mollweide_stages(lon, lat, d.datum, src,
+                                    keep=keep, **d.params)
+    x, y = sql_forward(code, lon, lat)
+    return "", x, y, src
 
 
 def sql_inverse(code: int | str, x: str, y: str) -> tuple[str, str]:
@@ -841,6 +1155,8 @@ def sql_inverse(code: int | str, x: str, y: str) -> tuple[str, str]:
         return sql_sinusoidal_inverse(x, y, d.datum, **p)
     if d.method == "eqc":
         return sql_eqc_inverse(x, y, d.datum, **p)
+    if d.method == "cea":
+        return sql_cea_inverse(x, y, d.datum, **p)
     raise KeyError(f"no closed-form SQL inverse for {d.method!r}")
 
 
@@ -860,6 +1176,9 @@ _PROJ4_METHODS = {
     "sterea": "oblique_stereo",
     "sinu": "sinusoidal",
     "eqc": "eqc",
+    "laea": "laea",
+    "cea": "cea",
+    "moll": "mollweide",
 }
 
 
@@ -884,6 +1203,10 @@ def resolve_crs(user_input) -> int | str:
         return key
     if s.isdigit():
         return resolve_crs(int(s))
+    if up.startswith(("PROJCS", "GEOGCS")):
+        from gdal_spark.geo.wktcrs import wkt_to_crs
+
+        return wkt_to_crs(s)
     if s.startswith("+"):
         kv = {}
         for part in s.split():
@@ -918,6 +1241,11 @@ def resolve_crs(user_input) -> int | str:
             "sinusoidal": {"lon0": "lon_0", "fe": "x_0", "fn": "y_0"},
             "eqc": {"lat1": "lat_ts", "lon0": "lon_0",
                     "fe": "x_0", "fn": "y_0"},
+            "laea": {"lat0": "lat_0", "lon0": "lon_0",
+                     "fe": "x_0", "fn": "y_0"},
+            "cea": {"lat_ts": "lat_ts", "lon0": "lon_0",
+                    "fe": "x_0", "fn": "y_0"},
+            "mollweide": {"lon0": "lon_0", "fe": "x_0", "fn": "y_0"},
         }
         defaults = {"k_0": 1.0, "lon_0": 0.0, "lat_0": 0.0,
                     "lat_ts": 0.0, "x_0": 0.0, "y_0": 0.0,

@@ -251,3 +251,81 @@ def test_resolve_crs_user_inputs():
     x1, y1 = pz.reproject(10.0, 55.0, "EPSG:4326", "+proj=merc +k_0=1.0")
     x2, y2 = pz.forward(3395, 10.0, 55.0)
     assert float(x1) == float(x2) and float(y1) == float(y2)
+
+
+def test_laea_epsg_worked_example():
+    # EPSG GN7-2 LAEA example (ETRS89 / LAEA Europe parameters):
+    # (50N, 5E) -> E 3962799.45, N 2999718.85
+    x, y = pz.forward(3035, np.array([5.0]), np.array([50.0]))
+    assert abs(x[0] - 3962799.45) < 0.01
+    assert abs(y[0] - 2999718.85) < 0.01
+
+
+@pytest.mark.parametrize(
+    "code,lon_rng,lat_rng",
+    [
+        (3035, (-60.0, 80.0), (5.0, 84.0)),
+        (6933, (-179.0, 179.0), (-84.0, 84.0)),
+        ("ESRI:54009", (-178.0, 178.0), (-84.0, 84.0)),
+    ],
+)
+def test_equal_area_roundtrips(code, lon_rng, lat_rng):
+    rng = np.random.default_rng(17)
+    lons = rng.uniform(*lon_rng, 500)
+    lats = rng.uniform(*lat_rng, 500)
+    x, y = pz.forward(code, lons, lats)
+    lon2, lat2 = pz.inverse(code, x, y)
+    # authalic beta->phi series truncation bounds the ellipsoidal
+    # inverses at ~1e-8 deg (~1 mm); Mollweide is spherical-exact
+    assert np.max(np.abs(lon2 - lons)) < 1e-7
+    assert np.max(np.abs(lat2 - lats)) < 1e-7
+
+
+@pytest.mark.parametrize("code,lon0,lat0", [(6933, 10.0, 40.0),
+                                            (3035, 12.0, 52.0),
+                                            (3035, -40.0, 20.0)])
+def test_equal_area_jacobian(code, lon0, lat0):
+    # |d(x,y)/d(lam,phi)| must equal the ellipsoidal area element
+    # a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2 everywhere
+    a, _e, e2 = pz.ell_consts(pz.crs_datum(code))
+    h = 1e-6
+    x0, y0 = pz.forward(code, np.array([lon0]), np.array([lat0]))
+    x1, y1 = pz.forward(code, np.array([lon0 + h]), np.array([lat0]))
+    x2, y2 = pz.forward(code, np.array([lon0]), np.array([lat0 + h]))
+    J = ((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)) / np.radians(h) ** 2
+    phi = math.radians(lat0)
+    want = a * a * (1.0 - e2) * math.cos(phi) / (
+        1.0 - e2 * math.sin(phi) ** 2) ** 2
+    assert abs(J[0] / want - 1.0) < 1e-4
+
+
+def test_mollweide_landmarks():
+    # Snyder 31: x(90E, 0) = sqrt(2) R; y(0, 90N) = sqrt(2) R; and the
+    # SQL staged twin agrees with numpy through DuckDB
+    a, _e, _e2 = pz.ell_consts("WGS84")
+    x, y = pz.forward("ESRI:54009", np.array([90.0, 0.0]),
+                      np.array([0.0, 90.0]))
+    assert abs(x[0] - math.sqrt(2.0) * a) < 1e-3
+    assert abs(y[1] - math.sqrt(2.0) * a) < 200.0  # pole: Newton plateau
+    stages, px, py, src = pz.sql_forward_stages(
+        "ESRI:54009", "slon", "slat", "pts")
+    lons = np.array([-120.0, -30.5, 44.25, 170.0])
+    lats = np.array([-70.0, 12.5, 48.0, 83.5])
+    rows = ", ".join(f"({i}, {lo!r}, {la!r})"
+                     for i, (lo, la) in enumerate(zip(lons, lats)))
+    q = (f"WITH raw(i, slon, slat) AS (VALUES {rows}), "
+         f"pts AS (SELECT i, cast(slon as double) slon, "
+         f"cast(slat as double) slat FROM raw), {stages} "
+         f"SELECT {px}, {py} FROM {src} ORDER BY i")
+    got = np.array(duckdb.sql(q).fetchall())
+    X, Y = pz.forward("ESRI:54009", lons, lats)
+    assert np.max(np.abs(got[:, 0] - X)) < 1e-6
+    assert np.max(np.abs(got[:, 1] - Y)) < 1e-6
+
+
+def test_resolve_crs_equal_area_proj4():
+    assert pz.resolve_crs(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000"
+    ) == 3035
+    assert pz.resolve_crs("+proj=cea +lat_ts=30") == 6933
+    assert pz.resolve_crs("+proj=moll") == "ESRI:54009"
