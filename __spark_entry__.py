@@ -4908,6 +4908,56 @@ FROM {src}
 """
 
 
+def q_st_transform_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Transform through the registered spark.sql surface
+    (ogrsqlitesqlfunctions.cpp:705 — the reference's SQLite dialect
+    ST_Transform): site points as WKB, reprojected 4326 -> EPSG:3035
+    by the SQL function, cells quantized like the proj_* family.
+    Oracle: the SAME staged-CTE LAEA twin as proj_laea."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.st_functions import register_st_functions
+
+    register_st_functions(spark)
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir)).where(
+        (F.col("slat") >= 5.0) & (F.col("slat") <= 84.0)
+        & (F.col("slon") >= -60.0) & (F.col("slon") <= 80.0)
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("g", T2.BinaryType()),
+        ]
+    )
+
+    def mk(batches):
+        from gdal_spark.geo.wkb import wkb_point
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "g": [
+                        wkb_point(float(lo), float(la))
+                        for lo, la in zip(pdf["slon"], pdf["slat"])
+                    ],
+                }
+            )
+
+    pts = sites.select("i", "slon", "slat").mapInPandas(mk, schema)
+    pts.createOrReplaceTempView("_st_transform_pts")
+    return spark.sql(
+        f"""
+        SELECT i,
+               cast(floor(ST_X(g2) / {PROJ_CELL!r}) as bigint) AS cell_x,
+               cast(floor(ST_Y(g2) / {PROJ_CELL!r}) as bigint) AS cell_y
+        FROM (SELECT i, ST_Transform(g, 4326, 3035) AS g2
+              FROM _st_transform_pts)
+        """
+    )
+
+
 q_proj_albers = _proj_cells_query(5070, -130.0, -60.0, 20.0, 50.0)
 q_proj_laea = _proj_cells_query(3035, -60.0, 80.0, 5.0, 84.0)
 q_proj_cea = _proj_cells_query(6933, -180.0, 180.0, -84.0, 84.0)
@@ -6018,6 +6068,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
+        "st_transform_sql": q_st_transform_sql,
         "proj_cea": q_proj_cea,
         "proj_mollweide": q_proj_mollweide,
         "proj_albers": q_proj_albers,
@@ -8078,6 +8129,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "ogr_sql_exec": _o_ogr_sql_exec(),
         "ogr_sql_join": _o_ogr_sql_join(),
         "proj_laea": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
+        "st_transform_sql": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
         "proj_cea": _o_proj_cells(6933, -180.0, 180.0, -84.0, 84.0),
         "proj_mollweide": _o_proj_cells(
             "ESRI:54009", -178.0, 178.0, -84.0, 84.0),

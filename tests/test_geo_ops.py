@@ -241,3 +241,38 @@ def test_st_kml_gml_export(spark):
     assert "<innerBoundaryIs>" in row["k"] and "1,1 1,2 2,2 2,1 1,1" in row["k"]
     assert row["g"].startswith("<gml:Polygon>") and "gml:coordinates" in row["g"]
     assert row["kp"] == "<Point><coordinates>2.5,-3.25</coordinates></Point>"
+
+
+def test_st_transform_sql(spark):
+    # ST_Transform (ogrsqlitesqlfunctions.cpp:705): every vertex of
+    # every geometry type reprojects through the projzoo registry,
+    # with int codes OR user-input strings for the CRS arguments
+    from gdal_spark.geo import projzoo as pz
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import parse_wkb, wkb_point, wkb_polygon
+
+    register_st_functions(spark)
+    poly = wkb_polygon(
+        [np.array([[5.0, 50.0], [6.0, 50.0], [6.0, 51.0], [5.0, 50.0]])]
+    )
+    df = spark.createDataFrame(
+        [(1, wkb_point(5.0, 50.0)), (2, poly), (3, None)], ["i", "g"]
+    )
+    df.createOrReplaceTempView("stt")
+    rows = {
+        r["i"]: r
+        for r in spark.sql(
+            "SELECT i, ST_Transform(g, 4326, 3035) AS t, "
+            "ST_Transform(g, 'EPSG:4326', 'EPSG:3035') AS ts FROM stt"
+        ).collect()
+    }
+    ex, ey = pz.reproject(5.0, 50.0, 4326, 3035)
+    g1 = parse_wkb(bytes(rows[1]["t"]))
+    assert abs(g1.parts[0][0, 0] - float(ex)) < 1e-6
+    assert abs(g1.parts[0][0, 1] - float(ey)) < 1e-6
+    # string CRS args give the identical bytes
+    assert bytes(rows[1]["t"]) == bytes(rows[1]["ts"])
+    g2 = parse_wkb(bytes(rows[2]["t"]))
+    assert len(g2.parts) == 1 and g2.parts[0].shape == (4, 2)
+    assert abs(g2.parts[0][0, 0] - float(ex)) < 1e-6
+    assert rows[3]["t"] is None
