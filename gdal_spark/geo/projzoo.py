@@ -1166,6 +1166,83 @@ def sql_inverse(code: int | str, x: str, y: str) -> tuple[str, str]:
 # high-frequency proj4 strings map onto the registry)
 # ---------------------------------------------------------------------------
 
+# registry geographic codes per datum (shared with geo/wktcrs.py)
+GEOGRAPHIC_CODES = {
+    "WGS84": 4326,
+    "NAD83": 4269,
+    "OSGB36": 4277,
+    "AMERSFOORT": 4289,
+    "ETRS89": 4258,
+}
+
+
+def _datum_from_proj4(kv: dict) -> str:
+    """Infer the datum from +datum/+ellps/+towgs84 (NAD83 and ETRS89
+    are indistinguishable in proj4 terms; NAD83 wins by order)."""
+    if str(kv.get("datum", "")).upper() == "WGS84":
+        return "WGS84"
+    ell = str(kv.get("ellps", "WGS84"))
+    tw = tuple(float(v) for v in str(kv.get("towgs84", "0,0,0")).split(","))
+    tw = tw + (0.0,) * (7 - len(tw))
+    for name, (e, towgs84) in DATUMS.items():
+        if e != ell:
+            continue
+        if all(abs(x - y) <= 1e-9 for x, y in zip(tw, towgs84)):
+            return name
+    raise KeyError(f"proj4 datum not in the registry: "
+                   f"ellps={ell} towgs84={kv.get('towgs84')}")
+
+
+def to_proj4(code) -> str:
+    """Registry key -> proj4 string (exportToProj4,
+    ogr/ogrspatialreference.cpp).  resolve_crs(to_proj4(k)) == k for
+    every registry entry whose method has a proj4 name."""
+    key = code if code in REGISTRY else resolve_crs(code)
+    d = REGISTRY[key]
+    ell = DATUMS[d.datum][0]
+    ell_p4 = {"WGS84": "WGS84", "GRS80": "GRS80", "intl": "intl",
+              "airy": "airy", "bessel": "bessel", "krass": "krass",
+              "clrk66": "clrk66"}[ell]
+    tw = DATUMS[d.datum][1]
+    datum_part = f"+ellps={ell_p4} +towgs84=" + ",".join(
+        repr(v) if v != int(v) else str(int(v)) for v in tw)
+    p = d.params
+    if d.method == "geographic":
+        return f"+proj=longlat {datum_part} +no_defs"
+    if d.method == "webmerc":
+        return ("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+                "+x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null +no_defs")
+    if d.method == "utm":
+        s = " +south" if p["south"] else ""
+        return f"+proj=utm +zone={p['zone']}{s} {datum_part} +no_defs"
+    name_of = {"tm": "tmerc", "mercator": "merc", "albers": "aea",
+               "polar_stereo_a": "stere", "oblique_stereo": "sterea",
+               "sinusoidal": "sinu", "eqc": "eqc", "laea": "laea",
+               "cea": "cea", "mollweide": "moll"}
+    p4_key = {"k0": "k_0", "lon0": "lon_0", "lat0": "lat_0",
+              "lat1": "lat_1" if d.method == "albers" else "lat_ts",
+              "lat2": "lat_2", "lat_ts": "lat_ts",
+              "fe": "x_0", "fn": "y_0"}
+    if d.method == "polar_stereo":
+        # variant B: proj spells it stere with lat_0=+/-90 + lat_ts
+        lat0 = -90 if p["lat_ts"] < 0 else 90
+        return (f"+proj=stere +lat_0={lat0} +lat_ts={p['lat_ts']!r} "
+                f"+lon_0={p['lon0']!r} +x_0={p['fe']!r} +y_0={p['fn']!r} "
+                f"{datum_part} +no_defs")
+    if d.method not in name_of:
+        raise KeyError(f"no proj4 name for method {d.method!r}")
+    parts = [f"+proj={name_of[d.method]}"]
+    if d.method == "polar_stereo_a":
+        parts.append(f"+lat_0={-90 if p['south'] else 90}")
+    for k, v in p.items():
+        if k == "south":
+            continue
+        parts.append(f"+{p4_key[k]}={v!r}")
+    parts.append(datum_part)
+    parts.append("+no_defs")
+    return " ".join(parts)
+
+
 _PROJ4_METHODS = {
     "longlat": "geographic",
     "merc": "mercator",
@@ -1216,11 +1293,25 @@ def resolve_crs(user_input) -> int | str:
             else:
                 kv[part[1:]] = True
         method = _PROJ4_METHODS.get(kv.get("proj", ""))
+        # spherical-Mercator spelling (+a=+b or +nadgrids=@null) is
+        # web mercator, never the ellipsoidal 1SP method
+        if kv.get("proj") == "merc" and (
+                kv.get("nadgrids") == "@null"
+                or ("a" in kv and kv.get("a") == kv.get("b"))):
+            return 3857
+        # stere with a standard parallel is EPSG's variant B
+        if method == "polar_stereo_a" and "lat_ts" in kv:
+            method = "polar_stereo"
         if method == "utm" and "zone" in kv:
             zone = int(kv["zone"])
             return (32700 if kv.get("south") else 32600) + zone
         if method == "geographic":
-            return 4326
+            datum = _datum_from_proj4(kv)
+            code = GEOGRAPHIC_CODES.get(datum)
+            if code is None:
+                raise KeyError(
+                    f"no geographic registry code for datum {datum}")
+            return code
         # match a registry entry by method + parameter values
         def close(a: float, b: float) -> bool:
             return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
@@ -1235,6 +1326,8 @@ def resolve_crs(user_input) -> int | str:
                        "fe": "x_0", "fn": "y_0"},
             "polar_stereo_a": {"k0": "k_0", "lon0": "lon_0",
                                "fe": "x_0", "fn": "y_0"},
+            "polar_stereo": {"lat_ts": "lat_ts", "lon0": "lon_0",
+                             "fe": "x_0", "fn": "y_0"},
             "oblique_stereo": {"k0": "k_0", "lon0": "lon_0",
                                "lat0": "lat_0", "fe": "x_0",
                                "fn": "y_0"},

@@ -329,3 +329,15 @@ def test_resolve_crs_equal_area_proj4():
     ) == 3035
     assert pz.resolve_crs("+proj=cea +lat_ts=30") == 6933
     assert pz.resolve_crs("+proj=moll") == "ESRI:54009"
+
+
+def test_to_proj4_roundtrip_every_registry_entry():
+    # exportToProj4 parity: every entry round-trips except the one
+    # documented proj4-level ambiguity (ETRS89 == NAD83 in proj4
+    # terms; NAD83 wins by registry order)
+    for key in pz.REGISTRY:
+        back = pz.resolve_crs(pz.to_proj4(key))
+        if key == 4258:
+            assert back == 4269
+        else:
+            assert back == key, (key, back)
