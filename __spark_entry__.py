@@ -4908,6 +4908,101 @@ FROM {src}
 """
 
 
+EXIF_MOD = 97  # image subset for the EXIF roundtrip oracle
+
+
+def q_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF APP1 write->read roundtrip through REAL JPEG bytes
+    (gcore/gdalexif.cpp tag walk; frmts/jpeg/jpgdataset.cpp
+    ReadEXIFMetadata): per-image tags derive from exact integer rules
+    on the row id + the images-geo LCG, a TIFF-IFD APP1 is spliced
+    after SOI, and the emitted columns come back OUT OF THE PARSED
+    BYTES.  GPS coordinates are stored as exact (floor(deg*1e4),
+    10000) rationals.  PixelX/YDimension carry the fixture w/h (EXIF
+    dims legitimately diverge from coded dims)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % EXIF_MOD == 1)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("make", T2.StringType()),
+            T2.StructField("model", T2.StringType()),
+            T2.StructField("orientation", T2.IntegerType()),
+            T2.StructField("iso", T2.IntegerType()),
+            T2.StructField("dt", T2.StringType()),
+            T2.StructField("px", T2.LongType()),
+            T2.StructField("py", T2.LongType()),
+            T2.StructField("lat_q4", T2.LongType()),
+            T2.StructField("lon_q4", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.exif import (
+            build_exif,
+            extract_app1,
+            insert_app1,
+            parse_exif,
+        )
+        from gdal_spark.raster.jpeg import encode_jpeg
+
+        for pdf in batches:
+            recs = []
+            for i, w, h, lon, lat in zip(
+                pdf["i"], pdf["w"], pdf["h"], pdf["lon_c"], pdf["lat_c"]
+            ):
+                i = int(i)
+                lat_q4 = _math.floor(float(lat) * 1e4)
+                lon_q4 = _math.floor(float(lon) * 1e4)
+                tags = {
+                    "Make": "gdal_spark",
+                    "Model": f"cam_{i % 4}",
+                    "Orientation": 1 + i % 8,
+                    "ISOSpeedRatings": 100 * (1 + i % 16),
+                    "DateTime": f"2026:01:{1 + i % 28:02d} {i % 24:02d}"
+                                ":00:00",
+                    "PixelXDimension": int(w),
+                    "PixelYDimension": int(h),
+                    "GPSLatitudeRef": "S" if lat_q4 < 0 else "N",
+                    "GPSLatitude": ((abs(lat_q4), 10000), (0, 1), (0, 1)),
+                    "GPSLongitudeRef": "W" if lon_q4 < 0 else "E",
+                    "GPSLongitude": ((abs(lon_q4), 10000), (0, 1), (0, 1)),
+                }
+                jpg = insert_app1(
+                    encode_jpeg(np_image_pixels(i, 20, 20), 90),
+                    build_exif(tags),
+                )
+                got = parse_exif(extract_app1(jpg))
+                recs.append(
+                    {
+                        "i": i,
+                        "make": got["Make"],
+                        "model": got["Model"],
+                        "orientation": int(got["Orientation"]),
+                        "iso": int(got["ISOSpeedRatings"]),
+                        "dt": got["DateTime"],
+                        "px": int(got["PixelXDimension"]),
+                        "py": int(got["PixelYDimension"]),
+                        "lat_q4": got["GPSLatitude"][0][0]
+                        * (-1 if got["GPSLatitudeRef"] == "S" else 1),
+                        "lon_q4": got["GPSLongitude"][0][0]
+                        * (-1 if got["GPSLongitudeRef"] == "W" else 1),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return geo.select("i", "w", "h", "lon_c", "lat_c").mapInPandas(
+        run, schema
+    )
+
+
 def q_st_transform_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_Transform through the registered spark.sql surface
     (ogrsqlitesqlfunctions.cpp:705 — the reference's SQLite dialect
@@ -4956,6 +5051,30 @@ def q_st_transform_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM _st_transform_pts)
         """
     )
+
+
+def _o_jpeg_exif() -> str:
+    """DuckDB twin of q_jpeg_exif: the tag RULES recomputed from the
+    row id + the images-geo LCG (the Spark side's values come back
+    out of parsed TIFF-IFD bytes)."""
+    from gdal_spark.fixtures.georef import sql_images_cte
+
+    imgs = sql_images_cte("cast(o_orderkey as bigint)", "orders")
+    return f"""
+WITH imgs AS ({imgs})
+SELECT i,
+       'gdal_spark' AS make,
+       'cam_' || cast(i % 4 as varchar) AS model,
+       cast(1 + i % 8 as int) AS orientation,
+       cast(100 * (1 + i % 16) as int) AS iso,
+       printf('2026:01:%02d %02d:00:00', 1 + i % 28, i % 24) AS dt,
+       cast(w as bigint) AS px,
+       cast(h as bigint) AS py,
+       cast(floor(lat_c * 10000.0) as bigint) AS lat_q4,
+       cast(floor(lon_c * 10000.0) as bigint) AS lon_q4
+FROM imgs
+WHERE i % {EXIF_MOD} = 1
+"""
 
 
 q_proj_albers = _proj_cells_query(5070, -130.0, -60.0, 20.0, 50.0)
@@ -6069,6 +6188,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
+        "jpeg_exif": q_jpeg_exif,
         "proj_cea": q_proj_cea,
         "proj_mollweide": q_proj_mollweide,
         "proj_albers": q_proj_albers,
@@ -8130,6 +8250,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "ogr_sql_join": _o_ogr_sql_join(),
         "proj_laea": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
         "st_transform_sql": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
+        "jpeg_exif": _o_jpeg_exif(),
         "proj_cea": _o_proj_cells(6933, -180.0, 180.0, -84.0, 84.0),
         "proj_mollweide": _o_proj_cells(
             "ESRI:54009", -178.0, 178.0, -84.0, 84.0),

@@ -1,0 +1,84 @@
+"""EXIF APP1 TIFF-IFD codec (gdal_spark/raster/exif.py) —
+gcore/gdalexif.cpp + frmts/jpeg/jpgdataset.cpp ReadEXIFMetadata."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster.exif import (
+    build_exif,
+    exif_metadata,
+    extract_app1,
+    insert_app1,
+    parse_exif,
+)
+from gdal_spark.raster.jpeg import decode_jpeg, encode_jpeg
+
+TAGS = {
+    "Make": "gdal_spark",
+    "Model": "cam_2",
+    "Orientation": 3,
+    "DateTime": "2026:01:05 07:00:00",
+    "ExposureTime": (1, 250),
+    "FNumber": (28, 10),
+    "ISOSpeedRatings": 400,
+    "PixelXDimension": 256,
+    "PixelYDimension": 100,
+    "GPSLatitudeRef": "N",
+    "GPSLatitude": ((12, 1), (30, 1), (4500, 100)),
+    "GPSLongitudeRef": "W",
+    "GPSLongitude": ((75, 1), (0, 1), (0, 1)),
+}
+
+
+def test_build_parse_roundtrip():
+    assert parse_exif(build_exif(TAGS)) == TAGS
+
+
+def test_subset_roundtrip_no_subifds():
+    tags = {"Make": "m", "Orientation": 1}
+    assert parse_exif(build_exif(tags)) == tags
+
+
+def test_jpeg_splice_and_decode_unchanged():
+    arr = np.arange(20 * 20 * 3, dtype=np.uint8).reshape(20, 20, 3)
+    plain = encode_jpeg(arr, 90)
+    tagged = insert_app1(plain, build_exif(TAGS))
+    assert extract_app1(plain) is None
+    assert parse_exif(extract_app1(tagged)) == TAGS
+    # entropy-coded pixels untouched by the splice
+    assert np.array_equal(decode_jpeg(tagged), decode_jpeg(plain))
+
+
+def test_exif_metadata_gdal_names():
+    jpg = insert_app1(
+        encode_jpeg(np.zeros((8, 8, 3), np.uint8), 90), build_exif(TAGS)
+    )
+    md = exif_metadata(jpg)
+    assert md["EXIF_Make"] == "gdal_spark"
+    assert md["EXIF_Orientation"] == "3"
+    assert exif_metadata(encode_jpeg(np.zeros((8, 8, 3), np.uint8))) == {}
+
+
+def test_big_endian_parse():
+    # hand-built MM stream: one SHORT Orientation entry
+    t = (b"MM" + struct.pack(">HI", 42, 8)
+         + struct.pack(">H", 1)
+         + struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">H", 5) + b"\x00\x00"
+         + b"\x00\x00\x00\x00")
+    assert parse_exif(b"Exif\x00\x00" + t) == {"Orientation": 5}
+
+
+def test_unknown_tag_raises():
+    with pytest.raises(KeyError):
+        build_exif({"NotATag": 1})
+
+
+def test_bad_headers_raise():
+    with pytest.raises(ValueError):
+        parse_exif(b"JFIF\x00\x00II")
+    with pytest.raises(ValueError):
+        parse_exif(b"Exif\x00\x00XX" + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        insert_app1(b"\x00\x00", b"Exif\x00\x00")
