@@ -4909,6 +4909,77 @@ FROM {src}
 
 
 EXIF_MOD = 97  # image subset for the EXIF roundtrip oracle
+GEOTIFF_MOD = 89  # image subset for the GeoTIFF georeferencing oracle
+
+
+def q_geotiff_georef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF georeferencing roundtrip (gt_wkt_srs.cpp;
+    gtiffdataset_read.cpp tiepoint+scale path): each image's fixture
+    extent becomes ModelPixelScale + ModelTiepoint + a GeoKey
+    directory (ProjectedCSType=3857) in REAL TIFF bytes; the emitted
+    columns come back out of read_georef on those bytes.  float64
+    tags roundtrip bit-exact, so the quantized origin matches the
+    fixture rule recomputed in SQL."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % GEOTIFF_MOD == 2)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("epsg", T2.IntegerType()),
+            T2.StructField("x0_q3", T2.LongType()),
+            T2.StructField("y0_q3", T2.LongType()),
+            T2.StructField("res_q6", T2.LongType()),
+            T2.StructField("north_up", T2.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        from gdal_spark.fixtures.georef import RES0, np_image_pixels
+        from gdal_spark.raster.tiff import encode_tiff, read_georef
+
+        for pdf in batches:
+            recs = []
+            for i, xmin, ymax in zip(pdf["i"], pdf["xmin"], pdf["ymax"]):
+                gt = (float(xmin), RES0, 0.0, float(ymax), 0.0, -RES0)
+                buf = encode_tiff(
+                    np_image_pixels(int(i), 16, 16), geo=(gt, 3857)
+                )
+                got_gt, got_epsg = read_georef(buf)
+                recs.append(
+                    {
+                        "i": int(i),
+                        "epsg": int(got_epsg),
+                        "x0_q3": _math.floor(got_gt[0] * 1e3),
+                        "y0_q3": _math.floor(got_gt[3] * 1e3),
+                        "res_q6": _math.floor(got_gt[1] * 1e6),
+                        "north_up": got_gt[5] < 0.0,
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return geo.select("i", "xmin", "ymax").mapInPandas(run, schema)
+
+
+def _o_geotiff_georef() -> str:
+    from gdal_spark.fixtures.georef import RES0, sql_images_cte
+    from gdal_spark.tiles import tilemath as _tm
+
+    imgs = sql_images_cte("cast(o_orderkey as bigint)", "orders")
+    return f"""
+WITH imgs AS ({imgs})
+SELECT i,
+       cast(3857 as int) AS epsg,
+       cast(floor(xmin * 1000.0) as bigint) AS x0_q3,
+       cast(floor(ymax * 1000.0) as bigint) AS y0_q3,
+       cast(floor({_tm.sql_double(RES0)} * 1000000.0) as bigint) AS res_q6,
+       true AS north_up
+FROM imgs
+WHERE i % {GEOTIFF_MOD} = 2
+"""
 
 
 def q_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6189,6 +6260,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
         "jpeg_exif": q_jpeg_exif,
+        "geotiff_georef": q_geotiff_georef,
         "proj_cea": q_proj_cea,
         "proj_mollweide": q_proj_mollweide,
         "proj_albers": q_proj_albers,
@@ -8251,6 +8323,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "proj_laea": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
         "st_transform_sql": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
         "jpeg_exif": _o_jpeg_exif(),
+        "geotiff_georef": _o_geotiff_georef(),
         "proj_cea": _o_proj_cells(6933, -180.0, 180.0, -84.0, 84.0),
         "proj_mollweide": _o_proj_cells(
             "ESRI:54009", -178.0, 178.0, -84.0, 84.0),

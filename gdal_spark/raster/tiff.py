@@ -23,9 +23,27 @@ T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS, T_PLANAR = (
     279,
     284,
 )
+# GeoTIFF georeferencing tags (frmts/gtiff/gt_wkt_srs.cpp; the
+# published GeoTIFF 1.1 spec)
+T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
+_GK_MODEL_TYPE, _GK_RASTER_TYPE = 1024, 1025
+_GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS = 2048, 3072
 
 
-def encode_tiff(arr: np.ndarray) -> bytes:
+def _geokey_directory(epsg: int, geographic: bool) -> list[int]:
+    keys = [
+        (_GK_MODEL_TYPE, 0, 1, 2 if geographic else 1),
+        (_GK_RASTER_TYPE, 0, 1, 1),  # PixelIsArea
+        ((_GK_GEOGRAPHIC_CS if geographic else _GK_PROJECTED_CS),
+         0, 1, epsg),
+    ]
+    out = [1, 1, 0, len(keys)]
+    for k in keys:
+        out.extend(k)
+    return out
+
+
+def encode_tiff(arr: np.ndarray, geo: tuple | None = None) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.dtype != np.uint8:
@@ -61,6 +79,26 @@ def encode_tiff(arr: np.ndarray) -> bytes:
     add(T_ROWS_PER_STRIP, LONG, 1, h, 4)
     add(T_STRIP_COUNTS, LONG, 1, len(pixel_data), 4)
     add(T_PLANAR, SHORT, 1, 1, 4)
+    if geo is not None:
+        # geo = (gdal 6-term geotransform, epsg registry code); only
+        # north-up transforms map onto PixelScale+Tiepoint (rotation
+        # needs ModelTransformationTag — out of codec scope, loud)
+        gt, epsg = geo
+        if gt[2] != 0.0 or gt[4] != 0.0:
+            raise ValueError("tiff codec: rotated geotransforms "
+                             "unsupported (no ModelTransformationTag)")
+        DOUBLE = 12
+        off = extra_off + len(extra)
+        extra.extend(struct.pack("<3d", gt[1], -gt[5], 0.0))
+        add(T_PIXEL_SCALE, DOUBLE, 3, off, None)
+        off = extra_off + len(extra)
+        extra.extend(struct.pack("<6d", 0.0, 0.0, 0.0, gt[0], gt[3], 0.0))
+        add(T_TIEPOINT, DOUBLE, 6, off, None)
+        geographic = 4000 <= int(epsg) <= 4999
+        gk = _geokey_directory(int(epsg), geographic)
+        off = extra_off + len(extra)
+        extra.extend(struct.pack(f"<{len(gk)}H", *gk))
+        add(T_GEOKEYS, SHORT, len(gk), off, None)
 
     ifd_off = extra_off + len(extra)
     out = bytearray()
@@ -117,3 +155,47 @@ def decode_tiff(data: bytes) -> np.ndarray:
     buf = b"".join(data[o : o + n] for o, n in zip(offsets, counts))
     arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
     return arr[:, :, 0] if c == 1 else arr.copy()
+
+
+def read_georef(data: bytes) -> tuple[tuple, int] | None:
+    """(gdal 6-term geotransform, epsg) from the GeoTIFF tags, or
+    None for a plain TIFF.  Mirrors the reference's tiepoint+scale
+    path (frmts/gtiff/gtiffdataset_read.cpp LoadGeoreferencingAndPamIfNeeded;
+    gt_wkt_srs.cpp GTIFGetEPSGFromGeoKeys)."""
+    if data[:4] != _II:
+        raise ValueError("tiff codec: not little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    scale = tie = geokeys = None
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from("<HHI", data, base)
+        vf = data[base + 8:base + 12]
+        if tag in (T_PIXEL_SCALE, T_TIEPOINT) and typ == 12:
+            (off,) = struct.unpack("<I", vf)
+            vals = struct.unpack_from(f"<{count}d", data, off)
+            if tag == T_PIXEL_SCALE:
+                scale = vals
+            else:
+                tie = vals
+        elif tag == T_GEOKEYS and typ == 3:
+            geokeys = _read_values(data, typ, count, vf)
+    if scale is None or tie is None:
+        return None
+    # tiepoint (i, j, k, X, Y, Z): raster (i, j) pins model (X, Y)
+    gt = (
+        tie[3] - tie[0] * scale[0],
+        scale[0],
+        0.0,
+        tie[4] + tie[1] * scale[1],
+        0.0,
+        -scale[1],
+    )
+    epsg = 0
+    if geokeys is not None:
+        n_keys = geokeys[3]
+        for i in range(n_keys):
+            kid, loc, cnt, val = geokeys[4 + 4 * i:8 + 4 * i]
+            if kid in (_GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS) and loc == 0:
+                epsg = val
+    return gt, epsg

@@ -82,3 +82,25 @@ def test_bad_headers_raise():
         parse_exif(b"Exif\x00\x00XX" + b"\x00" * 8)
     with pytest.raises(ValueError):
         insert_app1(b"\x00\x00", b"Exif\x00\x00")
+
+
+def test_geotiff_georef_roundtrip():
+    # GeoTIFF tags (gt_wkt_srs.cpp): scale+tiepoint+geokeys roundtrip
+    from gdal_spark.raster.tiff import encode_tiff, decode_tiff, read_georef
+
+    arr = np.arange(12 * 10 * 3, dtype=np.uint8).reshape(12, 10, 3)
+    gt = (-20037508.34, 152.87, 0.0, 20037508.34, 0.0, -152.87)
+    buf = encode_tiff(arr, geo=(gt, 3857))
+    assert np.array_equal(decode_tiff(buf), arr)
+    got_gt, epsg = read_georef(buf)
+    assert epsg == 3857
+    assert max(abs(a - b) for a, b in zip(gt, got_gt)) < 1e-9
+    # geographic model type
+    g3, e3 = read_georef(
+        encode_tiff(arr[:, :, 0], geo=((5.0, 0.001, 0, 50.0, 0, -0.001),
+                                       4326)))
+    assert e3 == 4326 and abs(g3[0] - 5.0) < 1e-12
+    # plain TIFF has no georef; rotation is refused loudly
+    assert read_georef(encode_tiff(arr)) is None
+    with pytest.raises(ValueError):
+        encode_tiff(arr, geo=((0, 1, 0.5, 0, 0, -1), 3857))
