@@ -75,15 +75,26 @@ def step_simplify(df: DataFrame, tolerance: float) -> DataFrame:
     return df.withColumn(GEOM, st_simplify(F.col(GEOM), F.lit(tolerance)))
 
 
+def _is_legacy_tag(tag: str) -> bool:
+    return tag in ("4326", "3857") or tag.startswith(("utm:", "lcc:"))
+
+
 def _reproject_udf(src_crs: str, dst_crs: str):
-    """Coordinate-transform factory for the supported closed-form CRS
-    chain (4326 <-> 3857 <-> utm:<zone> <-> lcc:<lat1>,<lat2>,<lat0>,
-    <lon0>); every pair routes through 4326, mirroring the reference's
+    """Coordinate-transform factory.  The original closed-form tag
+    grammar (4326 <-> 3857 <-> utm:<zone> <-> lcc:<lat1>,<lat2>,
+    <lat0>,<lon0>) is kept verbatim; ANY other spelling resolves
+    through the projection-zoo registry (geo/projzoo.resolve_crs:
+    EPSG:n / ESRI:n / proj4 / WKT1), with Helmert datum crossings —
+    every pair still routes through 4326, mirroring the reference's
     transformer composition (ogr/ogrct.cpp pipelines)."""
     import numpy as np
 
     from gdal_spark.geo import crs as C
+    from gdal_spark.geo import projzoo as pz
     from gdal_spark.tiles import tilemath as tm
+
+    src_key = None if _is_legacy_tag(src_crs) else pz.resolve_crs(src_crs)
+    dst_key = None if _is_legacy_tag(dst_crs) else pz.resolve_crs(dst_crs)
 
     def to4326(x, y, tag):
         if tag == "4326":
@@ -114,17 +125,24 @@ def _reproject_udf(src_crs: str, dst_crs: str):
             return C.lcc_forward(lon, lat, *p)
         raise ValueError(f"unsupported crs {tag}")
 
+    def tf(x, y):
+        if src_key is None:
+            lon, lat = to4326(x, y, src_crs)
+        else:
+            lon, lat = pz.reproject(x, y, src_key, 4326)
+        if dst_key is None:
+            return from4326(lon, lat, dst_crs)
+        return pz.reproject(lon, lat, 4326, dst_key)
+
     @F.pandas_udf(T.BinaryType())
     def reproject(wkb: pd.Series) -> pd.Series:
         def f(b):
             g = parse_wkb(bytes(b))
             for part in g.parts:
-                lon, lat = to4326(part[:, 0], part[:, 1], src_crs)
-                part[:, 0], part[:, 1] = from4326(lon, lat, dst_crs)
+                part[:, 0], part[:, 1] = tf(part[:, 0], part[:, 1])
             for rings in g.polys:
                 for r in rings:
-                    lon, lat = to4326(r[:, 0], r[:, 1], src_crs)
-                    r[:, 0], r[:, 1] = from4326(lon, lat, dst_crs)
+                    r[:, 0], r[:, 1] = tf(r[:, 0], r[:, 1])
             return geometry_to_wkb(g)
 
         return wkb.map(f)

@@ -99,3 +99,30 @@ def test_step_reproject_roundtrip_and_mercator(spark):
     )
     ring2 = parse_wkb(bytes(back.collect()[0]["geometry"])).all_rings()[0][0]
     assert np.abs(ring2 - ring).max() < 1e-9
+
+
+def test_step_reproject_registry_crs(spark):
+    # any resolve_crs spelling works in the pipeline step: a WKB
+    # point reprojected 'EPSG:4326' -> 'EPSG:3035' matches the
+    # registry forward exactly (no legacy tag for LAEA exists)
+    import numpy as np
+
+    from gdal_spark.geo import projzoo as pz
+    from gdal_spark.geo.wkb import parse_wkb, wkb_point
+    from gdal_spark.operators.vector_pipeline import step_reproject
+
+    df = spark.createDataFrame(
+        [(1, wkb_point(5.0, 50.0))], ["fid", "geometry"]
+    )
+    out = step_reproject(df, "EPSG:4326", "EPSG:3035").collect()[0]["geometry"]
+    g = parse_wkb(bytes(out))
+    ex, ey = pz.forward(3035, np.array([5.0]), np.array([50.0]))
+    # 4326->3035 crosses the zero-Helmert ETRS89 step (~0.1 mm)
+    assert abs(g.parts[0][0, 0] - float(ex[0])) < 1e-3
+    assert abs(g.parts[0][0, 1] - float(ey[0])) < 1e-3
+    # mixed legacy + registry spelling
+    out2 = step_reproject(df, "4326", "+proj=moll").collect()[0]["geometry"]
+    g2 = parse_wkb(bytes(out2))
+    mx, my = pz.forward("ESRI:54009", np.array([5.0]), np.array([50.0]))
+    assert abs(g2.parts[0][0, 0] - float(mx[0])) < 1e-6
+    assert abs(g2.parts[0][0, 1] - float(my[0])) < 1e-6
