@@ -39,6 +39,10 @@ _T_TILE_COUNTS = 325
 
 _SHORT = 3
 _LONG = 4
+_DOUBLE = 12
+
+# GeoTIFF tags on IFD0 (shared semantics with raster/tiff.py)
+_T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
 
 
 def _tiles_of(arr: np.ndarray) -> list[bytes]:
@@ -53,9 +57,14 @@ def _tiles_of(arr: np.ndarray) -> list[bytes]:
     return out
 
 
-def encode_cog(levels: list[np.ndarray]) -> bytes:
+def encode_cog(levels: list[np.ndarray], geo: tuple | None = None) -> bytes:
     """levels[0] = full resolution (H, W, 3) uint8; levels[1:] =
-    overviews, coarsest last. -> COG-layout TIFF bytes."""
+    overviews, coarsest last. -> COG-layout TIFF bytes.  geo =
+    (gdal 6-term geotransform, epsg) stamps IFD0 with the GeoTIFF
+    scale/tiepoint/GeoKey tags (raster/tiff.py semantics;
+    raster.tiff.read_georef reads them back)."""
+    if geo is not None and (geo[0][2] != 0.0 or geo[0][4] != 0.0):
+        raise ValueError("cog: rotated geotransforms unsupported")
     ifds: list[dict] = []
     all_tiles: list[list[bytes]] = []
     for lvl, arr in enumerate(levels):
@@ -78,6 +87,12 @@ def encode_cog(levels: list[np.ndarray]) -> bytes:
             (_T_TILE_OFFSETS, _LONG, n_tiles, None),
             (_T_TILE_COUNTS, _LONG, n_tiles, None),
         ]
+        if geo is not None and meta["lvl"] == 0:
+            e += [
+                (_T_PIXEL_SCALE, _DOUBLE, 3, None),
+                (_T_TIEPOINT, _DOUBLE, 6, None),
+                (_T_GEOKEYS, _SHORT, 16, None),
+            ]
         return e
 
     # --- layout pass: header, IFDs + their external arrays, then data
@@ -95,6 +110,13 @@ def encode_cog(levels: list[np.ndarray]) -> bytes:
         pos += 4 * len(tiles)
         ext["counts"] = pos
         pos += 4 * len(tiles)
+        if geo is not None and meta["lvl"] == 0:
+            ext["scale"] = pos
+            pos += 24
+            ext["tie"] = pos
+            pos += 48
+            ext["gk"] = pos
+            pos += 32
         ext_pos.append(ext)
     data_start = pos
     # overview tiles first (small reads near the head), full-res last
@@ -125,6 +147,12 @@ def encode_cog(levels: list[np.ndarray]) -> bytes:
                     out += struct.pack("<HHII", tag, typ, 1, len(tiles[0]))
                 else:
                     out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["counts"])
+            elif tag == _T_PIXEL_SCALE:
+                out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["scale"])
+            elif tag == _T_TIEPOINT:
+                out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["tie"])
+            elif tag == _T_GEOKEYS:
+                out += struct.pack("<HHII", tag, typ, count, ext_pos[idx]["gk"])
             else:
                 out += struct.pack("<HHII", tag, typ, count, value)
         nxt = ifd_pos[idx + 1] if idx + 1 < len(ifds) else 0
@@ -136,6 +164,17 @@ def encode_cog(levels: list[np.ndarray]) -> bytes:
         out += struct.pack(f"<{len(tiles)}I", *tile_offsets[idx])
         assert len(out) == ext_pos[idx]["counts"]
         out += struct.pack(f"<{len(tiles)}I", *[len(t) for t in tiles])
+        if geo is not None and idx == 0:
+            from gdal_spark.raster.tiff import _geokey_directory
+
+            gt, epsg = geo
+            assert len(out) == ext_pos[idx]["scale"]
+            out += struct.pack("<3d", gt[1], -gt[5], 0.0)
+            assert len(out) == ext_pos[idx]["tie"]
+            out += struct.pack("<6d", 0.0, 0.0, 0.0, gt[0], gt[3], 0.0)
+            assert len(out) == ext_pos[idx]["gk"]
+            gk = _geokey_directory(int(epsg), 4000 <= int(epsg) <= 4999)
+            out += struct.pack(f"<{len(gk)}H", *gk)
     assert len(out) == data_start
     out += bytes(pos - data_start)  # reserve, then place tiles
     for li, offs in enumerate(tile_offsets):

@@ -104,3 +104,23 @@ def test_geotiff_georef_roundtrip():
     assert read_georef(encode_tiff(arr)) is None
     with pytest.raises(ValueError):
         encode_tiff(arr, geo=((0, 1, 0.5, 0, 0, -1), 3857))
+
+
+def test_cog_georef_tags():
+    # COG IFD0 carries the same GeoTIFF tags (cogdriver.cpp keeps
+    # georeferencing on the full-res IFD); overviews decode unchanged
+    from gdal_spark.raster.cog import decode_cog, encode_cog
+    from gdal_spark.raster.tiff import read_georef
+
+    lv0 = (np.arange(300 * 520 * 3).reshape(300, 520, 3) % 256).astype(
+        np.uint8)
+    lv1 = lv0[::2, ::2].copy()
+    gt = (-1000.0, 2.5, 0.0, 4000.0, 0.0, -2.5)
+    buf = encode_cog([lv0, lv1], geo=(gt, 32633))
+    assert np.array_equal(decode_cog(buf)[0][:300, :520], lv0)
+    got_gt, epsg = read_georef(buf)
+    assert epsg == 32633
+    assert max(abs(a - b) for a, b in zip(gt, got_gt)) < 1e-12
+    assert read_georef(encode_cog([lv0, lv1])) is None
+    with pytest.raises(ValueError):
+        encode_cog([lv0], geo=((0, 1, 0.5, 0, 0, -1), 3857))
