@@ -199,3 +199,82 @@ def read_georef(data: bytes) -> tuple[tuple, int] | None:
             if kid in (_GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS) and loc == 0:
                 epsg = val
     return gt, epsg
+
+
+def encode_tiff_levels(levels: list[np.ndarray],
+                       geo: tuple | None = None) -> bytes:
+    """Classic-TIFF internal overviews (the gdaladdo layout,
+    apps/gdaladdo.cpp + frmts/gtiff: full-res IFD0 followed by
+    chained reduced-resolution IFDs flagged NewSubfileType=1).
+    Each level is a strip image like encode_tiff; geo tags stamp
+    IFD0 only.  levels[0] = full resolution, then coarser."""
+    T_NEWSUBFILE = 254
+    blobs = []
+    for lvl, arr in enumerate(levels):
+        one = encode_tiff(arr, geo=geo if lvl == 0 else None)
+        blobs.append(one)
+    # splice: rebase each single-IFD file after the previous bytes and
+    # chain the next-IFD pointers.  Every absolute offset in a
+    # single-IFD blob (strip offset, external values, IFD position)
+    # shifts by the same delta, so rebasing = add delta to every
+    # LONG offset field + the header IFD pointer.
+    out = bytearray()
+    ifd_offsets = []
+    for lvl, blob in enumerate(blobs):
+        if lvl == 0:
+            out += blob
+            (ifd0,) = struct.unpack_from("<I", blob, 4)
+            ifd_offsets.append(ifd0)
+            continue
+        # drop the sub-blob's 8-byte header and shift every absolute
+        # offset (strip data, external values) by the same delta
+        delta = len(out) - 8
+        reb = bytearray(blob)
+        (ifd,) = struct.unpack_from("<I", reb, 4)
+        (n,) = struct.unpack_from("<H", reb, ifd)
+        for k in range(n):
+            e = ifd + 2 + 12 * k
+            tag, typ, count = struct.unpack_from("<HHI", reb, e)
+            size = {1: 1, 2: 1, 3: 2, 4: 4, 12: 8}[typ] * count
+            if size > 4 or tag == T_STRIP_OFFSETS:
+                (v,) = struct.unpack_from("<I", reb, e + 8)
+                struct.pack_into("<I", reb, e + 8, v + delta)
+        ifd_offsets.append(ifd + delta)
+        out += reb[8:]
+    # chain the IFDs (readers identify overviews by IFD order,
+    # matching decode_tiff_levels; decode_tiff keeps seeing IFD0)
+    for lvl, off in enumerate(ifd_offsets):
+        (n,) = struct.unpack_from("<H", out, off)
+        next_pos = off + 2 + 12 * n
+        nxt = ifd_offsets[lvl + 1] if lvl + 1 < len(ifd_offsets) else 0
+        struct.pack_into("<I", out, next_pos, nxt)
+    return bytes(out)
+
+
+def decode_tiff_levels(data: bytes) -> list[np.ndarray]:
+    """All chained IFDs of a classic TIFF as arrays (IFD order:
+    full resolution first, then overviews)."""
+    if data[:4] != _II:
+        raise ValueError("tiff codec: not little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    out = []
+    while ifd_off:
+        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for k in range(n_entries):
+            base = ifd_off + 2 + 12 * k
+            tag, typ, count = struct.unpack_from("<HHI", data, base)
+            if typ in (3, 4):
+                tags[tag] = _read_values(
+                    data, typ, count, data[base + 8:base + 12])
+        w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
+        c = tags.get(T_SPP, [1])[0]
+        buf = b"".join(
+            data[o:o + n]
+            for o, n in zip(tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS])
+        )
+        arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+        out.append(arr[:, :, 0] if c == 1 else arr.copy())
+        (ifd_off,) = struct.unpack_from(
+            "<I", data, ifd_off + 2 + 12 * n_entries)
+    return out

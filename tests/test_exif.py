@@ -124,3 +124,30 @@ def test_cog_georef_tags():
     assert read_georef(encode_cog([lv0, lv1])) is None
     with pytest.raises(ValueError):
         encode_cog([lv0], geo=((0, 1, 0.5, 0, 0, -1), 3857))
+
+
+def test_tiff_internal_overviews():
+    # gdaladdo layout (apps/gdaladdo.cpp): chained IFDs in one classic
+    # TIFF; IFD0 keeps georef; decode_tiff still reads level 0
+    from gdal_spark.raster.tiff import (
+        decode_tiff,
+        decode_tiff_levels,
+        encode_tiff_levels,
+        read_georef,
+    )
+
+    lv0 = (np.arange(37 * 53 * 3).reshape(37, 53, 3) % 256).astype(np.uint8)
+    lv1 = lv0[::2, ::2].copy()
+    lv2 = lv1[::2, ::2].copy()
+    gt = (10.0, 0.5, 0.0, 99.0, 0.0, -0.5)
+    buf = encode_tiff_levels([lv0, lv1, lv2], geo=(gt, 4326))
+    levels = decode_tiff_levels(buf)
+    assert [lv.shape for lv in levels] == [lv0.shape, lv1.shape, lv2.shape]
+    assert all(np.array_equal(a, b) for a, b in zip(levels, [lv0, lv1, lv2]))
+    assert np.array_equal(decode_tiff(buf), lv0)
+    got_gt, epsg = read_georef(buf)
+    assert epsg == 4326 and abs(got_gt[0] - 10.0) < 1e-12
+    # grayscale single-level degenerates to a plain file
+    gray = lv0[:, :, 0].copy()
+    assert np.array_equal(
+        decode_tiff_levels(encode_tiff_levels([gray]))[0], gray)
