@@ -4909,6 +4909,84 @@ FROM {src}
 
 
 EXIF_MOD = 97  # image subset for the EXIF roundtrip oracle
+_OVR_W = 64  # tiff_overviews base level size
+
+
+def q_tiff_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaladdo internal-overview layout end-to-end
+    (apps/gdaladdo.cpp; frmts/gtiff chained IFDs): per dataset, a
+    closed-form gray plane and its -r nearest pyramid go through
+    encode_tiff_levels -> REAL multi-IFD TIFF bytes ->
+    decode_tiff_levels, and every decoded level is checksummed
+    (alg/gdalchecksum.cpp).  Nearest decimation keeps the pyramid
+    rule closed-form in SQL; the resampling kernels themselves are
+    proven by the overview_* oracles."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _zone_ids(spark, sf_dir).where(F.col("fid") % 13 == 0)
+    schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("lvl", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.tiff import (
+            decode_tiff_levels,
+            encode_tiff_levels,
+        )
+
+        for pdf in batches:
+            recs = []
+            for fid in pdf["fid"]:
+                d = int(fid)
+                ox, oy = d % 7, (3 * d) % 11
+                yy, xx = np.mgrid[0:_OVR_W, 0:_OVR_W]
+                base = ((3 * (xx + ox) + 5 * (yy + oy)) % 256).astype(
+                    np.uint8
+                )
+                levels = [base, base[::2, ::2].copy(),
+                          base[::4, ::4].copy()]
+                buf = encode_tiff_levels(levels)
+                for lvl, arr in enumerate(decode_tiff_levels(buf)):
+                    recs.append(
+                        {
+                            "fid": d,
+                            "lvl": lvl,
+                            "checksum": gdal_checksum(arr),
+                            "vsum": int(arr.astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return ids.mapInPandas(run, schema)
+
+
+def _o_tiff_overviews() -> str:
+    levels = []
+    for lvl in (0, 1, 2):
+        w = _OVR_W >> lvl
+        step = 1 << lvl
+        v = (f"((3 * (gx.x * {step} + fid % 7) + "
+             f"5 * (gy.y * {step} + (3 * fid) % 11)) % 256)")
+        levels.append(f"""
+SELECT fid, {lvl} AS lvl,
+  cast(sum(({v}) % ({_PRIMES_SQL})[((gy.y * {w} + gx.x) % 11) + 1])
+       % 65536 as int) AS checksum,
+  cast(sum({v}) as bigint) AS vsum
+FROM (SELECT cast(s_suppkey as bigint) AS fid FROM supplier
+      WHERE s_suppkey % 13 = 0) ids,
+     range(0, {w}) AS gx(x), range(0, {w}) AS gy(y)
+GROUP BY fid""")
+    body = "\nUNION ALL\n".join(levels)
+    return f"SELECT * FROM ({body})"
 GEOTIFF_MOD = 89  # image subset for the GeoTIFF georeferencing oracle
 
 
@@ -6261,6 +6339,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_sql": q_st_transform_sql,
         "jpeg_exif": q_jpeg_exif,
         "geotiff_georef": q_geotiff_georef,
+        "tiff_overviews": q_tiff_overviews,
         "proj_cea": q_proj_cea,
         "proj_mollweide": q_proj_mollweide,
         "proj_albers": q_proj_albers,
@@ -8324,6 +8403,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "st_transform_sql": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
         "jpeg_exif": _o_jpeg_exif(),
         "geotiff_georef": _o_geotiff_georef(),
+        "tiff_overviews": _o_tiff_overviews(),
         "proj_cea": _o_proj_cells(6933, -180.0, 180.0, -84.0, 84.0),
         "proj_mollweide": _o_proj_cells(
             "ESRI:54009", -178.0, 178.0, -84.0, 84.0),
