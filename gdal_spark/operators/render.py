@@ -530,9 +530,9 @@ def encode_tiles(
     --output-format choices; `path` follows the
     {z}/{x}/{fileY}.{ext} layout with the XYZ/TMS y-convention
     (:348-352). Input: render_tiles(..., with_data=True) rows."""
-    if fmt not in ("png", "jpeg", "webp"):
+    if fmt not in ("png", "jpeg", "webp", "gtiff"):
         raise ValueError(f"unsupported tile format: {fmt}")
-    ext = {"png": "png", "jpeg": "jpg", "webp": "webp"}[fmt]
+    ext = {"png": "png", "jpeg": "jpg", "webp": "webp", "gtiff": "tif"}[fmt]
     out_schema = T.StructType(
         [
             T.StructField("tile_z", T.IntegerType()),
@@ -553,12 +553,26 @@ def encode_tiles(
                 row["data"], dtype=np.uint8
             ).reshape(TILE, TILE)
         file_y = ty if convention == "xyz" else (1 << z) - 1 - ty
+        if fmt == "gtiff":
+            # georeferenced tile: EPSG:3857 geotransform from the
+            # tile's mercator bounds (gdalalg_raster_tile.cpp writes
+            # whatever --output-format the raster driver supports)
+            from gdal_spark.raster.tiff import encode_tiff
+            from gdal_spark.tiles import tilemath as _tm
+
+            res = _tm.resolution(z)
+            span = res * TILE
+            gt = (-_tm.ORIGIN + tx * span, res, 0.0,
+                  _tm.ORIGIN - ty * span, 0.0, -res)
+            payload = encode_tiff(arr, geo=(gt, 3857))
+        else:
+            payload = encode_image(arr, fmt, quality=quality)
         return pd.DataFrame(
             [
                 {
                     "tile_z": z, "tile_x": tx, "tile_y": ty,
                     "path": f"{z}/{tx}/{file_y}.{ext}",
-                    "payload": encode_image(arr, fmt, quality=quality),
+                    "payload": payload,
                 }
             ]
         )

@@ -151,3 +151,31 @@ def test_tiff_internal_overviews():
     gray = lv0[:, :, 0].copy()
     assert np.array_equal(
         decode_tiff_levels(encode_tiff_levels([gray]))[0], gray)
+
+
+def test_encode_tiles_gtiff(spark):
+    # georeferenced tile sink: --output-format GTiff analog
+    # (gdalalg_raster_tile.cpp) — payload is a GeoTIFF whose
+    # geotransform equals the tile's EPSG:3857 bounds
+    from pyspark.sql import functions as F
+
+    from gdal_spark.fixtures.images import build_images
+    from gdal_spark.operators.render import encode_tiles, render_tiles
+    from gdal_spark.raster.tiff import decode_tiff, read_georef
+    from gdal_spark.tiles import tilemath as tm
+
+    ids = spark.range(1, 40).select((F.col("id") * 499).alias("i"))
+    images = build_images(spark, ids_df=ids, with_payload=False)
+    tiles = render_tiles(images, 12, with_data=True)
+    out = encode_tiles(tiles, 12, fmt="gtiff").limit(3).collect()
+    assert out
+    res = tm.resolution(12)
+    for r in out:
+        assert r.path.endswith(".tif")
+        payload = bytes(r.payload)
+        assert decode_tiff(payload).shape == (256, 256, 3)
+        gt, epsg = read_georef(payload)
+        assert epsg == 3857
+        assert abs(gt[0] - (-tm.ORIGIN + r.tile_x * res * 256)) < 1e-6
+        assert abs(gt[3] - (tm.ORIGIN - r.tile_y * res * 256)) < 1e-6
+        assert gt[1] == res and gt[5] == -res
