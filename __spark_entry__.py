@@ -1935,6 +1935,196 @@ def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def _points_wkb(df: DataFrame, keep: list[str]) -> DataFrame:
+    """(…, slon, slat) -> (…keep, geometry) with packed point WKB."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [df.schema[c] for c in keep]
+        + [T2.StructField("geometry", T2.BinaryType())]
+    )
+
+    def mk(batches):
+        from gdal_spark.geo.wkb import wkb_point
+
+        for pdf in batches:
+            out = {c: pdf[c] for c in keep}
+            out["geometry"] = [
+                wkb_point(float(lo), float(la))
+                for lo, la in zip(pdf["slon"], pdf["slat"])
+            ]
+            yield pd.DataFrame(out)
+
+    return df.select(*keep, "slon", "slat").mapInPandas(mk, schema)
+
+
+def _points_lonlat_e7(back: DataFrame, keep: list[str]) -> DataFrame:
+    """(…keep, geometry point WKB) -> (…keep, lon_e7, lat_e7)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    schema = T2.StructType(
+        [back.schema[c] for c in keep]
+        + [T2.StructField("lon_e7", T2.LongType()),
+           T2.StructField("lat_e7", T2.LongType())]
+    )
+
+    def ex(batches):
+        import math
+
+        from gdal_spark.geo.wkb import parse_wkb
+
+        for pdf in batches:
+            lons, lats = [], []
+            for wkb in pdf["geometry"]:
+                x, y = parse_wkb(bytes(wkb)).parts[0][0]
+                lons.append(math.floor(x * 1e7))
+                lats.append(math.floor(y * 1e7))
+            out = {c: pdf[c] for c in keep}
+            out["lon_e7"] = pd.Series(lons, dtype="int64")
+            out["lat_e7"] = pd.Series(lats, dtype="int64")
+            yield pd.DataFrame(out)
+
+    return back.mapInPandas(ex, schema)
+
+
+def q_gpx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPX waypoint IO (ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp wpt
+    parse + write: native <ele>/<name> children, non-schema fields in
+    <extensions> with the ogr: prefix): sites stream to one .gpx with
+    repr-exact lat/lon/ele, the distributed one-wpt-per-line scan
+    reads them back; recovered fields and coordinates match the
+    fixture LCG closed forms bit-for-bit."""
+    from gdal_spark.sources.gpx import read_gpx, write_gpx
+
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir))
+    u1 = georef.lcg_next(F.col("i") + F.lit(georef.SITE_OFFSET))
+    wpts = _points_wkb(
+        sites.select(
+            F.col("i").alias("fid"),
+            F.col("site_id").alias("name"),
+            (u1 % 9000).cast("double").alias("ele"),
+            "slon", "slat",
+        ),
+        ["fid", "name", "ele"],
+    )
+    path = _artifact_path(f"gpx_{os.path.basename(sf_dir)}.gpx")
+    write_gpx(path, waypoints=wpts)
+    back = read_gpx(
+        spark, path, "waypoints", "fid long, name string, ele double"
+    )
+    return _points_lonlat_e7(back, ["fid", "name", "ele"]).select(
+        "fid", "name",
+        F.col("ele").cast("long").alias("ele_m"),
+        "lon_e7", "lat_e7",
+    )
+
+
+def _o_gpx_roundtrip() -> str:
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    u1, _ = georef.sql_lcg(f"i + {georef.SITE_OFFSET}")
+    return f"""
+WITH st AS ({st})
+SELECT i AS fid, site_id AS name,
+  cast({u1} % 9000 as bigint) AS ele_m,
+  cast(floor(slon * 1e7) as bigint) AS lon_e7,
+  cast(floor(slat * 1e7) as bigint) AS lat_e7
+FROM st
+"""
+
+
+GPX_TRK_PTS = 10     # sites per track
+GPX_SEG_PTS = 5      # sites per trkseg (2 segments per full track)
+
+
+def q_gpx_track_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPX track layers (ogr/ogrsf_frmts/gpx/ogrgpxlayer.cpp trk /
+    trkseg / trkpt nesting and the track_points expansion layer with
+    track_fid / track_seg_id / track_seg_point_id fields): sites
+    chunk into 2-segment MultiLineString tracks, stream to one .gpx,
+    and read back through the track_points layer; per-track point
+    counts, id sums, and coordinate sums match the LCG closed
+    forms."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.gpx import read_gpx, write_gpx
+
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir)).select(
+        "i", "slon", "slat"
+    ).withColumn("t", F.expr(f"i div {GPX_TRK_PTS}"))
+
+    trk_schema = T2.StructType(
+        [
+            T2.StructField("name", T2.StringType()),
+            T2.StructField("number", T2.LongType()),
+            T2.StructField("geometry", T2.BinaryType()),
+        ]
+    )
+
+    def mk_trk(pdf: pd.DataFrame) -> pd.DataFrame:
+        from gdal_spark.geo import wkb as wkbmod
+
+        pdf = pdf.sort_values("i")
+        t = int(pdf["t"].iloc[0])
+        seg_of = (pdf["i"].to_numpy() % GPX_TRK_PTS) // GPX_SEG_PTS
+        segs = []
+        for s in sorted(set(seg_of.tolist())):
+            m = seg_of == s
+            segs.append(
+                np.column_stack(
+                    [pdf["slon"].to_numpy()[m], pdf["slat"].to_numpy()[m]]
+                ).astype(np.float64)
+            )
+        g = wkbmod.Geometry(wkbmod.WKB_MULTILINESTRING, parts=segs)
+        return pd.DataFrame(
+            {
+                "name": [f"trk_{t:06d}"],
+                "number": [t],
+                "geometry": [wkbmod.geometry_to_wkb(g)],
+            }
+        )
+
+    tracks = sites.groupBy("t").applyInPandas(mk_trk, trk_schema)
+    path = _artifact_path(f"gpx_trk_{os.path.basename(sf_dir)}.gpx")
+    write_gpx(path, tracks=tracks)
+    back = read_gpx(
+        spark, path, "track_points",
+        "track_fid long, track_seg_id int, track_seg_point_id int",
+    )
+    pts = _points_lonlat_e7(
+        back, ["track_fid", "track_seg_id", "track_seg_point_id"]
+    )
+    return pts.groupBy("track_fid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pts"),
+        F.countDistinct("track_seg_id").cast("long").alias("n_segs"),
+        F.sum(
+            F.col("track_seg_id").cast("long") * 16
+            + F.col("track_seg_point_id")
+        ).alias("id_sum"),
+        F.sum("lon_e7").alias("lon_e7_sum"),
+        F.sum("lat_e7").alias("lat_e7_sum"),
+    )
+
+
+def _o_gpx_track_points() -> str:
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    return f"""
+WITH st AS ({st})
+SELECT i // {GPX_TRK_PTS} AS track_fid,
+  cast(count(*) as bigint) AS n_pts,
+  cast(count(DISTINCT (i % {GPX_TRK_PTS}) // {GPX_SEG_PTS}) as bigint)
+    AS n_segs,
+  cast(sum(((i % {GPX_TRK_PTS}) // {GPX_SEG_PTS}) * 16
+           + (i % {GPX_SEG_PTS})) as bigint) AS id_sum,
+  cast(sum(floor(slon * 1e7)) as bigint) AS lon_e7_sum,
+  cast(sum(floor(slat * 1e7)) as bigint) AS lat_e7_sum
+FROM st GROUP BY 1
+"""
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet IO (ogr/ogrsf_frmts/parquet writer metadata,
     ogrparquetwriterlayer.cpp:640-760): per-partition pyarrow shards
@@ -6334,6 +6524,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-3 block (driver-green in r03), then older rows.
     return {
         # -- new in round 4
+        "gpx_roundtrip": q_gpx_roundtrip,
+        "gpx_track_points": q_gpx_track_points,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8419,6 +8611,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "geoloc_transform": _o_geoloc_transform(),
         "gnm_k_shortest": _o_gnm_k_shortest(),
         "curve_fit_back": _o_curve_fit_back(),
+        "gpx_roundtrip": _o_gpx_roundtrip(),
+        "gpx_track_points": _o_gpx_track_points(),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
