@@ -2245,6 +2245,96 @@ def _payload_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_images(spark, ids_df=ids, with_payload=True)
 
 
+GIF_MOD = 499  # image subset for the GIF codec oracle
+
+
+def q_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF87a codec (frmts/gif/gifdataset.cpp single-Byte-band +
+    color-table model; variable-width LZW per the published GIF89a
+    spec): rule pixels encode through an exact unique-color palette,
+    decode back from the real GIF bytes, and report per-band checksum
+    / min / max plus the distinct-color count recovered from the
+    decoded raster — all matched to the pixel-rule closed forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % GIF_MOD == 0)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vmin", T2.IntegerType()),
+            T2.StructField("vmax", T2.IntegerType()),
+            T2.StructField("n_colors", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.gif import decode_gif_rgb, encode_gif_rgb
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                back = decode_gif_rgb(encode_gif_rgb(arr))
+                flat = back.reshape(-1, 3).astype(np.int64)
+                packed = (flat[:, 0] << 16) | (flat[:, 1] << 8) | flat[:, 2]
+                nc = int(len(np.unique(packed)))
+                for b in range(3):
+                    band = back[:, :, b]
+                    rows.append(
+                        {
+                            "image_id": img_id,
+                            "band": b,
+                            "checksum": gdal_checksum(band),
+                            "vmin": int(band.min()),
+                            "vmax": int(band.max()),
+                            "n_colors": nc,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_gif_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {GIF_MOD} = 0)",
+    )
+    return f"""
+WITH img AS ({img}),
+bands AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM range(0, 3) AS b(band)
+),
+px AS (
+  SELECT i.image_id, i.w, i.h, b.band,
+    (gx.x + gy.y + i.i + b.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands b
+)
+SELECT image_id, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int) AS checksum,
+  cast(min(val) as int) AS vmin, cast(max(val) as int) AS vmax,
+  cast(least(256, w + h - 1) as int) AS n_colors
+FROM px GROUP BY image_id, band, w, h
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -6526,6 +6616,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
+        "gif_roundtrip": q_gif_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8613,6 +8704,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "curve_fit_back": _o_curve_fit_back(),
         "gpx_roundtrip": _o_gpx_roundtrip(),
         "gpx_track_points": _o_gpx_track_points(),
+        "gif_roundtrip": _o_gif_roundtrip(),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

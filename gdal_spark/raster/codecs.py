@@ -27,6 +27,8 @@ def sniff_format(data: bytes) -> str:
         return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     raise ValueError("unknown image format")
 
 
@@ -40,6 +42,12 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
         return encode_tiff(arr)
     if fmt == "webp":
         return encode_webp_lossless(arr)
+    if fmt == "gif":
+        # exact for ≤256-color imagery (palette-lossless), else the
+        # caller quantizes via raster/dither.py first
+        from gdal_spark.raster.gif import encode_gif_rgb
+
+        return encode_gif_rgb(arr)
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -54,4 +62,8 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
     if fmt == "webp":
         # VP8L decodes RGBA; callers of the 3-band model take RGB
         return decode_webp(data)[:, :, :3]
+    if fmt == "gif":
+        from gdal_spark.raster.gif import decode_gif_rgb
+
+        return decode_gif_rgb(data)
     raise ValueError(f"unsupported format: {fmt}")
