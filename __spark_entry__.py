@@ -2125,6 +2125,24 @@ FROM st GROUP BY 1
 """
 
 
+def q_mif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapInfo MIF/MID IO (ogr/ogrsf_frmts/mitab mitab_miffile.cpp
+    header/data sections, mitab_feature_mif.cpp Region/Pline/Point
+    grammar): zones stream to a .mif/.mid pair with repr-exact
+    coordinates, the per-file distributed scan reads them back;
+    recovered attributes, ring counts, and exact areas match the
+    fixture closed forms."""
+    from gdal_spark.sources.mif import read_mif, write_mif
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"mif_{os.path.basename(sf_dir)}") + ".mif"
+    write_mif(zones, path)
+    back = read_mif(spark, path, "fid long, eas_id long, kind string")
+    return _roundtrip_shape(back)
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet IO (ogr/ogrsf_frmts/parquet writer metadata,
     ogrparquetwriterlayer.cpp:640-760): per-partition pyarrow shards
@@ -6617,6 +6635,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
+        "mif_roundtrip": q_mif_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8705,6 +8724,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gpx_roundtrip": _o_gpx_roundtrip(),
         "gpx_track_points": _o_gpx_track_points(),
         "gif_roundtrip": _o_gif_roundtrip(),
+        "mif_roundtrip": _o_shp_roundtrip(),  # same output contract
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
