@@ -2143,6 +2143,98 @@ def q_mif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DXF IO (ogr/ogrsf_frmts/dxf group-code wire format,
+    ogrdxflayer.cpp LWPOLYLINE translation): zone rings stream out as
+    per-ring closed LWPOLYLINE entities (Layer carries the kind with
+    a _hole suffix on holes, EntityHandle the hex fid — the
+    reference's fixed DXF schema), the per-file distributed scan
+    reads them back, and the rings reassemble into the shared
+    fid/eas_id/kind/n_rings/area_e6 contract."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.dxf import read_dxf, write_dxf
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "kind", "geometry"
+    )
+
+    ring_schema = T2.StructType(
+        [
+            T2.StructField("layer", T2.StringType()),
+            T2.StructField("entity_handle", T2.StringType()),
+            T2.StructField("geometry", T2.BinaryType()),
+        ]
+    )
+
+    def explode_rings(batches):
+        from gdal_spark.geo.wkb import parse_wkb, wkb_linestring
+
+        for pdf in batches:
+            rows = []
+            for fid, kind, wkb in zip(pdf["fid"], pdf["kind"],
+                                      pdf["geometry"]):
+                rings = parse_wkb(bytes(wkb)).all_rings()[0]
+                for ri, ring in enumerate(rings):
+                    rows.append(
+                        {
+                            "layer": kind if ri == 0 else f"{kind}_hole",
+                            "entity_handle": format(int(fid), "X"),
+                            "geometry": wkb_linestring(ring),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["layer", "entity_handle", "geometry"]
+            )
+
+    rings = zones.mapInPandas(explode_rings, ring_schema)
+    path = _artifact_path(f"dxf_{os.path.basename(sf_dir)}") + ".dxf"
+    write_dxf(rings, path, handle_col="entity_handle")
+    back = read_dxf(spark, path)
+
+    part_schema = T2.StructType(
+        [
+            T2.StructField("fid", T2.LongType()),
+            T2.StructField("kind", T2.StringType()),
+            T2.StructField("signed_area", T2.DoubleType()),
+        ]
+    )
+
+    def ring_parts(batches):
+        from gdal_spark.geo.geom import ring_area
+        from gdal_spark.geo.wkb import parse_wkb
+
+        for pdf in batches:
+            rows = []
+            for layer, handle, wkb in zip(
+                pdf["layer"], pdf["entity_handle"], pdf["geometry"]
+            ):
+                pts = parse_wkb(bytes(wkb)).parts[0]
+                a = abs(ring_area(pts))
+                hole = layer.endswith("_hole")
+                rows.append(
+                    {
+                        "fid": int(handle, 16),
+                        "kind": layer[:-5] if hole else layer,
+                        "signed_area": -a if hole else a,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["fid", "kind", "signed_area"])
+
+    parts = back.mapInPandas(ring_parts, part_schema)
+    return (
+        parts.groupBy("fid")
+        .agg(
+            F.first("kind").alias("kind"),
+            F.count(F.lit(1)).cast("int").alias("n_rings"),
+            F.floor(F.sum("signed_area") * 1e6).cast("long").alias("area_e6"),
+        )
+        .withColumn("eas_id", (F.lit(158) + F.col("fid")).cast("long"))
+        .select("fid", "eas_id", "kind", "n_rings", "area_e6")
+    )
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet IO (ogr/ogrsf_frmts/parquet writer metadata,
     ogrparquetwriterlayer.cpp:640-760): per-partition pyarrow shards
@@ -6636,6 +6728,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "dxf_roundtrip": q_dxf_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8725,6 +8818,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gpx_track_points": _o_gpx_track_points(),
         "gif_roundtrip": _o_gif_roundtrip(),
         "mif_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "dxf_roundtrip": _o_shp_roundtrip(),  # same output contract
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
