@@ -5623,6 +5623,10 @@ q_proj_mollweide = _proj_cells_query("ESRI:54009", -178.0, 178.0, -84.0, 84.0)
 q_proj_sinusoidal = _proj_cells_query("ESRI:54008", -180.0, 180.0, -84.0, 84.0)
 q_proj_eqc = _proj_cells_query(4087, -180.0, 180.0, -84.0, 84.0)
 q_proj_stereo_oblique = _proj_cells_query(28992, -15.0, 25.0, 35.0, 65.0)
+# Hotine Oblique Mercator variant B (EPSG 9815): Swiss LV95, αc = 90°
+q_proj_homerc = _proj_cells_query(2056, -20.0, 40.0, 25.0, 65.0)
+# Krovak East North (EPSG 9819): S-JTSK, Czech/Slovak national grid
+q_proj_krovak = _proj_cells_query(5514, 5.0, 35.0, 40.0, 58.0)
 
 
 def q_proj_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6729,6 +6733,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_roundtrip": q_gif_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
         "dxf_roundtrip": q_dxf_roundtrip,
+        "proj_homerc": q_proj_homerc,
+        "proj_krovak": q_proj_krovak,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8819,6 +8825,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gif_roundtrip": _o_gif_roundtrip(),
         "mif_roundtrip": _o_shp_roundtrip(),  # same output contract
         "dxf_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "proj_homerc": _o_proj_cells(2056, -20.0, 40.0, 25.0, 65.0),
+        "proj_krovak": _o_proj_cells(5514, 5.0, 35.0, 40.0, 58.0),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

@@ -54,6 +54,7 @@ ELLIPSOIDS = {
     "bessel": (6377397.155, 299.1528128),
     "krass": (6378245.0, 298.3),         # Krassowsky 1940
     "clrk66": (6378206.4, 294.978698214),  # Clarke 1866
+    "evrst30": (6377298.556, 300.8017),    # Everest 1830 (1967 def)
 }
 
 # name -> (ellipsoid, towgs84 (tx, ty, tz, rx", ry", rz", s_ppm))
@@ -77,6 +78,12 @@ DATUMS = {
     # NAD27 mean-CONUS 3-param (grid shifts are the real method; this
     # entry mainly registers the Clarke 1866 ellipsoid for projections)
     "NAD27": ("clrk66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
+    # CH1903+ (LV95) — published swisstopo 3-param towgs84
+    "CH1903PLUS": ("bessel", (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)),
+    # Timbalai 1948 (Borneo RSO) — EPSG transformation 1236
+    "TIMBALAI": ("evrst30", (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)),
+    # S-JTSK (Krovak) — published 3-param towgs84 (EPSG 1623 rounded)
+    "SJTSK": ("bessel", (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _AS2RAD = np.pi / (180.0 * 3600.0)

@@ -925,6 +925,255 @@ def sql_mollweide_stages(lon: str, lat: str, datum: str, src: str,
 
 
 # ---------------------------------------------------------------------------
+# Hotine Oblique Mercator variant B (EPSG 9815; Snyder 9; PROJ omerc
+# semantics — continuous atan2 form, u_0 offset). Covers Swiss LV95
+# (αc = 90°) and the Borneo/Malaysia RSO grids.
+# ---------------------------------------------------------------------------
+
+def homerc_consts(datum: str, latc: float, lonc: float, alpha: float,
+                  gamma: float, k0: float):
+    """Folded constants (A, B, H, gamma0, lam0, u0) of the oblique
+    aposphere — plain floats so the SQL twin embeds the SAME values."""
+    a, e, e2 = ell_consts(datum)
+    pc = math.radians(latc)
+    sc, cc = math.sin(pc), math.cos(pc)
+    B = math.sqrt(1.0 + e2 * cc ** 4 / (1.0 - e2))
+    A = a * B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * sc * sc)
+    t0 = math.tan(math.pi / 4.0 - pc / 2.0) / (
+        (1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2.0)
+    D = B * math.sqrt(1.0 - e2) / (cc * math.sqrt(1.0 - e2 * sc * sc))
+    D2 = max(D * D, 1.0)
+    F = D + math.sqrt(D2 - 1.0) * (1.0 if latc >= 0.0 else -1.0)
+    H = F * t0 ** B
+    G = (F - 1.0 / F) / 2.0
+    gamma0 = math.asin(math.sin(math.radians(alpha)) / D)
+    lam0 = math.radians(lonc) - math.asin(G * math.tan(gamma0)) / B
+    # variant B offset: u evaluated AT the projection centre, so
+    # (latc, lonc) -> (FE, FN) exactly.  Equal to the EPSG analytic
+    # (A/B)·atan(sqrt(D²-1)/cos αc)·SIGN(latc) away from αc = 90°
+    # (bit-identical on the Timbalai worked example); at αc = 90°
+    # (Swiss LV95) the analytic forms drift 4-13 cm at the centre.
+    dlam_c = math.radians(lonc) - lam0
+    Qc = H / t0 ** B
+    Sc = (Qc - 1.0 / Qc) / 2.0
+    u0 = A / B * math.atan2(
+        Sc * math.cos(gamma0) + math.sin(B * dlam_c) * math.sin(gamma0),
+        math.cos(B * dlam_c),
+    )
+    return A, B, H, gamma0, lam0, u0
+
+
+def homerc_forward(lon, lat, datum: str, latc: float, lonc: float,
+                   alpha: float, gamma: float, k0: float,
+                   fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    A, B, H, g0, lam0, u0 = homerc_consts(datum, latc, lonc, alpha,
+                                          gamma, k0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    s = np.sin(phi)
+    # exp/ln powers mirror the SQL twin term-for-term
+    t = np.tan(np.pi / 4.0 - phi / 2.0) / np.exp(
+        (e / 2.0) * np.log((1.0 - e * s) / (1.0 + e * s)))
+    Q = H / np.exp(B * np.log(t))
+    S = (Q - 1.0 / Q) / 2.0
+    T = (Q + 1.0 / Q) / 2.0
+    V = np.sin(B * dlam)
+    Cc = np.cos(B * dlam)
+    U = (S * math.sin(g0) - V * math.cos(g0)) / T
+    v = A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+    u = (A / B) * np.arctan2(S * math.cos(g0) + V * math.sin(g0), Cc) - u0
+    gr = math.radians(gamma)
+    x = fe + v * math.cos(gr) + u * math.sin(gr)
+    y = fn + u * math.cos(gr) - v * math.sin(gr)
+    return x, y
+
+
+def homerc_inverse(x, y, datum: str, latc: float, lonc: float,
+                   alpha: float, gamma: float, k0: float,
+                   fe: float = 0.0, fn: float = 0.0, iters: int = 15):
+    a, e, e2 = ell_consts(datum)
+    A, B, H, g0, lam0, u0 = homerc_consts(datum, latc, lonc, alpha,
+                                          gamma, k0)
+    gr = math.radians(gamma)
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    u = yp * math.cos(gr) + xp * math.sin(gr) + u0
+    v = xp * math.cos(gr) - yp * math.sin(gr)
+    Qp = np.exp(-(B / A) * v)
+    Sp = (Qp - 1.0 / Qp) / 2.0
+    Tp = (Qp + 1.0 / Qp) / 2.0
+    Vp = np.sin((B / A) * u)
+    Up = (Vp * math.cos(g0) + Sp * math.sin(g0)) / Tp
+    ts = np.exp((1.0 / B) * np.log(H / np.sqrt((1.0 + Up) / (1.0 - Up))))
+    # Mercator inverse latitude (pj_phi2 fixed-point)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(ts)
+    for _ in range(iters):
+        sp = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            ts * np.exp((e / 2.0) * np.log((1.0 - e * sp) / (1.0 + e * sp)))
+        )
+    lam = -np.arctan2(Sp * math.cos(g0) - Vp * math.sin(g0),
+                      np.cos((B / A) * u)) / B
+    return np.degrees(lam + lam0), np.degrees(phi)
+
+
+def sql_homerc_stages(lon: str, lat: str, datum: str, src: str,
+                      latc: float, lonc: float, alpha: float,
+                      gamma: float, k0: float, fe: float = 0.0,
+                      fn: float = 0.0, keep: str = "i"
+                      ) -> tuple[str, str, str, str]:
+    """Staged-CTE SQL twin of homerc_forward (the S/T/U/v/u tree must
+    not nest inline — each stage sees simple column names)."""
+    a, e, e2 = ell_consts(datum)
+    A, B, H, g0, lam0, u0 = homerc_consts(datum, latc, lonc, alpha,
+                                          gamma, k0)
+    sg0, cg0 = math.sin(g0), math.cos(g0)
+    gr = math.radians(gamma)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    t = (
+        f"(tan(pi() / 4.0 - ({phi}) / 2.0) / exp({_d(e / 2.0)} * "
+        f"ln((1.0 - {_d(e)} * ({s})) / (1.0 + {_d(e)} * ({s})))))"
+    )
+    stages = [
+        f"_ho0 AS (SELECT {keep}, radians({lon}) - {_d(lam0)} AS dlam, "
+        f"{t} AS t FROM {src})",
+        f"_ho1 AS (SELECT {keep}, dlam, {_d(H)} / exp({_d(B)} * ln(t)) "
+        f"AS q FROM _ho0)",
+        f"_ho2 AS (SELECT {keep}, (q - 1.0 / q) / 2.0 AS s2, "
+        f"(q + 1.0 / q) / 2.0 AS t2, sin({_d(B)} * dlam) AS vv, "
+        f"cos({_d(B)} * dlam) AS cc FROM _ho1)",
+        f"_ho3 AS (SELECT {keep}, "
+        f"(s2 * {_d(sg0)} - vv * {_d(cg0)}) / t2 AS uu, "
+        f"atan2(s2 * {_d(cg0)} + vv * {_d(sg0)}, cc) AS at FROM _ho2)",
+        f"_ho4 AS (SELECT {keep}, "
+        f"{_d(A)} * ln((1.0 - uu) / (1.0 + uu)) / {_d(2.0 * B)} AS pv, "
+        f"{_d(A / B)} * at - {_d(u0)} AS pu FROM _ho3)",
+    ]
+    x = f"({_d(fe)} + pv * {_d(math.cos(gr))} + pu * {_d(math.sin(gr))})"
+    y = f"({_d(fn)} + pu * {_d(math.cos(gr))} - pv * {_d(math.sin(gr))})"
+    return ",\n".join(stages), x, y, "_ho4"
+
+
+# ---------------------------------------------------------------------------
+# Krovak (EPSG 9819 — S-JTSK, the Czech/Slovak oblique conformal
+# conic; PROJ krovak semantics with the method's fixed Czech
+# constants).  East-North variant (EPSG:5514): both axes negated,
+# Czech territory lands at negative coordinates.
+# ---------------------------------------------------------------------------
+
+_KROVAK_UQ = 1.04216856380474     # cartographic-pole colat seed (59°42'42.69689")
+_KROVAK_S0 = 1.37008346281555     # pseudo standard parallel (78°30')
+
+
+def krovak_consts(datum: str, lat0: float, k0: float):
+    a, e, e2 = ell_consts(datum)
+    p0 = math.radians(lat0)
+    s0v = math.sin(p0)
+    B = math.sqrt(1.0 + e2 * math.cos(p0) ** 4 / (1.0 - e2))
+    u0 = math.asin(s0v / B)
+    g = ((1.0 + e * s0v) / (1.0 - e * s0v)) ** (B * e / 2.0)
+    K = math.tan(u0 / 2.0 + math.pi / 4.0) / math.tan(
+        p0 / 2.0 + math.pi / 4.0) ** B * g
+    n0 = math.sqrt(1.0 - e2) / (1.0 - e2 * s0v * s0v)
+    n = math.sin(_KROVAK_S0)
+    rho0 = k0 * n0 / math.tan(_KROVAK_S0)
+    ad = math.pi / 2.0 - _KROVAK_UQ
+    return B, K, n, rho0, ad
+
+
+def krovak_forward(lon, lat, datum: str, lat0: float, lonc: float,
+                   k0: float, fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    B, K, n, rho0, ad = krovak_consts(datum, lat0, k0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lonc)
+    s = np.sin(phi)
+    gfi = np.exp((e * B / 2.0) * np.log((1.0 + e * s) / (1.0 - e * s)))
+    u = 2.0 * (np.arctan(
+        K * np.exp(B * np.log(np.tan(phi / 2.0 + np.pi / 4.0))) / gfi
+    ) - np.pi / 4.0)
+    deltav = -dlam * B
+    sv = np.arcsin(np.cos(ad) * np.sin(u)
+                   + np.sin(ad) * np.cos(u) * np.cos(deltav))
+    d = np.arcsin(np.cos(u) * np.sin(deltav) / np.cos(sv))
+    eps = n * d
+    rho = rho0 * np.exp(n * np.log(
+        math.tan(_KROVAK_S0 / 2.0 + math.pi / 4.0)
+        / np.tan(sv / 2.0 + np.pi / 4.0)))
+    # a (dimensionless rho) × a scales to meters; East-North axes
+    x = fe - a * rho * np.sin(eps)
+    y = fn - a * rho * np.cos(eps)
+    return x, y
+
+
+def krovak_inverse(x, y, datum: str, lat0: float, lonc: float,
+                   k0: float, fe: float = 0.0, fn: float = 0.0,
+                   iters: int = 10):
+    a, e, e2 = ell_consts(datum)
+    B, K, n, rho0, ad = krovak_consts(datum, lat0, k0)
+    xs = -(np.asarray(x, dtype=np.float64) - fe) / a
+    ys = -(np.asarray(y, dtype=np.float64) - fn) / a
+    rho = np.sqrt(xs * xs + ys * ys)
+    eps = np.arctan2(xs, ys)
+    d = eps / n
+    sv = 2.0 * (np.arctan(
+        np.exp((1.0 / n) * np.log(rho0 / rho))
+        * math.tan(_KROVAK_S0 / 2.0 + math.pi / 4.0)) - np.pi / 4.0)
+    u = np.arcsin(np.cos(ad) * np.sin(sv)
+                  - np.sin(ad) * np.cos(sv) * np.cos(d))
+    deltav = np.arcsin(np.cos(sv) * np.sin(d) / np.cos(u))
+    phi = u
+    base = np.exp((1.0 / B) * np.log(
+        np.tan(u / 2.0 + np.pi / 4.0) / K))
+    for _ in range(iters):
+        sp = np.sin(phi)
+        phi = 2.0 * (np.arctan(
+            base * np.exp((e / 2.0) * np.log((1.0 + e * sp) / (1.0 - e * sp)))
+        ) - np.pi / 4.0)
+    return (
+        np.degrees(math.radians(lonc) - deltav / B),
+        np.degrees(phi),
+    )
+
+
+def sql_krovak_stages(lon: str, lat: str, datum: str, src: str,
+                      lat0: float, lonc: float, k0: float,
+                      fe: float = 0.0, fn: float = 0.0, keep: str = "i"
+                      ) -> tuple[str, str, str, str]:
+    """Staged-CTE SQL twin of krovak_forward."""
+    a, e, e2 = ell_consts(datum)
+    B, K, n, rho0, ad = krovak_consts(datum, lat0, k0)
+    phi = f"radians({lat})"
+    s = f"sin({phi})"
+    gfi = (
+        f"exp({_d(e * B / 2.0)} * ln((1.0 + {_d(e)} * ({s})) / "
+        f"(1.0 - {_d(e)} * ({s}))))"
+    )
+    u = (
+        f"(2.0 * (atan({_d(K)} * exp({_d(B)} * "
+        f"ln(tan(({phi}) / 2.0 + pi() / 4.0))) / {gfi}) - pi() / 4.0))"
+    )
+    stages = [
+        f"_k0 AS (SELECT {keep}, {u} AS u, "
+        f"-(radians({lon}) - {_d(math.radians(lonc))}) * {_d(B)} AS dv "
+        f"FROM {src})",
+        f"_k1 AS (SELECT {keep}, u, dv, "
+        f"asin({_d(math.cos(ad))} * sin(u) + {_d(math.sin(ad))} * "
+        f"cos(u) * cos(dv)) AS sv FROM _k0)",
+        f"_k2 AS (SELECT {keep}, "
+        f"{_d(n)} * asin(cos(u) * sin(dv) / cos(sv)) AS eps, "
+        f"{_d(rho0)} * exp({_d(n)} * ln("
+        f"{_d(math.tan(_KROVAK_S0 / 2.0 + math.pi / 4.0))} / "
+        f"tan(sv / 2.0 + pi() / 4.0))) AS rho FROM _k1)",
+    ]
+    x = f"({_d(fe)} - {_d(a)} * rho * sin(eps))"
+    y = f"({_d(fn)} - {_d(a)} * rho * cos(eps))"
+    return ",\n".join(stages), x, y, "_k2"
+
+
+# ---------------------------------------------------------------------------
 # EPSG parameter registry + reproject dispatch
 # (the engine's stand-in for PROJ's database-driven pipeline
 # selection, ogr/ogrct.cpp:1091)
@@ -986,6 +1235,20 @@ REGISTRY: dict[int | str, CrsDef] = {
     # World Mollweide (ESRI:54009; spherical on a, the PROJ convention)
     "ESRI:54009": CrsDef("mollweide", "WGS84", dict(
         lon0=0.0, fe=0.0, fn=0.0)),
+    # CH1903+ / LV95 (Hotine Oblique Mercator variant B, αc = 90°)
+    2056: CrsDef("homerc", "CH1903PLUS", dict(
+        latc=46.952405555555565, lonc=7.439583333333333,
+        alpha=90.0, gamma=90.0, k0=1.0, fe=2600000.0, fn=1200000.0)),
+    # Timbalai 1948 / RSO Borneo (m) — the EPSG 9815 worked example
+    29873: CrsDef("homerc", "TIMBALAI", dict(
+        latc=4.0, lonc=115.0, alpha=53.31582047222222,
+        gamma=53.13010236111111, k0=0.99984,
+        fe=590476.87, fn=442857.65)),
+    # S-JTSK / Krovak East North (EPSG 9819; lonc is 42°30' E of
+    # Ferro expressed on Greenwich)
+    5514: CrsDef("krovak", "SJTSK", dict(
+        lat0=49.5, lonc=24.833333333333332, k0=0.9999,
+        fe=0.0, fn=0.0)),
 }
 # WGS84 UTM zones 326xx (N) / 327xx (S)
 for _z in range(1, 61):
@@ -1042,6 +1305,10 @@ def forward(code: int | str, lon, lat):
         return cea_forward(lon, lat, d.datum, **p)
     if d.method == "mollweide":
         return mollweide_forward(lon, lat, d.datum, **p)
+    if d.method == "homerc":
+        return homerc_forward(lon, lat, d.datum, **p)
+    if d.method == "krovak":
+        return krovak_forward(lon, lat, d.datum, **p)
     raise KeyError(f"unsupported method {d.method!r}")
 
 
@@ -1087,6 +1354,10 @@ def inverse(code: int | str, x, y):
         return cea_inverse(x, y, d.datum, **p)
     if d.method == "mollweide":
         return mollweide_inverse(x, y, d.datum, **p)
+    if d.method == "homerc":
+        return homerc_inverse(x, y, d.datum, **p)
+    if d.method == "krovak":
+        return krovak_inverse(x, y, d.datum, **p)
     raise KeyError(f"unsupported method {d.method!r}")
 
 
@@ -1140,6 +1411,12 @@ def sql_forward_stages(code: int | str, lon: str, lat: str, src: str,
     if d.method == "mollweide":
         return sql_mollweide_stages(lon, lat, d.datum, src,
                                     keep=keep, **d.params)
+    if d.method == "homerc":
+        return sql_homerc_stages(lon, lat, d.datum, src,
+                                 keep=keep, **d.params)
+    if d.method == "krovak":
+        return sql_krovak_stages(lon, lat, d.datum, src,
+                                 keep=keep, **d.params)
     x, y = sql_forward(code, lon, lat)
     return "", x, y, src
 
@@ -1202,7 +1479,7 @@ def to_proj4(code) -> str:
     ell = DATUMS[d.datum][0]
     ell_p4 = {"WGS84": "WGS84", "GRS80": "GRS80", "intl": "intl",
               "airy": "airy", "bessel": "bessel", "krass": "krass",
-              "clrk66": "clrk66"}[ell]
+              "clrk66": "clrk66", "evrst30": "evrst30"}[ell]
     tw = DATUMS[d.datum][1]
     datum_part = f"+ellps={ell_p4} +towgs84=" + ",".join(
         repr(v) if v != int(v) else str(int(v)) for v in tw)
@@ -1218,11 +1495,15 @@ def to_proj4(code) -> str:
     name_of = {"tm": "tmerc", "mercator": "merc", "albers": "aea",
                "polar_stereo_a": "stere", "oblique_stereo": "sterea",
                "sinusoidal": "sinu", "eqc": "eqc", "laea": "laea",
-               "cea": "cea", "mollweide": "moll"}
+               "cea": "cea", "mollweide": "moll", "homerc": "omerc",
+               "krovak": "krovak"}
     p4_key = {"k0": "k_0", "lon0": "lon_0", "lat0": "lat_0",
               "lat1": "lat_1" if d.method == "albers" else "lat_ts",
               "lat2": "lat_2", "lat_ts": "lat_ts",
-              "fe": "x_0", "fn": "y_0"}
+              "fe": "x_0", "fn": "y_0",
+              # omerc spells the centre lonc; krovak uses lon_0
+              "latc": "lat_0", "alpha": "alpha", "gamma": "gamma",
+              "lonc": "lonc" if d.method == "homerc" else "lon_0"}
     if d.method == "polar_stereo":
         # variant B: proj spells it stere with lat_0=+/-90 + lat_ts
         lat0 = -90 if p["lat_ts"] < 0 else 90
@@ -1256,6 +1537,8 @@ _PROJ4_METHODS = {
     "laea": "laea",
     "cea": "cea",
     "moll": "mollweide",
+    "omerc": "homerc",
+    "krovak": "krovak",
 }
 
 
@@ -1339,6 +1622,11 @@ def resolve_crs(user_input) -> int | str:
             "cea": {"lat_ts": "lat_ts", "lon0": "lon_0",
                     "fe": "x_0", "fn": "y_0"},
             "mollweide": {"lon0": "lon_0", "fe": "x_0", "fn": "y_0"},
+            "homerc": {"latc": "lat_0", "lonc": "lonc",
+                       "alpha": "alpha", "gamma": "gamma",
+                       "k0": "k_0", "fe": "x_0", "fn": "y_0"},
+            "krovak": {"lat0": "lat_0", "lonc": "lon_0",
+                       "k0": "k_0", "fe": "x_0", "fn": "y_0"},
         }
         defaults = {"k_0": 1.0, "lon_0": 0.0, "lat_0": 0.0,
                     "lat_ts": 0.0, "x_0": 0.0, "y_0": 0.0,

@@ -154,6 +154,18 @@ _METHOD_WKT: dict[str, tuple[str, dict[str, str]]] = {
     "mollweide": ("Mollweide", {
         "lon0": "central_meridian",
         "fe": "false_easting", "fn": "false_northing"}),
+    # variant B (EPSG 9815) — the reference's _Azimuth_Center spelling
+    "homerc": ("Hotine_Oblique_Mercator_Azimuth_Center", {
+        "latc": "latitude_of_center", "lonc": "longitude_of_center",
+        "alpha": "azimuth", "gamma": "rectified_grid_angle",
+        "k0": "scale_factor", "fe": "false_easting",
+        "fn": "false_northing"}),
+    # azimuth/pseudo_standard_parallel_1 are method constants here —
+    # ignored on import, not re-emitted on export
+    "krovak": ("Krovak", {
+        "lat0": "latitude_of_center", "lonc": "longitude_of_center",
+        "k0": "scale_factor", "fe": "false_easting",
+        "fn": "false_northing"}),
 }
 
 # GDAL emits _of_center for some methods and _of_origin for others;
@@ -172,6 +184,7 @@ _ELLIPSOID_WKT_NAMES = {
     "bessel": "Bessel 1841",
     "krass": "Krassowsky 1940",
     "clrk66": "Clarke 1866",
+    "evrst30": "Everest 1830 (1967 Definition)",
 }
 
 _DATUM_WKT_NAMES = {
@@ -184,6 +197,9 @@ _DATUM_WKT_NAMES = {
     "GGRS87": "Greek_Geodetic_Reference_System_1987",
     "PULKOVO42": "Pulkovo_1942",
     "AMERSFOORT": "Amersfoort",
+    "CH1903PLUS": "CH1903+",
+    "TIMBALAI": "Timbalai_1948",
+    "SJTSK": "System_of_the_Unified_Trigonometrical_Cadastral_Network",
 }
 
 # registry geographic codes per datum (GEOGCS emission + import)

@@ -341,3 +341,63 @@ def test_to_proj4_roundtrip_every_registry_entry():
             assert back == 4269
         else:
             assert back == key, (key, back)
+
+
+def test_homerc_epsg_worked_example():
+    # EPSG 7-2 method 9815 (Timbalai 1948 / RSO Borneo):
+    # 5°23'14.1129"N 115°48'19.8196"E -> E 679245.73, N 596562.78
+    phi = 5 + 23 / 60 + 14.1129 / 3600
+    lam = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = pz.forward(29873, lam, phi)
+    assert abs(x - 679245.73) < 0.01
+    assert abs(y - 596562.78) < 0.01
+
+
+def test_homerc_swiss_centre_exact():
+    # LV95 projection centre (Bern) maps exactly to FE/FN
+    x, y = pz.forward(2056, 7.439583333333333, 46.952405555555565)
+    assert abs(x - 2600000.0) < 1e-6
+    assert abs(y - 1200000.0) < 1e-6
+
+
+def test_krovak_epsg_worked_example():
+    # EPSG 7-2 method 9819: 50°12'32.4416"N 16°50'59.1790"E ->
+    # southing 1050538.63, westing 568990.97 (East-North: negated).
+    # PROJ's fixed Czech constants differ from the EPSG worked
+    # rounding at the few-cm level.
+    phi = 50 + 12 / 60 + 32.4416 / 3600
+    lam = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = pz.forward(5514, lam, phi)
+    assert abs(x - -568990.97) < 0.05
+    assert abs(y - -1050538.63) < 0.05
+
+
+@pytest.mark.parametrize(
+    "code,lon,lat",
+    [
+        (2056, 8.5, 47.4),     # Zurich
+        (2056, -10.0, 30.0),   # far field stays invertible
+        (29873, 117.0, 5.5),
+        (5514, 14.42, 50.09),  # Prague
+        (5514, 21.0, 44.5),
+    ],
+)
+def test_homerc_krovak_roundtrip(code, lon, lat):
+    x, y = pz.forward(code, lon, lat)
+    lon2, lat2 = pz.inverse(code, x, y)
+    assert abs(lon2 - lon) < 1e-9
+    assert abs(lat2 - lat) < 1e-9
+
+
+@pytest.mark.parametrize("code,lon,lat", [(2056, 9.0, 46.0), (5514, 17.0, 49.2)])
+def test_homerc_krovak_sql_stage_twin(code, lon, lat):
+    stages, xs, ys, src = pz.sql_forward_stages(
+        code, "lon", "lat", "pts", keep="i")
+    sql = (
+        f"WITH pts AS (SELECT 1 AS i, {lon!r} AS lon, {lat!r} AS lat),\n"
+        f"{stages}\nSELECT {xs}, {ys} FROM {src}"
+    )
+    dx, dy = duckdb.sql(sql).fetchone()
+    nx, ny = pz.forward(code, lon, lat)
+    assert abs(dx - float(nx)) < 1e-6
+    assert abs(dy - float(ny)) < 1e-6
