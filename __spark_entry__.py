@@ -5450,6 +5450,126 @@ WHERE i % {GEOTIFF_MOD} = 2
 """
 
 
+INFO_MOD = 499  # image subset for the gdalinfo report oracle
+
+
+def q_info_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalinfo -json core report (apps/gdalinfo_lib.cpp): REAL
+    georeferenced GTiff bytes per image (pixel rule + fixture extent
+    + GeoKeys) run through operators/info.raster_info — driver
+    sniffed from bytes, size/bands from decode, geotransform corners
+    + wgs84Extent through the registry inverse, band-0 stats +
+    checksum. Every emitted value recomputes from the closed forms in
+    SQL."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.operators.info import raster_info
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % INFO_MOD == 5)
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("bytes", T2.BinaryType()),
+        ]
+    )
+
+    def mk(batches):
+        from gdal_spark.fixtures.georef import RES0, np_image_pixels
+        from gdal_spark.raster.tiff import encode_tiff
+
+        for pdf in batches:
+            recs = []
+            for i, img_id, w, h, xmin, ymax in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"],
+                pdf["xmin"], pdf["ymax"]
+            ):
+                gt = (float(xmin), RES0, 0.0, float(ymax), 0.0, -RES0)
+                recs.append(
+                    {
+                        "image_id": img_id,
+                        "bytes": encode_tiff(
+                            np_image_pixels(int(i), int(w), int(h)),
+                            geo=(gt, 3857),
+                        ),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["image_id", "bytes"])
+
+    payloads = geo.select(
+        "i", "image_id", "w", "h", "xmin", "ymax"
+    ).mapInPandas(mk, schema)
+    return raster_info(payloads)
+
+
+def _o_info_raster() -> str:
+    from gdal_spark.fixtures.georef import RES0, sql_images_cte
+    from gdal_spark.tiles import tilemath as _tm
+
+    imgs = sql_images_cte(
+        "cast(o_orderkey as bigint)",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {INFO_MOD} = 5)",
+    )
+    res = _tm.sql_double(RES0)
+    r = _tm.sql_double(6378137.0)
+    return f"""
+WITH imgs AS ({imgs}),
+px AS (
+  SELECT i.image_id, (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM imgs i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+b0 AS (
+  SELECT image_id,
+    cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+      AS checksum_b0,
+    cast(min(val) as int) AS min_b0, cast(max(val) as int) AS max_b0
+  FROM px GROUP BY image_id
+)
+SELECT m.image_id, 'tiff' AS driver,
+  cast(m.w as int) AS w, cast(m.h as int) AS h, cast(3 as int) AS n_bands,
+  cast(3857 as int) AS epsg,
+  cast(floor(m.xmin * 100.0) as bigint) AS ulx_q2,
+  cast(floor(m.ymax * 100.0) as bigint) AS uly_q2,
+  cast(floor((m.xmin + m.w * {res}) * 100.0) as bigint) AS lrx_q2,
+  cast(floor((m.ymax - m.h * {res}) * 100.0) as bigint) AS lry_q2,
+  cast(floor(degrees(m.xmin / {r}) * 1e6) as bigint) AS west_e6,
+  cast(floor(degrees(2.0 * atan(exp(m.ymax / {r})) - pi() / 2.0) * 1e6)
+    as bigint) AS north_e6,
+  b.checksum_b0, b.min_b0, b.max_b0
+FROM imgs m JOIN b0 b ON b.image_id = m.image_id
+"""
+
+
+def q_info_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrinfo -so layer summary (apps/ogrinfo_lib.cpp): zones run
+    through operators/info.vector_info — feature count, layer
+    geometry type, extent from the real WKB bounds in one distributed
+    aggregation."""
+    from gdal_spark.operators.info import vector_info
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    return vector_info(zones, layer="zones")
+
+
+def _o_info_vector() -> str:
+    z = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH zn AS ({z}),
+outer_edges AS ({_zone_edges_cte('r')})
+SELECT 'zones' AS layer,
+  (SELECT count(*) FROM zn) AS n_features,
+  'Polygon' AS geom_type,
+  cast(floor(min(x1) * 1e6) as bigint) AS minx_e6,
+  cast(floor(min(y1) * 1e6) as bigint) AS miny_e6,
+  cast(floor(max(x1) * 1e6) as bigint) AS maxx_e6,
+  cast(floor(max(y1) * 1e6) as bigint) AS maxy_e6
+FROM outer_edges
+"""
+
+
 def q_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF APP1 write->read roundtrip through REAL JPEG bytes
     (gcore/gdalexif.cpp tag walk; frmts/jpeg/jpgdataset.cpp
@@ -6735,6 +6855,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_roundtrip": q_dxf_roundtrip,
         "proj_homerc": q_proj_homerc,
         "proj_krovak": q_proj_krovak,
+        "info_raster": q_info_raster,
+        "info_vector": q_info_vector,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8827,6 +8949,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "dxf_roundtrip": _o_shp_roundtrip(),  # same output contract
         "proj_homerc": _o_proj_cells(2056, -20.0, 40.0, 25.0, 65.0),
         "proj_krovak": _o_proj_cells(5514, 5.0, 35.0, 40.0, 58.0),
+        "info_raster": _o_info_raster(),
+        "info_vector": _o_info_vector(),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
