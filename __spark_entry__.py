@@ -2235,6 +2235,27 @@ def q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopoJSON IO (ogr/ogrsf_frmts/geojson/ogrtopojsonreader.cpp:
+    Topology object, shared arc table, negative-index reversal):
+    zones stream to one non-quantized Topology (one arc per ring,
+    repr-exact doubles), the per-file distributed scan reads them
+    back through the arc table; attributes, ring counts, and exact
+    areas match the fixture closed forms."""
+    from gdal_spark.sources.topojson import read_topojson, write_topojson
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"topo_{os.path.basename(sf_dir)}") + ".topojson"
+    write_topojson(zones, path, layer="zones", id_col="fid")
+    back = read_topojson(
+        spark, path, "zones", "fid long, eas_id long, kind string",
+        id_col="fid",
+    )
+    return _roundtrip_shape(back)
+
+
 def q_geoparquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoParquet IO (ogr/ogrsf_frmts/parquet writer metadata,
     ogrparquetwriterlayer.cpp:640-760): per-partition pyarrow shards
@@ -6857,6 +6878,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_krovak": q_proj_krovak,
         "info_raster": q_info_raster,
         "info_vector": q_info_vector,
+        "topojson_roundtrip": q_topojson_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8951,6 +8973,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "proj_krovak": _o_proj_cells(5514, 5.0, 35.0, 40.0, 58.0),
         "info_raster": _o_info_raster(),
         "info_vector": _o_info_vector(),
+        "topojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
