@@ -2235,6 +2235,26 @@ def q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpatiaLite IO (ogr/ogrsf_frmts/sqlite ImportSpatiaLiteGeometry
+    blob format + geometry_columns metadata): zones stream into a
+    .sqlite layer, the rowid-partitioned distributed scan reads them
+    back; attributes, ring counts, and exact areas match the fixture
+    closed forms (float64 blob coordinates roundtrip bit-exactly)."""
+    from gdal_spark.sources.spatialite import (
+        read_spatialite,
+        write_spatialite,
+    )
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"splite_{os.path.basename(sf_dir)}.sqlite")
+    write_spatialite(zones, path, layer="zones")
+    back = read_spatialite(spark, path, "zones")
+    return _roundtrip_shape(back)
+
+
 def q_topojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TopoJSON IO (ogr/ogrsf_frmts/geojson/ogrtopojsonreader.cpp:
     Topology object, shared arc table, negative-index reversal):
@@ -6879,6 +6899,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_raster": q_info_raster,
         "info_vector": q_info_vector,
         "topojson_roundtrip": q_topojson_roundtrip,
+        "spatialite_roundtrip": q_spatialite_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8974,6 +8995,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "info_raster": _o_info_raster(),
         "info_vector": _o_info_vector(),
         "topojson_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
