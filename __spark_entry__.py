@@ -2486,6 +2486,102 @@ FROM px GROUP BY image_id, band, w, h
 """
 
 
+PALETTED_MOD = 499
+
+
+def q_paletted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paletted (color-table) raster IO across all three palette
+    carriers — PNG color type 3 + PLTE (frmts/png), TIFF
+    PhotometricInterpretation=3 + ColorMap (frmts/gtiff), GIF global
+    color table (frmts/gif): the band-0 rule encodes through an
+    identity grayscale palette in each format, decodes back from the
+    REAL bytes, and per-format checksums match the same closed
+    form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 7)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vmin", T2.IntegerType()),
+            T2.StructField("vmax", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.gif import decode_gif, encode_gif
+        from gdal_spark.raster.png import (
+            decode_png_paletted,
+            encode_png_paletted,
+        )
+        from gdal_spark.raster.tiff import decode_tiff_paletted, encode_tiff
+
+        gray = np.arange(256, dtype=np.uint8)[:, None].repeat(3, 1)
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                idx = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                outs = {
+                    "png": decode_png_paletted(
+                        encode_png_paletted(idx, gray))[0],
+                    "tiff": decode_tiff_paletted(
+                        encode_tiff(idx, palette=gray))[0],
+                    "gif": decode_gif(encode_gif(idx, gray))[0],
+                }
+                for fmt, band in outs.items():
+                    rows.append(
+                        {
+                            "image_id": img_id,
+                            "fmt": fmt,
+                            "checksum": gdal_checksum(band),
+                            "vmin": int(band.min()),
+                            "vmax": int(band.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_paletted_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD} = 7)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id, (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+b0 AS (
+  SELECT image_id,
+    cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+      AS checksum,
+    cast(min(val) as int) AS vmin, cast(max(val) as int) AS vmax
+  FROM px GROUP BY image_id
+)
+SELECT b.image_id, f.fmt, b.checksum, b.vmin, b.vmax
+FROM b0 b CROSS JOIN (VALUES ('png'), ('tiff'), ('gif')) AS f(fmt)
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -6900,6 +6996,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_vector": q_info_vector,
         "topojson_roundtrip": q_topojson_roundtrip,
         "spatialite_roundtrip": q_spatialite_roundtrip,
+        "paletted_roundtrip": q_paletted_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -8996,6 +9093,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "info_vector": _o_info_vector(),
         "topojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "paletted_roundtrip": _o_paletted_roundtrip(),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

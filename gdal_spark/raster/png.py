@@ -77,12 +77,39 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
+def encode_png_paletted(idx: np.ndarray, palette: np.ndarray,
+                        transparent: int | None = None,
+                        level: int = 6) -> bytes:
+    """(H,W) uint8 indices + (N,3) palette -> color-type-3 PNG
+    (PLTE chunk, optional single-index tRNS — the reference's
+    paletted-PNG write path, frmts/png/pngdataset.cpp color table)."""
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("png codec: palette must have 1..256 entries")
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    filtered = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), idx], axis=1
+    )
+    idat = zlib.compress(filtered.tobytes(), level)
+    out = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette.tobytes())
+    if transparent is not None:
+        trns = bytes([255] * transparent + [0])
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _decode_png_raw(data: bytes):
+    """-> (pixels (H,W,C) with C=1 for gray/paletted, color_type,
+    palette or None, transparent index or None)."""
     if data[:8] != _SIG:
         raise ValueError("png codec: bad signature")
     pos = 8
     w = h = None
     color_type = None
+    palette = None
+    transparent = None
     idat = bytearray()
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -95,13 +122,20 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError("png codec: only 8-bit non-interlaced supported")
-            if color_type not in _CHANNELS:
+            if color_type not in _CHANNELS and color_type != 3:
                 raise ValueError(f"png codec: color type {color_type} unsupported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3).copy()
+        elif tag == b"tRNS" and color_type == 3:
+            alphas = np.frombuffer(body, dtype=np.uint8)
+            zero = np.nonzero(alphas == 0)[0]
+            if len(zero):
+                transparent = int(zero[0])
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
-    c = _CHANNELS[color_type]
+    c = 1 if color_type == 3 else _CHANNELS[color_type]
     stride = w * c
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     raw = raw.reshape(h, 1 + stride)
@@ -109,5 +143,22 @@ def decode_png(data: bytes) -> np.ndarray:
         pixels = raw[:, 1:].copy()
     else:
         pixels = _unfilter(raw, h, stride, c)
-    out = pixels.reshape(h, w, c)
-    return out[:, :, 0] if c == 1 else out
+    return pixels.reshape(h, w, c), color_type, palette, transparent
+
+
+def decode_png_paletted(data: bytes):
+    """Paletted PNG -> (indices (H,W), palette (N,3), transparent) —
+    the reference's band + GDALColorTable view."""
+    pixels, color_type, palette, transparent = _decode_png_raw(data)
+    if color_type != 3 or palette is None:
+        raise ValueError("png codec: not a paletted PNG")
+    return pixels[:, :, 0], palette, transparent
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """-> (H,W) gray, (H,W,3) RGB, or (H,W,4) RGBA; paletted images
+    expand through their color table (gdal_translate -expand rgb)."""
+    pixels, color_type, palette, _ = _decode_png_raw(data)
+    if color_type == 3:
+        return palette[pixels[:, :, 0]]
+    return pixels[:, :, 0] if pixels.shape[2] == 1 else pixels

@@ -25,6 +25,7 @@ T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS, T_PLANAR = (
 )
 # GeoTIFF georeferencing tags (frmts/gtiff/gt_wkt_srs.cpp; the
 # published GeoTIFF 1.1 spec)
+T_COLORMAP = 320
 T_PIXEL_SCALE, T_TIEPOINT, T_GEOKEYS = 33550, 33922, 34735
 _GK_MODEL_TYPE, _GK_RASTER_TYPE = 1024, 1025
 _GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS = 2048, 3072
@@ -43,7 +44,11 @@ def _geokey_directory(epsg: int, geographic: bool) -> list[int]:
     return out
 
 
-def encode_tiff(arr: np.ndarray, geo: tuple | None = None) -> bytes:
+def encode_tiff(arr: np.ndarray, geo: tuple | None = None,
+                palette: np.ndarray | None = None) -> bytes:
+    """`palette` (N,3 uint8) turns a single-band `arr` of indices
+    into a palette-color TIFF (PhotometricInterpretation=3 +
+    ColorMap, the reference's GDALColorTable home on GTiff)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.dtype != np.uint8:
@@ -51,6 +56,8 @@ def encode_tiff(arr: np.ndarray, geo: tuple | None = None) -> bytes:
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError(f"tiff codec: unsupported channel count {c}")
+    if palette is not None and c != 1:
+        raise ValueError("tiff codec: palette requires a single band")
     pixel_data = arr.tobytes()
 
     entries = []  # (tag, type, count, value_or_offset)
@@ -73,7 +80,16 @@ def encode_tiff(arr: np.ndarray, geo: tuple | None = None) -> bytes:
     else:
         add(T_BPS, SHORT, 1, 8, 4)
     add(T_COMPRESSION, SHORT, 1, 1, 4)
-    add(T_PHOTO, SHORT, 1, 2 if c == 3 else 1, 4)
+    photo = 2 if c == 3 else (3 if palette is not None else 1)
+    add(T_PHOTO, SHORT, 1, photo, 4)
+    if palette is not None:
+        # ColorMap: 3 * 2^bps SHORTs (red plane, green, blue),
+        # 8-bit component v scales to v*257 (the libtiff convention)
+        pal = np.zeros((256, 3), dtype=np.uint16)
+        pal[: len(palette)] = np.asarray(palette, dtype=np.uint16) * 257
+        cmap_off = extra_off + len(extra)
+        extra.extend(pal.T.astype("<u2").tobytes())
+        add(T_COLORMAP, SHORT, 768, cmap_off, None)
     add(T_STRIP_OFFSETS, LONG, 1, data_off, 4)
     add(T_SPP, SHORT, 1, c, 4)
     add(T_ROWS_PER_STRIP, LONG, 1, h, 4)
@@ -154,7 +170,38 @@ def decode_tiff(data: bytes) -> np.ndarray:
     counts = tags[T_STRIP_COUNTS]
     buf = b"".join(data[o : o + n] for o, n in zip(offsets, counts))
     arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
+    if c == 1 and tags.get(T_PHOTO, [1])[0] == 3 and T_COLORMAP in tags:
+        # palette-color: expand through the ColorMap like the
+        # reference's -expand rgb path (decode_tiff_paletted keeps
+        # the band + table view)
+        cmap = np.asarray(tags[T_COLORMAP], dtype=np.uint16).reshape(3, 256)
+        return (cmap.T[arr[:, :, 0]] // 257).astype(np.uint8)
     return arr[:, :, 0] if c == 1 else arr.copy()
+
+
+def decode_tiff_paletted(data: bytes):
+    """Palette-color TIFF -> (indices (H,W), palette (256,3) uint8)."""
+    if data[:4] != _II:
+        raise ValueError("tiff codec: not little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from("<HHI", data, base)
+        if typ not in (3, 4):
+            continue
+        tags[tag] = _read_values(data, typ, count, data[base + 8 : base + 12])
+    if tags.get(T_PHOTO, [1])[0] != 3 or T_COLORMAP not in tags:
+        raise ValueError("tiff codec: not a palette-color TIFF")
+    w, h = tags[T_WIDTH][0], tags[T_HEIGHT][0]
+    buf = b"".join(
+        data[o : o + n]
+        for o, n in zip(tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS])
+    )
+    idx = np.frombuffer(buf, dtype=np.uint8).reshape(h, w).copy()
+    cmap = np.asarray(tags[T_COLORMAP], dtype=np.uint16).reshape(3, 256)
+    return idx, (cmap.T // 257).astype(np.uint8)
 
 
 def read_georef(data: bytes) -> tuple[tuple, int] | None:
