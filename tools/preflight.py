@@ -37,6 +37,11 @@ SAMPLE = [
     "tile_render_albers", "netcdf_roundtrip", "geoloc_transform",
     "gnm_k_shortest", "curve_fit_back", "ogr_sql_join",
     "tile_render_webp",
+    # round-4 session-2 families (new formats, projections, reports)
+    "gpx_roundtrip", "gpx_track_points", "gif_roundtrip",
+    "mif_roundtrip", "dxf_roundtrip", "proj_homerc", "proj_krovak",
+    "info_raster", "info_vector", "topojson_roundtrip",
+    "spatialite_roundtrip", "paletted_roundtrip",
 ]
 
 
