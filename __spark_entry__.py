@@ -978,6 +978,66 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.mapInPandas(decode, schema)
 
 
+def q_tile_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal2tiles on-disk pyramid roundtrip
+    (apps/gdalalg_raster_tile.cpp:348 {z}/{x}/{y}.ext layout):
+    rendered tiles encode to PNG, write DISTRIBUTED into the
+    directory tree (no driver funnel), scan back with the
+    distributed tree reader, decode, and the per-band GDAL checksums
+    must still match the render closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    enc = render.encode_tiles(out, TILE_Z, fmt="png")
+    root = _artifact_path(f"tiletree_{os.path.basename(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # stale tiles from a
+    # previous run in this process would pollute the tree scan
+    render.write_tile_tree(enc, root)
+    back = render.read_tile_tree(spark, root, z=TILE_Z)
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.codecs import decode_image
+
+        for pdf in batches:
+            recs = []
+            for tx, fy, fmt, payload in zip(
+                pdf["tile_x"], pdf["file_y"], pdf["fmt"], pdf["payload"]
+            ):
+                arr = decode_image(bytes(payload), fmt)
+                for band in range(arr.shape[2]):
+                    recs.append(
+                        {
+                            "tile_x": int(tx),
+                            "tile_y": int(fy),  # xyz convention
+                            "band": band,
+                            "checksum": int(gdal_checksum(arr[:, :, band])),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["tile_x", "tile_y", "band", "checksum"]
+            )
+
+    return back.mapInPandas(decode, schema)
+
+
 # gdalwarp -cutline fixture: two polygons in EXACT zoom-12 pixel
 # coordinates — a half-world rectangle (vertical edges at integer x)
 # and a convex hexagon whose sloped edges have inverse slope 1/4, so
@@ -6997,6 +7057,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topojson_roundtrip": q_topojson_roundtrip,
         "spatialite_roundtrip": q_spatialite_roundtrip,
         "paletted_roundtrip": q_paletted_roundtrip,
+        "tile_tree_roundtrip": q_tile_tree_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9094,6 +9155,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "topojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
         "paletted_roundtrip": _o_paletted_roundtrip(),
+        "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

@@ -580,6 +580,83 @@ def encode_tiles(
     return tiles.groupBy("tile_x", "tile_y").applyInPandas(encode, out_schema)
 
 
+def write_tile_tree(tiles: DataFrame, out_dir: str) -> int:
+    """Distributed `{z}/{x}/{fileY}.{ext}` directory sink — the
+    gdal2tiles / `gdal raster tile` on-disk layout
+    (apps/gdalalg_raster_tile.cpp:348-358).  Input: encode_tiles rows
+    (path, payload).  Every executor writes its own partition's files
+    (no driver funnel); requires the shared output filesystem the
+    other distributed sinks document.  Returns the tile count."""
+    import os
+
+    def write_part(rows):
+        n = 0
+        for row in rows:
+            full = os.path.join(out_dir, row["path"])
+            os.makedirs(os.path.dirname(full), exist_ok=True)
+            tmp = full + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(bytes(row["payload"]))
+            os.replace(tmp, full)
+            n += 1
+        yield n
+
+    counts = tiles.select("path", "payload").rdd.mapPartitions(
+        lambda it: write_part(it)
+    )
+    return int(counts.sum())
+
+
+def read_tile_tree(spark: SparkSession, root: str,
+                   z: int | None = None) -> DataFrame:
+    """Distributed scan of a `{z}/{x}/{fileY}.{ext}` pyramid back
+    into (tile_z, tile_x, file_y, fmt, payload) rows — the
+    consumption path for trees written by write_tile_tree or the
+    reference's gdal2tiles.  File-level parallelism via binaryFile;
+    the y convention (XYZ vs TMS flip) is the caller's contract,
+    exactly as in the reference."""
+    import os
+    import re
+
+    import pandas as pd
+
+    pattern = os.path.join(root, str(z) if z is not None else "*",
+                           "*", "*.*")
+    schema = T.StructType(
+        [
+            T.StructField("tile_z", T.IntegerType()),
+            T.StructField("tile_x", T.IntegerType()),
+            T.StructField("file_y", T.IntegerType()),
+            T.StructField("fmt", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    rx = re.compile(r"(\d+)/(\d+)/(\d+)\.(\w+)$")
+
+    def parse(batches):
+        for pdf in batches:
+            recs = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = rx.search(str(path))
+                if m is None:
+                    continue
+                zz, xx, yy, ext = m.groups()
+                recs.append(
+                    {
+                        "tile_z": int(zz), "tile_x": int(xx),
+                        "file_y": int(yy),
+                        "fmt": {"jpg": "jpeg", "tif": "tiff"}.get(ext, ext),
+                        "payload": bytes(content),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    raw = spark.read.format("binaryFile").load(pattern).select(
+        "path", "content"
+    )
+    return raw.mapInPandas(parse, schema)
+
+
 def encode_png_tiles(tiles: DataFrame, z: int, convention: str = "xyz") -> DataFrame:
     """Back-compat PNG-only sink; `png` column alias of encode_tiles."""
     return encode_tiles(tiles, z, convention, "png").withColumnRenamed(

@@ -44,3 +44,30 @@ def test_clustered_write_sorted(tmp_path, spark):
         by_part.setdefault(r["p"], []).append(r["_zkey"])
     for ks in by_part.values():
         assert ks == sorted(ks)
+
+
+def test_tile_tree_write_read(spark, tmp_path):
+    """write_tile_tree / read_tile_tree: the gdal2tiles directory
+    layout roundtrips payload bytes and path-derived ids."""
+    from gdal_spark.operators.render import read_tile_tree, write_tile_tree
+
+    rows = [
+        (12, 100, 200, "12/100/200.png", bytearray(b"p1")),
+        (12, 100, 201, "12/100/201.png", bytearray(b"p2")),
+        (12, 101, 200, "12/101/200.png", bytearray(b"p3")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "tile_z int, tile_x int, tile_y int, path string, payload binary",
+    )
+    root = str(tmp_path / "tree")
+    assert write_tile_tree(df, root) == 3
+    import os
+
+    assert sorted(os.listdir(os.path.join(root, "12"))) == ["100", "101"]
+    back = read_tile_tree(spark, root, z=12).toPandas()
+    back = back.sort_values(["tile_x", "file_y"]).reset_index(drop=True)
+    assert list(back["tile_x"]) == [100, 100, 101]
+    assert list(back["file_y"]) == [200, 201, 200]
+    assert list(back["fmt"]) == ["png", "png", "png"]
+    assert bytes(back.loc[0, "payload"]) == b"p1"
