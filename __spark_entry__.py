@@ -1038,6 +1038,63 @@ def q_tile_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.mapInPandas(decode, schema)
 
 
+VRT_MOD = 223  # image subset for the VRT XML carrier oracle
+
+
+def q_vrt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalbuildvrt XML carrier (apps/gdalbuildvrt_lib.cpp writer;
+    frmts/vrt/vrtdataset.cpp SimpleSource model): the union-extent
+    mosaic description of an image subset streams to a real .vrt,
+    parses back, and every source placement (model-space DstRect
+    corners), source size, and the dataset raster size match the
+    fixture closed forms term-for-term."""
+    from gdal_spark.fixtures.georef import RES0
+    from gdal_spark.sources.vrt import build_vrt, read_vrt_sources
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % VRT_MOD == 3)
+    path = _artifact_path(f"vrt_{os.path.basename(sf_dir)}.vrt")
+    rw, rh, _gt = build_vrt(geo, path, res=RES0)
+    back = read_vrt_sources(spark, path)
+    return back.select(
+        F.col("filename"),
+        F.col("band").cast("int"),
+        F.lit(rw).cast("int").alias("raster_w"),
+        F.lit(rh).cast("int").alias("raster_h"),
+        F.floor(F.col("dst_xmin") * 1e3).cast("long").alias("dst_xmin_q3"),
+        F.floor(F.col("dst_ymax") * 1e3).cast("long").alias("dst_ymax_q3"),
+        F.col("src_w").cast("int"),
+        F.col("src_h").cast("int"),
+    )
+
+
+def _o_vrt_roundtrip() -> str:
+    from gdal_spark.fixtures.georef import RES0, sql_images_cte
+
+    imgs = sql_images_cte(
+        "cast(o_orderkey as bigint)",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {VRT_MOD} = 3)",
+    )
+    res = tm.sql_double(RES0)
+    return f"""
+WITH imgs AS ({imgs}),
+ext AS (
+  SELECT min(xmin) AS x0, max(xmin + w * {res}) AS x1,
+         max(ymax) AS y0, min(ymax - h * {res}) AS y1
+  FROM imgs
+)
+SELECT i.image_id AS filename, cast(b.band as int) AS band,
+  cast(ceil((e.x1 - e.x0) / {res}) as int) AS raster_w,
+  cast(ceil((e.y0 - e.y1) / {res}) as int) AS raster_h,
+  cast(floor((e.x0 + ((i.xmin - e.x0) / {res}) * {res}) * 1e3) as bigint)
+    AS dst_xmin_q3,
+  cast(floor((e.y0 + ((e.y0 - i.ymax) / {res}) * (0.0 - {res})) * 1e3)
+    as bigint) AS dst_ymax_q3,
+  cast(i.w as int) AS src_w, cast(i.h as int) AS src_h
+FROM imgs i CROSS JOIN ext e
+CROSS JOIN (VALUES (1), (2), (3)) AS b(band)
+"""
+
+
 # gdalwarp -cutline fixture: two polygons in EXACT zoom-12 pixel
 # coordinates — a half-world rectangle (vertical edges at integer x)
 # and a convex hexagon whose sloped edges have inverse slope 1/4, so
@@ -7058,6 +7115,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatialite_roundtrip": q_spatialite_roundtrip,
         "paletted_roundtrip": q_paletted_roundtrip,
         "tile_tree_roundtrip": q_tile_tree_roundtrip,
+        "vrt_roundtrip": q_vrt_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9156,6 +9214,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
         "paletted_roundtrip": _o_paletted_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
+        "vrt_roundtrip": _o_vrt_roundtrip(),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
