@@ -6862,6 +6862,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_dedup.minhash_lsh_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram (shingle) near-dup pairs: the order-sensitive
+    shingle->minhash->band->bucket-join pipeline, exact shingle-set
+    Jaccard >= 0.5 verify; the oracle replicates the whole pipeline
+    in DuckDB list algebra."""
+    return txt_dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning pipeline: quality gate
     (quality >= 0.7, >= 10 tokens) -> exact dedup keeping the lowest
@@ -6994,6 +7002,36 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, _ann_queries(spark, sf_dir), ANN_K, bucketed=True)
 
 
+COSDUP_MOD = 7            # every 7th vector gets a planted near-copy
+COSDUP_OFFSET = 10_000_000
+
+
+def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the dedup view of ANN):
+    sign-LSH banded SELF-join candidates + exact quantized cosine
+    verify floor(sim*1e4) >= 9000.  The synthetic embeddings carry no
+    near-dups (max pairwise cosine ~0.51), so the corpus is augmented
+    with DETERMINISTIC perturbed copies of every 7th vector
+    (x_d *= 1 + 0.001*((d%7)-3), cosine ~0.999995) — the pipeline
+    must recover exactly the planted pairs; the oracle replicates
+    planting, LSH, and verify."""
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % COSDUP_MOD == 0).select(
+        (F.col("vec_id") + F.lit(COSDUP_OFFSET)).alias("vec_id"),
+        F.expr(
+            "zip_with(embedding, sequence(0, size(embedding) - 1), "
+            "(x, d) -> cast(x as double) * (1.0 + cast((d % 7) - 3 as "
+            "double) * cast('0.001' as double)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select(
+        "vec_id", F.expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("embedding")
+    ).unionByName(planted)
+    return sim.cosine_dedup_pairs(corpus)
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: argmin-cell coarse quantizer (deterministic centroid
     formula standing in for trained k-means) + query-side probe
@@ -7116,6 +7154,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paletted_roundtrip": q_paletted_roundtrip,
         "tile_tree_roundtrip": q_tile_tree_roundtrip,
         "vrt_roundtrip": q_vrt_roundtrip,
+        "ngram_jaccard": q_ngram_jaccard,
+        "cosine_dedup": q_cosine_dedup,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9215,6 +9255,21 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "paletted_roundtrip": _o_paletted_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
+        "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
+        "cosine_dedup": sim.sql_cosine_dedup_pairs(
+            src=f"""(
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(x as double)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {COSDUP_OFFSET} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> cast(embedding[i] as double)
+                * (1.0 + cast(((i - 1) % 7) - 3 as double)
+                   * cast('0.001' as double))) AS embedding
+  FROM embeddings WHERE vec_id % {COSDUP_MOD} = 0
+)"""
+        ),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

@@ -185,6 +185,75 @@ def cosine_topk(
     )
 
 
+def cosine_dedup_pairs(emb: DataFrame, threshold_e4: int = 9000
+                       ) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (the dedup view of ANN):
+    sign-LSH banded self-join proposes candidates, exact cosine
+    verifies floor(sim*1e4) >= threshold_e4 in quantized integer
+    space (identical left-fold dot product both engines).
+
+    Scale shape: one (band, bucket) int-key self equi-join + one
+    verify join — no all-pairs anywhere; identical to the text
+    MinHash pipeline that survives 100 TB."""
+    base = with_norm(emb).withColumn("sig", sign_signature("embedding"))
+    bands = _band_rows(base, "sig", [F.col("vec_id")])
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sides = base.select("vec_id", "embedding", "norm")
+    joined = (
+        cand.join(
+            sides.withColumnRenamed("vec_id", "vec_a")
+            .withColumnRenamed("embedding", "ea")
+            .withColumnRenamed("norm", "na"), "vec_a")
+        .join(
+            sides.withColumnRenamed("vec_id", "vec_b")
+            .withColumnRenamed("embedding", "eb")
+            .withColumnRenamed("norm", "nb"), "vec_b")
+    )
+    sim = F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        joined.withColumn("sim_e4", F.floor(sim * 10000).cast("long"))
+        .where(F.col("sim_e4") >= threshold_e4)
+        .select("vec_a", "vec_b", "sim_e4")
+    )
+
+
+def sql_cosine_dedup_pairs(threshold_e4: int = 9000,
+                           src: str = "embeddings") -> str:
+    ors = " OR ".join(
+        f"((sa.sig // {1 << (BAND_BITS * b)}) % {1 << BAND_BITS})"
+        f" = ((sb.sig // {1 << (BAND_BITS * b)}) % {1 << BAND_BITS})"
+        for b in range(N_BANDS)
+    )
+    dot = _DUCK_DOT.format(a="sa.embedding", b="sb.embedding")
+    na = _DUCK_NORM.format(a="sa.embedding")
+    nb = _DUCK_NORM.format(a="sb.embedding")
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {duck_signature('embedding')} AS sig FROM {src}
+),
+d AS (
+  SELECT sa.vec_id AS vec_a, sb.vec_id AS vec_b,
+    cast(floor((({dot}) / (({na}) * ({nb}))) * 10000) as bigint) AS sim_e4
+  FROM sigs sa JOIN sigs sb
+    ON sa.vec_id < sb.vec_id AND ({ors})
+)
+SELECT vec_a, vec_b, sim_e4 FROM d WHERE sim_e4 >= {threshold_e4}
+"""
+
+
 IVF_LISTS = 16        # coarse cells (knob: ~sqrt(N) at scale)
 _IVF_LCG_A = 48271
 _IVF_LCG_M = 2147483647

@@ -112,6 +112,110 @@ def minhash_lsh_pairs(df: DataFrame) -> DataFrame:
     )
 
 
+NGRAM_N = 3  # word-shingle width for the n-gram Jaccard pipeline
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = NGRAM_N,
+                        text_col: str = "text") -> DataFrame:
+    """Word n-gram (shingle) near-dup pairs — the classic
+    shingle->minhash->band->bucket-join pipeline, order-sensitive
+    where the token-set pipeline (minhash_lsh_pairs) is not:
+    reordered documents share tokens but few shingles.
+
+    Candidates come from MinHash(16)+LSH(8x2) over the DISTINCT
+    shingle-hash sets; the verify join tests exact shingle-set
+    Jaccard >= 0.5 in integer math.  Scale shape: one (band, bucket)
+    equi-join over int64 keys + one hash-set verify join — identical
+    to minhash_lsh_pairs, which survives 100 TB."""
+    d = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("hs", F.expr(H.spark_token_hashes("toks")))
+        .withColumn("shs", F.expr(H.spark_shingle_hashes("hs", n)))
+        .withColumn("hset", F.array_distinct("shs"))
+    )
+    sig = d
+    for j in range(H.N_PERM):
+        sig = sig.withColumn(f"mh{j}", F.expr(H.spark_minhash("hset", j)))
+    buckets = lsh_band_buckets(sig)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    toks = sig.select("doc_id", "hset")
+    pairs = (
+        cand.join(
+            toks.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("hset", "ha"), "doc_a")
+        .join(
+            toks.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("hset", "hb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("ha", "hb")).cast("long"))
+        .withColumn(
+            "uni",
+            (F.size("ha") + F.size("hb")).cast("long") - F.col("inter"),
+        )
+        .where(F.lit(2) * F.col("inter") >= F.col("uni"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.lit(1000.0) * F.col("inter") / F.col("uni"))
+        .cast("long").alias("j_milli"),
+    )
+
+
+def sql_ngram_jaccard_pairs(src: str = "documents",
+                            n: int = NGRAM_N) -> str:
+    mh_cols = ", ".join(
+        f"{H.duck_minhash('hset', j)} AS mh{j}" for j in range(H.N_PERM)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2*b} * {H.MOD} + mh{2*b+1} AS bucket FROM sig"
+        for b in range(H.BANDS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {src}
+),
+hh AS (
+  SELECT doc_id, {H.duck_token_hashes('toks')} AS hs FROM t
+),
+sh AS (
+  SELECT doc_id, list_distinct({H.duck_shingle_hashes('hs', n)}) AS hset
+  FROM hh
+),
+sig AS (SELECT doc_id, hset, {mh_cols} FROM sh),
+buckets AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+    cast(len(list_intersect(sa.hset, sb.hset)) as bigint) AS inter,
+    cast(len(sa.hset) + len(sb.hset) as bigint)
+      - cast(len(list_intersect(sa.hset, sb.hset)) as bigint) AS uni
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       cast(floor(1000.0 * inter / uni) as bigint) AS j_milli
+FROM j WHERE 2 * inter >= uni
+"""
+
+
 def simhash(df: DataFrame) -> DataFrame:
     """16-bit SimHash over per-token hashes (with multiplicity):
     bit k set iff sum over tokens of (2*bit_k(h) - 1) >= 0."""

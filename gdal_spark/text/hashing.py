@@ -44,6 +44,21 @@ def spark_token_hashes(toks: str) -> str:
     )
 
 
+def spark_shingle_hashes(hashes: str, n: int) -> str:
+    """Array of word n-gram (shingle) hashes folded from ORDERED
+    per-token hashes: sh_i = fold(h[i..i+n-1], acc*1000003 + h mod M).
+    Docs shorter than n tokens yield an empty array (never a
+    descending `sequence`)."""
+    fold = f"{hashes}[i]"
+    for k in range(1, n):
+        fold = f"(({fold}) * 1000003 + {hashes}[i + {k}]) % {MOD}"
+    return (
+        f"CASE WHEN size({hashes}) >= {n} THEN "
+        f"transform(sequence(0, size({hashes}) - {n}), i -> {fold}) "
+        f"ELSE cast(array() as array<bigint>) END"
+    )
+
+
 def spark_minhash(hashes: str, j: int) -> str:
     a, b = perm_constants()[j]
     return f"array_min(transform({hashes}, h -> ({a} * h + {b}) % {MOD}))"
@@ -65,6 +80,18 @@ def duck_token_hashes(toks: str) -> str:
         f"list_prepend(cast(0 as bigint), "
         f"list_transform(string_split(t, ''), c -> cast(ascii(c) as bigint))), "
         f"(acc, x) -> (acc * 31 + x) % {MOD}))"
+    )
+
+
+def duck_shingle_hashes(hashes: str, n: int) -> str:
+    """DuckDB twin of spark_shingle_hashes (1-based list indexing;
+    generate_series(1, 0) is the empty list)."""
+    fold = f"{hashes}[i]"
+    for k in range(1, n):
+        fold = f"(({fold}) * 1000003 + {hashes}[i + {k}]) % {MOD}"
+    return (
+        f"list_transform(generate_series(1, len({hashes}) - {n - 1}), "
+        f"i -> {fold})"
     )
 
 
