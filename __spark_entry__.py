@@ -978,6 +978,63 @@ def q_mbtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.mapInPandas(decode, schema)
 
 
+def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMTiles v3 archive IO (the reference's PMTiles driver; format
+    per the published v3 spec): rendered PNG tiles cluster into one
+    archive in Hilbert tile-id order (varint directory, gzip
+    sections), read back as distributed byte-range fetches, decode,
+    and per-band GDAL checksums must still match the render closed
+    form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.pmtiles import read_pmtiles, write_pmtiles
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    enc = render.encode_tiles(out, TILE_Z, fmt="png")
+    path = _artifact_path(f"pmtiles_{os.path.basename(sf_dir)}.pmtiles")
+    write_pmtiles(enc, path, fmt="png")
+    back = read_pmtiles(spark, path)
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.codecs import decode_image
+
+        for pdf in batches:
+            recs = []
+            for tx, ty, fmt, payload in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["fmt"], pdf["payload"]
+            ):
+                arr = decode_image(bytes(payload), fmt)
+                for band in range(arr.shape[2]):
+                    recs.append(
+                        {
+                            "tile_x": int(tx), "tile_y": int(ty),
+                            "band": band,
+                            "checksum": int(gdal_checksum(arr[:, :, band])),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["tile_x", "tile_y", "band", "checksum"]
+            )
+
+    return back.mapInPandas(decode, schema)
+
+
 def q_tile_tree_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal2tiles on-disk pyramid roundtrip
     (apps/gdalalg_raster_tile.cpp:348 {z}/{x}/{y}.ext layout):
@@ -7156,6 +7213,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrt_roundtrip": q_vrt_roundtrip,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_dedup": q_cosine_dedup,
+        "pmtiles_roundtrip": q_pmtiles_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9253,6 +9311,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "topojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
         "paletted_roundtrip": _o_paletted_roundtrip(),
+        "pmtiles_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
