@@ -580,19 +580,27 @@ def encode_tiles(
     return tiles.groupBy("tile_x", "tile_y").applyInPandas(encode, out_schema)
 
 
-def write_tile_tree(tiles: DataFrame, out_dir: str) -> int:
+def write_tile_tree(tiles: DataFrame, out_dir: str,
+                    resume: bool = False) -> int:
     """Distributed `{z}/{x}/{fileY}.{ext}` directory sink — the
     gdal2tiles / `gdal raster tile` on-disk layout
     (apps/gdalalg_raster_tile.cpp:348-358).  Input: encode_tiles rows
     (path, payload).  Every executor writes its own partition's files
     (no driver funnel); requires the shared output filesystem the
-    other distributed sinks document.  Returns the tile count."""
+    other distributed sinks document.  `resume=True` skips tiles
+    whose final file already exists — the tmp+replace write is
+    atomic, so a killed run leaves only complete files and a restart
+    pays nothing for finished work (the engine's checkpoint-resume
+    contract, same as operators/scale.py's semi-anti resume join).
+    Returns the count WRITTEN (resumed skips excluded)."""
     import os
 
     def write_part(rows):
         n = 0
         for row in rows:
             full = os.path.join(out_dir, row["path"])
+            if resume and os.path.exists(full):
+                continue
             os.makedirs(os.path.dirname(full), exist_ok=True)
             tmp = full + ".tmp"
             with open(tmp, "wb") as f:

@@ -71,3 +71,28 @@ def test_tile_tree_write_read(spark, tmp_path):
     assert list(back["file_y"]) == [200, 201, 200]
     assert list(back["fmt"]) == ["png", "png", "png"]
     assert bytes(back.loc[0, "payload"]) == b"p1"
+
+
+def test_tile_tree_resume(spark, tmp_path):
+    """resume=True skips complete files (checkpoint-resume contract)."""
+    from gdal_spark.operators.render import read_tile_tree, write_tile_tree
+
+    df1 = spark.createDataFrame(
+        [(12, 1, 1, "12/1/1.png", bytearray(b"v1"))],
+        "tile_z int, tile_x int, tile_y int, path string, payload binary",
+    )
+    root = str(tmp_path / "r")
+    assert write_tile_tree(df1, root) == 1
+    df2 = spark.createDataFrame(
+        [
+            (12, 1, 1, "12/1/1.png", bytearray(b"OVERWRITE")),
+            (12, 2, 2, "12/2/2.png", bytearray(b"v2")),
+        ],
+        "tile_z int, tile_x int, tile_y int, path string, payload binary",
+    )
+    assert write_tile_tree(df2, root, resume=True) == 1   # only the new one
+    back = read_tile_tree(spark, root, z=12).toPandas()
+    got = {(r["tile_x"], r["file_y"]): bytes(r["payload"])
+           for _, r in back.iterrows()}
+    assert got[(1, 1)] == b"v1"     # finished work untouched
+    assert got[(2, 2)] == b"v2"
