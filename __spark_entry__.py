@@ -2570,6 +2570,120 @@ def _payload_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_images(spark, ids_df=ids, with_payload=True)
 
 
+STACK_GRP_MOD = 37  # keep ~1/37 of the stack groups in the oracle
+
+
+def q_raster_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal raster stack (apps/gdalalg_raster_stack.cpp): triples of
+    same-size single-band inputs (64x64 PNG payloads of the pixel
+    rule) stack into REAL 3-band TIFF bytes — output band k must be
+    input k's band 1; decoded checksums match the per-member closed
+    forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    # ids ≡ 1 (mod 5) are the 64x64 size class; j = (i-1)/5 orders
+    # them; groups of 3 consecutive j, thinned by STACK_GRP_MOD
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % 5 == 1)
+    ids = (
+        ids.withColumn("j", F.expr("(i - 1) div 5"))
+        .withColumn("grp", F.expr("j div 3"))
+        .withColumn("member", (F.col("j") % 3).cast("int"))
+        .where(F.col("grp") % STACK_GRP_MOD == 0)
+    )
+    full = ids.groupBy("grp").count().where(F.col("count") == 3).select("grp")
+    ids = ids.join(full, "grp")
+
+    src_schema = T2.StructType(
+        [
+            T2.StructField("grp", T2.LongType()),
+            T2.StructField("member", T2.IntegerType()),
+            T2.StructField("bytes", T2.BinaryType()),
+            T2.StructField("fmt", T2.StringType()),
+        ]
+    )
+
+    def mk(batches):
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.png import encode_png
+
+        for pdf in batches:
+            recs = []
+            for i, grp, member in zip(pdf["i"], pdf["grp"], pdf["member"]):
+                band0 = np_image_pixels(int(i), 64, 64)[:, :, 0]
+                recs.append(
+                    {
+                        "grp": int(grp), "member": int(member),
+                        "bytes": encode_png(band0), "fmt": "png",
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["grp", "member", "bytes", "fmt"])
+
+    srcs = ids.select("i", "grp", "member").mapInPandas(mk, src_schema)
+    stacked = trans.stack_bands(srcs)
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("grp", T2.LongType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def check(batches):
+        import numpy as np
+
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.tiff import decode_tiff
+
+        for pdf in batches:
+            recs = []
+            for grp, buf in zip(pdf["grp"], pdf["bytes"]):
+                arr = decode_tiff(bytes(buf))
+                for b in range(arr.shape[2]):
+                    recs.append(
+                        {
+                            "grp": int(grp), "band": b,
+                            "checksum": gdal_checksum(arr[:, :, b]),
+                            "vsum": int(arr[:, :, b].astype(np.int64).sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["grp", "band", "checksum", "vsum"]
+            )
+
+    return stacked.mapInPandas(check, out_schema)
+
+
+def _o_raster_stack() -> str:
+    return f"""
+WITH members AS (
+  SELECT cast(o_orderkey as bigint) AS i,
+         ((o_orderkey - 1) // 5) // 3 AS grp,
+         cast(((o_orderkey - 1) // 5) % 3 as int) AS band
+  FROM orders
+  WHERE o_orderkey % 5 = 1
+    AND (((o_orderkey - 1) // 5) // 3) % {STACK_GRP_MOD} = 0
+),
+full_grps AS (
+  SELECT grp FROM members GROUP BY grp HAVING count(*) = 3
+),
+px AS (
+  SELECT m.grp, m.band, (gx.x + gy.y + m.i) % 256 AS val,
+         gy.y * 64 + gx.x AS pidx
+  FROM members m JOIN full_grps USING (grp)
+  CROSS JOIN range(0, 64) AS gx(x)
+  CROSS JOIN range(0, 64) AS gy(y)
+)
+SELECT grp, band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(sum(val) as bigint) AS vsum
+FROM px GROUP BY grp, band
+"""
+
+
 GIF_MOD = 499  # image subset for the GIF codec oracle
 
 
@@ -7214,6 +7328,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_dedup": q_cosine_dedup,
         "pmtiles_roundtrip": q_pmtiles_roundtrip,
+        "raster_stack": q_raster_stack,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9312,6 +9427,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
         "paletted_roundtrip": _o_paletted_roundtrip(),
         "pmtiles_roundtrip": _o_mbtiles_roundtrip(),  # same contract
+        "raster_stack": _o_raster_stack(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

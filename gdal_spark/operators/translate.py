@@ -202,3 +202,65 @@ def pansharpen_brovey(images: DataFrame) -> DataFrame:
     return images.select("image_id", "i", "bytes", "fmt").mapInPandas(
         run, PANSHARP_SCHEMA
     )
+
+
+def stack_bands(
+    images: DataFrame,
+    group_col: str = "grp",
+    member_col: str = "member",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """`gdal raster stack` (apps/gdalalg_raster_stack.cpp): combine N
+    single-band inputs into one N-band dataset — output band k is
+    input k's band 1.  Input rows carry (group, member ordinal,
+    encoded bytes); each group independently decodes its members,
+    stacks band 0 in member order, and re-encodes a REAL multiband
+    TIFF.  Groups whose members disagree on dimensions raise, like
+    the reference.  Scale shape: one groupBy(group) shuffle; the
+    codec work is a narrow Arrow kernel per group.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("grp", T.LongType()),
+            T.StructField("n_bands", T.IntegerType()),
+            T.StructField("bytes", T.BinaryType()),
+        ]
+    )
+
+    def stack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from gdal_spark.raster.codecs import decode_image
+        from gdal_spark.raster.tiff import encode_tiff
+
+        pdf = pdf.sort_values(member_col)
+        planes = []
+        for buf, fmt in zip(pdf[bytes_col], pdf[fmt_col]):
+            arr = decode_image(bytes(buf), fmt)
+            band0 = arr if arr.ndim == 2 else arr[:, :, 0]
+            if planes and band0.shape != planes[0].shape:
+                raise ValueError(
+                    "stack: inputs disagree on dimensions "
+                    f"{band0.shape} vs {planes[0].shape}"
+                )
+            planes.append(band0)
+        out = np.stack(planes, axis=-1)
+        if out.shape[2] not in (1, 3):
+            raise ValueError(
+                "stack: engine TIFF codec writes 1- or 3-band outputs"
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "grp": int(key[0]),
+                    "n_bands": out.shape[2],
+                    "bytes": encode_tiff(out),
+                }
+            ]
+        )
+
+    return images.groupBy(group_col).applyInPandas(stack, out_schema)
