@@ -41,7 +41,9 @@ SAMPLE = [
     "gpx_roundtrip", "gpx_track_points", "gif_roundtrip",
     "mif_roundtrip", "dxf_roundtrip", "proj_homerc", "proj_krovak",
     "info_raster", "info_vector", "topojson_roundtrip",
-    "spatialite_roundtrip", "paletted_roundtrip",
+    "spatialite_roundtrip", "paletted_roundtrip", "tile_tree_roundtrip",
+    "vrt_roundtrip", "ngram_jaccard", "cosine_dedup", "pmtiles_roundtrip",
+    "raster_stack",
 ]
 
 
