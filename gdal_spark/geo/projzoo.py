@@ -1563,7 +1563,8 @@ def resolve_crs(user_input) -> int | str:
         return key
     if s.isdigit():
         return resolve_crs(int(s))
-    if up.startswith(("PROJCS", "GEOGCS")):
+    if up.startswith(("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS",
+                      "GEODCRS")):
         from gdal_spark.geo.wktcrs import wkt_to_crs
 
         return wkt_to_crs(s)

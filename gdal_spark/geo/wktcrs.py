@@ -102,7 +102,18 @@ def parse_wkt(s: str) -> WktNode:
                 pos += 1
                 continue
             if ch.isalpha():
-                children.append(parse_node())
+                # a nested node — or a WKT2 bare keyword (CS[Cartesian,2],
+                # AXIS[..., east], ORDER, LENGTHUNIT values…)
+                mark = pos
+                while pos < n and (s[pos].isalnum() or s[pos] in "_"):
+                    pos += 1
+                word_end = pos
+                skip_ws()
+                if pos < n and s[pos] in "[(":
+                    pos = mark
+                    children.append(parse_node())
+                else:
+                    children.append(s[mark:word_end])
                 continue
             st = pos
             while pos < n and s[pos] not in ",])":
@@ -346,10 +357,157 @@ def _match_datum(geogcs: WktNode) -> str:
         f"engine's datum registry")
 
 
+# ---------------------------------------------------------------------------
+# WKT2 import (ISO 19162 / OGC 18-010r7 — the reference accepts WKT1
+# and WKT2 interchangeably, ogr/ogrspatialreference.cpp importFromWkt)
+# ---------------------------------------------------------------------------
+
+# EPSG method code -> (registry method, {EPSG parameter code -> param})
+_WKT2_METHODS = {
+    9807: ("tm", {8801: "lat0", 8802: "lon0", 8805: "k0",
+                  8806: "fe", 8807: "fn"}),
+    9804: ("mercator", {8802: "lon0", 8805: "k0", 8806: "fe", 8807: "fn"}),
+    9822: ("albers", {8821: "lat0", 8822: "lon0", 8823: "lat1",
+                      8824: "lat2", 8826: "fe", 8827: "fn"}),
+    9829: ("polar_stereo", {8832: "lat_ts", 8833: "lon0",
+                            8806: "fe", 8807: "fn"}),
+    9810: ("polar_stereo_a", {8802: "lon0", 8805: "k0",
+                              8806: "fe", 8807: "fn"}),
+    9809: ("oblique_stereo", {8801: "lat0", 8802: "lon0", 8805: "k0",
+                              8806: "fe", 8807: "fn"}),
+    9820: ("laea", {8801: "lat0", 8802: "lon0", 8806: "fe", 8807: "fn"}),
+    9835: ("cea", {8823: "lat_ts", 8802: "lon0", 8806: "fe", 8807: "fn"}),
+    1028: ("eqc", {8823: "lat1", 8802: "lon0", 8806: "fe", 8807: "fn"}),
+    9815: ("homerc", {8811: "latc", 8812: "lonc", 8813: "alpha",
+                      8814: "gamma", 8815: "k0", 8816: "fe", 8817: "fn"}),
+    9819: ("krovak", {8811: "lat0", 8833: "lonc", 8805: "k0",
+                      8806: "fe", 8807: "fn"}),
+    1041: ("krovak", {8811: "lat0", 8833: "lonc", 8805: "k0",
+                      8806: "fe", 8807: "fn"}),
+    1024: ("webmerc", {}),
+}
+# methods without EPSG codes match by name
+_WKT2_METHOD_NAMES = {
+    "sinusoidal": ("sinusoidal", {8802: "lon0", 8806: "fe", 8807: "fn"}),
+    "mollweide": ("mollweide", {8802: "lon0", 8806: "fe", 8807: "fn"}),
+}
+
+# datum-name keywords -> registry datum (WKT2 usually omits TOWGS84)
+_WKT2_DATUM_KEYS = [
+    ("WORLD GEODETIC SYSTEM 1984", "WGS84"),
+    ("WGS", "WGS84"),
+    ("NORTH AMERICAN DATUM 1983", "NAD83"),
+    ("NORTH AMERICAN DATUM 1927", "NAD27"),
+    ("EUROPEAN TERRESTRIAL", "ETRS89"),
+    ("ETRS", "ETRS89"),
+    ("OSGB", "OSGB36"),
+    ("ORDNANCE SURVEY", "OSGB36"),
+    ("AMERSFOORT", "AMERSFOORT"),
+    ("CH1903", "CH1903PLUS"),
+    ("TIMBALAI", "TIMBALAI"),
+    ("UNIFIED TRIGONOMETRICAL", "SJTSK"),
+    ("S-JTSK", "SJTSK"),
+    ("EUROPEAN DATUM 1950", "ED50"),
+    ("PULKOVO", "PULKOVO42"),
+    ("GREEK", "GGRS87"),
+]
+
+
+def _last_id_key(node: WktNode):
+    """The node's own ID["EPSG", n] (last ID child), if any."""
+    ids = node.find_all("ID")
+    if not ids:
+        return None
+    org = str(ids[-1].children[0]).upper()
+    num = int(ids[-1].numbers()[0])
+    return num if org == "EPSG" else f"{org}:{num}"
+
+
+def _wkt2_datum(geog: WktNode) -> str:
+    """GEOGCRS/BASEGEOGCRS -> registry datum: name keywords first,
+    then the ellipsoid axes as a consistency check."""
+    datum_node = geog.find("DATUM") or geog.find("ENSEMBLE") \
+        or geog.find("TRF")
+    if datum_node is None:
+        raise ValueError("WKT2: geographic CRS without DATUM/ENSEMBLE")
+    name = (datum_node.str0 + " " + geog.str0).upper()
+    for key, datum in _WKT2_DATUM_KEYS:
+        if key in name:
+            ell_node = datum_node.find("ELLIPSOID")
+            if ell_node is not None:
+                a, invf = ell_node.numbers()[:2]
+                want_a, want_invf = ELLIPSOIDS[DATUMS[datum][0]]
+                if not (_close(a, want_a) and _close(invf, want_invf)):
+                    continue
+            return datum
+    raise KeyError(f"WKT2: datum not in the registry: {datum_node.str0!r}")
+
+
+def _wkt2_to_crs(root: WktNode):
+    kind = root.name.upper()
+    key = _last_id_key(root)
+    if key is not None and key in pz.REGISTRY:
+        return key
+    if kind in ("GEOGCRS", "GEODCRS", "BASEGEOGCRS"):
+        datum = _wkt2_datum(root)
+        code = _GEOGRAPHIC_CODE.get(datum)
+        if code is None:
+            raise KeyError(f"no geographic registry code for datum {datum}")
+        return code
+    base = root.find("BASEGEOGCRS") or root.find("BASEGEODCRS")
+    if base is None:
+        raise ValueError("WKT2: PROJCRS without BASEGEOGCRS")
+    datum = _wkt2_datum(base)
+    conv = root.find("CONVERSION")
+    if conv is None:
+        raise ValueError("WKT2: PROJCRS without CONVERSION")
+    meth = conv.find("METHOD")
+    meth_key = _last_id_key(meth) if meth is not None else None
+    entry = _WKT2_METHODS.get(meth_key)
+    if entry is None and meth is not None:
+        entry = _WKT2_METHOD_NAMES.get(meth.str0.strip().lower())
+    if entry is None:
+        raise KeyError(
+            f"WKT2 method {meth.str0 if meth else '?'!r} not supported")
+    method, pmap = entry
+    if method == "webmerc":
+        return 3857
+    params: dict[str, float] = {}
+    south = False
+    for p in conv.find_all("PARAMETER"):
+        pid = _last_id_key(p)
+        val = p.numbers()[0]
+        if pid in pmap:
+            params[pmap[pid]] = val
+        elif pid == 8801 and method == "polar_stereo_a":
+            south = val < 0
+    if method == "tm":
+        # UTM recognition (zone codes, not generic tm entries)
+        k0 = params.get("k0", 1.0)
+        lon0 = params.get("lon0", 0.0)
+        if (_close(k0, 0.9996) and _close(params.get("lat0", 0.0), 0.0)
+                and _close(params.get("fe", 0.0), 500000.0)
+                and datum == "WGS84"):
+            zone = (lon0 + 183.0) / 6.0
+            if _close(zone, round(zone)) and 1 <= round(zone) <= 60:
+                fn = params.get("fn", 0.0)
+                if _close(fn, 0.0):
+                    return 32600 + round(zone)
+                if _close(fn, 10000000.0):
+                    return 32700 + round(zone)
+    if method == "polar_stereo_a":
+        params["south"] = south
+    return _match_registry(method, datum, params)
+
+
 def wkt_to_crs(wkt: str):
-    """WKT1 PROJCS/GEOGCS -> registry key (importFromWkt)."""
+    """WKT1 PROJCS/GEOGCS or WKT2 PROJCRS/GEOGCRS -> registry key
+    (importFromWkt)."""
     root = parse_wkt(wkt)
     kind = root.name.upper()
+    if kind in ("PROJCRS", "GEOGCRS", "GEODCRS", "PROJECTEDCRS",
+                "GEODETICCRS"):
+        return _wkt2_to_crs(root)
     if kind not in ("PROJCS", "GEOGCS"):
         raise ValueError(f"WKT: expected PROJCS/GEOGCS, got {root.name!r}")
     # AUTHORITY fast-path (the LAST authority child is the CRS's own)

@@ -85,3 +85,71 @@ def test_reproject_accepts_wkt():
     # ~0.1 mm — the documented accuracy of the Helmert path
     assert abs(float(x1) - float(x2)) < 1e-3
     assert abs(float(y1) - float(y2)) < 1e-3
+
+
+WKT2_BNG = '''PROJCRS["OSGB36 / British National Grid",
+  BASEGEOGCRS["OSGB36", DATUM["Ordnance Survey of Great Britain 1936",
+    ELLIPSOID["Airy 1830",6377563.396,299.3249646]]],
+  CONVERSION["British National Grid",
+    METHOD["Transverse Mercator",ID["EPSG",9807]],
+    PARAMETER["Latitude of natural origin",49,ID["EPSG",8801]],
+    PARAMETER["Longitude of natural origin",-2,ID["EPSG",8802]],
+    PARAMETER["Scale factor at natural origin",0.9996012717,ID["EPSG",8805]],
+    PARAMETER["False easting",400000,ID["EPSG",8806]],
+    PARAMETER["False northing",-100000,ID["EPSG",8807]]],
+  CS[Cartesian,2], ID["EPSG",27700]]'''
+
+
+def test_wkt2_id_fast_path_and_param_matching():
+    assert wkt_to_crs(WKT2_BNG) == 27700
+    # strip the CRS-level ID -> method/parameter matching
+    no_id = WKT2_BNG[:WKT2_BNG.rindex(', ID["EPSG",27700]')] + "]"
+    assert wkt_to_crs(no_id) == 27700
+
+
+def test_wkt2_geogcrs_ensemble():
+    g = '''GEOGCRS["WGS 84",
+      ENSEMBLE["World Geodetic System 1984 ensemble",
+        MEMBER["WGS 84 (G2296)"],
+        ELLIPSOID["WGS 84",6378137,298.257223563]],
+      CS[ellipsoidal,2], AXIS["geodetic latitude (Lat)",north],
+      AXIS["geodetic longitude (Lon)",east]]'''
+    assert wkt_to_crs(g) == 4326
+
+
+def test_wkt2_utm_recognition():
+    u = '''PROJCRS["WGS 84 / UTM zone 31N",
+      BASEGEOGCRS["WGS 84", DATUM["World Geodetic System 1984",
+        ELLIPSOID["WGS 84",6378137,298.257223563]]],
+      CONVERSION["UTM zone 31N",
+        METHOD["Transverse Mercator",ID["EPSG",9807]],
+        PARAMETER["Latitude of natural origin",0,ID["EPSG",8801]],
+        PARAMETER["Longitude of natural origin",3,ID["EPSG",8802]],
+        PARAMETER["Scale factor at natural origin",0.9996,ID["EPSG",8805]],
+        PARAMETER["False easting",500000,ID["EPSG",8806]],
+        PARAMETER["False northing",0,ID["EPSG",8807]]],
+      CS[Cartesian,2]]'''
+    assert wkt_to_crs(u) == 32631
+
+
+def test_wkt2_homerc_method_code():
+    s = '''PROJCRS["CH1903+ / LV95",
+      BASEGEOGCRS["CH1903+", DATUM["CH1903+",
+        ELLIPSOID["Bessel 1841",6377397.155,299.1528128]]],
+      CONVERSION["Swiss Oblique Mercator 1995",
+        METHOD["Hotine Oblique Mercator (variant B)",ID["EPSG",9815]],
+        PARAMETER["Latitude of projection centre",46.952405555555565,ID["EPSG",8811]],
+        PARAMETER["Longitude of projection centre",7.439583333333333,ID["EPSG",8812]],
+        PARAMETER["Azimuth at projection centre",90,ID["EPSG",8813]],
+        PARAMETER["Angle from Rectified to Skew Grid",90,ID["EPSG",8814]],
+        PARAMETER["Scale factor at projection centre",1,ID["EPSG",8815]],
+        PARAMETER["Easting at projection centre",2600000,ID["EPSG",8816]],
+        PARAMETER["Northing at projection centre",1200000,ID["EPSG",8817]]],
+      CS[Cartesian,2]]'''
+    assert wkt_to_crs(s) == 2056
+
+
+def test_wkt2_resolve_crs_entry():
+    from gdal_spark.geo.projzoo import resolve_crs
+
+    assert resolve_crs(WKT2_BNG) == 27700
