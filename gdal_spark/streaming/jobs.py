@@ -226,3 +226,46 @@ def streaming_exact_dedup(
         .start()
         .awaitTermination()
     )
+
+
+def streaming_simhash_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming twin of text/dedup.simhash64 near-dup suppression:
+    arriving documents compute the 64-bit SimHash and drop rows whose
+    FULL signature was already seen across micro-batches
+    (dropDuplicates state in the checkpoint — survives restarts).
+    Full-signature equality is the zero-distance band of the batch
+    pipeline's 4x16-bit LSH; band-level streaming suppression would
+    drop non-duplicates and is deliberately out of scope (the batch
+    verify join is the correct place for hamming<=k)."""
+    from gdal_spark.text import dedup as _dedup
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        input_dir
+    )
+    sig = _dedup.simhash64(stream).withColumn(
+        "sim64",
+        F.col("sh0").cast("long")
+        .bitwiseOR(F.shiftleft(F.col("sh1").cast("long"), 16))
+        .bitwiseOR(F.shiftleft(F.col("sh2").cast("long"), 32))
+        .bitwiseOR(F.shiftleft(F.col("sh3").cast("long"), 48)),
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch_idempotent(
+            batch_df.select("doc_id", "sim64"), out_dir, batch_id
+        )
+
+    (
+        sig.dropDuplicates(["sim64"])
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -173,3 +173,31 @@ def test_streaming_exact_dedup_across_batches_and_restarts(tmp_path, spark):
     assert len(by_digest) == 3            # alpha, beta, gamma
     assert all(len(v) == 1 for v in by_digest.values())  # one keeper each
     assert 4 not in {r["doc_id"] for r in rows}  # later dup suppressed
+
+
+def test_streaming_simhash_dedup_across_batches(tmp_path, spark):
+    """Near-dup signatures suppress across micro-batches and restarts
+    (checkpointed dropDuplicates state on the 64-bit SimHash)."""
+    from gdal_spark.streaming.jobs import streaming_simhash_dedup
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "totally different words here")],
+        "doc_id long, text string",
+    )
+    d1.write.parquet(inp)
+    streaming_simhash_dedup(spark, inp, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    # identical text in a LATER batch = same signature -> suppressed
+    d2 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"), (4, "a genuinely new document")],
+        "doc_id long, text string",
+    )
+    d2.write.mode("append").parquet(inp)
+    streaming_simhash_dedup(spark, inp, out, ckpt)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["doc_id"]) == [1, 2, 4]      # 3 suppressed
+    assert got["sim64"].nunique() == 3
