@@ -2409,6 +2409,33 @@ def q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sozip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOZip (the reference's seek-optimized-zip invention,
+    port/cpl_vsil_gzip.cpp + sozip.org spec): the zones GeoJSONSeq
+    text archives into ONE deflate member with full-flush chunking +
+    the hidden offset index, then reads back as a DISTRIBUTED in-zip
+    text scan (one task per chunk, Hadoop split rule for boundary
+    lines); recovered features match the fixture closed forms."""
+    from gdal_spark.sources.geojsonseq import (
+        feature_lines,
+        lines_to_features,
+    )
+    from gdal_spark.sources.sozip import read_sozip_lines, write_sozip
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    text = "".join(
+        row["value"] + "\n"
+        for row in feature_lines(zones).toLocalIterator()
+    )
+    path = _artifact_path(f"sozip_{os.path.basename(sf_dir)}") + ".zip"
+    write_sozip(path, "zones.geojsonl", text.encode(), chunk_size=8192)
+    lines = read_sozip_lines(spark, path, "zones.geojsonl")
+    back = lines_to_features(lines, "fid long, eas_id long, kind string")
+    return _roundtrip_shape(back)
+
+
 def q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpatiaLite IO (ogr/ogrsf_frmts/sqlite ImportSpatiaLiteGeometry
     blob format + geometry_columns metadata): zones stream into a
@@ -7329,6 +7356,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "pmtiles_roundtrip": q_pmtiles_roundtrip,
         "raster_stack": q_raster_stack,
+        "sozip_roundtrip": q_sozip_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9428,6 +9456,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "paletted_roundtrip": _o_paletted_roundtrip(),
         "pmtiles_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "raster_stack": _o_raster_stack(),
+        "sozip_roundtrip": _o_shp_roundtrip(),  # same output contract
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

@@ -62,10 +62,8 @@ def _json_to_wkb(o: dict) -> bytes:
     )
 
 
-def write_geojsonseq(
-    df: DataFrame, path: str, geom_col: str = "geometry"
-) -> None:
-    """Distributed sink: every row becomes one GeoJSON Feature line."""
+def feature_lines(df: DataFrame, geom_col: str = "geometry") -> DataFrame:
+    """Rows -> one GeoJSON Feature line each (column `value`)."""
     attrs = [f.name for f in df.schema.fields if f.name != geom_col]
 
     schema = T.StructType([T.StructField("value", T.StringType())])
@@ -82,7 +80,14 @@ def write_geojsonseq(
                 lines.append(json.dumps(feat, sort_keys=True))
             yield pd.DataFrame({"value": lines})
 
-    df.mapInPandas(encode, schema).write.mode("overwrite").text(path)
+    return df.mapInPandas(encode, schema)
+
+
+def write_geojsonseq(
+    df: DataFrame, path: str, geom_col: str = "geometry"
+) -> None:
+    """Distributed sink: every row becomes one GeoJSON Feature line."""
+    feature_lines(df, geom_col).write.mode("overwrite").text(path)
 
 
 def _py(v):
@@ -93,12 +98,8 @@ def _py(v):
     return v
 
 
-def read_geojsonseq(
-    spark: SparkSession, path: str, attr_schema: str
-) -> DataFrame:
-    """Distributed source: text lines -> Features. `attr_schema` is a
-    DDL string for the properties (e.g. "fid long, kind string");
-    geometry lands as WKB."""
+def lines_to_features(lines: DataFrame, attr_schema: str) -> DataFrame:
+    """Feature-line DataFrame (column `value`) -> typed features."""
     attrs = T._parse_datatype_string(attr_schema)
     schema = T.StructType(
         list(attrs.fields) + [T.StructField("geometry", T.BinaryType())]
@@ -115,4 +116,13 @@ def read_geojsonseq(
                 out.append(rec)
             yield pd.DataFrame(out, columns=names + ["geometry"])
 
-    return spark.read.text(path).mapInPandas(decode, schema)
+    return lines.mapInPandas(decode, schema)
+
+
+def read_geojsonseq(
+    spark: SparkSession, path: str, attr_schema: str
+) -> DataFrame:
+    """Distributed source: text lines -> Features. `attr_schema` is a
+    DDL string for the properties (e.g. "fid long, kind string");
+    geometry lands as WKB."""
+    return lines_to_features(spark.read.text(path), attr_schema)
