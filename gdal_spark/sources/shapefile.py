@@ -124,8 +124,35 @@ def _record_to_wkb(buf: bytes) -> bytes:
     raise ValueError(f"unsupported shape type {stype}")
 
 
-def write_shp(df: DataFrame, base_path: str, geom_col: str = "geometry") -> None:
-    """Write (fid, <attrs>, geometry WKB) as base_path{.shp,.shx,.dbf}.
+def write_prj(base_path: str, crs) -> None:
+    """ESRI .prj sidecar: the layer CRS as WKT1 (the reference's
+    shape driver writes/reads exactly this file,
+    ogr/ogrsf_frmts/shape/ogrshapedatasource.cpp)."""
+    from gdal_spark.geo.wktcrs import to_wkt
+
+    with open(base_path + ".prj", "w") as f:
+        f.write(to_wkt(crs))
+
+
+def read_prj(base_path: str):
+    """.prj sidecar -> registry CRS key (any WKT1/WKT2 the engine's
+    importer takes); None when the sidecar is absent, like the
+    reference's 'unknown SRS' layer state."""
+    import os
+
+    from gdal_spark.geo.wktcrs import wkt_to_crs
+
+    p = base_path + ".prj"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return wkt_to_crs(f.read())
+
+
+def write_shp(df: DataFrame, base_path: str, geom_col: str = "geometry",
+              crs=None) -> None:
+    """Write (fid, <attrs>, geometry WKB) as base_path{.shp,.shx,.dbf}
+    (+ .prj when `crs` is given).
 
     Shapefiles are an inherently single-file sequential format (the
     reference's shape driver writes serially too), but the funnel
@@ -209,6 +236,8 @@ def write_shp(df: DataFrame, base_path: str, geom_col: str = "geometry") -> None
             struct.pack("<BBBBIHH20x", 3, 124, 1, 1, n_rows,
                         32 + len(descs) + 1, rec_len)
         )
+    if crs is not None:
+        write_prj(base_path, crs)
 
 
 def read_shp(

@@ -68,3 +68,25 @@ def test_geojsonseq_roundtrip_exact(spark, tmp_path):
     a = {r["fid"]: (r["eas_id"], r["kind"], bytes(r["geometry"])) for r in z.collect()}
     b = {r["fid"]: (r["eas_id"], r["kind"], bytes(r["geometry"])) for r in back.collect()}
     assert a == b  # repr-exact double roundtrip through JSON
+
+
+def test_shp_prj_sidecar(spark, tmp_path):
+    """.prj WKT1 sidecar roundtrips through the engine's CRS importer
+    (ogr/ogrsf_frmts/shape .prj handling)."""
+    import numpy as np
+
+    from gdal_spark.geo import wkb as wkbmod
+    from gdal_spark.sources.shapefile import read_prj, read_shp, write_shp
+
+    sq = np.array([(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)])
+    df = spark.createDataFrame(
+        [(1, bytearray(wkbmod.wkb_polygon([sq])))],
+        "fid long, geometry binary",
+    )
+    base = str(tmp_path / "z")
+    write_shp(df, base, crs=27700)
+    assert read_prj(base) == 27700
+    assert read_shp(spark, base).count() == 1
+    # no sidecar -> unknown SRS, like the reference
+    write_shp(df, str(tmp_path / "n"))
+    assert read_prj(str(tmp_path / "n")) is None
