@@ -2409,6 +2409,26 @@ def q_dxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_osm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM XML (ogr/ogrsf_frmts/osm node/way/relation model): zones
+    stream out as multipolygon relations over ways over nodes, then
+    the geometry ASSEMBLES back through the distributed node
+    equi-join (the Spark dual of the reference's node cache) and the
+    relation member join; recovered tags, ring counts, and exact
+    areas match the fixture closed forms."""
+    from gdal_spark.sources.osmxml import read_osm_multipolygons, write_osm
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"osm_{os.path.basename(sf_dir)}") + ".osm"
+    write_osm(zones, path, id_col="fid")
+    back = read_osm_multipolygons(
+        spark, path, "fid long, eas_id long, kind string"
+    )
+    return _roundtrip_shape(back)
+
+
 def q_sozip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SOZip (the reference's seek-optimized-zip invention,
     port/cpl_vsil_gzip.cpp + sozip.org spec): the zones GeoJSONSeq
@@ -7357,6 +7377,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmtiles_roundtrip": q_pmtiles_roundtrip,
         "raster_stack": q_raster_stack,
         "sozip_roundtrip": q_sozip_roundtrip,
+        "osm_roundtrip": q_osm_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9457,6 +9478,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "pmtiles_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "raster_stack": _o_raster_stack(),
         "sozip_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "osm_roundtrip": _o_shp_roundtrip(),  # same output contract
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
