@@ -2917,6 +2917,99 @@ FROM b0 b CROSS JOIN (VALUES ('png'), ('tiff'), ('gif')) AS f(fmt)
 """
 
 
+def q_flat_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP (frmts/bmp: bottom-up padded DIB rows, 24-bit BGR +
+    8-bit palette) and ENVI flat binary (frmts/raw/envidataset.cpp:
+    .hdr key=value + bsq/bil interleaves): the pixel rule encodes
+    through REAL bytes of all four variants and the decoded per-band
+    checksums match one closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 11)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.bmp import decode_bmp, encode_bmp
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.envi import decode_envi, encode_envi
+
+        gray = np.arange(256, dtype=np.uint8)[:, None].repeat(3, 1)
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                outs = {}
+                outs["bmp24"] = decode_bmp(encode_bmp(arr))
+                idx, pal = decode_bmp(encode_bmp(arr[:, :, 0],
+                                                 palette=gray))
+                outs["bmp8"] = pal[idx][:, :, :1]
+                for il in ("bsq", "bil"):
+                    raw, hdr = encode_envi(arr, interleave=il)
+                    outs[f"envi_{il}"] = decode_envi(raw, hdr)[0]
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_flat_raster_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 11)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('bmp24', 3), ('bmp8', 1),
+                        ('envi_bsq', 3), ('envi_bil', 3)) AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -7378,6 +7471,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_stack": q_raster_stack,
         "sozip_roundtrip": q_sozip_roundtrip,
         "osm_roundtrip": q_osm_roundtrip,
+        "flat_raster_roundtrip": q_flat_raster_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -9479,6 +9573,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "raster_stack": _o_raster_stack(),
         "sozip_roundtrip": _o_shp_roundtrip(),  # same output contract
         "osm_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "flat_raster_roundtrip": _o_flat_raster_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
