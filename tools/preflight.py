@@ -43,7 +43,8 @@ SAMPLE = [
     "info_raster", "info_vector", "topojson_roundtrip",
     "spatialite_roundtrip", "paletted_roundtrip", "tile_tree_roundtrip",
     "vrt_roundtrip", "ngram_jaccard", "cosine_dedup", "pmtiles_roundtrip",
-    "raster_stack",
+    "raster_stack", "sozip_roundtrip", "osm_roundtrip",
+    "flat_raster_roundtrip",
 ]
 
 
