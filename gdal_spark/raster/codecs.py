@@ -29,6 +29,8 @@ def sniff_format(data: bytes) -> str:
         return "webp"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:2] == b"BM":
+        return "bmp"
     raise ValueError("unknown image format")
 
 
@@ -48,6 +50,10 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
         from gdal_spark.raster.gif import encode_gif_rgb
 
         return encode_gif_rgb(arr)
+    if fmt == "bmp":
+        from gdal_spark.raster.bmp import encode_bmp
+
+        return encode_bmp(arr)
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -66,4 +72,12 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         from gdal_spark.raster.gif import decode_gif_rgb
 
         return decode_gif_rgb(data)
+    if fmt == "bmp":
+        from gdal_spark.raster.bmp import decode_bmp
+
+        out = decode_bmp(data)
+        if isinstance(out, tuple):  # paletted -> expand rgb
+            idx, pal = out
+            return pal[idx]
+        return out
     raise ValueError(f"unsupported format: {fmt}")
