@@ -1254,6 +1254,17 @@ REGISTRY: dict[int | str, CrsDef] = {
 for _z in range(1, 61):
     REGISTRY[32600 + _z] = _utm_def(_z, south=False)
     REGISTRY[32700 + _z] = _utm_def(_z, south=True)
+# NAD83 UTM zones 269xx (1N-23N) and ETRS89 UTM 258xx (28N-38N):
+# the generic TM method on the zone parameters (datum via Helmert,
+# both GRS80-coincident at the engine's accuracy contract)
+for _z in range(1, 24):
+    REGISTRY[26900 + _z] = CrsDef("tm", "NAD83", dict(
+        k0=0.9996, lon0=float(_z * 6 - 183), lat0=0.0,
+        fe=500000.0, fn=0.0))
+for _z in range(28, 39):
+    REGISTRY[25800 + _z] = CrsDef("tm", "ETRS89", dict(
+        k0=0.9996, lon0=float(_z * 6 - 183), lat0=0.0,
+        fe=500000.0, fn=0.0))
 
 
 def crs_datum(code: int | str) -> str:
