@@ -161,28 +161,58 @@ def _parse_dir(buf: bytes) -> list[tuple[int, int, int, int]]:
 def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
                   metadata: dict | None = None) -> int:
     """Archive encode_tiles rows (tile_z, tile_x, tile_y, payload)
-    into one .pmtiles file; returns the tile count."""
+    into one .pmtiles file; returns the tile count.
+
+    Scale shape: tile ids compute in an Arrow batch kernel and the
+    CLUSTER ORDER comes from a distributed sort — the driver streams
+    the sorted iterator and spools payload bytes straight to a temp
+    data file (memory O(one partition + the 16-byte-per-tile entry
+    list), never the payload bytes)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     tile_type = _TILE_TYPES[fmt]
-    rows = tiles.select("tile_z", "tile_x", "tile_y", "payload")
-    entries = []
-    data = bytearray()
-    zmin, zmax = 99, 0
-    # global tile_id order (clustered=1 per spec)
-    with_ids = sorted(
-        (
-            (zxy_to_tileid(int(r["tile_z"]), int(r["tile_x"]),
-                           int(r["tile_y"])), r)
-            for r in rows.toLocalIterator()
-        ),
-        key=lambda t: t[0],
+    id_schema = T.StructType(
+        [
+            T.StructField("tile_id", T.LongType()),
+            T.StructField("tile_z", T.IntegerType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
     )
-    for tid, r in with_ids:
-        payload = bytes(r["payload"])
-        entries.append((tid, len(data), len(payload), 1))
-        data += payload
-        zmin = min(zmin, int(r["tile_z"]))
-        zmax = max(zmax, int(r["tile_z"]))
+
+    def with_ids(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tile_id": [
+                        zxy_to_tileid(int(z), int(x), int(y))
+                        for z, x, y in zip(pdf["tile_z"], pdf["tile_x"],
+                                           pdf["tile_y"])
+                    ],
+                    "tile_z": pdf["tile_z"],
+                    "payload": pdf["payload"],
+                }
+            )
+
+    ordered = (
+        tiles.select("tile_z", "tile_x", "tile_y", "payload")
+        .mapInPandas(with_ids, id_schema)
+        .sort("tile_id")
+    )
+    entries = []
+    zmin, zmax = 99, 0
+    data_tmp = path + ".data.tmp"
+    data_len = 0
+    with open(data_tmp, "wb") as df_out:
+        for r in ordered.toLocalIterator():
+            payload = bytes(r["payload"])
+            entries.append((int(r["tile_id"]), data_len, len(payload), 1))
+            df_out.write(payload)
+            data_len += len(payload)
+            zmin = min(zmin, int(r["tile_z"]))
+            zmax = max(zmax, int(r["tile_z"]))
     if not entries:
+        os.remove(data_tmp)
         raise ValueError("pmtiles: empty tile set")
     if len(entries) > 16384:
         raise ValueError(
@@ -203,7 +233,7 @@ def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
     hdr += struct.pack("<QQ", root_off, len(root))
     hdr += struct.pack("<QQ", meta_off, len(meta))
     hdr += struct.pack("<QQ", leaf_off, 0)
-    hdr += struct.pack("<QQ", data_off, len(data))
+    hdr += struct.pack("<QQ", data_off, data_len)
     hdr += struct.pack("<QQQ", len(entries), len(entries), len(entries))
     hdr += bytes([1, 2, 1, tile_type])  # clustered, gzip dirs, raw tiles
     hdr += bytes([zmin, zmax])
@@ -217,7 +247,13 @@ def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta)
-        f.write(bytes(data))
+        with open(data_tmp, "rb") as src:
+            while True:
+                block = src.read(1 << 20)
+                if not block:
+                    break
+                f.write(block)
+    os.remove(data_tmp)
     os.replace(tmp, path)
     return len(entries)
 
