@@ -2445,12 +2445,13 @@ def q_sozip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
         "fid", "eas_id", "kind", "geometry"
     )
-    text = "".join(
-        row["value"] + "\n"
-        for row in feature_lines(zones).toLocalIterator()
-    )
     path = _artifact_path(f"sozip_{os.path.basename(sf_dir)}") + ".zip"
-    write_sozip(path, "zones.geojsonl", text.encode(), chunk_size=8192)
+    write_sozip(
+        path, "zones.geojsonl",
+        ((row["value"] + "\n").encode()
+         for row in feature_lines(zones).toLocalIterator()),
+        chunk_size=8192,
+    )
     lines = read_sozip_lines(spark, path, "zones.geojsonl")
     back = lines_to_features(lines, "fid long, eas_id long, kind string")
     return _roundtrip_shape(back)

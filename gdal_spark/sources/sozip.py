@@ -54,48 +54,77 @@ def _central_header(name: bytes, method: int, crc: int, csize: int,
     ) + name
 
 
-def write_sozip(path: str, member: str, data: bytes,
+def write_sozip(path: str, member: str, data,
                 chunk_size: int = _DEFAULT_CHUNK, level: int = 6) -> int:
-    """Write `data` as a seek-optimized Deflate member + its hidden
-    index. Returns the chunk count."""
-    data = bytes(data)
+    """Write `data` (bytes, or an ITERATOR of byte blocks — e.g. a
+    streamed toLocalIterator) as a seek-optimized Deflate member +
+    its hidden index.  Streaming shape: input blocks re-chunk on the
+    fly, the compressed stream spools to a temp file, and only the
+    8-byte-per-chunk offset list stays in memory.  Returns the chunk
+    count."""
+    if isinstance(data, (bytes, bytearray)):
+        data = iter((bytes(data),))
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
-    comp = bytearray()
     offsets = []  # start of chunk i (i >= 1) in the compressed stream
-    n_chunks = max(1, -(-len(data) // chunk_size))
-    for i in range(n_chunks):
-        chunk = data[i * chunk_size:(i + 1) * chunk_size]
-        comp += co.compress(chunk)
-        comp += co.flush(zlib.Z_FULL_FLUSH)
-        if i + 1 < n_chunks:
-            offsets.append(len(comp))
-    comp += co.flush(zlib.Z_FINISH)
-    crc = zlib.crc32(data) & 0xFFFFFFFF
+    crc = 0
+    usize = 0
+    comp_len = 0
+    comp_tmp = path + ".deflate.tmp"
+    buf = bytearray()
+
+    with open(comp_tmp, "wb") as cf:
+        def emit_chunk(chunk: bytes) -> None:
+            nonlocal crc, usize, comp_len
+            crc = zlib.crc32(chunk, crc)
+            usize += len(chunk)
+            out = co.compress(chunk) + co.flush(zlib.Z_FULL_FLUSH)
+            cf.write(out)
+            comp_len += len(out)
+            offsets.append(comp_len)
+
+        for block in data:
+            buf += block
+            while len(buf) >= chunk_size:
+                emit_chunk(bytes(buf[:chunk_size]))
+                del buf[:chunk_size]
+        if buf or usize == 0:
+            emit_chunk(bytes(buf))
+        tail = co.flush(zlib.Z_FINISH)
+        cf.write(tail)
+        comp_len += len(tail)
+    offsets.pop()  # the last chunk's end is not an entry
+    crc &= 0xFFFFFFFF
+    n_chunks = len(offsets) + 1
 
     idx = struct.pack("<IIII", 1, 0, chunk_size, 8)
-    idx += struct.pack("<QQ", len(data), len(comp))
+    idx += struct.pack("<QQ", usize, comp_len)
     for off in offsets:
         idx += struct.pack("<Q", off)
     idx_name = f".{member}.sozip.idx".encode()
     idx_crc = zlib.crc32(idx) & 0xFFFFFFFF
 
     mname = member.encode()
-    out = bytearray()
-    m_off = len(out)
-    out += _local_header(mname, 8, crc, len(comp), len(data))
-    out += comp
-    i_off = len(out)
-    out += _local_header(idx_name, 0, idx_crc, len(idx), len(idx))
-    out += idx
-    cd_off = len(out)
-    out += _central_header(mname, 8, crc, len(comp), len(data), m_off)
-    out += _central_header(idx_name, 0, idx_crc, len(idx), len(idx), i_off)
-    cd_len = len(out) - cd_off
-    out += struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 2, 2,
-                       cd_len, cd_off, 0)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(bytes(out))
+        m_off = 0
+        f.write(_local_header(mname, 8, crc, comp_len, usize))
+        with open(comp_tmp, "rb") as src:
+            while True:
+                block = src.read(1 << 20)
+                if not block:
+                    break
+                f.write(block)
+        i_off = f.tell()
+        f.write(_local_header(idx_name, 0, idx_crc, len(idx), len(idx)))
+        f.write(idx)
+        cd_off = f.tell()
+        f.write(_central_header(mname, 8, crc, comp_len, usize, m_off))
+        f.write(_central_header(idx_name, 0, idx_crc, len(idx),
+                                len(idx), i_off))
+        cd_len = f.tell() - cd_off
+        f.write(struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, 2, 2,
+                            cd_len, cd_off, 0))
+    os.remove(comp_tmp)
     os.replace(tmp, path)
     return n_chunks
 
