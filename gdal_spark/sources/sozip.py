@@ -130,25 +130,35 @@ def write_sozip(path: str, member: str, data,
 
 
 def _find_member(path: str, name: str):
-    """-> (data_start, csize, usize, method) via the central dir."""
+    """-> (data_start, csize, usize, method) via the central dir.
+    Reads only the archive TAIL (EOCD scan window) + the central
+    directory + one local header — never the payload (the archive
+    may be far larger than driver memory)."""
+    import os as _os
+
+    size = _os.path.getsize(path)
     with open(path, "rb") as f:
-        blob = f.read()
-    eocd = blob.rindex(struct.pack("<I", 0x06054B50))
-    _sig, _d0, _d1, _n, total, cd_len, cd_off, _cl = struct.unpack_from(
-        "<IHHHHIIH", blob, eocd)
-    pos = cd_off
-    for _ in range(total):
-        (sig, _v, _vn, _fl, method, _t, _dt, crc, csize, usize, nlen,
-         elen, clen, _dn, _ia, _ea, off) = struct.unpack_from(
-            "<IHHHHHHIIIHHHHHII", blob, pos)
-        if sig != 0x02014B50:
-            raise ValueError("sozip: corrupt central directory")
-        nm = blob[pos + 46:pos + 46 + nlen].decode()
-        pos += 46 + nlen + elen + clen
-        if nm == name:
-            # local header: re-read its name/extra lengths
-            lnlen, lelen = struct.unpack_from("<HH", blob, off + 26)
-            return off + 30 + lnlen + lelen, csize, usize, method
+        window = min(size, 66000)  # EOCD + max comment
+        f.seek(size - window)
+        tail = f.read(window)
+        eocd = tail.rindex(struct.pack("<I", 0x06054B50))
+        _sig, _d0, _d1, _n, total, cd_len, cd_off, _cl = struct.unpack_from(
+            "<IHHHHIIH", tail, eocd)
+        f.seek(cd_off)
+        cd = f.read(cd_len)
+        pos = 0
+        for _ in range(total):
+            (sig, _v, _vn, _fl, method, _t, _dt, crc, csize, usize,
+             nlen, elen, clen, _dn, _ia, _ea, off) = struct.unpack_from(
+                "<IHHHHHHIIIHHHHHII", cd, pos)
+            if sig != 0x02014B50:
+                raise ValueError("sozip: corrupt central directory")
+            nm = cd[pos + 46:pos + 46 + nlen].decode()
+            pos += 46 + nlen + elen + clen
+            if nm == name:
+                f.seek(off + 26)
+                lnlen, lelen = struct.unpack("<HH", f.read(4))
+                return off + 30 + lnlen + lelen, csize, usize, method
     raise KeyError(f"sozip: member {name!r} not in archive")
 
 
