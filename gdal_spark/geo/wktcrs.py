@@ -358,9 +358,142 @@ def _match_datum(geogcs: WktNode) -> str:
 
 
 # ---------------------------------------------------------------------------
-# WKT2 import (ISO 19162 / OGC 18-010r7 — the reference accepts WKT1
-# and WKT2 interchangeably, ogr/ogrspatialreference.cpp importFromWkt)
+# WKT2 (ISO 19162 / OGC 18-010r7 — the reference accepts WKT1 and
+# WKT2 interchangeably on import, ogr/ogrspatialreference.cpp
+# importFromWkt; exportToWkt(FORMAT=WKT2) is the export dual)
 # ---------------------------------------------------------------------------
+
+_WKT2_DATUM_NAMES = {
+    "WGS84": "World Geodetic System 1984",
+    "NAD83": "North American Datum 1983",
+    "NAD27": "North American Datum 1927",
+    "ETRS89": "European Terrestrial Reference System 1989",
+    "ED50": "European Datum 1950",
+    "OSGB36": "Ordnance Survey of Great Britain 1936",
+    "GGRS87": "Greek Geodetic Reference System 1987",
+    "PULKOVO42": "Pulkovo 1942",
+    "AMERSFOORT": "Amersfoort",
+    "CH1903PLUS": "CH1903+",
+    "TIMBALAI": "Timbalai 1948",
+    "SJTSK": "System of the Unified Trigonometrical Cadastral Network",
+}
+
+_WKT2_METHOD_DISPLAY = {
+    9807: "Transverse Mercator",
+    9804: "Mercator (variant A)",
+    9822: "Albers Equal Area",
+    9829: "Polar Stereographic (variant B)",
+    9810: "Polar Stereographic (variant A)",
+    9809: "Oblique Stereographic",
+    9820: "Lambert Azimuthal Equal Area",
+    9835: "Lambert Cylindrical Equal Area",
+    1028: "Equidistant Cylindrical",
+    9815: "Hotine Oblique Mercator (variant B)",
+    9819: "Krovak",
+    1024: "Popular Visualisation Pseudo Mercator",
+}
+
+_WKT2_PARAM_DISPLAY = {
+    8801: "Latitude of natural origin",
+    8802: "Longitude of natural origin",
+    8805: "Scale factor at natural origin",
+    8806: "False easting",
+    8807: "False northing",
+    8821: "Latitude of false origin",
+    8822: "Longitude of false origin",
+    8823: "Latitude of 1st standard parallel",
+    8824: "Latitude of 2nd standard parallel",
+    8826: "Easting at false origin",
+    8827: "Northing at false origin",
+    8832: "Latitude of standard parallel",
+    8833: "Longitude of origin",
+    8811: "Latitude of projection centre",
+    8812: "Longitude of projection centre",
+    8813: "Azimuth at projection centre",
+    8814: "Angle from Rectified to Skew Grid",
+    8815: "Scale factor at projection centre",
+    8816: "Easting at projection centre",
+    8817: "Northing at projection centre",
+}
+
+
+def _wkt2_datum_block(datum: str) -> str:
+    ell, _tw = DATUMS[datum]
+    a, invf = ELLIPSOIDS[ell]
+    return (
+        f'DATUM["{_WKT2_DATUM_NAMES[datum]}",'
+        f'ELLIPSOID["{_ELLIPSOID_WKT_NAMES[ell]}",{_fmt(a)},{_fmt(invf)},'
+        f'LENGTHUNIT["metre",1]]]'
+    )
+
+
+def _wkt2_id(key) -> str:
+    if isinstance(key, str) and key.upper().startswith("ESRI:"):
+        return f'ID["ESRI",{key.split(":")[1]}]'
+    return f'ID["EPSG",{key}]'
+
+
+def to_wkt2(code) -> str:
+    """Registry key -> WKT2:2019 (exportToWkt FORMAT=WKT2).  Inverse
+    of _wkt2_to_crs for every registry entry."""
+    key = code if code in pz.REGISTRY else pz.resolve_crs(code)
+    d = pz.REGISTRY[key]
+    geog = (
+        f'BASEGEOGCRS["{d.datum}",{_wkt2_datum_block(d.datum)}'
+    )
+    if d.method == "geographic":
+        return (
+            f'GEOGCRS["{d.datum}",{_wkt2_datum_block(d.datum)},'
+            f'CS[ellipsoidal,2],'
+            f'AXIS["geodetic latitude (Lat)",north],'
+            f'AXIS["geodetic longitude (Lon)",east],'
+            f'ANGLEUNIT["degree",0.0174532925199433],{_wkt2_id(key)}]'
+        )
+    # method code + EPSG-coded parameter list
+    if d.method == "utm":
+        mcode = 9807
+        params = {
+            8801: 0.0,
+            8802: float(d.params["zone"] * 6 - 183),
+            8805: 0.9996,
+            8806: 500000.0,
+            8807: 10000000.0 if d.params["south"] else 0.0,
+        }
+    elif d.method == "webmerc":
+        mcode = 1024
+        params = {8801: 0.0, 8802: 0.0, 8806: 0.0, 8807: 0.0}
+    elif d.method in ("sinusoidal", "mollweide"):
+        mcode = None
+        pmap = _WKT2_METHOD_NAMES[d.method][1]
+        rev = {v: k for k, v in pmap.items()}
+        params = {rev[k]: v for k, v in d.params.items() if k in rev}
+    else:
+        mcode = next(
+            mc for mc, (m, _p) in _WKT2_METHODS.items() if m == d.method
+        )
+        pmap = _WKT2_METHODS[mcode][1]
+        rev = {v: k for k, v in pmap.items()}
+        params = {rev[k]: v for k, v in d.params.items() if k in rev}
+        if d.method == "polar_stereo_a":
+            params[8801] = -90.0 if d.params["south"] else 90.0
+    if mcode is None:
+        method = f'METHOD["{d.method.title()}"]'
+    else:
+        method = (
+            f'METHOD["{_WKT2_METHOD_DISPLAY[mcode]}",ID["EPSG",{mcode}]]'
+        )
+    body = ",".join(
+        f'PARAMETER["{_WKT2_PARAM_DISPLAY[pc]}",{_fmt(v)},'
+        f'ID["EPSG",{pc}]]'
+        for pc, v in sorted(params.items())
+    )
+    return (
+        f'PROJCRS["{key}",{geog}],'
+        f'CONVERSION["unnamed",{method},{body}],'
+        f'CS[Cartesian,2],AXIS["easting (E)",east],'
+        f'AXIS["northing (N)",north],LENGTHUNIT["metre",1],'
+        f'{_wkt2_id(key)}]'
+    )
 
 # EPSG method code -> (registry method, {EPSG parameter code -> param})
 _WKT2_METHODS = {

@@ -153,3 +153,17 @@ def test_wkt2_resolve_crs_entry():
     from gdal_spark.geo.projzoo import resolve_crs
 
     assert resolve_crs(WKT2_BNG) == 27700
+
+
+def test_wkt2_export_roundtrips_every_registry_entry():
+    """to_wkt2 inverts through the WKT2 importer for all entries —
+    via the ID fast-path AND (spot-checked) parameter matching."""
+    import re
+
+    from gdal_spark.geo.wktcrs import to_wkt2
+
+    for key in pz.REGISTRY:
+        assert wkt_to_crs(to_wkt2(key)) == key, key
+    for key in (27700, 5070, 2056, 5514, 3035, 6933, 4087, 26917, 3031):
+        w = re.sub(r',ID\["EPSG",%s\]\]$' % key, "]", to_wkt2(key))
+        assert wkt_to_crs(w) == key, key
