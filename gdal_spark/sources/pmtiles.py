@@ -18,9 +18,10 @@ parse driver-side (metadata-sized by design), then DISTRIBUTED
 byte-range payload reads (each task seeks its slice — the
 netcdf/zarr slab-read pattern).
 
-Scope: root-directory archives (up to 16384 entries per spec
-guidance; leaf directories are read if present=0 only).  A leafed
-archive raises loudly rather than mis-reading.
+Directories: root-only up to 16384 entries (the spec's one-request
+guidance); larger archives pack entries into gzip leaf directories
+with run_length=0 root pointers, and the reader resolves both
+layouts.
 """
 
 from __future__ import annotations
@@ -39,6 +40,8 @@ __all__ = [
 ]
 
 _MAGIC = b"PMTiles"
+_ROOT_MAX = 16384    # spec guidance: the root fits one request
+_LEAF_SIZE = 4096    # entries per leaf directory
 _TILE_TYPES = {"mvt": 1, "png": 2, "jpeg": 3, "webp": 4}
 _TILE_TYPE_NAMES = {v: k for k, v in _TILE_TYPES.items()}
 
@@ -159,7 +162,8 @@ def _parse_dir(buf: bytes) -> list[tuple[int, int, int, int]]:
 
 
 def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
-                  metadata: dict | None = None) -> int:
+                  metadata: dict | None = None,
+                  root_max: int = _ROOT_MAX) -> int:
     """Archive encode_tiles rows (tile_z, tile_x, tile_y, payload)
     into one .pmtiles file; returns the tile count.
 
@@ -214,11 +218,24 @@ def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
     if not entries:
         os.remove(data_tmp)
         raise ValueError("pmtiles: empty tile set")
-    if len(entries) > 16384:
-        raise ValueError(
-            "pmtiles: >16384 entries needs leaf directories — out of "
-            "the engine's root-directory scope"
-        )
+    n_tiles = len(entries)
+    # root-only up to the spec's guidance bound; beyond it, entries
+    # pack into gzip leaf directories and the root carries
+    # run_length=0 pointers (tile_id = leaf's first id, offset/length
+    # into the leaf section)
+    leaves = b""
+    if len(entries) > root_max:
+        root_entries = []
+        leaf_parts = []
+        leaf_off = 0
+        for i in range(0, len(entries), _LEAF_SIZE):
+            group = entries[i:i + _LEAF_SIZE]
+            blob = gzip.compress(_serialize_dir(group), mtime=0)
+            root_entries.append((group[0][0], leaf_off, len(blob), 0))
+            leaf_parts.append(blob)
+            leaf_off += len(blob)
+        leaves = b"".join(leaf_parts)
+        entries = root_entries
     root = gzip.compress(_serialize_dir(entries), mtime=0)
     meta = gzip.compress(
         json.dumps(metadata or {"name": "gdal_spark"}).encode(), mtime=0
@@ -227,14 +244,14 @@ def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
     root_off = hdr_len
     meta_off = root_off + len(root)
     leaf_off = meta_off + len(meta)
-    data_off = leaf_off  # no leaves
+    data_off = leaf_off + len(leaves)
     hdr = bytearray()
     hdr += _MAGIC + bytes([3])
     hdr += struct.pack("<QQ", root_off, len(root))
     hdr += struct.pack("<QQ", meta_off, len(meta))
-    hdr += struct.pack("<QQ", leaf_off, 0)
+    hdr += struct.pack("<QQ", leaf_off, len(leaves))
     hdr += struct.pack("<QQ", data_off, data_len)
-    hdr += struct.pack("<QQQ", len(entries), len(entries), len(entries))
+    hdr += struct.pack("<QQQ", n_tiles, n_tiles, n_tiles)
     hdr += bytes([1, 2, 1, tile_type])  # clustered, gzip dirs, raw tiles
     hdr += bytes([zmin, zmax])
     hdr += struct.pack("<4i", -1800000000, -850000000,
@@ -247,6 +264,7 @@ def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
         f.write(bytes(hdr))
         f.write(root)
         f.write(meta)
+        f.write(leaves)
         with open(data_tmp, "rb") as src:
             while True:
                 block = src.read(1 << 20)
@@ -255,7 +273,7 @@ def write_pmtiles(tiles: DataFrame, path: str, fmt: str = "png",
                 f.write(block)
     os.remove(data_tmp)
     os.replace(tmp, path)
-    return len(entries)
+    return n_tiles
 
 
 def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
@@ -271,15 +289,28 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
         internal_comp = hdr[97]
         tile_comp = hdr[98]
         tile_type = hdr[99]
-        if leaf_len:
-            raise ValueError("pmtiles: leaf directories out of scope")
         f.seek(root_off)
         root = f.read(root_len)
-    if internal_comp == 2:
-        root = gzip.decompress(root)
-    elif internal_comp != 1:
-        raise ValueError(f"pmtiles: internal compression {internal_comp}")
-    entries = _parse_dir(root)
+
+        def inflate_dir(blob: bytes) -> bytes:
+            if internal_comp == 2:
+                return gzip.decompress(blob)
+            if internal_comp != 1:
+                raise ValueError(
+                    f"pmtiles: internal compression {internal_comp}")
+            return blob
+
+        entries = _parse_dir(inflate_dir(root))
+        # run_length=0 root entries point into the leaf section
+        if any(rl == 0 for _t, _o, _l, rl in entries):
+            expanded = []
+            for tid, off, ln, rl in entries:
+                if rl == 0:
+                    f.seek(leaf_off + off)
+                    expanded.extend(_parse_dir(inflate_dir(f.read(ln))))
+                else:
+                    expanded.append((tid, off, ln, rl))
+            entries = expanded
     fmt = _TILE_TYPE_NAMES.get(tile_type, "unknown")
     recs = []
     for tid, off, ln, rl in entries:

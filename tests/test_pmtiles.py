@@ -75,3 +75,28 @@ def test_empty_refuses(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty"):
         write_pmtiles(df, str(tmp_path / "e.pmtiles"))
+
+
+def test_leaf_directories_roundtrip(spark, tmp_path):
+    """Archives past the root bound pack gzip leaf directories with
+    run_length=0 root pointers; the reader resolves them."""
+    import struct as _struct
+
+    rows = [
+        (10, i % 1024, i // 1024, bytearray(f"t{i}".encode()))
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(
+        rows, "tile_z int, tile_x int, tile_y int, payload binary"
+    )
+    path = str(tmp_path / "leafy.pmtiles")
+    assert write_pmtiles(df, path, root_max=100) == 900
+    hdr = open(path, "rb").read(127)
+    _lo, leaf_len = _struct.unpack_from("<QQ", hdr, 40)
+    assert leaf_len > 0                      # leaves actually present
+    back = read_pmtiles(spark, path).toPandas()
+    assert len(back) == 900
+    got = {(r["tile_x"], r["tile_y"]): bytes(r["payload"])
+           for _, r in back.iterrows()}
+    assert got[(5, 0)] == b"t5"
+    assert got[(899 % 1024, 0)] == b"t899"
