@@ -117,6 +117,10 @@ def parse_vrt(path: str):
                     float(node.get("xSize")), float(node.get("ySize")),
                 )
 
+            def fnode(name, default):
+                nd = src.find(name)
+                return float(nd.text) if nd is not None else default
+
             sources.append(
                 {
                     "filename": fn,
@@ -124,6 +128,13 @@ def parse_vrt(path: str):
                     "source_band": sb,
                     "src_rect": rect(src.find("SrcRect")),
                     "dst_rect": rect(src.find("DstRect")),
+                    # ComplexSource pixel math (vrtsources.cpp
+                    # ScaleRatio/ScaleOffset/NODATA); SimpleSource
+                    # defaults are the identity
+                    "scale_ratio": fnode("ScaleRatio", 1.0),
+                    "scale_offset": fnode("ScaleOffset", 0.0),
+                    "nodata": fnode("NODATA", None)
+                    if src.find("NODATA") is not None else None,
                 }
             )
     return rw, rh, gt, sources
@@ -141,11 +152,13 @@ def read_vrt_sources(spark: SparkSession, path: str) -> DataFrame:
             gt[0] + s["dst_rect"][0] * gt[1],
             gt[3] + s["dst_rect"][1] * gt[5],
             int(s["src_rect"][2]), int(s["src_rect"][3]),
+            s["scale_ratio"], s["scale_offset"], s["nodata"],
         )
         for s in sources
     ]
     return spark.createDataFrame(
         rows,
         "filename string, band int, source_band int, "
-        "dst_xmin double, dst_ymax double, src_w int, src_h int",
+        "dst_xmin double, dst_ymax double, src_w int, src_h int, "
+        "scale_ratio double, scale_offset double, nodata double",
     )

@@ -52,3 +52,43 @@ def test_parse_foreign_vrt(tmp_path):
     assert gt == (5.0, 1.0, 0.0, 9.0, 0.0, -1.0)
     assert sources[0]["source_band"] == 1
     assert sources[0]["filename"] == "x.tif"
+
+
+def test_complex_source_scale_offset_nodata(spark, tmp_path):
+    doc = """<VRTDataset rasterXSize="8" rasterYSize="4">
+  <GeoTransform> 5.0, 1.0, 0.0, 9.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="Byte" band="1">
+    <ComplexSource>
+      <SourceFilename relativeToVRT="1">x.tif</SourceFilename>
+      <SourceBand>2</SourceBand>
+      <ScaleRatio>0.5</ScaleRatio>
+      <ScaleOffset>10</ScaleOffset>
+      <NODATA>255</NODATA>
+      <SrcRect xOff="0" yOff="0" xSize="8" ySize="4"/>
+      <DstRect xOff="0" yOff="0" xSize="8" ySize="4"/>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>
+"""
+    path = str(tmp_path / "c.vrt")
+    with open(path, "w") as f:
+        f.write(doc)
+    _rw, _rh, _gt, sources = parse_vrt(path)
+    s = sources[0]
+    assert s["scale_ratio"] == 0.5
+    assert s["scale_offset"] == 10.0
+    assert s["nodata"] == 255.0
+    assert s["source_band"] == 2
+    row = read_vrt_sources(spark, path).collect()[0]
+    assert row["scale_ratio"] == 0.5 and row["nodata"] == 255.0
+    # SimpleSource defaults are the identity
+    doc2 = doc.replace("ComplexSource", "SimpleSource").replace(
+        "<ScaleRatio>0.5</ScaleRatio>", "").replace(
+        "<ScaleOffset>10</ScaleOffset>", "").replace(
+        "<NODATA>255</NODATA>", "")
+    with open(path, "w") as f:
+        f.write(doc2)
+    row = read_vrt_sources(spark, path).collect()[0]
+    assert row["scale_ratio"] == 1.0
+    assert row["scale_offset"] == 0.0
+    assert row["nodata"] is None
