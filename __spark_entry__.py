@@ -3011,6 +3011,100 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIB2 simple packing (frmts/grib/gribcreatecopy.cpp: one
+    message per band, template 3.0 lat/lon grid + template 5.0
+    simple packing, sign-magnitude ints, bottom-to-top scanning):
+    the pixel rule rides through REAL GRIB2 bytes three ways —
+    3-band uint8, offset-negative int (exercises signed reference
+    values), and decimal-scale tenths — and the decoded per-band
+    checksums match one closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 13)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.grib import decode_grib2, encode_grib2
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                outs = {}
+                outs["grib_u8"] = decode_grib2(encode_grib2(arr))[0]
+                b0 = arr[:, :, 0].astype(np.int64)
+                outs["grib_off"] = (
+                    decode_grib2(encode_grib2(b0 - 128))[0] + 128
+                )
+                ds = decode_grib2(encode_grib2(b0 / 10.0, dscale=1))[0]
+                outs["grib_ds1"] = np.floor(ds * 10.0 + 0.5).astype(
+                    np.int64
+                )
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_grib_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 13)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('grib_u8', 3), ('grib_off', 1),
+                        ('grib_ds1', 1)) AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -7452,6 +7546,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-3 block (driver-green in r03), then older rows.
     return {
         # -- new in round 4
+        "grib_roundtrip": q_grib_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9575,6 +9670,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "sozip_roundtrip": _o_shp_roundtrip(),  # same output contract
         "osm_roundtrip": _o_shp_roundtrip(),  # same output contract
         "flat_raster_roundtrip": _o_flat_raster_roundtrip(),
+        "grib_roundtrip": _o_grib_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

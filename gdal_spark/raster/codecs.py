@@ -31,6 +31,8 @@ def sniff_format(data: bytes) -> str:
         return "gif"
     if data[:2] == b"BM":
         return "bmp"
+    if data[:4] == b"GRIB":
+        return "grib"
     raise ValueError("unknown image format")
 
 
