@@ -1152,6 +1152,142 @@ CROSS JOIN (VALUES (1), (2), (3)) AS b(band)
 """
 
 
+def q_vrt_lut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VRT ComplexSource full pixel pipeline (frmts/vrt/vrtsources.cpp
+    RasterIOInternal + LookupValue): NODATA masking first, then
+    ScaleRatio/ScaleOffset, then the piecewise-linear <LUT> — all
+    parsed out of a REAL VRTDataset document.  Outputs are quantized
+    floor(out*16) (a power-of-2 quantum: the only roundings are the
+    LUT's slope division and interpolation multiply, identical IEEE
+    ops on both engines)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.vrt import parse_vrt
+
+    doc = """<VRTDataset rasterXSize="8" rasterYSize="4">
+  <GeoTransform>0.0, 1.0, 0.0, 4.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="Byte" band="1">
+    <ComplexSource>
+      <SourceFilename relativeToVRT="0">rule</SourceFilename>
+      <ScaleRatio>0.5</ScaleRatio>
+      <ScaleOffset>16</ScaleOffset>
+      <NODATA>77</NODATA>
+      <LUT>10:100,100:40,250:224</LUT>
+      <SrcRect xOff="0" yOff="0" xSize="8" ySize="4"/>
+      <DstRect xOff="0" yOff="0" xSize="8" ySize="4"/>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>
+"""
+    path = _artifact_path("vrt_lut") + ".vrt"
+    with open(path, "w") as f:
+        f.write(doc)
+    src = parse_vrt(path)[3][0]
+    params = (
+        src["scale_ratio"], src["scale_offset"], src["nodata"],
+        tuple(src["lut_in"]), tuple(src["lut_out"]),
+    )
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 17)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("n_nodata", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.sources.vrt import apply_complex_source
+
+        ratio, off, nodata, li, lo = params
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                band = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                out, valid = apply_complex_source(
+                    band, ratio, off, nodata, li, lo
+                )
+                q = np.where(valid, np.floor(out * 16.0), 0.0).astype(
+                    np.int64
+                )
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "checksum": gdal_checksum(q),
+                        "n_nodata": int((~valid).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_vrt_lut() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 17)",
+    )
+    # v2 = val*0.5 + 16 (exact dyadic); LUT 10:100,100:40,250:224 with
+    # the reference's interpolation expression shape — identical IEEE
+    # op order to sources/vrt.py lookup_lut, so floor(out*16) matches
+    # bit-for-bit.
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+ev AS (
+  SELECT image_id, pidx, val,
+    cast(val as double) * cast('0.5' as double)
+      + cast('16.0' as double) AS v2
+  FROM px
+),
+q AS (
+  SELECT image_id, pidx,
+    CASE WHEN val = 77 THEN 0
+         WHEN v2 = cast('100.0' as double)
+           THEN cast(floor(cast('40.0' as double)
+                     * cast('16.0' as double)) as bigint)
+         WHEN v2 < cast('100.0' as double)
+           THEN cast(floor((cast('100.0' as double)
+             + (v2 - cast('10.0' as double))
+               * ((cast('40.0' as double) - cast('100.0' as double))
+                  / (cast('100.0' as double) - cast('10.0' as double))))
+             * cast('16.0' as double)) as bigint)
+         ELSE cast(floor((cast('40.0' as double)
+             + (v2 - cast('100.0' as double))
+               * ((cast('224.0' as double) - cast('40.0' as double))
+                  / (cast('250.0' as double) - cast('100.0' as double))))
+             * cast('16.0' as double)) as bigint)
+    END AS qv,
+    CASE WHEN val = 77 THEN 1 ELSE 0 END AS nd
+  FROM ev
+)
+SELECT image_id,
+  cast(sum(qv % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(sum(nd) as int) AS n_nodata
+FROM q GROUP BY image_id
+"""
+
+
 # gdalwarp -cutline fixture: two polygons in EXACT zoom-12 pixel
 # coordinates — a half-world rectangle (vertical edges at integer x)
 # and a convex hexagon whose sloped edges have inverse slope 1/4, so
@@ -7547,6 +7683,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4
         "grib_roundtrip": q_grib_roundtrip,
+        "vrt_lut": q_vrt_lut,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9671,6 +9808,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "osm_roundtrip": _o_shp_roundtrip(),  # same output contract
         "flat_raster_roundtrip": _o_flat_raster_roundtrip(),
         "grib_roundtrip": _o_grib_roundtrip(),
+        "vrt_lut": _o_vrt_lut(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

@@ -26,7 +26,70 @@ import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["build_vrt", "parse_vrt", "read_vrt_sources"]
+__all__ = [
+    "build_vrt",
+    "parse_vrt",
+    "read_vrt_sources",
+    "lookup_lut",
+    "apply_complex_source",
+]
+
+
+def lookup_lut(values, lut_in, lut_out):
+    """VRTComplexSource::LookupValue (frmts/vrt/vrtsources.cpp:
+    lower_bound segment search, clamp below the first / above the
+    last entry, exact hits return the paired output, otherwise
+    linear interpolation out[i-1] + (v-in[i-1]) * ((out[i]-out[i-1])
+    / (in[i]-in[i-1])).  A leading NaN input maps NaN values to its
+    paired output.  Vectorized over a numpy array."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    li = np.asarray(lut_in, dtype=np.float64)
+    lo = np.asarray(lut_out, dtype=np.float64)
+    nan_out = None
+    if li.size and np.isnan(li[0]):
+        nan_out = lo[0]
+        li, lo = li[1:], lo[1:]
+    if li.size == 0:
+        return np.full(v.shape, nan_out)
+    idx = np.searchsorted(li, v, side="left")  # std::lower_bound
+    out = np.empty(v.shape, dtype=np.float64)
+    lowm = idx == 0
+    highm = idx == li.size
+    out[lowm] = lo[0]
+    out[highm] = lo[-1]
+    mid = ~(lowm | highm)
+    im = idx[mid]
+    exact = li[im] == v[mid]
+    seg = np.where(
+        exact,
+        lo[im],
+        lo[im - 1]
+        + (v[mid] - li[im - 1]) * ((lo[im] - lo[im - 1]) / (li[im] - li[im - 1])),
+    )
+    out[mid] = seg
+    if nan_out is not None:
+        out[np.isnan(v)] = nan_out
+    return out
+
+
+def apply_complex_source(values, scale_ratio=1.0, scale_offset=0.0,
+                         nodata=None, lut_in=None, lut_out=None):
+    """The ComplexSource pixel pipeline in the reference's order
+    (vrtsources.cpp RasterIOInternal): NODATA pixels are masked out
+    FIRST (validity mask returned alongside), then linear scaling,
+    then the LUT.  Returns (out_values float64, valid bool mask)."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    valid = np.ones(v.shape, dtype=bool)
+    if nodata is not None:
+        valid = v != float(nodata)
+    out = v * float(scale_ratio) + float(scale_offset)
+    if lut_in is not None and len(lut_in):
+        out = lookup_lut(out, lut_in, lut_out)
+    return out, valid
 
 
 def _r(v: float) -> str:
@@ -121,6 +184,17 @@ def parse_vrt(path: str):
                 nd = src.find(name)
                 return float(nd.text) if nd is not None else default
 
+            # <LUT>in:out,in:out,...</LUT> (vrtsources.cpp SetLUT /
+            # the "%g:%g" comma-joined serialization at :2688-2721)
+            lut_node = src.find("LUT")
+            lut_in: list = []
+            lut_out: list = []
+            if lut_node is not None and lut_node.text:
+                for pair in lut_node.text.split(","):
+                    a, b = pair.split(":")
+                    lut_in.append(float(a))
+                    lut_out.append(float(b))
+
             sources.append(
                 {
                     "filename": fn,
@@ -129,12 +203,14 @@ def parse_vrt(path: str):
                     "src_rect": rect(src.find("SrcRect")),
                     "dst_rect": rect(src.find("DstRect")),
                     # ComplexSource pixel math (vrtsources.cpp
-                    # ScaleRatio/ScaleOffset/NODATA); SimpleSource
+                    # ScaleRatio/ScaleOffset/NODATA/LUT); SimpleSource
                     # defaults are the identity
                     "scale_ratio": fnode("ScaleRatio", 1.0),
                     "scale_offset": fnode("ScaleOffset", 0.0),
                     "nodata": fnode("NODATA", None)
                     if src.find("NODATA") is not None else None,
+                    "lut_in": lut_in,
+                    "lut_out": lut_out,
                 }
             )
     return rw, rh, gt, sources
@@ -153,6 +229,7 @@ def read_vrt_sources(spark: SparkSession, path: str) -> DataFrame:
             gt[3] + s["dst_rect"][1] * gt[5],
             int(s["src_rect"][2]), int(s["src_rect"][3]),
             s["scale_ratio"], s["scale_offset"], s["nodata"],
+            s["lut_in"], s["lut_out"],
         )
         for s in sources
     ]
@@ -160,5 +237,6 @@ def read_vrt_sources(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "filename string, band int, source_band int, "
         "dst_xmin double, dst_ymax double, src_w int, src_h int, "
-        "scale_ratio double, scale_offset double, nodata double",
+        "scale_ratio double, scale_offset double, nodata double, "
+        "lut_in array<double>, lut_out array<double>",
     )

@@ -54,6 +54,65 @@ def test_parse_foreign_vrt(tmp_path):
     assert sources[0]["filename"] == "x.tif"
 
 
+def test_lookup_lut_semantics():
+    """VRTComplexSource::LookupValue (vrtsources.cpp): clamp below
+    first / above last, exact hits, linear interpolation, NaN head."""
+    import numpy as np
+
+    from gdal_spark.sources.vrt import lookup_lut
+
+    li, lo = [10.0, 100.0, 250.0], [100.0, 40.0, 224.0]
+    v = np.array([0.0, 10.0, 55.0, 100.0, 175.0, 250.0, 300.0])
+    out = lookup_lut(v, li, lo)
+    assert out[0] == 100.0           # below first -> first output
+    assert out[1] == 100.0           # exact first
+    assert out[3] == 40.0            # exact middle
+    assert out[5] == 224.0           # exact last
+    assert out[6] == 224.0           # above last -> last output
+    assert out[2] == 100.0 + 45.0 * ((40.0 - 100.0) / 90.0)
+    assert out[4] == 40.0 + 75.0 * ((224.0 - 40.0) / 150.0)
+    # leading-NaN entry maps NaN inputs to its paired output
+    out2 = lookup_lut(np.array([np.nan, 55.0]), [np.nan] + li, [7.0] + lo)
+    assert out2[0] == 7.0 and out2[1] == out[2]
+
+
+def test_apply_complex_source_order():
+    """NODATA masks the RAW source value; scaling runs before LUT."""
+    import numpy as np
+
+    from gdal_spark.sources.vrt import apply_complex_source
+
+    v = np.array([77.0, 100.0])
+    out, valid = apply_complex_source(
+        v, scale_ratio=0.5, scale_offset=16.0, nodata=77.0,
+        lut_in=[10.0, 100.0, 250.0], lut_out=[100.0, 40.0, 224.0],
+    )
+    assert not valid[0] and valid[1]
+    # 100 -> 66 -> interp on the first segment
+    assert out[1] == 100.0 + (66.0 - 10.0) * ((40.0 - 100.0) / 90.0)
+
+
+def test_parse_lut_node(tmp_path):
+    doc = """<VRTDataset rasterXSize="2" rasterYSize="1">
+  <GeoTransform>0.0, 1.0, 0.0, 1.0, 0.0, -1.0</GeoTransform>
+  <VRTRasterBand dataType="Byte" band="1">
+    <ComplexSource>
+      <SourceFilename relativeToVRT="0">x</SourceFilename>
+      <LUT>0:0,128:64,255:255</LUT>
+      <SrcRect xOff="0" yOff="0" xSize="2" ySize="1"/>
+      <DstRect xOff="0" yOff="0" xSize="2" ySize="1"/>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>
+"""
+    path = str(tmp_path / "l.vrt")
+    with open(path, "w") as f:
+        f.write(doc)
+    s = parse_vrt(path)[3][0]
+    assert s["lut_in"] == [0.0, 128.0, 255.0]
+    assert s["lut_out"] == [0.0, 64.0, 255.0]
+
+
 def test_complex_source_scale_offset_nodata(spark, tmp_path):
     doc = """<VRTDataset rasterXSize="8" rasterYSize="4">
   <GeoTransform> 5.0, 1.0, 0.0, 9.0, 0.0, -1.0</GeoTransform>
