@@ -7486,6 +7486,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (span level): maximal token spans whose
+    every 8-word shingle repeats in the corpus — the relational
+    re-expression of suffix-array substring dedup (Lee et al.);
+    gaps-and-islands over positional shingle hashes, two int64-key
+    shuffles, no driver state."""
+    return txt_dedup.duplicate_spans(_read(spark, sf_dir, "documents"))
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus cleaning pipeline: quality gate
     (quality >= 0.7, >= 10 tokens) -> exact dedup keeping the lowest
@@ -7759,6 +7768,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grib_roundtrip": q_grib_roundtrip,
         "vrt_lut": q_vrt_lut,
         "dted_roundtrip": q_dted_roundtrip,
+        "dup_spans": q_dup_spans,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9888,6 +9898,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
+        "dup_spans": txt_dedup.sql_duplicate_spans(),
         "cosine_dedup": sim.sql_cosine_dedup_pairs(
             src=f"""(
   SELECT vec_id,

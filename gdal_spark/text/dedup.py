@@ -471,3 +471,84 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh64 a JOIN sh64 b ON a.doc_id < b.doc_id
 WHERE {hdist} <= {max_dist}
 """
+
+
+# --- exact-substring duplicate spans ----------------------------------------
+
+SPAN_N = 8  # words per shingle for duplicate-span detection
+
+
+def duplicate_spans(df: DataFrame, n: int = SPAN_N,
+                    text_col: str = "text") -> DataFrame:
+    """Exact-substring dedup: maximal token spans whose every length-n
+    word shingle occurs >= 2 times in the corpus (the span-level exact
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" — re-expressed relationally instead of via a
+    suffix array).
+
+    Pipeline: ordered token hashes -> positional shingle hashes
+    (posexplode) -> one groupBy(sh) marking duplicated shingles ->
+    LEFT SEMI join back (skew-tolerant: hot boilerplate shingles
+    never fan out) -> per-doc gaps-and-islands (pos - row_number)
+    merging adjacent duplicate shingles into maximal spans.
+
+    Scale shape: two shuffles on int64 keys (sh groupBy + semi join)
+    plus one bounded per-doc window — no corpus-sized driver state,
+    no suffix array.  Returns (doc_id, start_tok, end_tok inclusive,
+    n_shingles).
+    """
+    from pyspark.sql import Window
+
+    d = (
+        df.withColumn("toks", F.split(F.col(text_col), " "))
+        .withColumn("hs", F.expr(H.spark_token_hashes("toks")))
+        .withColumn("shs", F.expr(H.spark_shingle_hashes("hs", n)))
+    )
+    occ = d.select("doc_id", F.posexplode("shs").alias("pos", "sh"))
+    dup_sh = (
+        occ.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("sh")
+    )
+    dup_occ = occ.join(dup_sh, "sh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_occ.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("end_tok"),
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        )
+        .select("doc_id", "start_tok", "end_tok", "n_shingles")
+    )
+
+
+def sql_duplicate_spans(src: str = "documents", n: int = SPAN_N) -> str:
+    """DuckDB twin of duplicate_spans (0-based positions to match
+    posexplode; scalar generate_series is legal, the lateral
+    table-function form is not — positions come from a constant
+    range cross join)."""
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+hh AS (SELECT doc_id, {H.duck_token_hashes('toks')} AS hs FROM t),
+sh AS (SELECT doc_id, {H.duck_shingle_hashes('hs', n)} AS shs FROM hh),
+occ AS (
+  SELECT s.doc_id, r.i AS pos, s.shs[r.i + 1] AS sh
+  FROM sh s JOIN range(0, 4096) r(i) ON r.i < len(s.shs)
+),
+dup AS (SELECT sh FROM occ GROUP BY sh HAVING count(*) >= 2),
+docc AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup d ON o.sh = d.sh),
+isl AS (
+  SELECT doc_id, pos,
+    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM docc
+)
+SELECT doc_id, cast(min(pos) as bigint) AS start_tok,
+       cast(max(pos) + {n - 1} as bigint) AS end_tok,
+       cast(count(*) as bigint) AS n_shingles
+FROM isl GROUP BY doc_id, grp
+"""

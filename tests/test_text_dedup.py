@@ -183,3 +183,46 @@ def test_ivf_topk_structure(spark):
     # agree with the global top-1 (identical-direction vectors exist
     # only by chance; just require non-empty candidates per query)
     assert len(per_q) == 4
+
+
+def test_duplicate_spans_merges_maximal_runs(spark):
+    """Exact-substring dedup (dedup.duplicate_spans, n=3): a phrase
+    shared by two docs becomes ONE maximal span per doc; unique text
+    around it contributes nothing."""
+    shared = "alpha beta gamma delta epsilon"          # 5 tokens
+    rows = [
+        (0, "unique0 pre " + shared + " post0 tail0 end0"),
+        (1, "other1 lead1 " + shared + " different1 x1 y1"),
+        (2, "nothing here matches anything at all ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.duplicate_spans(df, n=3).collect()
+    }
+    assert set(out) == {0, 1}
+    # doc 0: shared phrase occupies tokens 2..6 -> shingles at 2,3,4
+    assert out[0]["start_tok"] == 2 and out[0]["end_tok"] == 6
+    assert out[0]["n_shingles"] == 3
+    assert out[1]["start_tok"] == 2 and out[1]["end_tok"] == 6
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    """A phrase repeated INSIDE one document also counts (total
+    occurrences >= 2), yielding two disjoint spans."""
+    phrase = "p q r"
+    rows = [(0, f"{phrase} filler1 filler2 filler3 {phrase} tail")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(
+        (r["start_tok"], r["end_tok"])
+        for r in dedup.duplicate_spans(df, n=3).collect()
+    )
+    # tokens: p q r filler1 filler2 filler3 p q r tail -> matches at 0 and 6
+    assert spans == [(0, 2), (6, 8)]
+
+
+def test_duplicate_spans_short_docs_empty(spark):
+    df = spark.createDataFrame([(0, "a b"), (1, "a b")],
+                               ["doc_id", "text"])
+    # docs shorter than n yield no shingles at all
+    assert dedup.duplicate_spans(df, n=3).count() == 0
