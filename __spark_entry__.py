@@ -7716,6 +7716,15 @@ def with_norm_emb(df: DataFrame) -> DataFrame:
     )
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 2 iterations) over the
+    embeddings table — the IVF coarse-quantizer trainer.  Exact
+    integer math end-to-end (quantized components, floored integer
+    means), so the DuckDB twin (the same iterations unrolled as
+    relational CTEs) matches bit-for-bit."""
+    return sim.kmeans_lloyd(_read(spark, sf_dir, "embeddings"))
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label elementwise centroid of the embedding vectors."""
     return sim.label_centroids(_read(spark, sf_dir, "embeddings"))
@@ -7769,6 +7778,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrt_lut": q_vrt_lut,
         "dted_roundtrip": q_dted_roundtrip,
         "dup_spans": q_dup_spans,
+        "kmeans_train": q_kmeans_train,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9899,6 +9909,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
         "dup_spans": txt_dedup.sql_duplicate_spans(),
+        "kmeans_train": sim.sql_kmeans_lloyd(),
         "cosine_dedup": sim.sql_cosine_dedup_pairs(
             src=f"""(
   SELECT vec_id,

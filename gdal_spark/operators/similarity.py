@@ -508,3 +508,175 @@ FROM {src}, range(0, 4096) AS d(dim)
 WHERE d.dim < len(embedding)
 GROUP BY 1, 2
 """
+
+
+# --- k-means (Lloyd) coarse-quantizer training -------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_QBITS = 20     # component quantum 2^-20 (float32 * 2^20 floors exact)
+
+
+def _quantize_expr(vec: str, qbits: int = KMEANS_QBITS) -> str:
+    """array<float> -> array<bigint>: floor(x * 2^qbits).  float32 ->
+    float64 widening and the power-of-2 multiply are both exact, so
+    Spark and DuckDB land on identical integers."""
+    return (
+        f"transform({vec}, x -> cast(floor(cast(x as double) "
+        f"* {1 << qbits}) as bigint))"
+    )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    trainer for the IVF coarse quantizer (ivf_topk's centroids are a
+    deterministic stand-in; this is the real training loop).
+
+    Exactness contract (the reason this has a value-verified DuckDB
+    twin at all): components quantize to integers (floor(x*2^20)),
+    distances are integer sums of squares, and the update step is the
+    FLOORED integer mean (sum - pmod(sum, n)) / n — no float
+    aggregation order anywhere, so results are bit-stable across
+    partitionings and engines.  Ties in argmin go to the lowest cell.
+
+    Scale shape (the MLlib pattern): centroids are metadata (k x dim
+    integers) broadcast into Column math each iteration; the only
+    shuffle per iteration is the (cell, dim) mean aggregation.
+    Empty cells keep their previous centroid.
+    """
+    from pyspark.sql import functions as F
+
+    q = emb.select(
+        "vec_id", F.expr(_quantize_expr(vec)).alias("qv")
+    )
+    # init: the k lowest vec_ids' quantized vectors (deterministic)
+    init = q.orderBy("vec_id").limit(k).collect()
+    cents = {c: list(r["qv"]) for c, r in enumerate(init)}
+
+    assigned = None
+    for _ in range(iters):
+        dist_exprs = []
+        for c in range(k):
+            arr = ", ".join(f"{int(v)}L" for v in cents[c])
+            dist_exprs.append(
+                f"aggregate(zip_with(qv, array({arr}), "
+                f"(x, c) -> (x - c) * (x - c)), cast(0 as bigint), "
+                f"(acc, v) -> acc + v)"
+            )
+        dists = f"array({', '.join(dist_exprs)})"
+        assigned = q.withColumn(
+            "cell",
+            (F.expr(f"array_position({dists}, array_min({dists}))") - 1)
+            .cast("int"),
+        )
+        comp = assigned.select(
+            "cell", F.posexplode("qv").alias("d", "x")
+        )
+        means = (
+            comp.groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "m",
+                # exact floored mean in pure int64: (s - pmod) is
+                # divisible by n, so `div` never rounds (survives
+                # sums past 2^53 where long/long->double would not)
+                F.expr("(s - pmod(s, n)) div n"),
+            )
+            .select("cell", "d", F.col("m").cast("long").alias("m"))
+        )
+        rows = means.collect()           # k x dim integers: metadata
+        new = {}
+        for r in rows:
+            new.setdefault(r["cell"], {})[r["d"]] = r["m"]
+        cents = {
+            c: [new[c][d] for d in range(len(cents[c]))] if c in new
+            else cents[c]
+            for c in range(k)
+        }
+
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    spark = emb.sparkSession
+    cent_rows = [
+        (c, d, int(v)) for c in range(k) for d, v in enumerate(cents[c])
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cell int, d int, comp_q long")
+    return cdf.join(sizes, "cell", "left").select(
+        "cell", "d", "comp_q",
+        F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+    )
+
+
+def sql_kmeans_lloyd(src: str = "embeddings", k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS,
+                     qbits: int = KMEANS_QBITS) -> str:
+    """DuckDB twin: the same integer Lloyd iterations unrolled as
+    relational CTEs (centroids are ROWS, so nothing expands with k)."""
+    quant = (
+        f"list_transform(embedding, x -> cast(floor(cast(x as double) "
+        f"* {1 << qbits}) as bigint))"
+    )
+    parts = [
+        f"""
+qv AS (
+  SELECT vec_id, {quant} AS qv FROM {src}
+),
+comp AS (
+  SELECT q.vec_id, d.d, q.qv[d.d + 1] AS x
+  FROM qv q JOIN range(0, 4096) AS d(d) ON d.d < len(q.qv)
+),
+cent0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 as int) AS cell, qv
+  FROM (SELECT vec_id, qv FROM qv ORDER BY vec_id LIMIT {k})
+),
+ccomp0 AS (
+  SELECT c.cell, d.d, c.qv[d.d + 1] AS cx
+  FROM cent0 c JOIN range(0, 4096) AS d(d) ON d.d < len(c.qv)
+)"""
+    ]
+    prev = "ccomp0"
+    for it in range(1, iters + 1):
+        parts.append(f"""
+dist{it} AS (
+  SELECT p.vec_id, c.cell,
+         sum((p.x - c.cx) * (p.x - c.cx)) AS d2
+  FROM comp p JOIN {prev} c ON p.d = c.d
+  GROUP BY 1, 2
+),
+assign{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist{it}) WHERE rn = 1
+),
+mean{it} AS (
+  SELECT a.cell, p.d,
+    cast((sum(p.x) - ((sum(p.x) % count(*)) + count(*)) % count(*))
+         // count(*) as bigint) AS m
+  FROM assign{it} a JOIN comp p ON a.vec_id = p.vec_id
+  GROUP BY 1, 2
+),
+ccomp{it} AS (
+  SELECT c.cell, c.d, coalesce(m.m, c.cx) AS cx
+  FROM {prev} c LEFT JOIN mean{it} m
+    ON m.cell = c.cell AND m.d = c.d
+)""")
+        prev = f"ccomp{it}"
+    parts.append(f"""
+sizes AS (
+  SELECT cell, cast(count(*) as bigint) AS n_members
+  FROM assign{iters} GROUP BY 1
+)""")
+    body = ",".join(parts)
+    return f"""
+WITH {body}
+SELECT c.cell, cast(c.d as int) AS d, c.cx AS comp_q,
+       coalesce(s.n_members, 0) AS n_members
+FROM {prev} c LEFT JOIN sizes s ON s.cell = c.cell
+"""

@@ -226,3 +226,47 @@ def test_duplicate_spans_short_docs_empty(spark):
                                ["doc_id", "text"])
     # docs shorter than n yield no shingles at all
     assert dedup.duplicate_spans(df, n=3).count() == 0
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    """Two well-separated blobs, k=2: every point lands with its blob
+    centre; empty-cell and tie handling are deterministic."""
+    from gdal_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(10):                       # blob A near (1, 0)
+        rows.append((i, [1.0 + 0.001 * i, 0.0]))
+    for i in range(10):                       # blob B near (0, 1)
+        rows.append((100 + i, [0.0, 1.0 + 0.001 * i]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.kmeans_lloyd(df, k=2, iters=2).collect()
+    assert len(out) == 4                      # 2 cells x 2 dims
+    sizes = {r["cell"]: r["n_members"] for r in out}
+    assert sorted(sizes.values()) == [10, 10]
+    cents = {(r["cell"], r["d"]): r["comp_q"] for r in out}
+    # init = vec_ids 0 and 1 (both blob A); after the first update one
+    # centroid owns blob A, the other migrates to blob B
+    q = 1 << 20
+    got = sorted(
+        (round(cents[(c, 0)] / q, 1), round(cents[(c, 1)] / q, 1))
+        for c in (0, 1)
+    )
+    assert got == [(0.0, 1.0), (1.0, 0.0)]
+
+
+def test_kmeans_lloyd_integer_means_are_floored(spark):
+    from gdal_spark.operators import similarity as sim
+
+    # three identical-cluster points whose quantized sum is not
+    # divisible by 3 -> floored mean, bit-stable across partitionings
+    df = spark.createDataFrame(
+        [(0, [0.25]), (1, [0.25]), (2, [0.25000286])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.kmeans_lloyd(df, k=1, iters=1).collect()
+    q = [r["comp_q"] for r in out]
+    import math
+    import numpy as np
+    xs = [math.floor(float(np.float32(v)) * (1 << 20))
+          for v in (0.25, 0.25, 0.25000286)]
+    assert q == [sum(xs) // 3]
