@@ -7486,6 +7486,14 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_dedup.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"))
 
 
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate 2/3/4-gram
+    milli-fractions + top-bigram share + keep decision, pure Column
+    math (the top-bigram count is the max run of the sorted shingle
+    array — no explode, no shuffle)."""
+    return txt_analysis.repetition_signals(_read(spark, sf_dir, "documents"))
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (span level): maximal token spans whose
     every 8-word shingle repeats in the corpus — the relational
@@ -7779,6 +7787,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dted_roundtrip": q_dted_roundtrip,
         "dup_spans": q_dup_spans,
         "kmeans_train": q_kmeans_train,
+        "repetition_quality": q_repetition_quality,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9910,6 +9919,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
         "dup_spans": txt_dedup.sql_duplicate_spans(),
         "kmeans_train": sim.sql_kmeans_lloyd(),
+        "repetition_quality": txt_analysis.sql_repetition_signals(),
         "cosine_dedup": sim.sql_cosine_dedup_pairs(
             src=f"""(
   SELECT vec_id,

@@ -127,3 +127,118 @@ m AS (
 )
 SELECT doc_id, {case} AS pred_lang, m AS best_score FROM m
 """
+
+
+# --- repetition quality signals (Gopher-style) -------------------------------
+
+# duplicate n-gram fraction rejection thresholds in milli-units
+# (Rae et al., "Scaling Language Models: ... Gopher", Table A1 uses
+# 0.20 / 0.18 / 0.16 for duplicate 2/3/4-gram fractions)
+GOPHER_DUP_MILLI = {2: 200, 3: 180, 4: 160}
+GOPHER_TOP2_MILLI = 200
+
+
+def _dup_frac_expr(shs: str) -> str:
+    """milli-fraction of repeated n-gram slots: floor-exact integer
+    (1000 * (total - distinct)) div total; 0 for shingle-less docs."""
+    return (
+        f"CASE WHEN size({shs}) = 0 THEN cast(0 as bigint) ELSE "
+        f"(1000 * cast(size({shs}) - size(array_distinct({shs})) as bigint))"
+        f" div size({shs}) END"
+    )
+
+
+_TOP_RUN = (
+    "aggregate(array_sort({shs}), "
+    "named_struct('prev', cast(-1 as bigint), 'run', 0, 'best', 0), "
+    "(acc, x) -> named_struct('prev', x, "
+    "'run', IF(x = acc.prev, acc.run + 1, 1), "
+    "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))), "
+    "acc -> acc.best)"
+)
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition quality signals (the Gopher filters):
+    duplicate 2/3/4-gram milli-fractions, the most-frequent bigram's
+    milli-share, and the keep/reject decision.
+
+    Scale shape: PURE Column math — the top-bigram count is the max
+    run of the SORTED shingle array (an aggregate fold), so no
+    explode, no shuffle, nothing leaves the row.  All fractions are
+    exact integer div, so the DuckDB twin matches bit-for-bit."""
+    d = df.withColumn("toks", F.split(F.col(text_col), " ")).withColumn(
+        "hs", F.expr(H.spark_token_hashes("toks"))
+    )
+    for n in (2, 3, 4):
+        d = d.withColumn(f"sh{n}", F.expr(H.spark_shingle_hashes("hs", n)))
+    top2 = (
+        f"CASE WHEN size(sh2) = 0 THEN cast(0 as bigint) ELSE "
+        f"(1000 * cast({_TOP_RUN.format(shs='sh2')} as bigint))"
+        f" div size(sh2) END"
+    )
+    d = (
+        d.withColumn("dup2_milli", F.expr(_dup_frac_expr("sh2")))
+        .withColumn("dup3_milli", F.expr(_dup_frac_expr("sh3")))
+        .withColumn("dup4_milli", F.expr(_dup_frac_expr("sh4")))
+        .withColumn("top2_milli", F.expr(top2))
+    )
+    keep = (
+        (F.col("dup2_milli") <= GOPHER_DUP_MILLI[2])
+        & (F.col("dup3_milli") <= GOPHER_DUP_MILLI[3])
+        & (F.col("dup4_milli") <= GOPHER_DUP_MILLI[4])
+        & (F.col("top2_milli") <= GOPHER_TOP2_MILLI)
+    )
+    return d.select(
+        "doc_id", "dup2_milli", "dup3_milli", "dup4_milli", "top2_milli",
+        keep.cast("int").alias("keep"),
+    )
+
+
+def sql_repetition_signals(src: str = "documents") -> str:
+    """DuckDB twin: same integer fractions; the top-bigram count is
+    relational (explode + group) — max count == max sorted run."""
+    def dup(shs):
+        return (
+            f"CASE WHEN len({shs}) = 0 THEN cast(0 as bigint) ELSE "
+            f"(1000 * cast(len({shs}) - len(list_distinct({shs})) as bigint))"
+            f" // len({shs}) END"
+        )
+
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+hh AS (SELECT doc_id, {H.duck_token_hashes('toks')} AS hs FROM t),
+sh AS (
+  SELECT doc_id,
+    {H.duck_shingle_hashes('hs', 2)} AS sh2,
+    {H.duck_shingle_hashes('hs', 3)} AS sh3,
+    {H.duck_shingle_hashes('hs', 4)} AS sh4
+  FROM hh
+),
+occ2 AS (
+  SELECT s.doc_id, s.sh2[r.i + 1] AS g
+  FROM sh s JOIN range(0, 4096) r(i) ON r.i < len(s.sh2)
+),
+top2 AS (
+  SELECT doc_id, max(c) AS maxc FROM (
+    SELECT doc_id, g, count(*) AS c FROM occ2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+sig AS (
+  SELECT s.doc_id,
+    {dup('s.sh2')} AS dup2_milli,
+    {dup('s.sh3')} AS dup3_milli,
+    {dup('s.sh4')} AS dup4_milli,
+    CASE WHEN len(s.sh2) = 0 THEN cast(0 as bigint)
+         ELSE (1000 * cast(coalesce(t.maxc, 0) as bigint)) // len(s.sh2)
+    END AS top2_milli
+  FROM sh s LEFT JOIN top2 t ON t.doc_id = s.doc_id
+)
+SELECT doc_id, dup2_milli, dup3_milli, dup4_milli, top2_milli,
+  cast(CASE WHEN dup2_milli <= {GOPHER_DUP_MILLI[2]}
+             AND dup3_milli <= {GOPHER_DUP_MILLI[3]}
+             AND dup4_milli <= {GOPHER_DUP_MILLI[4]}
+             AND top2_milli <= {GOPHER_TOP2_MILLI}
+        THEN 1 ELSE 0 END as int) AS keep
+FROM sig
+"""

@@ -270,3 +270,20 @@ def test_kmeans_lloyd_integer_means_are_floored(spark):
     xs = [math.floor(float(np.float32(v)) * (1 << 20))
           for v in (0.25, 0.25, 0.25000286)]
     assert q == [sum(xs) // 3]
+
+
+def test_repetition_signals_gopher_filters(spark):
+    rows = [
+        (0, "a b a b a b a b a b a b"),     # pure bigram loop -> reject
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "x"),                           # no bigrams at all -> keep
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in analysis.repetition_signals(df).collect()}
+    assert out[0]["keep"] == 0 and out[1]["keep"] == 1 and out[2]["keep"] == 1
+    # doc 0: 11 bigrams, 2 distinct -> dup = 9/11 -> 818 milli
+    assert out[0]["dup2_milli"] == (1000 * 9) // 11
+    # top bigram "a b" occurs 6 of 11 times
+    assert out[0]["top2_milli"] == (1000 * 6) // 11
+    assert out[1]["dup2_milli"] == 0 and out[1]["top2_milli"] == (1000 * 1) // 9
+    assert out[2]["dup2_milli"] == 0 and out[2]["top2_milli"] == 0
