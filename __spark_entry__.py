@@ -3315,6 +3315,85 @@ FROM px GROUP BY image_id
 """
 
 
+def q_usgsdem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USGS DEM ASCII format (frmts/usgsdem/usgsdemdataset.cpp:
+    fixed-offset A record with D-exponent doubles, per-column B
+    records south->north, 1024-byte block padding): the pixel rule
+    (shifted -128 to exercise negative elevations and token fusing)
+    rides through REAL new-format bytes; decoded checksums match the
+    closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 23)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("n_negative", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.usgsdem import (
+            decode_usgsdem,
+            encode_usgsdem,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                elev = np_image_pixels(int(i), int(w), int(h))[
+                    :, :, 0
+                ].astype(np.int64) - 128
+                out, _meta = decode_usgsdem(
+                    encode_usgsdem(elev, lon0_deg=-100.0, lat0_deg=40.0)
+                )
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "checksum": gdal_checksum(out + 128),
+                        "n_negative": int((out < 0).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_usgsdem_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 23)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(sum(CASE WHEN val < 128 THEN 1 ELSE 0 END) as int) AS n_negative
+FROM px GROUP BY image_id
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -7788,6 +7867,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "kmeans_train": q_kmeans_train,
         "repetition_quality": q_repetition_quality,
+        "usgsdem_roundtrip": q_usgsdem_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9914,6 +9994,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
+        "usgsdem_roundtrip": _o_usgsdem_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
