@@ -532,6 +532,40 @@ def _stac_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAC_ITEM_ID = r"item_(\d+)"
 
 
+def q_mdim_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalmdiminfo report (apps/gdalalg_mdim_info.cpp): per-dimension
+    structural rows + array-wide min/max/exact-milli-mean/count from
+    one distributed aggregation."""
+    md = _mdim_cube(spark, sf_dir)
+    return mdim.mdim_info(md)
+
+
+def _o_mdim_info() -> str:
+    return f"""
+WITH {_MDIM_CUBE_CTE},
+stats AS (
+  SELECT cast(min(value) as bigint) AS vmin,
+         cast(max(value) as bigint) AS vmax,
+         cast((1000 * cast(sum(value) as bigint)
+               - ((1000 * cast(sum(value) as bigint)) % count(*)
+                  + count(*)) % count(*)) // count(*) as bigint)
+           AS vmean_milli,
+         cast(count(*) as bigint) AS n_valid
+  FROM cube WHERE value != {int(MDIM_NODATA)}
+),
+dims AS (
+  SELECT 0 AS dim_idx, 't' AS dim_name,
+         cast((SELECT count(*) FROM customer) // {MDIM_Y * MDIM_X}
+              as bigint) AS dim_size
+  UNION ALL SELECT 1, 'y', {MDIM_Y}
+  UNION ALL SELECT 2, 'x', {MDIM_X}
+)
+SELECT cast(d.dim_idx as int) AS dim_idx, d.dim_name, d.dim_size,
+       s.vmin, s.vmax, s.vmean_milli, s.n_valid
+FROM dims d CROSS JOIN stats s
+"""
+
+
 def q_stac_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STACIT item-index scan: paged ItemCollection JSON -> one row
     per image asset, applying every ParseAsset skip rule (bad type /
@@ -7868,6 +7902,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_train": q_kmeans_train,
         "repetition_quality": q_repetition_quality,
         "usgsdem_roundtrip": q_usgsdem_roundtrip,
+        "mdim_info": q_mdim_info,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -9995,6 +10030,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
         "usgsdem_roundtrip": _o_usgsdem_roundtrip(),
+        "mdim_info": _o_mdim_info(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

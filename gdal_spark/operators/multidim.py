@@ -351,3 +351,39 @@ def statistics(md: MDArray, by: Sequence[str] = ()) -> DataFrame:
     if by:
         return df.groupBy(*by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def mdim_info(md: MDArray) -> DataFrame:
+    """gdalmdiminfo-style report (apps/gdalalg_mdim_info.cpp /
+    apps/gdalmdiminfo_lib.cpp): one row per dimension carrying the
+    structural metadata (index, name, size) alongside the array-wide
+    statistics — min / max / exact milli-mean / valid count, nodata
+    excluded.  The dims table is metadata-sized; stats come from ONE
+    distributed aggregation cross-joined in (broadcast of one row)."""
+    from pyspark.sql import functions as F
+
+    spark = md.df.sparkSession
+    dims = spark.createDataFrame(
+        [(i, n, s) for i, (n, s) in enumerate(md.dims)],
+        "dim_idx int, dim_name string, dim_size long",
+    )
+    v = F.col(md.value_col).cast("long")
+    valid = md.df
+    if md.nodata is not None:
+        valid = valid.where(F.col(md.value_col) != F.lit(md.nodata))
+    agg = valid.agg(
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v).alias("vsum"),
+        F.count(F.lit(1)).alias("n_valid"),
+    ).select(
+        "vmin", "vmax",
+        F.expr(
+            "(1000 * vsum - pmod(1000 * vsum, n_valid)) div n_valid"
+        ).alias("vmean_milli"),
+        "n_valid",
+    )
+    return dims.crossJoin(agg).select(
+        "dim_idx", "dim_name", "dim_size",
+        "vmin", "vmax", "vmean_milli", "n_valid",
+    )
