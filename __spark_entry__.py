@@ -1322,6 +1322,95 @@ FROM q GROUP BY image_id
 """
 
 
+def q_wrapdateline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -wrapdateline (ogr2ogr_lib.cpp:8116 /
+    OGRGeometryFactory WRAPDATELINE): synthetic east-crossing segments
+    (lon 170+a to -(170+b) with a+b=4, so the cut parameter t =
+    (10-a)/16 is exactly dyadic) split at the antimeridian; both
+    piece endpoints quantized x256 match the closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("i")
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("part", T2.IntegerType()),
+            T2.StructField("x0_q", T2.LongType()),
+            T2.StructField("y0_q", T2.LongType()),
+            T2.StructField("x1_q", T2.LongType()),
+            T2.StructField("y1_q", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.geo.dateline import wrap_dateline_wkb
+        from gdal_spark.geo.wkb import parse_wkb, wkb_linestring
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                a = (i % 7) * 0.5
+                b = 4.0 - a
+                y1 = float((i % 11) - 5)
+                y2 = y1 + float((i % 5) - 2)
+                line = np.array([[170.0 + a, y1], [-(170.0 + b), y2]])
+                out = parse_wkb(wrap_dateline_wkb(wkb_linestring(line)))
+                parts = (
+                    out.parts if out.type_id == 5 else [out.parts[0]]
+                )
+                for p, arr in enumerate(parts):
+                    rows.append(
+                        {
+                            "i": i, "part": p,
+                            "x0_q": int(np.floor(arr[0, 0] * 256.0)),
+                            "y0_q": int(np.floor(arr[0, 1] * 256.0)),
+                            "x1_q": int(np.floor(arr[-1, 0] * 256.0)),
+                            "y1_q": int(np.floor(arr[-1, 1] * 256.0)),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return cust.mapInPandas(run, schema)
+
+
+def _o_wrapdateline() -> str:
+    d = tm.sql_double
+    return f"""
+WITH c AS (
+  SELECT cast(c_custkey as bigint) AS i,
+    (c_custkey % 7) * {d(0.5)} AS a,
+    cast((c_custkey % 11) - 5 as double) AS y1,
+    cast((c_custkey % 5) - 2 as double) AS dy
+  FROM customer
+),
+v AS (
+  SELECT i, a, y1, y1 + dy AS y2,
+    y1 + (({d(10.0)} - a) / {d(16.0)}) * dy AS yi
+  FROM c
+)
+SELECT i, 0 AS part,
+  cast(floor((({d(170.0)} + a)) * {d(256.0)}) as bigint) AS x0_q,
+  cast(floor(y1 * {d(256.0)}) as bigint) AS y0_q,
+  cast(floor({d(180.0)} * {d(256.0)}) as bigint) AS x1_q,
+  cast(floor(yi * {d(256.0)}) as bigint) AS y1_q
+FROM v
+UNION ALL
+SELECT i, 1 AS part,
+  cast(floor({d(-180.0)} * {d(256.0)}) as bigint) AS x0_q,
+  cast(floor(yi * {d(256.0)}) as bigint) AS y0_q,
+  cast(floor((0.0 - ({d(170.0)} + ({d(4.0)} - a))) * {d(256.0)}) as bigint)
+    AS x1_q,
+  cast(floor(y2 * {d(256.0)}) as bigint) AS y1_q
+FROM v
+"""
+
+
 # gdalwarp -cutline fixture: two polygons in EXACT zoom-12 pixel
 # coordinates — a half-world rectangle (vertical edges at integer x)
 # and a convex hexagon whose sloped edges have inverse slope 1/4, so
@@ -7903,6 +7992,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_quality": q_repetition_quality,
         "usgsdem_roundtrip": q_usgsdem_roundtrip,
         "mdim_info": q_mdim_info,
+        "wrapdateline": q_wrapdateline,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10031,6 +10121,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "dted_roundtrip": _o_dted_roundtrip(),
         "usgsdem_roundtrip": _o_usgsdem_roundtrip(),
         "mdim_info": _o_mdim_info(),
+        "wrapdateline": _o_wrapdateline(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

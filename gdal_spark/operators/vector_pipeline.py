@@ -246,3 +246,17 @@ def step_concat(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+@F.pandas_udf(T.BinaryType())
+def _wrapdateline_udf(wkb: pd.Series) -> pd.Series:
+    from gdal_spark.geo.dateline import wrap_dateline_wkb
+
+    return wkb.map(lambda b: wrap_dateline_wkb(bytes(b)))
+
+
+def step_wrapdateline(df: DataFrame) -> DataFrame:
+    """ogr2ogr -wrapdateline (apps/ogr2ogr_lib.cpp:8116): geometries
+    crossing the antimeridian split at 180+360k and normalize into
+    [-180, 180] (geo/dateline.py kernel)."""
+    return df.withColumn(GEOM, _wrapdateline_udf(F.col(GEOM)))
