@@ -3517,6 +3517,103 @@ FROM px GROUP BY image_id
 """
 
 
+def q_pds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDS3 labeled raster (frmts/pds/pdsdataset.cpp: ODL label in
+    fixed records, ^IMAGE record pointer, BAND_SEQUENTIAL MSB
+    samples, SCALING_FACTOR/OFFSET): the pixel rule rides through
+    REAL PDS3 bytes as 3-band uint8, signed MSB int16 (-128 shift),
+    and a scaled variant (x0.5+16, quantized x2 — exact dyadics)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 29)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.pds import decode_pds, encode_pds
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                outs = {}
+                outs["pds_u8"] = decode_pds(encode_pds(arr))[0]
+                b0 = arr[:, :, 0].astype(np.int16) - 128
+                outs["pds_i16"] = (
+                    decode_pds(encode_pds(b0))[0].astype(np.int64) + 128
+                )
+                sc = decode_pds(
+                    encode_pds(b0, scale=0.5, offset=16.0)
+                )[0]
+                outs["pds_scaled"] = np.floor(sc * 2.0).astype(
+                    np.int64
+                ) + 128
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_pds_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 29)",
+    )
+    # pds_scaled: floor(((v-128)*0.5 + 16) * 2) + 128 = v + 32 exactly
+    # (dyadic halves), so all three variants share the pixel rule with
+    # a NON-NEGATIVE integer shift (no %-sign divergence)
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('pds_u8', 3, 0), ('pds_i16', 1, 0),
+                        ('pds_scaled', 1, 32)) AS f(fmt, nb, shift)
+),
+bands AS (
+  SELECT f.fmt, f.shift, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 + fb.shift AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -7993,6 +8090,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "usgsdem_roundtrip": q_usgsdem_roundtrip,
         "mdim_info": q_mdim_info,
         "wrapdateline": q_wrapdateline,
+        "pds_roundtrip": q_pds_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10122,6 +10220,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "usgsdem_roundtrip": _o_usgsdem_roundtrip(),
         "mdim_info": _o_mdim_info(),
         "wrapdateline": _o_wrapdateline(),
+        "pds_roundtrip": _o_pds_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
