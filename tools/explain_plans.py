@@ -73,6 +73,12 @@ def main() -> None:
         "info_vector (one distributed agg, no collect)": entry.q_info_vector,
         "gif_roundtrip (narrow mapInPandas codec kernel)": entry.q_gif_roundtrip,
         "osm_roundtrip (node-id equi-join assembly + relation member join)": entry.q_osm_roundtrip,
+        # round 4, third sweep
+        "dup_spans (shingle groupBy -> LEFT SEMI join back -> per-doc window)": entry.q_dup_spans,
+        "kmeans_train (broadcast centroids; one (cell,dim) agg per iteration)": entry.q_kmeans_train,
+        "repetition_quality (pure Column math, zero shuffle)": entry.q_repetition_quality,
+        "wrapdateline (narrow Arrow map over WKB, no shuffle)": entry.q_wrapdateline,
+        "grib_roundtrip (narrow mapInPandas codec kernel)": entry.q_grib_roundtrip,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",
