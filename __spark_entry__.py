@@ -3614,6 +3614,104 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_idrisi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idrisi RST/RDC (frmts/idrisi/IdrisiDataset.cpp: raw top-down
+    rows + 12-char-key .rdc doc file; byte/integer/real/rgb24 with
+    pixel-interleaved BGR): the pixel rule rides through REAL
+    (.rst bytes, .rdc text) pairs in all four data types."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 31)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.idrisi import decode_rst, encode_rst
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                b0 = arr[:, :, 0]
+                outs = {}
+                outs["rst_byte"] = decode_rst(*encode_rst(b0))[0][
+                    :, :, None
+                ]
+                i16 = b0.astype(np.int16) - 128
+                outs["rst_integer"] = (
+                    decode_rst(*encode_rst(i16))[0].astype(np.int64)
+                    + 128
+                )[:, :, None]
+                f32 = (b0.astype(np.float32) / 4.0)
+                dec = decode_rst(*encode_rst(f32))[0]
+                outs["rst_real"] = np.floor(
+                    dec.astype(np.float64) * 4.0
+                ).astype(np.int64)[:, :, None]
+                outs["rst_rgb24"] = decode_rst(*encode_rst(arr))[0]
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_idrisi_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 31)",
+    )
+    # rst_real: v/4 is exact in float32 (dyadic), floor(x*4) recovers v
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('rst_byte', 1), ('rst_integer', 1),
+                        ('rst_real', 1), ('rst_rgb24', 3)) AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8091,6 +8189,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdim_info": q_mdim_info,
         "wrapdateline": q_wrapdateline,
         "pds_roundtrip": q_pds_roundtrip,
+        "idrisi_roundtrip": q_idrisi_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10221,6 +10320,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "mdim_info": _o_mdim_info(),
         "wrapdateline": _o_wrapdateline(),
         "pds_roundtrip": _o_pds_roundtrip(),
+        "idrisi_roundtrip": _o_idrisi_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
