@@ -1411,6 +1411,121 @@ FROM v
 """
 
 
+MVT_Z = 3
+
+
+def q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox Vector Tiles (ogr/ogrsf_frmts/mvt/mvt_tile.h wire
+    constants + MVT 2.1 commands): customer-derived square polygons
+    grouped per tile, encoded to REAL .pbf tiles (zigzag cursor
+    deltas, key/value dedup tables), written DISTRIBUTED into a
+    {z}/{x}/{y}.pbf tree, scanned back with binaryFile and decoded;
+    per-feature ring sums and sint properties match the closed
+    form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("i"),
+        (F.col("c_custkey") % 8).cast("int").alias("tx"),
+        F.expr("cast((c_custkey div 8) % 8 as int)").alias("ty"),
+    )
+
+    enc_schema = T2.StructType(
+        [
+            T2.StructField("path", T2.StringType()),
+            T2.StructField("payload", T2.BinaryType()),
+        ]
+    )
+
+    def encode(key, pdf):
+        from gdal_spark.sources.mvt import encode_mvt_tile
+
+        tx, ty = int(key[0]), int(key[1])
+        feats = []
+        for i in sorted(int(v) for v in pdf["i"]):
+            x0 = (i * 37) % 3800
+            y0 = (i * 59) % 3800
+            s = 16 + (i % 7) * 16
+            feats.append(
+                {
+                    "id": i,
+                    "type": 3,
+                    "parts": [
+                        [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s),
+                         (x0, y0 + s)]
+                    ],
+                    "props": {"cust": i},
+                }
+            )
+        buf = encode_mvt_tile({"zones": feats})
+        return pd.DataFrame(
+            [{"path": f"{MVT_Z}/{tx}/{ty}.pbf", "payload": buf}]
+        )
+
+    tiles = cust.groupBy("tx", "ty").applyInPandas(encode, enc_schema)
+    root = _artifact_path(f"mvt_{os.path.basename(sf_dir)}")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    render.write_tile_tree(tiles, root)
+    back = render.read_tile_tree(spark, root, z=MVT_Z)
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("feat_id", T2.LongType()),
+            T2.StructField("ring_sum", T2.LongType()),
+            T2.StructField("n_vertices", T2.IntegerType()),
+            T2.StructField("cust", T2.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        from gdal_spark.sources.mvt import decode_mvt_tile
+
+        for pdf in batches:
+            recs = []
+            for tx, fy, payload in zip(
+                pdf["tile_x"], pdf["file_y"], pdf["payload"]
+            ):
+                layers = decode_mvt_tile(bytes(payload))
+                for f in layers["zones"]["features"]:
+                    ring = f["parts"][0]
+                    recs.append(
+                        {
+                            "tile_x": int(tx),
+                            "tile_y": int(fy),
+                            "feat_id": int(f["id"]),
+                            "ring_sum": int(
+                                sum(x + y for x, y in ring)
+                            ),
+                            "n_vertices": len(ring),
+                            "cust": int(f["props"]["cust"]),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=[c.name for c in out_schema.fields]
+            )
+
+    return back.mapInPandas(decode, out_schema)
+
+
+def _o_mvt_roundtrip() -> str:
+    return """
+SELECT cast(c_custkey % 8 as int) AS tile_x,
+       cast((c_custkey // 8) % 8 as int) AS tile_y,
+       cast(c_custkey as bigint) AS feat_id,
+       cast(4 * ((c_custkey * 37) % 3800)
+            + 4 * ((c_custkey * 59) % 3800)
+            + 4 * (16 + (c_custkey % 7) * 16) as bigint) AS ring_sum,
+       4 AS n_vertices,
+       cast(c_custkey as bigint) AS cust
+FROM customer
+"""
+
+
 # gdalwarp -cutline fixture: two polygons in EXACT zoom-12 pixel
 # coordinates — a half-world rectangle (vertical edges at integer x)
 # and a convex hexagon whose sloped edges have inverse slope 1/4, so
@@ -8190,6 +8305,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wrapdateline": q_wrapdateline,
         "pds_roundtrip": q_pds_roundtrip,
         "idrisi_roundtrip": q_idrisi_roundtrip,
+        "mvt_roundtrip": q_mvt_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10321,6 +10437,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "wrapdateline": _o_wrapdateline(),
         "pds_roundtrip": _o_pds_roundtrip(),
         "idrisi_roundtrip": _o_idrisi_roundtrip(),
+        "mvt_roundtrip": _o_mvt_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
