@@ -53,7 +53,15 @@ def test_value_types_dedup():
     }
     assert out["features"][1]["props"] == {"s": "x", "n": -7}
     # the shared string value appears once in the layer values table
-    assert buf.count(b"x") == 1
+    # (use a marker long enough not to collide with wire bytes)
+    feats2 = [
+        {"id": 1, "type": 1, "parts": [[(0, 0)]],
+         "props": {"s": "MARKER_STRING"}},
+        {"id": 2, "type": 1, "parts": [[(1, 1)]],
+         "props": {"s": "MARKER_STRING"}},
+    ]
+    buf2 = encode_mvt_tile({"l": feats2})
+    assert buf2.count(b"MARKER_STRING") == 1
 
 
 def test_multiple_layers():
