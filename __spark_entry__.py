@@ -3827,6 +3827,120 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_misc_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TGA (frmts/tga: BGR bottom-up + RLE packets), FITS
+    (frmts/fits: 2880-byte header cards, big-endian bottom-up data,
+    BZERO/BSCALE), Surfer GSBG/GSAG (frmts/gsg: DSBB/DSAA node-center
+    bounds, bottom-up rows) and ZMap Plus (frmts/zmap: column-major
+    fixed-width text): the pixel rule rides through REAL bytes of
+    all six variants and the decoded checksums match one closed
+    form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 37)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.fits import decode_fits, encode_fits
+        from gdal_spark.raster.simplegrids import (
+            decode_gsag,
+            decode_gsbg,
+            decode_zmap,
+            encode_gsag,
+            encode_gsbg,
+            encode_zmap,
+        )
+        from gdal_spark.raster.tga import decode_tga, encode_tga
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                b0 = arr[:, :, 0]
+                outs = {}
+                outs["tga24"] = decode_tga(encode_tga(arr))
+                outs["tga_rle"] = decode_tga(
+                    encode_tga(arr, rle=True, top_left=False)
+                )
+                i16 = b0.astype(np.int16) - 128
+                outs["fits16"] = (
+                    decode_fits(encode_fits(i16))[0].astype(np.int64)
+                    + 128
+                )[:, :, None]
+                outs["gsbg"] = decode_gsbg(encode_gsbg(b0))[0].astype(
+                    np.int64
+                )[:, :, None]
+                outs["gsag"] = decode_gsag(encode_gsag(b0))[0].astype(
+                    np.int64
+                )[:, :, None]
+                outs["zmap"] = decode_zmap(encode_zmap(b0))[0].astype(
+                    np.int64
+                )[:, :, None]
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_misc_raster_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 37)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('tga24', 3), ('tga_rle', 3), ('fits16', 1),
+                        ('gsbg', 1), ('gsag', 1), ('zmap', 1))
+    AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8306,6 +8420,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pds_roundtrip": q_pds_roundtrip,
         "idrisi_roundtrip": q_idrisi_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
+        "misc_raster_roundtrip": q_misc_raster_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10438,6 +10553,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "pds_roundtrip": _o_pds_roundtrip(),
         "idrisi_roundtrip": _o_idrisi_roundtrip(),
         "mvt_roundtrip": _o_mvt_roundtrip(),
+        "misc_raster_roundtrip": _o_misc_raster_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
