@@ -8120,6 +8120,16 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_analysis.repetition_signals(_read(spark, sf_dir, "documents"))
 
 
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token windows): per
+    source stream, a deterministic window cumsum places every
+    document at (seq_idx, seq_offset) with its boundary-crossing
+    count — the standard LLM pretraining layout."""
+    return txt_analysis.sequence_packing(
+        _read(spark, sf_dir, "documents")
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (span level): maximal token spans whose
     every 8-word shingle repeats in the corpus — the relational
@@ -8421,6 +8431,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idrisi_roundtrip": q_idrisi_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
         "misc_raster_roundtrip": q_misc_raster_roundtrip,
+        "seq_packing": q_seq_packing,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10554,6 +10565,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "idrisi_roundtrip": _o_idrisi_roundtrip(),
         "mvt_roundtrip": _o_mvt_roundtrip(),
         "misc_raster_roundtrip": _o_misc_raster_roundtrip(),
+        "seq_packing": txt_analysis.sql_sequence_packing(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

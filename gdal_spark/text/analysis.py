@@ -242,3 +242,71 @@ SELECT doc_id, dup2_milli, dup3_milli, dup4_milli, top2_milli,
         THEN 1 ELSE 0 END as int) AS keep
 FROM sig
 """
+
+
+# --- sequence packing (concat-and-chunk) -------------------------------------
+
+PACK_WINDOW = 512   # tokens per packed training sequence
+
+
+def sequence_packing(df: DataFrame, window: int = PACK_WINDOW,
+                     text_col: str = "text") -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM
+    pretraining layout: documents concatenate in a deterministic
+    total order (source, doc_id) within each source stream, and the
+    token stream splits into fixed `window`-token sequences.  Every
+    document reports the sequence index and in-sequence offset where
+    it starts, plus how many sequences it spans (documents CROSS
+    sequence boundaries, as in real packing).
+
+    Scale shape: one window cumsum per source partition — source
+    streams are independent, so the shuffle key is `source` and skew
+    is bounded by stream size (salt the cumsum with a two-phase
+    running total if one source dominates).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nt = F.size(F.split(F.col(text_col), " ")).cast("long")
+    d = df.withColumn("n_tokens", nt).withColumn(
+        "end_tok", F.sum("n_tokens").over(w)
+    ).withColumn("start_tok", F.col("end_tok") - F.col("n_tokens"))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"start_tok div {window}").cast("long").alias("seq_idx"),
+        F.pmod(F.col("start_tok"), F.lit(window)).cast("long")
+          .alias("seq_offset"),
+        F.expr(
+            f"(end_tok - 1) div {window} - start_tok div {window}"
+        ).cast("long").alias("n_boundary_crossings"),
+    )
+
+
+def sql_sequence_packing(src: str = "documents",
+                         window: int = PACK_WINDOW) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+    cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+  FROM {src}
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS end_tok
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+  cast((end_tok - n_tokens) // {window} as bigint) AS seq_idx,
+  cast((end_tok - n_tokens) % {window} as bigint) AS seq_offset,
+  cast((end_tok - 1) // {window}
+       - (end_tok - n_tokens) // {window} as bigint)
+    AS n_boundary_crossings
+FROM c
+"""

@@ -287,3 +287,24 @@ def test_repetition_signals_gopher_filters(spark):
     assert out[0]["top2_milli"] == (1000 * 6) // 11
     assert out[1]["dup2_milli"] == 0 and out[1]["top2_milli"] == (1000 * 1) // 9
     assert out[2]["dup2_milli"] == 0 and out[2]["top2_milli"] == 0
+
+
+def test_sequence_packing_layout(spark):
+    rows = [
+        (0, "src0", " ".join(["w"] * 300)),
+        (1, "src0", " ".join(["w"] * 300)),   # crosses the 512 line
+        (2, "src0", " ".join(["w"] * 24)),
+        (3, "src1", " ".join(["w"] * 10)),    # independent stream
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in
+           analysis.sequence_packing(df, window=512).collect()}
+    assert (out[0]["seq_idx"], out[0]["seq_offset"]) == (0, 0)
+    assert out[0]["n_boundary_crossings"] == 0
+    # doc 1 starts at token 300 and ends at 600 -> crosses into seq 1
+    assert (out[1]["seq_idx"], out[1]["seq_offset"]) == (0, 300)
+    assert out[1]["n_boundary_crossings"] == 1
+    # doc 2 starts at 600 -> seq 1, offset 88
+    assert (out[2]["seq_idx"], out[2]["seq_offset"]) == (1, 88)
+    # src1 restarts at zero
+    assert (out[3]["seq_idx"], out[3]["seq_offset"]) == (0, 0)
