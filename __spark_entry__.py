@@ -2466,6 +2466,23 @@ def q_kml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_pgdump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PGDump IO (ogr/ogrsf_frmts/pgdump/ogrpgdumplayer.cpp: COPY
+    FROM STDIN rows, \\N nulls, hex EWKB with the 0x20000000 SRID
+    flag): streamed SQL-script write, distributed COPY-row scan."""
+    from gdal_spark.sources.pgdump import read_pgdump, write_pgdump
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"pgdump_{os.path.basename(sf_dir)}") + ".sql"
+    write_pgdump(zones, path, layer="zones", srid=4326)
+    back = read_pgdump(
+        spark, path, "fid long, eas_id long, kind string"
+    ).drop("srid")
+    return _roundtrip_shape(back)
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML IO (ogr/ogrsf_frmts/gml FeatureCollection layout,
     ogr2gmlgeometry.cpp GML 2 coordinates/boundaryIs elements):
@@ -8432,6 +8449,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_roundtrip": q_mvt_roundtrip,
         "misc_raster_roundtrip": q_misc_raster_roundtrip,
         "seq_packing": q_seq_packing,
+        "pgdump_roundtrip": q_pgdump_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10566,6 +10584,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "mvt_roundtrip": _o_mvt_roundtrip(),
         "misc_raster_roundtrip": _o_misc_raster_roundtrip(),
         "seq_packing": txt_analysis.sql_sequence_packing(),
+        "pgdump_roundtrip": _o_shp_roundtrip(),  # same output contract
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
