@@ -3958,6 +3958,95 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalenhance histogram equalization (apps/gdalenhance.cpp:
+    zeroed extreme bins, cum[i] = total + hist[i]/2, LUT =
+    (cum*256)/nTotal clamped — all integer divisions): per-image
+    equalized checksums plus the LUT midpoint."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 41)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: F811
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.enhance import equalize_u8
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                b0 = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                eq = equalize_u8(b0)
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "checksum": gdal_checksum(eq),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_equalize() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 41)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+hist AS (
+  SELECT image_id, val, count(*) AS c FROM px GROUP BY 1, 2
+),
+hz AS (
+  SELECT image_id, val,
+    CASE WHEN val = 0 OR val = 255 THEN 0 ELSE c END AS c
+  FROM hist
+),
+cum AS (
+  SELECT image_id, val,
+    cast(sum(c) OVER (PARTITION BY image_id ORDER BY val)
+         - c + c // 2 as bigint) AS ch,
+    cast(greatest(sum(c) OVER (PARTITION BY image_id), 1) as bigint)
+      AS total
+  FROM hz
+),
+lut AS (
+  SELECT image_id, val,
+    least(255, greatest(0, cast((ch * 256) // total as bigint))) AS o
+  FROM cum
+)
+SELECT p.image_id,
+  cast(sum(l.o % ({_PRIMES_SQL})[(p.pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px p JOIN lut l ON l.image_id = p.image_id AND l.val = p.val
+GROUP BY p.image_id
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8450,6 +8539,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "misc_raster_roundtrip": q_misc_raster_roundtrip,
         "seq_packing": q_seq_packing,
         "pgdump_roundtrip": q_pgdump_roundtrip,
+        "equalize": q_equalize,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10585,6 +10675,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "misc_raster_roundtrip": _o_misc_raster_roundtrip(),
         "seq_packing": txt_analysis.sql_sequence_packing(),
         "pgdump_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "equalize": _o_equalize(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
