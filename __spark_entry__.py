@@ -4047,6 +4047,105 @@ GROUP BY p.image_id
 """
 
 
+def q_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation chain (crop -> flips -> rot90) with
+    LCG-seeded parameters (raster/augment.py): output-local checksums
+    of the transformed pixel rule match the pure coordinate-mapping
+    oracle."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 43)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("out_w", T2.IntegerType()),
+            T2.StructField("out_h", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.augment import (
+            augment_image,
+            augment_params,
+        )
+        from gdal_spark.raster.checksum import gdal_checksum
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                b0 = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                p = augment_params(int(i), int(w), int(h))
+                out = augment_image(b0, p)
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "out_w": out.shape[1],
+                        "out_h": out.shape[0],
+                        "checksum": gdal_checksum(out),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_augment() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 43)",
+    )
+    a, c, m = 1103515245, 12345, 1 << 31
+    return f"""
+WITH img AS ({img}),
+prm AS (
+  SELECT image_id, i, w, h,
+    w - w // 4 AS cw, h - h // 4 AS ch,
+    ((i * {a} + {c}) % {m}) % 2 AS fh,
+    (((i * {a} + {c}) % {m}) // 2) % 2 AS fv,
+    (((i * {a} + {c}) % {m}) // 4) % 2 AS rot,
+    ((((i * {a} + {c}) % {m}) * {a} + {c}) % {m}) % (w // 4 + 1) AS x0,
+    (((((((i * {a} + {c}) % {m}) * {a} + {c}) % {m}) * {a} + {c}) % {m}))
+      % (h // 4 + 1) AS y0
+  FROM img
+),
+dims AS (
+  SELECT *, CASE WHEN rot = 1 THEN ch ELSE cw END AS ow,
+            CASE WHEN rot = 1 THEN cw ELSE ch END AS oh
+  FROM prm
+),
+opx AS (
+  SELECT d.image_id, d.i, d.ow, d.oh,
+    gv.v * d.ow + gu.u AS pidx,
+    CASE WHEN d.rot = 1 THEN gu.u ELSE gv.v END AS yc,
+    CASE WHEN d.rot = 1 THEN d.cw - 1 - gv.v ELSE gu.u END AS xc,
+    d.fh, d.fv, d.x0, d.y0, d.cw, d.ch
+  FROM dims d
+  JOIN range(0, 512) AS gu(u) ON gu.u < d.ow
+  JOIN range(0, 512) AS gv(v) ON gv.v < d.oh
+),
+vals AS (
+  SELECT image_id, ow, oh, pidx,
+    ((CASE WHEN fh = 1 THEN x0 + cw - 1 - xc ELSE x0 + xc END)
+     + (CASE WHEN fv = 1 THEN y0 + ch - 1 - yc ELSE y0 + yc END)
+     + i) % 256 AS val
+  FROM opx
+)
+SELECT image_id, cast(ow as int) AS out_w, cast(oh as int) AS out_h,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM vals GROUP BY image_id, ow, oh
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8540,6 +8639,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": q_seq_packing,
         "pgdump_roundtrip": q_pgdump_roundtrip,
         "equalize": q_equalize,
+        "augment": q_augment,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10676,6 +10776,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "seq_packing": txt_analysis.sql_sequence_packing(),
         "pgdump_roundtrip": _o_shp_roundtrip(),  # same output contract
         "equalize": _o_equalize(),
+        "augment": _o_augment(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
