@@ -2483,6 +2483,37 @@ def q_pgdump_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_gmt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGR GMT ASCII format (ogr/ogrsf_frmts/gmt/ogrgmtlayer.cpp:
+    @VGMT1.0 header comments, @N/@T field declarations, `>` feature
+    separators, @D attribute rows, @P/@H outer/hole ring blocks)."""
+    from gdal_spark.sources.gmt import read_gmt, write_gmt
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"gmt_{os.path.basename(sf_dir)}") + ".gmt"
+    write_gmt(zones, path)
+    back = read_gmt(spark, path, "fid long, eas_id long, kind string")
+    return _roundtrip_shape(back)
+
+
+def q_jml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JML / OpenJUMP format (ogr/ogrsf_frmts/jml: JCSGMLInputTemplate
+    column bindings + per-feature GML geometry and <property>
+    elements): streamed one-feature-per-line write, distributed
+    namespace-rebound line parse."""
+    from gdal_spark.sources.jml import read_jml, write_jml
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"jml_{os.path.basename(sf_dir)}") + ".jml"
+    write_jml(zones, path)
+    back = read_jml(spark, path, "fid long, eas_id long, kind string")
+    return _roundtrip_shape(back)
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML IO (ogr/ogrsf_frmts/gml FeatureCollection layout,
     ogr2gmlgeometry.cpp GML 2 coordinates/boundaryIs elements):
@@ -8640,6 +8671,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pgdump_roundtrip": q_pgdump_roundtrip,
         "equalize": q_equalize,
         "augment": q_augment,
+        "gmt_roundtrip": q_gmt_roundtrip,
+        "jml_roundtrip": q_jml_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10777,6 +10810,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "pgdump_roundtrip": _o_shp_roundtrip(),  # same output contract
         "equalize": _o_equalize(),
         "augment": _o_augment(),
+        "gmt_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "jml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
