@@ -4177,6 +4177,78 @@ FROM vals GROUP BY image_id, ow, oh
 """
 
 
+def q_hf2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HF2/HFZ heightfield (frmts/hf2/hf2dataset.cpp: bottom-up
+    delta-compressed tiles with per-row 1/2/4-byte word sizes,
+    georef-extents extended-header block; HFZ = gzip): the pixel rule
+    (-128 shift) rides through REAL bytes both raw and gzipped."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 47)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.hf2 import decode_hf2, encode_hf2
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                elev = np_image_pixels(int(i), int(w), int(h))[
+                    :, :, 0
+                ].astype(np.int64) - 128
+                for fmt, gz in (("hf2", False), ("hfz", True)):
+                    out, _m = decode_hf2(encode_hf2(elev, gz=gz))
+                    rows.append(
+                        {
+                            "image_id": img_id, "fmt": fmt,
+                            "checksum": gdal_checksum(out + 128),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_hf2_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 47)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id, f.fmt,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px CROSS JOIN (VALUES ('hf2'), ('hfz')) AS f(fmt)
+GROUP BY image_id, f.fmt
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8673,6 +8745,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "augment": q_augment,
         "gmt_roundtrip": q_gmt_roundtrip,
         "jml_roundtrip": q_jml_roundtrip,
+        "hf2_roundtrip": q_hf2_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10812,6 +10885,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "augment": _o_augment(),
         "gmt_roundtrip": _o_shp_roundtrip(),  # same output contract
         "jml_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "hf2_roundtrip": _o_hf2_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
