@@ -4249,6 +4249,90 @@ GROUP BY image_id, f.fmt
 """
 
 
+def q_terragen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terragen TER (frmts/terragen/terragendataset.cpp: chunked
+    SIZE/XPTS/YPTS/SCAL/ALTW layout, bottom-up int16 rows,
+    SCAL*(base + v*hs/65536) fixed-point physical heights): the
+    pixel rule (-128) rides through REAL TER bytes; raw checksums +
+    the scale/offset metadata contract."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 53)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("offset_q", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.terragen import (
+            decode_terragen,
+            encode_terragen,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                elev = (
+                    np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                    .astype(np.int16) - 128
+                )
+                bh = int(i) % 100
+                out, meta = decode_terragen(
+                    encode_terragen(elev, height_scale=2,
+                                    base_height=bh)
+                )
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "checksum": gdal_checksum(
+                            out.astype(np.int64) + 128
+                        ),
+                        # offset = SCAL * baseHeight = 30 * (i % 100)
+                        "offset_q": int(np.floor(meta["offset"])),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_terragen_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 53)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id, i.i,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(30 * (i % 100) as bigint) AS offset_q
+FROM px GROUP BY image_id, i
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8746,6 +8830,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gmt_roundtrip": q_gmt_roundtrip,
         "jml_roundtrip": q_jml_roundtrip,
         "hf2_roundtrip": q_hf2_roundtrip,
+        "terragen_roundtrip": q_terragen_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10886,6 +10971,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gmt_roundtrip": _o_shp_roundtrip(),  # same output contract
         "jml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "hf2_roundtrip": _o_hf2_roundtrip(),
+        "terragen_roundtrip": _o_terragen_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
