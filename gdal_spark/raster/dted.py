@@ -17,6 +17,12 @@ Semantics re-derived from the reference driver
   (DTEDWriteProfile, dted_api.c:745-800);
 - decode mirrors DTEDReadProfileEx (dted_api.c:624-705) including
   the improperly-two's-complemented fallback for values < -16000.
+
+Reference-faithful asymmetry: the fallback makes sign-magnitude
+values in (-32767, -16000) unrepresentable — the reference's own
+writer+reader pair corrupts them identically (real-world elevations
+never reach that range; the heuristic exists for buggy files that
+wrote two's complement).
 """
 
 from __future__ import annotations
