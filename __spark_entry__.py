@@ -4333,6 +4333,108 @@ FROM px GROUP BY image_id, i
 """
 
 
+def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERS (frmts/ers: nested DatasetHeader text + BIL raw) and
+    ILWIS (frmts/ilwis: ODF ini + .mp# raw): the pixel rule rides
+    through REAL (header, raw) pairs in four variants."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 59)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.hdrpairs import (
+            decode_ers,
+            decode_ilwis,
+            encode_ers,
+            encode_ilwis,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                b0 = arr[:, :, 0]
+                outs = {}
+                outs["ers_u8"] = decode_ers(*encode_ers(arr))[0]
+                i16 = b0.astype(np.int16) - 128
+                outs["ers_i16"] = (
+                    decode_ers(*encode_ers(i16))[0].astype(np.int64)
+                    + 128
+                )
+                outs["ilwis_byte"] = decode_ilwis(*encode_ilwis(b0))[
+                    0
+                ][:, :, None]
+                outs["ilwis_int"] = (
+                    decode_ilwis(
+                        *encode_ilwis(b0.astype(np.int32) - 128)
+                    )[0].astype(np.int64) + 128
+                )[:, :, None]
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_hdr_raster_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 59)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('ers_u8', 3), ('ers_i16', 1),
+                        ('ilwis_byte', 1), ('ilwis_int', 1))
+    AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8831,6 +8933,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jml_roundtrip": q_jml_roundtrip,
         "hf2_roundtrip": q_hf2_roundtrip,
         "terragen_roundtrip": q_terragen_roundtrip,
+        "hdr_raster_roundtrip": q_hdr_raster_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -10972,6 +11075,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "jml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "hf2_roundtrip": _o_hf2_roundtrip(),
         "terragen_roundtrip": _o_terragen_roundtrip(),
+        "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
