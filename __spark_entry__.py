@@ -8624,6 +8624,18 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 13 != 0)
+    sharing any 8-gram with the held-out slice (doc_id % 13 == 0) —
+    broadcast semi-join of the distinct test shingle set against the
+    train shingle stream."""
+    docs = _read(spark, sf_dir, "documents")
+    return txt_dedup.decontaminate(
+        docs.where(F.col("doc_id") % 13 != 0),
+        docs.where(F.col("doc_id") % 13 == 0),
+    )
+
+
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup (span level): maximal token spans whose
     every 8-word shingle repeats in the corpus — the relational
@@ -8934,6 +8946,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hf2_roundtrip": q_hf2_roundtrip,
         "terragen_roundtrip": q_terragen_roundtrip,
         "hdr_raster_roundtrip": q_hdr_raster_roundtrip,
+        "decontaminate": q_decontaminate,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -11076,6 +11089,10 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "hf2_roundtrip": _o_hf2_roundtrip(),
         "terragen_roundtrip": _o_terragen_roundtrip(),
         "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),
+        "decontaminate": txt_dedup.sql_decontaminate(
+            "(SELECT * FROM documents WHERE doc_id % 13 != 0)",
+            "(SELECT * FROM documents WHERE doc_id % 13 = 0)",
+        ),
         "tile_tree_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "vrt_roundtrip": _o_vrt_roundtrip(),
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),

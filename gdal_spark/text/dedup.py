@@ -552,3 +552,85 @@ SELECT doc_id, cast(min(pos) as bigint) AS start_tok,
        cast(count(*) as bigint) AS n_shingles
 FROM isl GROUP BY doc_id, grp
 """
+
+
+def decontaminate(train: DataFrame, test: DataFrame, n: int = SPAN_N,
+                  text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    ANY length-n word shingle with a held-out test set (the standard
+    n-gram-overlap leakage check run before LLM pretraining).
+
+    Scale shape: test-set shingles are a DISTINCT int64 set that is
+    tiny next to the corpus -> broadcast-friendly LEFT SEMI join from
+    the train shingle stream; one groupBy(doc_id) counts contaminated
+    shingles.  No corpus-sized state anywhere.
+
+    Returns (doc_id, n_contaminated, n_shingles, contaminated)."""
+    def shingles(df):
+        return (
+            df.withColumn("toks", F.split(F.col(text_col), " "))
+            .withColumn("hs", F.expr(H.spark_token_hashes("toks")))
+            .withColumn("shs", F.expr(H.spark_shingle_hashes("hs", n)))
+        )
+
+    test_sh = (
+        shingles(test)
+        .select(F.explode("shs").alias("sh"))
+        .distinct()
+    )
+    tr = shingles(train).select(
+        "doc_id", F.size("shs").alias("n_shingles"),
+        F.posexplode("shs").alias("pos", "sh"),
+    )
+    hits = (
+        tr.join(F.broadcast(test_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    base = shingles(train).select(
+        "doc_id", F.size("shs").cast("long").alias("n_shingles")
+    )
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_contaminated", F.lit(0)).cast("long")
+          .alias("n_contaminated"),
+        "n_shingles",
+        (F.coalesce("n_contaminated", F.lit(0)) > 0).cast("int")
+          .alias("contaminated"),
+    )
+
+
+def sql_decontaminate(train_src: str, test_src: str,
+                      n: int = SPAN_N) -> str:
+    """DuckDB twin of decontaminate (test_src is a full SELECT)."""
+    def sh_cte(alias, src):
+        return f"""
+{alias}_t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+{alias}_h AS (SELECT doc_id, {H.duck_token_hashes('toks')} AS hs
+              FROM {alias}_t),
+{alias}_s AS (SELECT doc_id, {H.duck_shingle_hashes('hs', n)} AS shs
+              FROM {alias}_h)"""
+
+    return f"""
+WITH {sh_cte('tr', train_src)},
+{sh_cte('te', test_src)},
+tes AS (
+  SELECT DISTINCT s.shs[r.i + 1] AS sh
+  FROM te_s s JOIN range(0, 4096) r(i) ON r.i < len(s.shs)
+),
+occ AS (
+  SELECT s.doc_id, s.shs[r.i + 1] AS sh
+  FROM tr_s s JOIN range(0, 4096) r(i) ON r.i < len(s.shs)
+),
+hits AS (
+  SELECT o.doc_id, count(*) AS n_contaminated
+  FROM occ o JOIN tes t ON o.sh = t.sh
+  GROUP BY o.doc_id
+)
+SELECT b.doc_id,
+  cast(coalesce(h.n_contaminated, 0) as bigint) AS n_contaminated,
+  cast(len(b.shs) as bigint) AS n_shingles,
+  cast(CASE WHEN coalesce(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END
+       as int) AS contaminated
+FROM tr_s b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""

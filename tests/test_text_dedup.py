@@ -308,3 +308,26 @@ def test_sequence_packing_layout(spark):
     assert (out[2]["seq_idx"], out[2]["seq_offset"]) == (1, 88)
     # src1 restarts at zero
     assert (out[3]["seq_idx"], out[3]["seq_offset"]) == (0, 0)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    shared = "alpha beta gamma"
+    train = spark.createDataFrame(
+        [
+            (0, "clean doc nothing shared here at all"),
+            (1, f"leaky prefix {shared} leaky suffix words"),
+            (2, "x y z " + shared + " " + shared + " tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [(100, f"benchmark question {shared} answer")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.decontaminate(train, test, n=3).collect()}
+    assert out[0]["contaminated"] == 0 and out[0]["n_contaminated"] == 0
+    assert out[1]["contaminated"] == 1 and out[1]["n_contaminated"] == 1
+    # doc 2 contains the shared trigram twice
+    assert out[2]["n_contaminated"] == 2
+    assert out[0]["n_shingles"] == 5
