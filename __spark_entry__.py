@@ -8918,11 +8918,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the external driver's correctness artifact covers
-    # a PREFIX of this dict (~50 rows). Round-4 rotation: queries NEW
-    # this round lead (never driver-verified), then the 6 queries that
-    # were only ever judge-verified (VERDICT r3 ask #6), then the
-    # round-3 block (driver-green in r03), then older rows.
+    # a PREFIX of this dict (~50 rows). Round-4 rotation: the 6
+    # queries that were only ever judge-verified lead (VERDICT r3 ask
+    # #6 — two rounds without a driver row), then queries NEW this
+    # round (never driver-verified, newest sweep first), then the
+    # round-3 block (driver-green in r03), then older rows.  The
+    # round-4 sweeps added more new queries than one ~50-row artifact
+    # can cover; the remainder rotates forward in round 5.
     return {
+        # -- judge-green in r3 but never driver-verified (ask #6)
+        "tile_render_sortfield": q_tile_render_sortfield,
+        "translate_outsize": q_translate_outsize,
+        "token_bpe": q_token_bpe,
+        "ogr_special_fields": q_ogr_special_fields,
+        "overview_gauss": q_overview_gauss,
+        "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
         "grib_roundtrip": q_grib_roundtrip,
         "vrt_lut": q_vrt_lut,
@@ -8989,13 +8999,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoloc_transform": q_geoloc_transform,
         "gnm_k_shortest": q_gnm_k_shortest,
         "curve_fit_back": q_curve_fit_back,
-        # -- judge-green but never driver-verified (VERDICT r3 ask #6)
-        "tile_render_sortfield": q_tile_render_sortfield,
-        "translate_outsize": q_translate_outsize,
-        "token_bpe": q_token_bpe,
-        "ogr_special_fields": q_ogr_special_fields,
-        "overview_gauss": q_overview_gauss,
-        "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 3 (20): coincident-boundary overlay,
         #    constructives, line predicates, contour polygons, datum
         #    pipelines, new vector formats
