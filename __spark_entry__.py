@@ -4435,6 +4435,91 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_bsb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSB/KAP nautical charts (frmts/bsb/bsb_read.c: ASCII header +
+    0x1A terminator, RGB/ palette lines, base-128 line numbers, RLE
+    packets with continuation-bit counts): palette indices derived
+    from the pixel rule (1 + v % 127, 7-bit color size) ride through
+    REAL .kap bytes with TRUE runs; checksums over both the decoded
+    indices and the palette-expanded red channel."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 61)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("idx_checksum", T2.IntegerType()),
+            T2.StructField("red_checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.bsb import decode_bsb, encode_bsb
+        from gdal_spark.raster.checksum import gdal_checksum
+
+        pal = [((3 * i) % 256, (5 * i) % 256, (7 * i) % 256)
+               for i in range(1, 128)]
+        red = np.zeros(128, dtype=np.int64)
+        for i, (r, _g, _b) in enumerate(pal, start=1):
+            red[i] = r
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                v = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                idx = (1 + (v.astype(np.int64) % 127)).astype(np.uint8)
+                out, pback, _m = decode_bsb(encode_bsb(idx, pal))
+                assert pback == pal
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "idx_checksum": gdal_checksum(
+                            out.astype(np.int64)
+                        ),
+                        "red_checksum": gdal_checksum(
+                            red[out.astype(np.int64)]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_bsb_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 61)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    1 + ((gx.x + gy.y + i.i) % 256) % 127 AS idx,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id,
+  cast(sum(idx % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS idx_checksum,
+  cast(sum(((3 * idx) % 256) % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536
+    as int) AS red_checksum
+FROM px GROUP BY image_id
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -8957,6 +9042,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terragen_roundtrip": q_terragen_roundtrip,
         "hdr_raster_roundtrip": q_hdr_raster_roundtrip,
         "decontaminate": q_decontaminate,
+        "bsb_roundtrip": q_bsb_roundtrip,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -11092,6 +11178,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "hf2_roundtrip": _o_hf2_roundtrip(),
         "terragen_roundtrip": _o_terragen_roundtrip(),
         "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),
+        "bsb_roundtrip": _o_bsb_roundtrip(),
         "decontaminate": txt_dedup.sql_decontaminate(
             "(SELECT * FROM documents WHERE doc_id % 13 != 0)",
             "(SELECT * FROM documents WHERE doc_id % 13 = 0)",
