@@ -4520,6 +4520,78 @@ FROM px GROUP BY image_id
 """
 
 
+def q_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve (alg/gdalsievefilter.cpp semantics via
+    raster/components.sieve_filter): per customer id a 48x64 grid
+    carries 12 square islands of side 1 + (i+j) % 4 on a zero
+    background (separation >= 8, so every island's only neighbour is
+    the background); threshold 9 removes areas < 9 — exactly the
+    side-1 and side-2 islands.  Checksum of the REAL sieved output
+    vs the closed-form survivor set."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("i")
+    ).where(F.col("c_custkey") % 7 == 3)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.components import sieve_filter
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["i"]:
+                i = int(i)
+                grid = np.zeros((48, 64), dtype=np.int64)
+                for j in range(12):
+                    s = 1 + (i + j) % 4
+                    r0 = 2 + (j // 4) * 12
+                    c0 = 2 + (j % 4) * 16
+                    grid[r0:r0 + s, c0:c0 + s] = 1 + (j % 5) * 17
+                out = sieve_filter(grid, threshold=9, connectivity=4)
+                rows.append({"i": i, "checksum": gdal_checksum(out)})
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return cust.mapInPandas(run, schema)
+
+
+def _o_sieve() -> str:
+    return f"""
+WITH c AS (
+  SELECT cast(c_custkey as bigint) AS i FROM customer
+  WHERE c_custkey % 7 = 3
+),
+isl AS (
+  SELECT c.i, j.j, 1 + (c.i + j.j) % 4 AS s,
+    2 + (j.j // 4) * 12 AS r0, 2 + (j.j % 4) * 16 AS c0,
+    1 + (j.j % 5) * 17 AS v
+  FROM c JOIN range(0, 12) AS j(j) ON true
+),
+px AS (
+  SELECT i.i, i.v,
+    (i.r0 + dr.dr) * 64 + (i.c0 + dc.dc) AS pidx
+  FROM isl i
+  JOIN range(0, 4) AS dr(dr) ON dr.dr < i.s
+  JOIN range(0, 4) AS dc(dc) ON dc.dc < i.s
+  WHERE i.s * i.s >= 9
+)
+SELECT c.i,
+  cast(coalesce(sum(p.v % ({_PRIMES_SQL})[(p.pidx % 11) + 1]), 0)
+       % 65536 as int) AS checksum
+FROM c LEFT JOIN px p ON p.i = c.i
+GROUP BY c.i
+"""
+
+
 def q_pansharpen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-Brovey pansharpen (alg/gdalpansharpen.cpp): decoded
     lossless payloads x synthetic pan band; exact integer rational
@@ -9043,6 +9115,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_raster_roundtrip": q_hdr_raster_roundtrip,
         "decontaminate": q_decontaminate,
         "bsb_roundtrip": q_bsb_roundtrip,
+        "sieve": q_sieve,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -11179,6 +11252,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "terragen_roundtrip": _o_terragen_roundtrip(),
         "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),
         "bsb_roundtrip": _o_bsb_roundtrip(),
+        "sieve": _o_sieve(),
         "decontaminate": txt_dedup.sql_decontaminate(
             "(SELECT * FROM documents WHERE doc_id % 13 != 0)",
             "(SELECT * FROM documents WHERE doc_id % 13 = 0)",
