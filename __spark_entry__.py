@@ -8781,6 +8781,13 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50: token totals + document frequency,
+    deterministic (count DESC, token ASC) ranking — one explode +
+    one token-key groupBy with map-side partials."""
+    return txt_analysis.vocab_topk(_read(spark, sf_dir, "documents"))
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_id % 13 != 0)
     sharing any 8-gram with the held-out slice (doc_id % 13 == 0) —
@@ -9116,6 +9123,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "bsb_roundtrip": q_bsb_roundtrip,
         "sieve": q_sieve,
+        "vocab_topk": q_vocab_topk,
         "gpx_roundtrip": q_gpx_roundtrip,
         "gpx_track_points": q_gpx_track_points,
         "gif_roundtrip": q_gif_roundtrip,
@@ -11253,6 +11261,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),
         "bsb_roundtrip": _o_bsb_roundtrip(),
         "sieve": _o_sieve(),
+        "vocab_topk": txt_analysis.sql_vocab_topk(),
         "decontaminate": txt_dedup.sql_decontaminate(
             "(SELECT * FROM documents WHERE doc_id % 13 != 0)",
             "(SELECT * FROM documents WHERE doc_id % 13 = 0)",

@@ -310,3 +310,43 @@ SELECT doc_id, source, n_tokens,
     AS n_boundary_crossings
 FROM c
 """
+
+
+def vocab_topk(df: DataFrame, k: int = 50,
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary statistics: the top-k tokens by total count
+    with document frequency — the tokenizer-training / data-mixing
+    staple.  One explode + one groupBy(token) with map-side partials;
+    deterministic (count DESC, token ASC) ordering."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    agg = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_total").desc(), F.col("tok").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("rank", "tok", "n_total", "n_docs")
+    )
+
+
+def sql_vocab_topk(src: str = "documents", k: int = 50) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src}
+),
+agg AS (
+  SELECT tok, cast(count(*) as bigint) AS n_total,
+         cast(count(DISTINCT doc_id) as bigint) AS n_docs
+  FROM tok GROUP BY tok
+)
+SELECT cast(row_number() OVER (ORDER BY n_total DESC, tok ASC) as int)
+         AS rank,
+       tok, n_total, n_docs
+FROM agg ORDER BY n_total DESC, tok ASC LIMIT {k}
+"""

@@ -331,3 +331,14 @@ def test_decontaminate_flags_shared_ngrams(spark):
     # doc 2 contains the shared trigram twice
     assert out[2]["n_contaminated"] == 2
     assert out[0]["n_shingles"] == 5
+
+
+def test_vocab_topk_ordering(spark):
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "b a zz")], ["doc_id", "text"]
+    )
+    rows = analysis.vocab_topk(df, k=3).collect()
+    assert [(r["rank"], r["tok"], r["n_total"], r["n_docs"])
+            for r in rows] == [
+        (1, "a", 4, 2), (2, "b", 3, 2), (3, "c", 1, 1),
+    ]
