@@ -36,8 +36,12 @@ def test_error_bounded_and_cheaper():
     assert np.median(np.abs(X - EX)) <= 0.125
     # and far fewer exact evaluations than pixels
     assert stats.exact_points < W / 4, stats.exact_points
-    # exact values land at the probes (endpoints at least)
-    assert X[0] == EX[0] and X[-1] == EX[-1]
+    # exact values land at the probes (endpoints at least).  NOT a
+    # bitwise check: apply_tps reduces via BLAS, whose summation
+    # blocking depends on batch shape (2-point probe vs 2048-point
+    # reference) and thread weather — last-ulp differences are
+    # expected between batchings of the same exact transform.
+    assert abs(X[0] - EX[0]) < 1e-6 and abs(X[-1] - EX[-1]) < 1e-6
 
 
 def test_tight_threshold_degrades_to_exact():
