@@ -8622,6 +8622,94 @@ FROM cells GROUP BY j, f, w, h
 _PRIMES_SQL_V = "[7,11,13,17,19,23,29,31,37,41,43]"
 
 
+MJPEG_MOD = 11
+
+
+def q_video_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG AVI path: wrap-free gradient frames
+    value(x,y,c,f) = 2x + 3y + 4f + 30c + (j % 29)  (< 256 everywhere,
+    so the pattern is JPEG-smooth) serialize as RIFF/AVI with MJPG
+    biCompression — one baseline JPEG per '00dc' chunk
+    (raster/avi.py + raster/jpeg.py) — decode back, and verify the
+    BASELINE.json lossy parity rule per frame: exact frame inventory
+    (dims, count) plus psnr_ok = (PSNR >= 40 dB).  JPEG is lossy, so
+    pixel values are not SQL-mirrorable (fixture rule); the invariant
+    the oracle pins is the inventory + the PSNR criterion, same as the
+    still-JPEG tests.  Videos j = s_suppkey % MJPEG_MOD == 0;
+    w = 16 + (j%3)*8, h = 12 + (j%4)*4, n_frames = 4 + j%5."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.avi import decode_avi, encode_avi
+
+    ids = _zone_ids(spark, sf_dir).where(F.col("fid") % MJPEG_MOD == 0)
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("j", T2.LongType()),
+            T2.StructField("frame_idx", T2.IntegerType()),
+            T2.StructField("w", T2.IntegerType()),
+            T2.StructField("h", T2.IntegerType()),
+            T2.StructField("psnr_ok", T2.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for j in pdf["fid"]:
+                j = int(j)
+                w = 16 + (j % 3) * 8
+                h = 12 + (j % 4) * 4
+                nf = 4 + j % 5
+                f, y, x, c = np.meshgrid(
+                    np.arange(nf), np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                src = (2 * x + 3 * y + 4 * f + 30 * c + (j % 29)).astype(
+                    np.uint8
+                )
+                dec, _fps = decode_avi(
+                    encode_avi(src, fps=25, codec="MJPG", quality=90)
+                )
+                for fi in range(nf):
+                    err = (
+                        dec[fi].astype(np.float64) - src[fi]
+                    ) ** 2
+                    mse = max(float(err.mean()), 1e-12)
+                    psnr = 10.0 * np.log10(255.0**2 / mse)
+                    recs.append(
+                        {
+                            "j": j,
+                            "frame_idx": fi,
+                            "w": int(dec.shape[2]),
+                            "h": int(dec.shape[1]),
+                            "psnr_ok": bool(psnr >= 40.0),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["j", "frame_idx", "w", "h", "psnr_ok"]
+            )
+
+    return ids.mapInPandas(run, out_schema)
+
+
+def _o_video_mjpeg() -> str:
+    return f"""
+WITH vids AS (
+  SELECT cast(s_suppkey as bigint) AS j,
+         16 + (cast(s_suppkey as bigint) % 3) * 8 AS w,
+         12 + (cast(s_suppkey as bigint) % 4) * 4 AS h,
+         4 + cast(s_suppkey as bigint) % 5 AS nf
+  FROM supplier WHERE s_suppkey % {MJPEG_MOD} = 0)
+SELECT v.j, cast(gf.f as int) AS frame_idx, cast(v.w as int) AS w,
+       cast(v.h as int) AS h, true AS psnr_ok
+FROM vids v, range(0, 8) gf(f)
+WHERE gf.f < v.nf
+"""
+
+
 AUDIO_MOD = 29
 
 
@@ -9179,6 +9267,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_latest": q_stac_latest,
         "ntv2_shift": q_ntv2_shift,
         "video_frame_stats": q_video_frame_stats,
+        "video_mjpeg": q_video_mjpeg,
         "ascii_grid_roundtrip": q_ascii_grid_roundtrip,
         "hex_cell": q_hex_cell,
         "hex_cell_counts": q_hex_cell_counts,
@@ -10966,6 +11055,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ntv2_shift": _o_ntv2_shift(),
         "video_frame_stats": _o_video_frame_stats(),
+        "video_mjpeg": _o_video_mjpeg(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "hex_cell": _o_hex_cell(HEX_RES, counts=False),
         "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),

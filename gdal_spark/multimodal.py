@@ -314,11 +314,12 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 def sample_video_frames(videos: DataFrame, every_n: int = 10,
                         id_col: str = "video_id", payload_col: str = "bytes") -> DataFrame:
     """Frame sampling with REAL decode for RIFF/AVI payloads
-    (raster/avi.py, uncompressed 24-bit DIB — frame_bytes is the raw
-    top-down RGB24 plane) and the fixed-64-byte stub as the documented
-    fallback for codec-bearing formats this container cannot decode.
-    Shape either way: 1 input row -> many frame rows, still a narrow
-    map (no shuffle)."""
+    (raster/avi.py: uncompressed 24-bit DIB and Motion-JPEG via the
+    in-repo baseline JPEG codec — frame_bytes is the decoded top-down
+    RGB24 plane) and the fixed-64-byte stub as the documented fallback
+    for codec-bearing formats this container cannot decode (MP4/H.264,
+    Ogg, ...).  Shape either way: 1 input row -> many frame rows,
+    still a narrow map (no shuffle)."""
     from gdal_spark.raster.avi import decode_avi, is_avi
 
     frame_size = 64

@@ -1,15 +1,22 @@
-"""Uncompressed RIFF/AVI video codec (pure struct/numpy) — a REAL
-video container for the multimodal frame-sampling pipeline, replacing
-the fixed-64-byte stub for payloads that carry RIFF 'AVI ' bytes
-(the stub remains the documented fallback for codec-bearing formats;
-this container ships no ffmpeg/codec stack).
+"""RIFF/AVI video codec (pure struct/numpy) — a REAL video container
+for the multimodal frame-sampling pipeline, replacing the
+fixed-64-byte stub for payloads that carry RIFF 'AVI ' bytes
+(the stub remains the documented fallback for codec-bearing formats
+this container genuinely cannot decode — MP4/H.264, Ogg, ...).
 
-Scope: the canonical uncompressed-DIB AVI — RIFF('AVI ') with
-LIST('hdrl') { 'avih', LIST('strl') { 'strh' vids/DIB, 'strf'
-BITMAPINFOHEADER } }, LIST('movi') of '00db' frames, and an 'idx1'
-index.  Frames are 24-bit BGR, bottom-up rows padded to 4 bytes (the
-classic DIB layout).  Same RIFF chunk-walking discipline as
-raster/wav.py.
+Scope — two codecs, selected by BITMAPINFOHEADER.biCompression:
+
+- BI_RGB (0): uncompressed 24-bit DIB — '00db' frames of bottom-up
+  BGR rows padded to 4 bytes (the classic DIB layout).
+- 'MJPG': Motion-JPEG — '00dc' frames, each a complete baseline
+  JPEG image decoded by the repo's own from-scratch codec
+  (raster/jpeg.py).  Lossy: parity criterion is the BASELINE.json
+  PSNR >= 40 dB rule, same as still JPEG.
+
+Container layout either way: RIFF('AVI ') with LIST('hdrl')
+{ 'avih', LIST('strl') { 'strh' vids, 'strf' BITMAPINFOHEADER } },
+LIST('movi') of frame chunks, and an 'idx1' index.  Same RIFF
+chunk-walking discipline as raster/wav.py.
 
 The multimodal dispatch parallel in the reference is the
 header-identify driver loop (gcore/gdaldataset.cpp:3809-3862): a
@@ -23,6 +30,8 @@ import struct
 import numpy as np
 
 __all__ = ["encode_avi", "decode_avi", "is_avi"]
+
+_FOURCC_MJPG = int.from_bytes(b"MJPG", "little")
 
 
 def is_avi(data: bytes) -> bool:
@@ -38,19 +47,36 @@ def _dib(frame: np.ndarray) -> bytes:
     return row.tobytes()
 
 
-def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
-    """frames: (n, h, w, 3) uint8 RGB -> RIFF/AVI bytes."""
+def encode_avi(frames: np.ndarray, fps: int = 25, codec: str = "DIB",
+               quality: int = 90) -> bytes:
+    """frames: (n, h, w, 3) uint8 RGB -> RIFF/AVI bytes.
+
+    codec="DIB" writes uncompressed bottom-up BGR '00db' frames;
+    codec="MJPG" writes one baseline JPEG per frame ('00dc' chunks,
+    raster/jpeg.py at the given quality)."""
     frames = np.asarray(frames, dtype=np.uint8)
     n, h, w, _ = frames.shape
     stride = (w * 3 + 3) & ~3
-    size_image = stride * h
+
+    if codec == "MJPG":
+        from gdal_spark.raster.jpeg import encode_jpeg
+
+        payloads = [encode_jpeg(frames[k], quality) for k in range(n)]
+        chunk_id, handler, compression = b"00dc", b"MJPG", _FOURCC_MJPG
+        size_image = max(len(p) for p in payloads) if payloads else 0
+    elif codec == "DIB":
+        payloads = [_dib(frames[k]) for k in range(n)]
+        chunk_id, handler, compression = b"00db", b"DIB ", 0
+        size_image = stride * h
+    else:
+        raise ValueError(f"avi codec: unsupported codec {codec!r}")
 
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, size_image, 0, 0, 0, 0
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIi4H",
-        b"vids", b"DIB ", 0, 0, 0, 0,
+        b"vids", handler, 0, 0, 0, 0,
         1, fps, 0, n, size_image, 0, 0,
         0, 0, w, h,
     )
@@ -74,15 +100,16 @@ def encode_avi(frames: np.ndarray, fps: int = 25) -> bytes:
         + strl
     )
     movi = bytearray(b"LIST" + b"\x00" * 4 + b"movi")
-    offsets = []
-    for k in range(n):
-        payload = _dib(frames[k])
-        offsets.append(len(movi) - 8)  # offset from 'movi' fourcc
-        movi += b"00db" + struct.pack("<I", len(payload)) + payload
+    entries = []
+    for payload in payloads:
+        entries.append((len(movi) - 8, len(payload)))  # offset from 'movi'
+        movi += chunk_id + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            movi += b"\x00"  # RIFF chunks are word-aligned
     struct.pack_into("<I", movi, 4, len(movi) - 8)
     idx1 = bytearray(b"idx1" + struct.pack("<I", 16 * n))
-    for off in offsets:
-        idx1 += struct.pack("<4sIII", b"00db", 0x10, off, size_image)
+    for off, sz in entries:
+        idx1 += struct.pack("<4sIII", chunk_id, 0x10, off, sz)
     body = b"AVI " + hdrl + bytes(movi) + bytes(idx1)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -92,13 +119,13 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     tolerates extra chunks ('JUNK', vedit lists, ...)."""
     if not is_avi(data):
         raise ValueError("not a RIFF/AVI payload")
-    w = h = bits = None
+    w = h = bits = compression = None
     scale, rate = 1, 25
     frames: list[bytes] = []
     last_strh = None  # fccType of the most recent strh seen
 
     def walk(off: int, end: int) -> None:
-        nonlocal w, h, bits, scale, rate, last_strh
+        nonlocal w, h, bits, compression, scale, rate, last_strh
         while off + 8 <= end:
             cid, sz = struct.unpack_from("<4sI", data, off)
             off += 8
@@ -117,8 +144,8 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
                 # only the strf that FOLLOWS the vids strh is a
                 # BITMAPINFOHEADER — an audio strl's strf is a
                 # WAVEFORMATEX and must not bind w/h/bits
-                _bsz, w, h, _planes, bits = struct.unpack_from(
-                    "<IiiHH", data, off
+                _bsz, w, h, _planes, bits, compression = struct.unpack_from(
+                    "<IiiHHI", data, off
                 )
             elif cid in (b"00db", b"00dc"):
                 frames.append(data[off : off + sz])
@@ -127,6 +154,24 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, int]:
     walk(12, len(data))
     if w is None or not frames:
         raise ValueError("missing strf/frame chunks")
+
+    if compression == _FOURCC_MJPG:
+        from gdal_spark.raster.jpeg import decode_jpeg
+
+        out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+        for k, payload in enumerate(frames):
+            img = decode_jpeg(bytes(payload))
+            if img.shape != (h, w, 3):
+                raise ValueError(
+                    f"mjpeg frame {k}: {img.shape} != strf ({h}, {w}, 3)"
+                )
+            out[k] = img
+        return out, int(round(rate / max(1, scale)))
+
+    if compression != 0:
+        fourcc = struct.pack("<I", compression)
+        raise ValueError(f"unsupported biCompression {fourcc!r} "
+                         "(BI_RGB and MJPG only)")
     if bits != 24:
         raise ValueError(f"unsupported biBitCount={bits} (24-bit DIB only)")
     stride = (w * 3 + 3) & ~3

@@ -82,6 +82,74 @@ def test_video_frame_stats_golden(spark):
         assert r["px_sum"] == int(src[fi].sum(dtype=np.int64))
 
 
+def _psnr(a, b):
+    err = (a.astype(np.float64) - b.astype(np.float64)) ** 2
+    return 10.0 * np.log10(255.0**2 / err.mean())
+
+
+def test_mjpeg_roundtrip_psnr():
+    """MJPG codec: each '00dc' chunk is a complete baseline JPEG;
+    decode meets the BASELINE.json lossy parity rule (PSNR >= 40)."""
+    src = _frames(n=4, h=33, w=29)  # non-multiple-of-8 dims
+    buf = encode_avi(src, fps=12, codec="MJPG", quality=90)
+    assert is_avi(buf)
+    assert b"00dc" in buf and b"MJPG" in buf and b"00db" not in buf
+    out, fps = decode_avi(buf)
+    assert fps == 12 and out.shape == src.shape
+    assert _psnr(src, out) >= 40.0
+
+
+def test_mjpeg_chunks_are_standalone_jpegs():
+    from gdal_spark.raster.jpeg import decode_jpeg
+
+    src = _frames(n=2, h=16, w=16)
+    buf = encode_avi(src, codec="MJPG")
+    off = buf.index(b"00dc")
+    sz = struct.unpack_from("<I", buf, off + 4)[0]
+    payload = buf[off + 8 : off + 8 + sz]
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    img = decode_jpeg(bytes(payload))
+    assert img.shape == (16, 16, 3)
+    assert _psnr(src[0], img) >= 40.0
+
+
+def test_mjpeg_odd_payload_word_alignment():
+    """RIFF chunks are word-aligned; odd-length JPEG payloads must not
+    derail the chunk walk (scan many frames so some payload is odd)."""
+    src = _frames(n=8, h=9, w=11)
+    buf = encode_avi(src, codec="MJPG", quality=35)
+    out, _ = decode_avi(buf)
+    assert out.shape == src.shape
+
+
+def test_unknown_compression_raises():
+    src = _frames(n=1, h=8, w=8)
+    buf = bytearray(encode_avi(src))
+    strf = buf.index(b"strf")
+    struct.pack_into("<4s", buf, strf + 8 + 16, b"H264")  # biCompression
+    try:
+        decode_avi(bytes(buf))
+    except ValueError as e:
+        assert "H264" in str(e)
+    else:
+        raise AssertionError("expected ValueError for H264 compression")
+
+
+def test_sampler_mjpeg_path(spark):
+    src = _frames(n=6, h=8, w=8)
+    videos = spark.createDataFrame(
+        [("m0", bytearray(encode_avi(src, codec="MJPG")))],
+        ["video_id", "bytes"],
+    )
+    rows = multimodal.sample_video_frames(videos, every_n=3).collect()
+    got = {r["frame_idx"]: np.frombuffer(
+        bytes(r["frame_bytes"]), dtype=np.uint8).reshape(8, 8, 3)
+        for r in rows}
+    assert set(got) == {0, 3}
+    for fi, img in got.items():
+        assert _psnr(src[fi], img) >= 40.0
+
+
 def test_audio_strh_does_not_clobber_video_rate():
     """A second (non-video) stream header after the video strh must
     not reset the decoded frame rate."""
