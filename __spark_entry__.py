@@ -3434,13 +3434,14 @@ FROM px GROUP BY image_id, fmt, band
 
 
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GRIB2 simple packing (frmts/grib/gribcreatecopy.cpp: one
-    message per band, template 3.0 lat/lon grid + template 5.0
-    simple packing, sign-magnitude ints, bottom-to-top scanning):
-    the pixel rule rides through REAL GRIB2 bytes three ways —
-    3-band uint8, offset-negative int (exercises signed reference
-    values), and decimal-scale tenths — and the decoded per-band
-    checksums match one closed form."""
+    """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
+    layout; g2clib compack/comunpack + enc_png/dec_png semantics):
+    the pixel rule rides through REAL GRIB2 bytes six ways — simple
+    packing (5.0) as 3-band uint8 / offset-negative int / decimal
+    tenths, complex packing (5.2, 3-band), complex packing with
+    order-2 spatial differencing (5.3), and 16-bit PNG packing (5.41,
+    values scaled by 257 to force depth 16) — and the decoded
+    per-band checksums all match one closed form."""
     import pandas as pd
     from pyspark.sql import types as T2
 
@@ -3480,6 +3481,16 @@ def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs["grib_ds1"] = np.floor(ds * 10.0 + 0.5).astype(
                     np.int64
                 )
+                outs["grib_cpx"] = decode_grib2(
+                    encode_grib2(arr, packing="complex")
+                )[0]
+                outs["grib_sd2"] = decode_grib2(
+                    encode_grib2(b0 - 50, packing="complex_diff",
+                                 diff_order=2)
+                )[0] + 50
+                p16 = decode_grib2(encode_grib2(b0 * 257,
+                                                packing="png"))[0]
+                outs["grib_png16"] = p16 // 257
                 for fmt, out in outs.items():
                     for b in range(out.shape[2]):
                         rows.append(
@@ -3504,7 +3515,9 @@ def _o_grib_roundtrip() -> str:
 WITH img AS ({img}),
 fmts AS (
   SELECT * FROM (VALUES ('grib_u8', 3), ('grib_off', 1),
-                        ('grib_ds1', 1)) AS f(fmt, nb)
+                        ('grib_ds1', 1), ('grib_cpx', 3),
+                        ('grib_sd2', 1), ('grib_png16', 1))
+       AS f(fmt, nb)
 ),
 bands AS (
   SELECT f.fmt, b.band,

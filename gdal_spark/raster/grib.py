@@ -1,4 +1,5 @@
-"""GRIB2 codec — simple packing (data representation template 5.0).
+"""GRIB2 codec — simple (5.0), complex (5.2), complex with spatial
+differencing (5.3), and PNG (5.41) data representation templates.
 
 Semantics re-derived from the reference writer
 (/root/reference/frmts/grib/gribcreatecopy.cpp):
@@ -22,9 +23,21 @@ Semantics re-derived from the reference writer
   contract; R = min of the decimal-scaled values, E chosen so the
   range fits nbits).
 
-This implements the codec-free subset: simple packing only.
-Complex/PNG/JPEG2000 packing raise loudly (no codec stack ships in
-this container).
+Complex packing (templates 5.2/7.2, g2clib compack/comunpack.c) packs
+the scaled offsets in general-split groups: per-group reference +
+per-group width, group headers each padded to a byte boundary (the
+g2clib convention), then the per-group residual bits contiguously.
+Spatial differencing (5.3/7.3) stores the first `order` original
+values and the overall difference minimum as ww-octet sign-magnitude
+ints, then complex-packs the differences (first `order` slots zeroed,
+the decoder reconstructs by cumulative summation — comunpack.c's
+order-1/order-2 recurrences).  PNG packing (5.41, g2clib
+enc_png/dec_png) stores the scaled offsets as a PNG image via the
+repo's own codec (raster/png.py): depth 8 -> gray, 16 -> 16-bit gray,
+24 -> RGB, 32 -> RGBA, big-endian bytes within a sample.  All
+packings here choose E=0 and R = the scaled minimum, so integer
+inputs roundtrip bit-exactly.  JPEG2000 packing raises loudly (no
+codec stack ships in this container).
 """
 
 from __future__ import annotations
@@ -80,6 +93,215 @@ def _unpack_bits(data: bytes, n: int, nbits: int) -> np.ndarray:
     return (bits.reshape(n, nbits).astype(np.uint64) * powers).sum(
         axis=1
     ).astype(np.int64)
+
+
+_GROUP_LEN = 20  # encoder's general-split group size (last group shorter)
+
+
+def _pack_bits_concat(chunks: list) -> bytes:
+    """Bit-contiguous packing of (vals, nbits) runs — no per-run byte
+    padding (the group-data stream of template 7.2)."""
+    parts = []
+    for vals, nbits in chunks:
+        if nbits == 0 or len(vals) == 0:
+            continue
+        shifts = np.arange(nbits - 1, -1, -1, dtype=np.uint64)
+        bits = ((np.asarray(vals, dtype=np.uint64)[:, None] >> shifts) & 1)
+        parts.append(bits.astype(np.uint8).ravel())
+    if not parts:
+        return b""
+    return np.packbits(np.concatenate(parts)).tobytes()
+
+
+def _complex_groups(offsets: np.ndarray):
+    """Split non-negative scaled offsets into general-split groups.
+
+    -> (grefs, widths, lengths) int64 arrays, one entry per group."""
+    n = offsets.size
+    ng = max(1, -(-n // _GROUP_LEN))
+    grefs = np.empty(ng, dtype=np.int64)
+    widths = np.empty(ng, dtype=np.int64)
+    lengths = np.empty(ng, dtype=np.int64)
+    for g in range(ng):
+        part = offsets[g * _GROUP_LEN:(g + 1) * _GROUP_LEN]
+        lo, hi = int(part.min()), int(part.max())
+        grefs[g] = lo
+        widths[g] = (hi - lo).bit_length() if hi > lo else 0
+        lengths[g] = part.size
+    return grefs, widths, lengths
+
+
+def _encode_complex_body(offsets: np.ndarray):
+    """-> (sect5 tail after octet 21, sect7 payload) for template 5.2
+    given the non-negative scaled offsets (X - R)."""
+    grefs, widths, lengths = _complex_groups(offsets)
+    ng = len(grefs)
+    nbits_gref = int(grefs.max()).bit_length() if grefs.max() > 0 else 0
+    ref_w = int(widths.min())
+    span_w = int(widths.max()) - ref_w
+    nbits_gw = span_w.bit_length() if span_w > 0 else 0
+    ref_len = _GROUP_LEN
+    # scaled lengths are all zero (every group is _GROUP_LEN long except
+    # the last, whose true length has its own field) -> 0 bits
+    nbits_gl = 0
+    last_len = int(lengths[-1])
+
+    tail = b"".join(
+        [
+            _u(1, 1),            # group splitting method: general
+            _u(0, 1),            # missing value management: none
+            _u(_MISS4, 4),       # primary missing value substitute
+            _u(_MISS4, 4),       # secondary missing value substitute
+            _u(ng, 4),
+            _u(ref_w, 1),
+            _u(nbits_gw, 1),
+            _u(ref_len, 4),
+            _u(1, 1),            # length increment
+            _u(last_len, 4),     # true length of last group
+            _u(nbits_gl, 1),
+        ]
+    )
+    # group headers: each array padded to a byte boundary (g2clib
+    # comunpack.c advances iofst to the next byte after each array)
+    payload = (
+        _pack_bits(grefs.astype(np.uint64), nbits_gref)
+        + _pack_bits((widths - ref_w).astype(np.uint64), nbits_gw)
+        # scaled group lengths: 0 bits -> nothing
+    )
+    chunks = []
+    pos = 0
+    for g in range(ng):
+        ln, wd = int(lengths[g]), int(widths[g])
+        chunks.append(((offsets[pos:pos + ln] - grefs[g]), wd))
+        pos += ln
+    payload += _pack_bits_concat(chunks)
+    return nbits_gref, tail, payload
+
+
+def _decode_complex_body(body: bytes, packed: bytes, n: int) -> np.ndarray:
+    """Inverse of _encode_complex_body: section-5 body (template 5.2
+    or 5.3 — shared octets) + section-7 group stream -> offsets."""
+    # octet layout (1-based GRIB octets -> 0-based body indices):
+    # 20 nbits_gref, 32-35 NG, 36 ref group width, 37 nbits widths,
+    # 38-41 ref group length, 42 length increment, 43-46 true last
+    # length, 47 nbits scaled lengths
+    nbits_gref = body[19]
+    ng = int.from_bytes(body[31:35], "big")
+    ref_w = body[35]
+    nbits_gw = body[36]
+    ref_len = int.from_bytes(body[37:41], "big")
+    len_inc = body[41]
+    last_len = int.from_bytes(body[42:46], "big")
+    nbits_gl = body[46]
+
+    pos = 0
+    nb = (ng * nbits_gref + 7) // 8
+    grefs = _unpack_bits(packed[pos:pos + nb], ng, nbits_gref)
+    pos += nb
+    nb = (ng * nbits_gw + 7) // 8
+    widths = _unpack_bits(packed[pos:pos + nb], ng, nbits_gw) + ref_w
+    pos += nb
+    nb = (ng * nbits_gl + 7) // 8
+    lengths = _unpack_bits(packed[pos:pos + nb], ng, nbits_gl)
+    lengths = lengths * len_inc + ref_len
+    pos += nb
+    lengths[-1] = last_len
+
+    bits = np.unpackbits(np.frombuffer(packed[pos:], dtype=np.uint8))
+    out = np.empty(n, dtype=np.int64)
+    cursor = 0
+    opos = 0
+    for g in range(ng):
+        ln, wd = int(lengths[g]), int(widths[g])
+        if wd == 0:
+            out[opos:opos + ln] = grefs[g]
+        else:
+            chunk = bits[cursor:cursor + ln * wd].reshape(ln, wd)
+            powers = (np.int64(1) << np.arange(wd - 1, -1, -1)).astype(
+                np.int64
+            )
+            out[opos:opos + ln] = chunk.astype(np.int64) @ powers + grefs[g]
+        cursor += ln * wd
+        opos += ln
+    if opos != n:
+        raise ValueError("grib: group lengths sum %d != npoints %d"
+                         % (opos, n))
+    return out
+
+
+_DIFF_WW = 4  # octets per extra-descriptor field in template 7.3
+
+
+def _spatial_diff(scaled: np.ndarray, order: int):
+    """-> (initial values, gmin, full-length packable array) per the
+    template 7.3 notes: first `order` slots zeroed, rest = d - gmin."""
+    if scaled.size <= order:
+        raise ValueError("grib: field too small for spatial differencing")
+    d = scaled.astype(np.int64)
+    for _ in range(order):
+        d = np.diff(d)
+    init = [int(v) for v in scaled[:order]]
+    gmin = int(d.min())
+    full = np.zeros(scaled.size, dtype=np.int64)
+    full[order:] = d - gmin
+    return init, gmin, full
+
+
+def _undo_spatial_diff(vals: np.ndarray, init: list, gmin: int,
+                       order: int) -> np.ndarray:
+    """comunpack.c order-1/order-2 reconstruction recurrences,
+    vectorized as nested prefix sums (z[j] = d[j] + 2z[j-1] - z[j-2]
+    is cumsum of cumsum of the second differences)."""
+    d = vals.astype(np.int64).copy()
+    d[order:] += gmin
+    if order == 1:
+        d[0] = init[0]
+        return np.cumsum(d)
+    first_diffs = np.concatenate(([init[1] - init[0]], d[2:])).cumsum()
+    return np.concatenate(([init[0]], first_diffs)).cumsum()
+
+
+def _png_depth(span: int) -> int:
+    for depth in (8, 16, 24, 32):
+        if span < (1 << depth):
+            return depth
+    raise ValueError("grib: png packing span exceeds 32 bits")
+
+
+def _encode_png_body(offsets: np.ndarray, h: int, w: int):
+    """-> (depth, PNG bytes) of the scaled offsets laid out (h, w)."""
+    from gdal_spark.raster.png import encode_png
+
+    depth = _png_depth(int(offsets.max()))
+    grid = offsets.reshape(h, w)
+    if depth == 8:
+        img = grid.astype(np.uint8)
+    elif depth == 16:
+        img = grid.astype(np.uint16)
+    else:
+        nb = depth // 8
+        img = np.zeros((h, w, nb), dtype=np.uint8)
+        for k in range(nb):  # big-endian bytes across channels
+            img[:, :, nb - 1 - k] = (grid >> (8 * k)) & 0xFF
+    return depth, encode_png(img)
+
+
+def _decode_png_body(packed: bytes, h: int, w: int,
+                     depth: int) -> np.ndarray:
+    from gdal_spark.raster.png import decode_png
+
+    img = decode_png(packed)
+    if depth in (8, 16):
+        grid = img.astype(np.int64)
+    else:
+        nb = depth // 8
+        grid = np.zeros((h, w), dtype=np.int64)
+        for k in range(nb):
+            grid |= img[:, :, nb - 1 - k].astype(np.int64) << (8 * k)
+    if grid.shape != (h, w):
+        raise ValueError("grib: png dims %s != grid (%d, %d)"
+                         % (grid.shape, h, w))
+    return grid.ravel()
 
 
 def _sect3_latlon(w: int, h: int, gt: tuple) -> bytes:
@@ -143,16 +365,29 @@ def _sect4() -> bytes:
     return _u(4 + len(body), 4) + body
 
 
+_PACKING_TEMPLATES = {"simple": 0, "complex": 2, "complex_diff": 3,
+                      "png": 41}
+
+
 def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
-                 dscale: int = 0) -> bytes:
+                 dscale: int = 0, packing: str = "simple",
+                 diff_order: int = 2) -> bytes:
     """(H,W) or (H,W,B) -> GRIB2 bytes, one message per band.
 
-    Values are decimal-scaled by 10**dscale then simple-packed with
-    E=0 and R = the scaled minimum, so integer inputs (and inputs
-    exact at the given decimal scale) roundtrip bit-exactly."""
+    Values are decimal-scaled by 10**dscale then packed with E=0 and
+    R = the scaled minimum, so integer inputs (and inputs exact at the
+    given decimal scale) roundtrip bit-exactly under every packing.
+    packing: "simple" (template 5.0), "complex" (5.2), "complex_diff"
+    (5.3, spatial differencing of the given order 1 or 2), "png"
+    (5.41)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
+    if packing not in _PACKING_TEMPLATES:
+        raise ValueError("grib: unknown packing %r" % packing)
+    if packing == "complex_diff" and diff_order not in (1, 2):
+        raise ValueError("grib: spatial differencing order must be 1 or 2")
+    tmpl5 = _PACKING_TEMPLATES[packing]
     h, w, nb = arr.shape
     gt = geo[0] if geo is not None else (0.0, 0.01, 0.0, h * 0.01, 0.0, -0.01)
     out = []
@@ -169,8 +404,24 @@ def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
         span = int(scaled.max()) - ref
         nbits = 0 if span == 0 else max(1, int(span).bit_length())
         # scanning mode +j: emit rows bottom-to-top
-        vals = (scaled - ref)[::-1, :].ravel()
-        packed = _pack_bits(vals, nbits)
+        scan_scaled = scaled[::-1, :]
+        vals = (scan_scaled - ref).ravel()
+
+        tmpl_tail = b""
+        if packing == "simple":
+            packed = _pack_bits(vals, nbits)
+        elif packing == "complex":
+            nbits, tmpl_tail, packed = _encode_complex_body(vals)
+        elif packing == "complex_diff":
+            init, gmin, full = _spatial_diff(scan_scaled.ravel() - ref,
+                                             diff_order)
+            nbits, tail2, grouped = _encode_complex_body(full)
+            tmpl_tail = tail2 + _u(diff_order, 1) + _u(_DIFF_WW, 1)
+            head = b"".join(_s(v, _DIFF_WW) for v in init)
+            packed = head + _s(gmin, _DIFF_WW) + grouped
+        else:  # png
+            depth, packed = _encode_png_body(vals, h, w)
+            nbits = depth
 
         sect1 = _u(21, 4) + b"".join(
             [
@@ -189,18 +440,19 @@ def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
         sect2 = _u(5, 4) + _u(2, 1)
         sect3 = _sect3_latlon(w, h, gt)
         sect4 = _sect4()
-        sect5 = _u(21, 4) + b"".join(
+        sect5_body = b"".join(
             [
                 _u(5, 1),
                 _u(w * h, 4),
-                _u(0, 2),                 # template 5.0 simple packing
+                _u(tmpl5, 2),
                 struct.pack(">f", float(ref)),
                 _s(0, 2),                 # binary scale factor E
                 _s(dscale, 2),            # decimal scale factor D
                 _u(nbits, 1),
                 _u(1, 1),                 # original data type: integer
             ]
-        )
+        ) + tmpl_tail
+        sect5 = _u(4 + len(sect5_body), 4) + sect5_body
         sect6 = _u(6, 4) + _u(6, 1) + _u(_MISS1, 1)
         sect7 = _u(5 + len(packed), 4) + _u(7, 1) + packed
         body = sect1 + sect2 + sect3 + sect4 + sect5 + sect6 + sect7
@@ -213,10 +465,11 @@ def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
 def decode_grib2(data: bytes):
     """GRIB2 bytes -> ((H,W,B) array, meta dict).
 
-    Walks every message; requires grid template 3.0, data template 5.0
-    (simple packing), no bitmap. Returns int64 pixels when D==0 and the
-    reference value is integral, float64 otherwise; meta carries the
-    recovered north-up geotransform."""
+    Walks every message; requires grid template 3.0 and data template
+    5.0 / 5.2 / 5.3 / 5.41, no bitmap. Returns int64 pixels when D==0
+    and the reference value is integral, float64 otherwise; meta
+    carries the recovered north-up geotransform and the packing
+    template of the last message."""
     bands = []
     meta: dict = {}
     off = 0
@@ -237,6 +490,8 @@ def decode_grib2(data: bytes):
         nbits = 0
         npoints = 0
         scan = 0
+        dtmpl = 0
+        sect5_body = b""
         packed = b""
         while pos < end - 4:
             slen = int.from_bytes(data[pos:pos + 4], "big")
@@ -263,17 +518,18 @@ def decode_grib2(data: bytes):
                     lat_top + dj / 2, 0.0, -dj,
                 )
             elif snum == 5:
-                tmpl = int.from_bytes(body[9:11], "big")
-                if tmpl != 0:
+                dtmpl = int.from_bytes(body[9:11], "big")
+                if dtmpl not in (0, 2, 3, 41):
                     raise ValueError(
-                        "grib: only simple packing (5.0) supported, got 5.%d"
-                        % tmpl
+                        "grib: unsupported data template 5.%d "
+                        "(simple/complex/complex-diff/png only)" % dtmpl
                     )
                 npoints = int.from_bytes(body[5:9], "big")
                 ref = struct.unpack(">f", body[11:15])[0]
                 es = _read_s(body, 15, 2)
                 ds = _read_s(body, 17, 2)
                 nbits = body[19]
+                sect5_body = body
             elif snum == 6:
                 if body[5] != 255:
                     raise ValueError("grib: bitmaps unsupported")
@@ -282,7 +538,20 @@ def decode_grib2(data: bytes):
             pos += slen
         if w is None or npoints != w * h:
             raise ValueError("grib: inconsistent grid/data sizes")
-        x = _unpack_bits(packed, npoints, nbits)
+        if dtmpl == 0:
+            x = _unpack_bits(packed, npoints, nbits)
+        elif dtmpl == 2:
+            x = _decode_complex_body(sect5_body, packed, npoints)
+        elif dtmpl == 3:
+            order = sect5_body[47]
+            ww = sect5_body[48]
+            init = [_read_s(packed, k * ww, ww) for k in range(order)]
+            gmin = _read_s(packed, order * ww, ww)
+            grouped = packed[(order + 1) * ww:]
+            x = _decode_complex_body(sect5_body, grouped, npoints)
+            x = _undo_spatial_diff(x, init, gmin, order)
+        else:  # 41: png
+            x = _decode_png_body(packed, h, w, nbits)
         vals = (ref + x.astype(np.float64) * (2.0 ** es)) / (10.0 ** ds)
         grid = vals.reshape(h, w)
         if scan & 0x40:       # +j: stored bottom-to-top
@@ -294,4 +563,5 @@ def decode_grib2(data: bytes):
         bands.append(grid)
         off = end
     meta["nbands"] = len(bands)
+    meta["data_template"] = dtmpl
     return np.stack(bands, axis=2), meta

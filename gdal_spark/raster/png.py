@@ -1,9 +1,12 @@
-"""Minimal pure-numpy PNG codec (8-bit gray / RGB / RGBA).
+"""Minimal pure-numpy PNG codec (8-bit gray / RGB / RGBA, 16-bit gray).
 
 A from-scratch stand-in for the reference's libpng driver
 (frmts/png/pngdataset.cpp): lossless, so parity is exact byte
 equality of decoded pixels. Encoder emits filter-0 scanlines +
-zlib; decoder handles all five standard filters.
+zlib; decoder handles all five standard filters. 16-bit grayscale
+(the reference's Int16/UInt16 PNG path and the GRIB PNG-packing
+depth-16 case) stores big-endian samples; filters operate on bytes
+with bpp = 2 per the PNG spec.
 """
 
 from __future__ import annotations
@@ -31,9 +34,20 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
 def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
-    if arr.dtype != np.uint8:
-        raise ValueError("png codec: uint8 only")
     h, w, c = arr.shape
+    if arr.dtype == np.uint16:
+        if c != 1:
+            raise ValueError("png codec: 16-bit is grayscale-only")
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+        body = arr.reshape(h, w).astype(">u2").view(np.uint8).reshape(h, 2 * w)
+        raw = np.empty((h, 1 + 2 * w), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = body
+        idat = zlib.compress(raw.tobytes(), level)
+        return (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+                + _chunk(b"IEND", b""))
+    if arr.dtype != np.uint8:
+        raise ValueError("png codec: uint8 (or uint16 gray) only")
     if c not in _COLOR_TYPE:
         raise ValueError(f"png codec: unsupported channel count {c}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
@@ -120,8 +134,13 @@ def _decode_png_raw(data: bytes):
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("png codec: only 8-bit non-interlaced supported")
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("png codec: only non-interlaced supported")
+            if depth == 16:
+                if color_type != 0:
+                    raise ValueError("png codec: 16-bit is grayscale-only")
+            elif depth != 8:
+                raise ValueError(f"png codec: depth {depth} unsupported")
             if color_type not in _CHANNELS and color_type != 3:
                 raise ValueError(f"png codec: color type {color_type} unsupported")
         elif tag == b"PLTE":
@@ -136,13 +155,18 @@ def _decode_png_raw(data: bytes):
         elif tag == b"IEND":
             break
     c = 1 if color_type == 3 else _CHANNELS[color_type]
-    stride = w * c
+    bytes_per_px = c * (2 if depth == 16 else 1)
+    stride = w * bytes_per_px
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     raw = raw.reshape(h, 1 + stride)
     if np.all(raw[:, 0] == 0):  # fast path: our own encoder's output
         pixels = raw[:, 1:].copy()
     else:
-        pixels = _unfilter(raw, h, stride, c)
+        pixels = _unfilter(raw, h, stride, bytes_per_px)
+    if depth == 16:
+        b = pixels.reshape(h, w, c, 2).astype(np.uint16)
+        pixels = (b[..., 0] << 8) | b[..., 1]
+        return pixels, color_type, palette, transparent
     return pixels.reshape(h, w, c), color_type, palette, transparent
 
 
