@@ -8723,6 +8723,93 @@ WHERE gf.f < v.nf
 """
 
 
+MP4_MOD = 13
+
+
+def q_mp4_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO BMFF / MP4 path (raster/mp4.py): synthetic RGB frame stacks
+    (exact rule value(x,y,c,f,j) = (x + 2y + 5f + 23c + j) % 256)
+    serialize as MP4 with the QuickTime 'raw ' RGB24 sample entry —
+    multi-sample chunks so the reader walks the REAL stsc map — decode
+    back distributed through video_frame_stats' dispatch, and the
+    per-sampled-frame R-plane GDAL checksum + pixel sum close in SQL.
+    Videos j = s_suppkey % MP4_MOD == 0; w = 16 + (j%3)*8,
+    h = 12 + (j%4)*4, n_frames = 4 + j%5, every 2nd frame sampled."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark import multimodal
+    from gdal_spark.raster.mp4 import encode_mp4
+
+    ids = _zone_ids(spark, sf_dir).where(F.col("fid") % MP4_MOD == 0)
+
+    pay_schema = T2.StructType(
+        [
+            T2.StructField("video_id", T2.StringType()),
+            T2.StructField("bytes", T2.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for j in pdf["fid"]:
+                j = int(j)
+                w = 16 + (j % 3) * 8
+                h = 12 + (j % 4) * 4
+                nf = 4 + j % 5
+                f, y, x, c = np.meshgrid(
+                    np.arange(nf), np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                frames = ((x + 2 * y + 5 * f + 23 * c + j) % 256).astype(
+                    np.uint8
+                )
+                recs.append(
+                    {
+                        "video_id": f"mp4_{j:08d}",
+                        "bytes": encode_mp4(frames, fps=25, codec="raw "),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["video_id", "bytes"])
+
+    videos = ids.mapInPandas(gen, pay_schema)
+    out = multimodal.video_frame_stats(videos, every_n=2)
+    return out.select(
+        F.regexp_extract("video_id", r"mp4_(\d+)", 1).cast("long").alias("j"),
+        F.col("frame_idx").cast("int"),
+        F.col("w").cast("int"),
+        F.col("h").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("px_sum").cast("long"),
+    )
+
+
+def _o_mp4_frame_stats() -> str:
+    return f"""
+WITH vids AS (
+  SELECT cast(s_suppkey as bigint) AS j,
+         16 + (cast(s_suppkey as bigint) % 3) * 8 AS w,
+         12 + (cast(s_suppkey as bigint) % 4) * 4 AS h,
+         4 + cast(s_suppkey as bigint) % 5 AS nf
+  FROM supplier WHERE s_suppkey % {MP4_MOD} = 0),
+cells AS (
+  SELECT v.j, v.w, v.h, gf.f, gy.y, gx.x, gc.c,
+         (gx.x + 2 * gy.y + 5 * gf.f + 23 * gc.c + v.j) % 256 AS val
+  FROM vids v, range(0, 8) gf(f), range(0, 24) gy(y),
+       range(0, 32) gx(x), range(0, 3) gc(c)
+  WHERE gf.f < v.nf AND gf.f % 2 = 0 AND gy.y < v.h AND gx.x < v.w)
+SELECT j, cast(f as int) AS frame_idx, cast(w as int) AS w,
+       cast(h as int) AS h,
+       cast(sum(CASE WHEN c = 0 THEN val
+                     % ({_PRIMES_SQL_V})[((y * w + x) % 11) + 1]
+                     ELSE 0 END) % 65536 as int) AS checksum,
+       cast(sum(val) as bigint) AS px_sum
+FROM cells GROUP BY j, f, w, h
+"""
+
+
 AUDIO_MOD = 29
 
 
@@ -9199,6 +9286,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "mp4_frame_stats": q_mp4_frame_stats,
         "grib_roundtrip": q_grib_roundtrip,
         "vrt_lut": q_vrt_lut,
         "dted_roundtrip": q_dted_roundtrip,
@@ -11069,6 +11157,7 @@ def oracle_sql() -> dict[str, str]:
         "ntv2_shift": _o_ntv2_shift(),
         "video_frame_stats": _o_video_frame_stats(),
         "video_mjpeg": _o_video_mjpeg(),
+        "mp4_frame_stats": _o_mp4_frame_stats(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "hex_cell": _o_hex_cell(HEX_RES, counts=False),
         "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),

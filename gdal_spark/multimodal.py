@@ -316,11 +316,13 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10,
     """Frame sampling with REAL decode for RIFF/AVI payloads
     (raster/avi.py: uncompressed 24-bit DIB and Motion-JPEG via the
     in-repo baseline JPEG codec — frame_bytes is the decoded top-down
-    RGB24 plane) and the fixed-64-byte stub as the documented fallback
-    for codec-bearing formats this container cannot decode (MP4/H.264,
-    Ogg, ...).  Shape either way: 1 input row -> many frame rows,
+    RGB24 plane) AND ISO BMFF / MP4 payloads (raster/mp4.py: QuickTime
+    'raw ' RGB24 and 'jpeg' Motion-JPEG sample entries), with the
+    fixed-64-byte stub as the documented fallback for codec-bearing
+    formats this container cannot decode (H.26x/AV1 samples, Ogg, ...).  Shape either way: 1 input row -> many frame rows,
     still a narrow map (no shuffle)."""
     from gdal_spark.raster.avi import decode_avi, is_avi
+    from gdal_spark.raster.mp4 import decode_mp4, is_mp4
 
     frame_size = 64
 
@@ -329,8 +331,9 @@ def sample_video_frames(videos: DataFrame, every_n: int = 10,
             recs = []
             for _, row in pdf.iterrows():
                 data = bytes(row[payload_col])
-                if is_avi(data):
-                    frames, _fps = decode_avi(data)
+                if is_avi(data) or is_mp4(data):
+                    frames, _fps = (decode_avi(data) if is_avi(data)
+                                    else decode_mp4(data))
                     for fi in range(0, len(frames), every_n):
                         recs.append(
                             {
@@ -371,18 +374,20 @@ VIDEO_FRAME_STATS_SCHEMA = T.StructType(
 def video_frame_stats(videos: DataFrame, every_n: int = 1,
                       id_col: str = "video_id",
                       payload_col: str = "bytes") -> DataFrame:
-    """Decode AVI payloads and emit per-sampled-frame pixel stats:
+    """Decode AVI or MP4 payloads and emit per-sampled-frame pixel stats:
     the GDAL 16-bit checksum of the luma-free band-0 (R) plane plus
     the all-band pixel sum — the video dual of image_stats, and the
     oracle surface proving the DIB decode is bit-exact."""
-    from gdal_spark.raster.avi import decode_avi
+    from gdal_spark.raster.avi import decode_avi, is_avi
     from gdal_spark.raster.checksum import gdal_checksum
+    from gdal_spark.raster.mp4 import decode_mp4
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                frames, _fps = decode_avi(bytes(row[payload_col]))
+                data = bytes(row[payload_col])
+                frames, _fps = decode_avi(data) if is_avi(data) else decode_mp4(data)
                 for fi in range(0, len(frames), every_n):
                     fr = frames[fi]
                     recs.append(
