@@ -8913,6 +8913,108 @@ GROUP BY c.clip_id, c.n
 """
 
 
+FLAC_MOD = 31
+
+
+def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC lossless audio path (raster/flac.py): triangle waveforms
+    s_k = abs((k*(i%5+1)) % 8000 - 4000) - 2000 (piecewise-linear, so
+    the FIXED order-1/2 predictors genuinely compress) encode as FLAC,
+    decode back through the frame walker (CRC-8/CRC-16/MD5 verified),
+    and the exact integer features — n_samples, sum of squares,
+    sign-transition zero crossings — close in SQL.  Lossless is the
+    point: unlike the JPEG-family media under the PSNR rule, a
+    compressed FLAC clip still oracles EXACTLY.
+    Clips i = c_custkey % FLAC_MOD == 0; n = 1500 + (i%4)*700."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark import multimodal
+    from gdal_spark.raster.flac import decode_flac, encode_flac
+
+    ids = _site_ids(spark, sf_dir).where(F.col("i") % FLAC_MOD == 0)
+
+    pay_schema = T2.StructType(
+        [
+            T2.StructField("clip_id", T2.StringType()),
+            T2.StructField("bytes", T2.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["i"]:
+                i = int(i)
+                n = 1500 + (i % 4) * 700
+                k = np.arange(n, dtype=np.int64)
+                s = np.abs((k * (i % 5 + 1)) % 8000 - 4000) - 2000
+                recs.append(
+                    {
+                        "clip_id": f"flac_{i:08d}",
+                        "bytes": encode_flac(s.astype(np.int16), 16000),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=["clip_id", "bytes"])
+
+    clips = ids.mapInPandas(gen, pay_schema)
+    feats = multimodal.audio_features(clips)  # float path, dispatch check
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("clip_id", T2.StringType()),
+            T2.StructField("n_samples", T2.LongType()),
+            T2.StructField("ssq", T2.LongType()),
+            T2.StructField("zero_crossings", T2.LongType()),
+        ]
+    )
+
+    def exact(batches):
+        for pdf in batches:
+            recs = []
+            for clip_id, data in zip(pdf["clip_id"], pdf["bytes"]):
+                s, _ = decode_flac(bytes(data))
+                s = s[:, 0].astype(np.int64)
+                sgn = s < 0
+                recs.append(
+                    {
+                        "clip_id": clip_id,
+                        "n_samples": len(s),
+                        "ssq": int((s * s).sum()),
+                        "zero_crossings": int((sgn[1:] != sgn[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["clip_id", "n_samples", "ssq", "zero_crossings"]
+            )
+
+    exact_feats = clips.mapInPandas(exact, out_schema)
+    return exact_feats.join(
+        feats.select("clip_id", F.col("n_samples").alias("n2")), "clip_id"
+    ).where(F.col("n_samples") == F.col("n2")).select(
+        "clip_id", "n_samples", "ssq", "zero_crossings"
+    )
+
+
+def _o_flac_audio_features() -> str:
+    s = "(abs((k.k * (c.i % 5 + 1)) % 8000 - 4000) - 2000)"
+    sp = "(abs(((k.k - 1) * (c.i % 5 + 1)) % 8000 - 4000) - 2000)"
+    return f"""
+WITH c AS (
+  SELECT cast(c_custkey as bigint) AS i,
+    'flac_' || lpad(cast(c_custkey as varchar), 8, '0') AS clip_id,
+    1500 + (cast(c_custkey as bigint) % 4) * 700 AS n
+  FROM customer WHERE c_custkey % {FLAC_MOD} = 0
+)
+SELECT c.clip_id, cast(c.n as bigint) AS n_samples,
+  cast(sum({s} * {s}) as bigint) AS ssq,
+  cast(sum(CASE WHEN k.k > 0 AND (({s}) < 0) <> (({sp}) < 0) THEN 1 ELSE 0 END) as bigint) AS zero_crossings
+FROM c JOIN range(0, 3600) AS k(k) ON k.k < c.n
+GROUP BY c.clip_id, c.n
+"""
+
+
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (the pre-tokenizer split of
     GPT-style byte-pair encoders: letter runs / digit runs / isolated
@@ -9286,6 +9388,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "flac_audio_features": q_flac_audio_features,
         "mp4_frame_stats": q_mp4_frame_stats,
         "grib_roundtrip": q_grib_roundtrip,
         "vrt_lut": q_vrt_lut,
@@ -11158,6 +11261,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_stats": _o_video_frame_stats(),
         "video_mjpeg": _o_video_mjpeg(),
         "mp4_frame_stats": _o_mp4_frame_stats(),
+        "flac_audio_features": _o_flac_audio_features(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "hex_cell": _o_hex_cell(HEX_RES, counts=False),
         "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),
