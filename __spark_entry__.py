@@ -92,6 +92,7 @@ from gdal_spark.operators import translate as trans
 from gdal_spark.operators import zonal
 from gdal_spark.text import analysis as txt_analysis
 from gdal_spark.text import dedup as txt_dedup
+from gdal_spark.text import lm as txt_lm
 from gdal_spark.operators.knn import knn_join
 from gdal_spark.operators.spatial_join import pip_join
 from gdal_spark.operators.tiling import assign_tiles
@@ -8451,6 +8452,33 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_analysis.token_stats(_read(spark, sf_dir, "documents"))
 
 
+LM_TOP_V = 20
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (text/lm.py): train an
+    add-one bigram LM on the corpus with a deterministic top-V
+    closed vocabulary (V=20 of 31 tokens here, so the <unk> path is
+    genuinely exercised), then score every document's negative
+    log-likelihood in integer micro-nats.  Model entries quantize
+    once; documents sum integers — hash-stable across engines.
+    Scale: token-key shuffles with map-side combine for training,
+    broadcast model join + one doc_id exchange for scoring."""
+    return txt_lm.train_score_bigram_lm(
+        _read(spark, sf_dir, "documents"), top_v=LM_TOP_V
+    )
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier (text/lm.py):
+    train per-(lang, token) counts on the corpus's own labels,
+    add-one smoothing over the dense label x vocab grid, argmax
+    posterior per document with ascending-label tiebreak.  The
+    fastText-style quality/lang filter reduced to its countable,
+    exactly-oracle-able core."""
+    return txt_lm.train_predict_nb(_read(spark, sf_dir, "documents"))
+
+
 BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -9388,6 +9416,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "lm_perplexity": q_lm_perplexity,
+        "nb_classify": q_nb_classify,
         "flac_audio_features": q_flac_audio_features,
         "mp4_frame_stats": q_mp4_frame_stats,
         "grib_roundtrip": q_grib_roundtrip,
@@ -11262,6 +11292,8 @@ def oracle_sql() -> dict[str, str]:
         "video_mjpeg": _o_video_mjpeg(),
         "mp4_frame_stats": _o_mp4_frame_stats(),
         "flac_audio_features": _o_flac_audio_features(),
+        "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
+        "nb_classify": txt_lm.sql_nb(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "hex_cell": _o_hex_cell(HEX_RES, counts=False),
         "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),
