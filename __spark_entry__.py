@@ -9025,15 +9025,15 @@ def q_flac_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _o_flac_audio_features() -> str:
+def _o_triangle_audio_features(mod: int, prefix: str) -> str:
     s = "(abs((k.k * (c.i % 5 + 1)) % 8000 - 4000) - 2000)"
     sp = "(abs(((k.k - 1) * (c.i % 5 + 1)) % 8000 - 4000) - 2000)"
     return f"""
 WITH c AS (
   SELECT cast(c_custkey as bigint) AS i,
-    'flac_' || lpad(cast(c_custkey as varchar), 8, '0') AS clip_id,
+    '{prefix}_' || lpad(cast(c_custkey as varchar), 8, '0') AS clip_id,
     1500 + (cast(c_custkey as bigint) % 4) * 700 AS n
-  FROM customer WHERE c_custkey % {FLAC_MOD} = 0
+  FROM customer WHERE c_custkey % {mod} = 0
 )
 SELECT c.clip_id, cast(c.n as bigint) AS n_samples,
   cast(sum({s} * {s}) as bigint) AS ssq,
@@ -9041,6 +9041,68 @@ SELECT c.clip_id, cast(c.n as bigint) AS n_samples,
 FROM c JOIN range(0, 3600) AS k(k) ON k.k < c.n
 GROUP BY c.clip_id, c.n
 """
+
+
+def _o_flac_audio_features() -> str:
+    return _o_triangle_audio_features(FLAC_MOD, "flac")
+
+
+OGG_MOD = 29
+
+
+def q_ogg_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg FLAC clips (raster/ogg.py, xiph FLAC-to-Ogg mapping 1.0 +
+    RFC 3533 pages): the same triangle-wave closed form as
+    flac_audio_features but the payload rides the Ogg page layer —
+    CRC-32-verified pages, packet reassembly across lacing/page
+    boundaries, granule positions — before the FLAC frame walker.
+    Lossless end-to-end, so the exact integer oracle closes."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.ogg import decode_ogg, encode_ogg_flac
+
+    ids = _site_ids(spark, sf_dir).where(F.col("i") % OGG_MOD == 0)
+
+    out_schema = T2.StructType(
+        [
+            T2.StructField("clip_id", T2.StringType()),
+            T2.StructField("n_samples", T2.LongType()),
+            T2.StructField("ssq", T2.LongType()),
+            T2.StructField("zero_crossings", T2.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["i"]:
+                i = int(i)
+                n = 1500 + (i % 4) * 700
+                k = np.arange(n, dtype=np.int64)
+                sig = np.abs((k * (i % 5 + 1)) % 8000 - 4000) - 2000
+                data = encode_ogg_flac(sig.astype(np.int16), 16000)
+                s, _ = decode_ogg(data)
+                s = s[:, 0].astype(np.int64)
+                sgn = s < 0
+                recs.append(
+                    {
+                        "clip_id": f"ogg_{i:08d}",
+                        "n_samples": len(s),
+                        "ssq": int((s * s).sum()),
+                        "zero_crossings": int((sgn[1:] != sgn[:-1]).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                recs, columns=["clip_id", "n_samples", "ssq", "zero_crossings"]
+            )
+
+    return ids.mapInPandas(gen, out_schema)
+
+
+def _o_ogg_audio_features() -> str:
+    return _o_triangle_audio_features(OGG_MOD, "ogg")
 
 
 def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9419,6 +9481,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
         "flac_audio_features": q_flac_audio_features,
+        "ogg_audio_features": q_ogg_audio_features,
         "mp4_frame_stats": q_mp4_frame_stats,
         "grib_roundtrip": q_grib_roundtrip,
         "vrt_lut": q_vrt_lut,
@@ -11292,6 +11355,7 @@ def oracle_sql() -> dict[str, str]:
         "video_mjpeg": _o_video_mjpeg(),
         "mp4_frame_stats": _o_mp4_frame_stats(),
         "flac_audio_features": _o_flac_audio_features(),
+        "ogg_audio_features": _o_ogg_audio_features(),
         "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
         "nb_classify": txt_lm.sql_nb(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),

@@ -270,6 +270,7 @@ def _decode_audio(data: bytes) -> np.ndarray:
     no general codec stack in this container, and the stub keeps the
     plumbing exercised for compressed formats."""
     from gdal_spark.raster.flac import decode_flac, is_flac
+    from gdal_spark.raster.ogg import decode_ogg, is_ogg
     from gdal_spark.raster.wav import decode_wav, is_wav
 
     if is_wav(bytes(data)):
@@ -277,6 +278,9 @@ def _decode_audio(data: bytes) -> np.ndarray:
         return samples.astype(np.float64).mean(axis=1) / 32768.0
     if is_flac(bytes(data)):
         samples, _rate = decode_flac(bytes(data))
+        return samples.astype(np.float64).mean(axis=1) / 32768.0
+    if is_ogg(bytes(data)):
+        samples, _rate = decode_ogg(bytes(data))
         return samples.astype(np.float64).mean(axis=1) / 32768.0
     return np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
 

@@ -33,7 +33,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_flac", "decode_flac", "is_flac"]
+__all__ = ["encode_flac", "encode_flac_parts", "decode_flac", "is_flac"]
 
 _BLOCK = 4096
 
@@ -268,6 +268,17 @@ def _encode_subframe(w: _BitWriter, sig: np.ndarray, bps: int) -> None:
 
 def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """samples: (n,) or (n, channels) int16 -> FLAC bytes."""
+    header, frames = encode_flac_parts(samples, sample_rate)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> tuple[bytes, list[bytes]]:
+    """Structured encode: (native header incl. fLaC marker +
+    STREAMINFO, per-block frame byte strings).  The Ogg FLAC mapping
+    (raster/ogg.py) needs frame boundaries — each frame is one Ogg
+    packet."""
     s = np.asarray(samples, dtype=np.int16)
     if s.ndim == 1:
         s = s[:, None]
@@ -278,7 +289,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
     md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
 
-    frames = bytearray()
+    frames: list[bytes] = []
     max_fr, min_fr = 0, 0
     for fi, off in enumerate(range(0, n, _BLOCK)):
         blk = s[off : off + _BLOCK]
@@ -301,7 +312,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         w.align()
         frame = hdr + w.bytes()
         frame += struct.pack(">H", _crc16(frame))
-        frames += frame
+        frames.append(frame)
         max_fr = max(max_fr, len(frame))
         min_fr = len(frame) if min_fr == 0 else min(min_fr, len(frame))
 
@@ -315,7 +326,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
         + md5
     )
     header = b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
-    return header + bytes(frames)
+    return header, frames
 
 
 # ---------------------------------------------------------------------------
