@@ -3615,6 +3615,114 @@ FROM px GROUP BY image_id
 """
 
 
+def q_nitf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NITF 2.1 codec (frmts/nitf/nitffile.c header walk,
+    nitfimage.c IMODE B/P layouts — re-derived from MIL-STD-2500C):
+    RGB pixel-rule images ride through REAL NITF bytes twice —
+    8-bit RGB alternating band-sequential (i even -> IMODE B) and
+    pixel-interleaved (odd -> P), plus a 16-bit MONO encode of
+    channel 0 scaled x257 — and ICORDS=G IGEOLO corner coordinates
+    round-trip exactly on the integer-arcsecond lattice."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 67)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("imode", T2.StringType()),
+            T2.StructField("cks_r", T2.IntegerType()),
+            T2.StructField("cks_g", T2.IntegerType()),
+            T2.StructField("cks_b", T2.IntegerType()),
+            T2.StructField("cks_mono16", T2.IntegerType()),
+            T2.StructField("ul_lat_as", T2.LongType()),
+            T2.StructField("ul_lon_as", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.nitf import decode_nitf, encode_nitf
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                i, w, h = int(i), int(w), int(h)
+                px = np_image_pixels(i, w, h).astype(np.uint8)
+                lat0 = ((i % 80) - 40) * 3600 + (i % 47)
+                lon0 = ((i % 160) - 80) * 3600 + (i % 53)
+                corners = (
+                    (lat0 + h, lon0),
+                    (lat0 + h, lon0 + w),
+                    (lat0, lon0 + w),
+                    (lat0, lon0),
+                )
+                imode = "B" if i % 2 == 0 else "P"
+                rgb, meta = decode_nitf(
+                    encode_nitf(px, imode=imode, corners_arcsec=corners)
+                )
+                m16 = (px[:, :, 0].astype(np.uint16)) * 257
+                mono, _ = decode_nitf(encode_nitf(m16))
+                ul = meta["corners_arcsec"][0]
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "imode": meta["imode"],
+                        "cks_r": gdal_checksum(rgb[:, :, 0]),
+                        "cks_g": gdal_checksum(rgb[:, :, 1]),
+                        "cks_b": gdal_checksum(rgb[:, :, 2]),
+                        "cks_mono16": gdal_checksum(mono[:, :, 0]),
+                        "ul_lat_as": ul[0],
+                        "ul_lon_as": ul[1],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_nitf_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 67)",
+    )
+    cks = (
+        "cast(sum(CASE WHEN c.ph = {ph} THEN "
+        "((gx.x + gy.y + i.i + c.ph) % 256) % ({primes})"
+        "[((gy.y * i.w + gx.x) % 11) + 1] ELSE 0 END) % 65536 as int)"
+    )
+    m16 = (
+        "cast(sum(CASE WHEN c.ph = 0 THEN "
+        "(((gx.x + gy.y + i.i) % 256) * 257) % ({primes})"
+        "[((gy.y * i.w + gx.x) % 11) + 1] ELSE 0 END) % 65536 as int)"
+    )
+    return f"""
+WITH img AS ({img})
+SELECT i.image_id,
+  CASE WHEN i.i % 2 = 0 THEN 'B' ELSE 'P' END AS imode,
+  {cks.format(ph=0, primes=_PRIMES_SQL)} AS cks_r,
+  {cks.format(ph=85, primes=_PRIMES_SQL)} AS cks_g,
+  {cks.format(ph=170, primes=_PRIMES_SQL)} AS cks_b,
+  {m16.format(primes=_PRIMES_SQL)} AS cks_mono16,
+  cast(((i.i % 80) - 40) * 3600 + (i.i % 47) + i.h as bigint) AS ul_lat_as,
+  cast(((i.i % 160) - 80) * 3600 + (i.i % 53) as bigint) AS ul_lon_as
+FROM img i
+JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+CROSS JOIN (VALUES (0), (85), (170)) AS c(ph)
+GROUP BY i.image_id, i.i, i.h
+"""
+
+
 def q_usgsdem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USGS DEM ASCII format (frmts/usgsdem/usgsdemdataset.cpp:
     fixed-offset A record with D-exponent doubles, per-column B
@@ -9478,6 +9586,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "nitf_roundtrip": q_nitf_roundtrip,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
         "flac_audio_features": q_flac_audio_features,
@@ -11356,6 +11465,7 @@ def oracle_sql() -> dict[str, str]:
         "mp4_frame_stats": _o_mp4_frame_stats(),
         "flac_audio_features": _o_flac_audio_features(),
         "ogg_audio_features": _o_ogg_audio_features(),
+        "nitf_roundtrip": _o_nitf_roundtrip(),
         "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
         "nb_classify": txt_lm.sql_nb(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
