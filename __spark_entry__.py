@@ -8587,6 +8587,60 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_lm.train_predict_nb(_read(spark, sf_dir, "documents"))
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (text/analysis.py) — the
+    keyword-extraction / data-mixing staple.  idf quantizes once per
+    vocab entry (micro-nats); scores are exact integers; ties break
+    on ascending token.  Broadcast idf join + per-doc window."""
+    return txt_analysis.tfidf_topk(_read(spark, sf_dir, "documents"), k=3)
+
+
+def _pii_augment_spark(df: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" mail user"), d, F.lit("@ex"), d % 7, F.lit(".org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" ip 10."), d % 256, F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn("text", text2)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (text/analysis.py): deterministic synthetic
+    emails / 555-extensions / RFC1918 IPs are spliced into the
+    corpus keyed on doc_id, then redacted with lookaround-free
+    patterns whose semantics agree between Java regex and RE2.
+    Emits per-kind match counts + the redacted text's length and
+    md5 — so the oracle proves the REPLACEMENT bytes, not just the
+    counts."""
+    docs = _pii_augment_spark(_read(spark, sf_dir, "documents"))
+    return txt_analysis.redact_pii(docs)
+
+
+def _o_pii_redact() -> str:
+    aug = (
+        "text || "
+        "(CASE WHEN doc_id % 3 = 0 THEN ' mail user' || doc_id || '@ex' || (doc_id % 7) || '.org' ELSE '' END) || "
+        "(CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') ELSE '' END) || "
+        "(CASE WHEN doc_id % 7 = 0 THEN ' ip 10.' || (doc_id % 256) || '.0.1' ELSE '' END)"
+    )
+    inner = txt_analysis.sql_redact_pii(
+        src="(SELECT doc_id, " + aug + " AS text FROM documents) aug",
+        text_expr="text",
+    )
+    return inner
+
+
 BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -9589,6 +9643,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nitf_roundtrip": q_nitf_roundtrip,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
+        "tfidf_topk": q_tfidf_topk,
+        "pii_redact": q_pii_redact,
         "flac_audio_features": q_flac_audio_features,
         "ogg_audio_features": q_ogg_audio_features,
         "mp4_frame_stats": q_mp4_frame_stats,
@@ -11468,6 +11524,8 @@ def oracle_sql() -> dict[str, str]:
         "nitf_roundtrip": _o_nitf_roundtrip(),
         "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
         "nb_classify": txt_lm.sql_nb(),
+        "tfidf_topk": txt_analysis.sql_tfidf_topk(k=3),
+        "pii_redact": _o_pii_redact(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "hex_cell": _o_hex_cell(HEX_RES, counts=False),
         "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),

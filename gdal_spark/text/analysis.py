@@ -350,3 +350,123 @@ SELECT cast(row_number() OVER (ORDER BY n_total DESC, tok ASC) as int)
        tok, n_total, n_docs
 FROM agg ORDER BY n_total DESC, tok ASC LIMIT {k}
 """
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+def tfidf_topk(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k keywords per document by TF-IDF.
+
+    idf quantizes ONCE per vocabulary entry — floor(1e6 * ln(N/df)),
+    exact integers downstream (tf * idf_micro), so the cross-engine
+    hash is stable; ties break on ascending token.  Scale: tf and df
+    are token-key groupBys with map-side partials; the idf table is
+    vocab-sized -> broadcast; the per-doc top-k window partitions by
+    doc_id (no global window over the corpus).
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_all"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.lit(1e6)
+                * F.log(F.col("n_all").cast("double") / F.col("df").cast("double"))
+            ).cast("long"),
+        )
+        .select("tok", "idf_micro")
+    )
+    scored = tf.join(F.broadcast(idf), "tok").withColumn(
+        "tfidf_micro", (F.col("tf") * F.col("idf_micro")).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", F.col("tf").cast("long").alias("tf"),
+                "tfidf_micro")
+    )
+
+
+def sql_tfidf_topk(src: str = "documents", k: int = 3) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src}
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n_all FROM {src}),
+idf AS (
+  SELECT tok, cast(floor(cast('1e6' as double) *
+    ln(cast(n_all as double) / cast(df as double))) as bigint) AS idf_micro
+  FROM dfreq CROSS JOIN n
+),
+sc AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, cast(tf.tf * idf.idf_micro as bigint)
+           AS tfidf_micro,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * idf.idf_micro DESC, tf.tok ASC) AS rk
+  FROM tf JOIN idf USING (tok)
+)
+SELECT doc_id, cast(rk as int) AS rank, tok, cast(tf as bigint) AS tf,
+       tfidf_micro
+FROM sc WHERE rk <= {k}
+"""
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# deliberately simple character classes: identical semantics in Java
+# regex (Spark) and RE2 (DuckDB) — no backrefs, no lookaround.
+PII_PATTERNS = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", "555-[0-9][0-9][0-9][0-9]", "<PHONE>"),
+    ("ip", "10\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / phone extensions / internal IPs from a text
+    column; emit per-kind match counts and the redacted text.  Pure
+    Column math (regexp_extract_all / regexp_replace, JVM-side);
+    patterns are deliberately lookaround-free so the DuckDB RE2 twin
+    matches Java regex semantics byte for byte."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, rep in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)"))
+            .cast("long"),
+        )
+        red = F.regexp_replace(red, pat, rep)
+    return out.withColumn("redacted", red).select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+def sql_redact_pii(src: str = "documents", text_expr: str = "text") -> str:
+    n_cols, red = [], text_expr
+    for name, pat, rep in PII_PATTERNS:
+        n_cols.append(
+            f"cast(len(regexp_extract_all({text_expr}, '{pat}')) as bigint)"
+            f" AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+SELECT doc_id, {', '.join(n_cols)},
+  cast(length({red}) as bigint) AS redacted_len,
+  md5({red}) AS redacted_md5
+FROM {src}
+"""
