@@ -4836,6 +4836,61 @@ def q_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RASTER_PIPELINE = (
+    "read ! clip --srcwin 2,1,14,11 ! select --band 2,1 "
+    "! calc --expr 'A*3+B' "
+    "! scale --src-min 0 --src-max 1020 --dst-min 0 --dst-max 200 "
+    "! set-type Byte ! write"
+)
+
+
+def q_raster_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal raster pipeline (apps/gdalalg_raster_pipeline.cpp,
+    gdalalg_abstract_pipeline.h): the unified `read ! step ! ... !
+    write` CLI grammar executes the whole chain FUSED in one narrow
+    mapInPandas pass — decode once, clip, band reorder, calc AST,
+    GDAL-rounded scale, cast, stats — no intermediate dataset.  The
+    closed form mirrors every step exactly (the scale ratio v*10/51
+    can never land on .5, proven in the oracle comment)."""
+    from gdal_spark.operators.raster_pipeline import run_raster_pipeline
+
+    return run_raster_pipeline(
+        _payload_subset(spark, sf_dir), RASTER_PIPELINE
+    ).select(
+        "image_id",
+        F.col("band").cast("int"),
+        F.col("out_w").cast("int"),
+        F.col("out_h").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("vsum").cast("long"),
+    )
+
+
+def _o_raster_pipeline() -> str:
+    # decoded value (x+2)+(y+1)+i+phase mod 256; select 2,1 -> A has
+    # phase 85, B phase 0; v = A*3+B <= 1020; scale 0..1020 -> 0..200
+    # = floor(v*200/1020 + 0.5); exactly-.5 impossible (20v = 102k+51
+    # has even LHS, odd RHS), so cross-engine floor is stable.
+    v = (
+        "((gx.x + 2 + gy.y + 1 + i.i + 85) % 256) * 3"
+        " + ((gx.x + 2 + gy.y + 1 + i.i) % 256)"
+    )
+    return f"""
+WITH img AS ({_subset_img_cte()}),
+px AS (
+  SELECT i.image_id,
+    cast(floor(cast({v} as double) * 200 / 1020 + 0.5) as bigint) AS val,
+    gy.y * 14 + gx.x AS pidx
+  FROM img i, range(0, 14) AS gx(x), range(0, 11) AS gy(y)
+)
+SELECT image_id, 0 AS band, 14 AS out_w, 11 AS out_h,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(sum(val) as bigint) AS vsum
+FROM px GROUP BY image_id
+"""
+
+
 def q_pixel_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VRT pixel functions (pixelfunctions.cpp): sum/diff/mul/
     reclassify over decoded bands; per-op checksum + value sum."""
@@ -9641,6 +9696,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
         "nitf_roundtrip": q_nitf_roundtrip,
+        "raster_pipeline": q_raster_pipeline,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
         "tfidf_topk": q_tfidf_topk,
@@ -11522,6 +11578,7 @@ def oracle_sql() -> dict[str, str]:
         "flac_audio_features": _o_flac_audio_features(),
         "ogg_audio_features": _o_ogg_audio_features(),
         "nitf_roundtrip": _o_nitf_roundtrip(),
+        "raster_pipeline": _o_raster_pipeline(),
         "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
         "nb_classify": txt_lm.sql_nb(),
         "tfidf_topk": txt_analysis.sql_tfidf_topk(k=3),
