@@ -8543,6 +8543,32 @@ def q_vector_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_pipeline_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executable `gdal vector pipeline` grammar
+    (apps/gdalalg_vector_pipeline.cpp): the literal CLI text
+    `read ! filter ! swap-xy ! clip ! write` parses into the lazy
+    step chain.  swap-xy followed by clipping the Y-X-swapped bbox
+    is area-identical to clipping the original bbox, so the oracle
+    is the SAME closed form as vector_clip — proving the grammar
+    routed through all three steps, not just that the steps exist."""
+    from gdal_spark.geo.st_functions import st_area
+    from gdal_spark.operators.vector_pipeline import run_vector_pipeline
+
+    x0, y0, x1, y1 = CLIP_BBOX
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    out = run_vector_pipeline(
+        zones,
+        'read ! filter --where "kind = \'park\'" ! swap-xy '
+        f"! clip --bbox {y0},{x0},{y1},{x1} ! write",
+    )
+    return out.select(
+        F.col("fid").cast("long"),
+        F.floor(st_area(F.col("geometry")) * 1e4)
+        .cast("long")
+        .alias("clip_area_e4"),
+    )
+
+
 def q_caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row caption invariant (BASELINE input_hint: exact caption
     equality end-to-end): engine-derived captions value-hash-compared
@@ -9697,6 +9723,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "nitf_roundtrip": q_nitf_roundtrip,
         "raster_pipeline": q_raster_pipeline,
+        "vector_pipeline_exec": q_vector_pipeline_exec,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
         "tfidf_topk": q_tfidf_topk,
@@ -11579,6 +11606,7 @@ def oracle_sql() -> dict[str, str]:
         "ogg_audio_features": _o_ogg_audio_features(),
         "nitf_roundtrip": _o_nitf_roundtrip(),
         "raster_pipeline": _o_raster_pipeline(),
+        "vector_pipeline_exec": _o_vector_clip(),
         "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
         "nb_classify": txt_lm.sql_nb(),
         "tfidf_topk": txt_analysis.sql_tfidf_topk(k=3),

@@ -260,3 +260,62 @@ def step_wrapdateline(df: DataFrame) -> DataFrame:
     crossing the antimeridian split at 180+360k and normalize into
     [-180, 180] (geo/dateline.py kernel)."""
     return df.withColumn(GEOM, _wrapdateline_udf(F.col(GEOM)))
+
+
+# --- executable pipeline grammar ---------------------------------------------
+
+def run_vector_pipeline(df: DataFrame, pipeline: str) -> DataFrame:
+    """`gdal vector pipeline` — the unified `read ! step [args] !
+    ... ! write` CLI grammar (apps/gdalalg_vector_pipeline.cpp,
+    same step-chain model as the raster twin in
+    operators/raster_pipeline.py).  Each step is one of this
+    module's lazy DataFrame transformations, so the parsed chain is
+    function composition that Catalyst fuses exactly like the
+    reference's pull pipeline; `write` returns the composed
+    DataFrame for the engine's vector sinks (sources/*).
+    """
+    from gdal_spark.operators.raster_pipeline import parse_pipeline
+
+    steps = parse_pipeline(pipeline)
+    for name, args in steps[1:-1]:
+        if name == "filter":
+            df = step_filter(df, args.get("where") or args["_positional"])
+        elif name == "select":
+            df = step_select(
+                df, (args.get("fields") or args["_positional"]).split(",")
+            )
+        elif name == "swap-xy":
+            df = step_swap_xy(df)
+        elif name == "segmentize":
+            df = step_segmentize(
+                df, float(args.get("max_length") or args["_positional"])
+            )
+        elif name == "simplify":
+            df = step_simplify(
+                df, float(args.get("tolerance") or args["_positional"])
+            )
+        elif name == "reproject":
+            df = step_reproject(df, args["src_crs"], args["dst_crs"])
+        elif name == "make-valid":
+            df = step_make_valid(df)
+        elif name == "buffer":
+            df = step_buffer(
+                df, float(args.get("distance") or args["_positional"])
+            )
+        elif name == "clip":
+            bbox = tuple(
+                float(v)
+                for v in (args.get("bbox") or args["_positional"]).split(",")
+            )
+            if len(bbox) != 4:
+                raise ValueError("vector pipeline: clip --bbox needs 4 values")
+            df = step_clip(df, bbox)
+        elif name == "explode-collections":
+            df = step_explode_collections(df)
+        elif name == "set-geom-type":
+            df = step_set_geom_type_multi(df)
+        elif name == "wrapdateline":
+            df = step_wrapdateline(df)
+        else:
+            raise ValueError(f"vector pipeline: unknown step {name!r}")
+    return df

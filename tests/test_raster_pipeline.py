@@ -94,3 +94,43 @@ def test_color_map_emits_three_bands(spark):
         _images(spark, [a]), "read ! color-map ! write"
     ).collect()
     assert sorted(r["band"] for r in out) == [0, 1, 2]
+
+
+# --- vector pipeline grammar --------------------------------------------------
+
+def test_vector_pipeline_grammar(spark):
+    from gdal_spark.geo.wkb import wkb_polygon
+    from gdal_spark.operators.vector_pipeline import run_vector_pipeline
+
+    def sq(x, y, s=2.0):
+        return bytearray(
+            wkb_polygon([[(x, y), (x + s, y), (x + s, y + s), (x, y + s),
+                          (x, y)]])
+        )
+
+    rows = [
+        (0, "park", sq(5.0, 30.0)),
+        (1, "lot", sq(6.0, 31.0)),
+        (2, "park", sq(200.0, 200.0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "fid long, kind string, geometry binary"
+    )
+    out = run_vector_pipeline(
+        df,
+        'read ! filter --where "kind = \'park\'" ! swap-xy '
+        "! clip --bbox 0,0,50,50 ! write",
+    ).collect()
+    # fid 1 filtered out; fid 2 swaps to (200,200), outside the bbox;
+    # fid 0 swaps to (30,5), inside
+    assert [r["fid"] for r in out] == [0]
+
+
+def test_vector_pipeline_unknown_step(spark):
+    import pytest as _pt
+
+    from gdal_spark.operators.vector_pipeline import run_vector_pipeline
+
+    df = spark.createDataFrame([(0,)], "fid long")
+    with _pt.raises(ValueError, match="unknown step"):
+        run_vector_pipeline(df, "read ! fizzbuzz ! write")
