@@ -8569,6 +8569,36 @@ def q_vector_pipeline_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_driver_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdalinfo --formats` enumeration (gcore/gdaldrivermanager.cpp
+    GDALGetDriverCount loop): one row per REAL format module in this
+    engine, with read/write caps and the implementing file.  The
+    oracle is a literal VALUES mirror — the value of this query is
+    that the registry rows are pinned (a silently dropped or renamed
+    codec fails the hash) and that every module path is
+    existence-checked in pytest."""
+    from gdal_spark.operators.info import driver_list
+
+    return driver_list(spark)
+
+
+def _o_driver_list() -> str:
+    from gdal_spark.operators.info import DRIVERS
+
+    vals = ", ".join(
+        "('{}', '{}', '{}', '{}', '{}')".format(
+            n.replace("'", "''"), k,
+            "r" + ("w" if w else "") if r else "w", ext, mod,
+        )
+        for n, k, r, w, ext, mod in DRIVERS
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(short_name, kind, caps, extension, module)"
+    )
+
+
 def q_caption_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row caption invariant (BASELINE input_hint: exact caption
     equality end-to-end): engine-derived captions value-hash-compared
@@ -9724,6 +9754,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nitf_roundtrip": q_nitf_roundtrip,
         "raster_pipeline": q_raster_pipeline,
         "vector_pipeline_exec": q_vector_pipeline_exec,
+        "driver_list": q_driver_list,
         "lm_perplexity": q_lm_perplexity,
         "nb_classify": q_nb_classify,
         "tfidf_topk": q_tfidf_topk,
@@ -11607,6 +11638,7 @@ def oracle_sql() -> dict[str, str]:
         "nitf_roundtrip": _o_nitf_roundtrip(),
         "raster_pipeline": _o_raster_pipeline(),
         "vector_pipeline_exec": _o_vector_clip(),
+        "driver_list": _o_driver_list(),
         "lm_perplexity": txt_lm.sql_bigram_lm(top_v=LM_TOP_V),
         "nb_classify": txt_lm.sql_nb(),
         "tfidf_topk": txt_analysis.sql_tfidf_topk(k=3),

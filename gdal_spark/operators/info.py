@@ -153,3 +153,86 @@ def vector_info(df: DataFrame, geom_col: str = "geometry",
         F.floor(F.col("maxx") * 1e6).cast("long").alias("maxx_e6"),
         F.floor(F.col("maxy") * 1e6).cast("long").alias("maxy_e6"),
     )
+
+
+# --- driver registry (gdalinfo --formats / ogrinfo --formats) -----------------
+
+# (short_name, kind, read, write, typical extension, module) — the
+# engine's answer to GDALGetDriverCount/GDALGetDriver enumeration
+# (gcore/gdaldrivermanager.cpp); one row per REAL codec/format module
+# in this repo (stubs and dispatch-only paths are excluded).
+DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
+    ("PNG", "raster", True, True, "png", "raster/png.py"),
+    ("JPEG", "raster", True, True, "jpg", "raster/jpeg.py"),
+    ("GTiff", "raster", True, True, "tif", "raster/tiff.py"),
+    ("COG", "raster", True, True, "tif", "raster/cog.py"),
+    ("WEBP", "raster", True, True, "webp", "raster/webp.py"),
+    ("GIF", "raster", True, True, "gif", "raster/gif.py"),
+    ("BMP", "raster", True, True, "bmp", "raster/bmp.py"),
+    ("ENVI", "raster", True, True, "dat", "raster/envi.py"),
+    ("AAIGrid", "raster", True, True, "asc", "raster/asciigrid.py"),
+    ("XYZ", "raster", True, True, "xyz", "raster/asciigrid.py"),
+    ("SRTMHGT", "raster", True, True, "hgt", "raster/hgt.py"),
+    ("DTED", "raster", True, True, "dt1", "raster/dted.py"),
+    ("USGSDEM", "raster", True, True, "dem", "raster/usgsdem.py"),
+    ("GRIB", "raster", True, True, "grb2", "raster/grib.py"),
+    ("PDS", "raster", True, True, "img", "raster/pds.py"),
+    ("FITS", "raster", True, True, "fits", "raster/fits.py"),
+    ("TGA", "raster", True, True, "tga", "raster/tga.py"),
+    ("GSAG", "raster", True, True, "grd", "raster/simplegrids.py"),
+    ("GSBG", "raster", True, True, "grd", "raster/simplegrids.py"),
+    ("ZMap", "raster", True, True, "dat", "raster/simplegrids.py"),
+    ("RST", "raster", True, True, "rst", "raster/idrisi.py"),
+    ("Terragen", "raster", True, True, "ter", "raster/terragen.py"),
+    ("HF2", "raster", True, True, "hfz", "raster/hf2.py"),
+    ("ERS", "raster", True, True, "ers", "raster/hdrpairs.py"),
+    ("ILWIS", "raster", True, True, "mpr", "raster/hdrpairs.py"),
+    ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
+    ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
+    ("MBTiles", "raster", True, True, "mbtiles", "sources/mbtiles.py"),
+    ("PMTiles", "raster", True, True, "pmtiles", "sources/pmtiles.py"),
+    ("Zarr", "multidim", True, True, "zarr", "sources/zarr.py"),
+    ("netCDF", "multidim", True, True, "nc", "sources/netcdf.py"),
+    ("VRT", "raster", True, True, "vrt", "sources/vrt.py"),
+    ("STACIT", "raster", True, False, "json", "sources/stac.py"),
+    ("WAV", "audio", True, True, "wav", "raster/wav.py"),
+    ("FLAC", "audio", True, True, "flac", "raster/flac.py"),
+    ("OggFLAC", "audio", True, True, "ogg", "raster/ogg.py"),
+    ("AVI", "video", True, True, "avi", "raster/avi.py"),
+    ("MP4", "video", True, True, "mp4", "raster/mp4.py"),
+    ("GeoParquet", "vector", True, True, "parquet", "sources/geoparquet.py"),
+    ("GPKG", "vector", True, True, "gpkg", "sources/gpkg.py"),
+    ("ESRI Shapefile", "vector", True, True, "shp", "sources/shapefile.py"),
+    ("FlatGeobuf", "vector", True, True, "fgb", "sources/flatgeobuf.py"),
+    ("GeoJSON", "vector", True, True, "geojson", "sources/geojson.py"),
+    ("GeoJSONSeq", "vector", True, True, "geojsonl", "sources/geojsonseq.py"),
+    ("CSV", "vector", True, True, "csv", "sources/csvgeo.py"),
+    ("KML", "vector", True, True, "kml", "sources/kml.py"),
+    ("GML", "vector", True, True, "gml", "sources/gml.py"),
+    ("GPX", "vector", True, True, "gpx", "sources/gpx.py"),
+    ("DXF", "vector", True, True, "dxf", "sources/dxf.py"),
+    ("MapInfo File", "vector", True, True, "mif", "sources/mif.py"),
+    ("SQLite", "vector", True, True, "sqlite", "sources/spatialite.py"),
+    ("TopoJSON", "vector", True, True, "topojson", "sources/topojson.py"),
+    ("JML", "vector", True, True, "jml", "sources/jml.py"),
+    ("GMT", "vector", True, True, "gmt", "sources/gmt.py"),
+    ("OSM", "vector", True, True, "osm", "sources/osmxml.py"),
+    ("OSMPBF", "vector", True, True, "pbf", "sources/osmpbf.py"),
+    ("PGDump", "vector", False, True, "sql", "sources/pgdump.py"),
+    ("MVT", "vector", True, True, "pbf", "sources/mvt.py"),
+    ("SOZip", "container", True, True, "zip", "sources/sozip.py"),
+)
+
+
+def driver_list(spark) -> "DataFrame":
+    """One row per registered format driver — the engine's
+    `gdalinfo --formats` / `ogrinfo --formats` enumeration."""
+    rows = [
+        (n, k, "r" + ("w" if w else "") if r else "w", ext, mod)
+        for n, k, r, w, ext, mod in DRIVERS
+    ]
+    return spark.createDataFrame(
+        rows,
+        "short_name string, kind string, caps string, extension string,"
+        " module string",
+    )

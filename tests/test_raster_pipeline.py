@@ -134,3 +134,15 @@ def test_vector_pipeline_unknown_step(spark):
     df = spark.createDataFrame([(0,)], "fid long")
     with _pt.raises(ValueError, match="unknown step"):
         run_vector_pipeline(df, "read ! fizzbuzz ! write")
+
+
+def test_driver_registry_modules_exist():
+    import os
+
+    from gdal_spark.operators.info import DRIVERS
+
+    root = os.path.join(os.path.dirname(__file__), "..", "gdal_spark")
+    for *_, mod in DRIVERS:
+        assert os.path.exists(os.path.join(root, mod)), mod
+    names = [n for n, *_ in DRIVERS]
+    assert len(names) == len(set(names))
