@@ -3723,6 +3723,94 @@ GROUP BY i.image_id, i.i, i.h
 """
 
 
+def q_pcidsk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCIDSK .pix codec (frmts/pcidsk/sdk/core/cpcidskfile.cpp:
+    518-544 header offsets, pcidskcreate.cpp:310-430) — GDAL's own
+    native database format: mixed-type channels (8U pixel rule, 16S
+    affine shift exercising the sign bit, 32R float32 holding exact
+    small integers) ride through REAL .pix bytes in BOTH
+    interleavings (i even -> BAND, odd -> PIXEL with 512-padded
+    scanlines); checksums/sums match the closed forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 71)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("ilv", T2.StringType()),
+            T2.StructField("cks_8u", T2.IntegerType()),
+            T2.StructField("sum_16s", T2.LongType()),
+            T2.StructField("sum_32r", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.pcidsk import decode_pcidsk, encode_pcidsk
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                i, w, h = int(i), int(w), int(h)
+                px = np_image_pixels(i, w, h).astype(np.int64)
+                chans = [
+                    px[:, :, 0].astype(np.uint8),
+                    (px[:, :, 1] * 100 - 12800).astype(np.int16),
+                    (px[:, :, 2] * 3).astype(np.float32),
+                ]
+                ilv = "BAND" if i % 2 == 0 else "PIXEL"
+                out, meta = decode_pcidsk(encode_pcidsk(chans, ilv))
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "ilv": meta["interleaving"],
+                        "cks_8u": int(gdal_checksum(out[0])),
+                        "sum_16s": int(out[1].astype(np.int64).sum()),
+                        "sum_32r": int(out[2].astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_pcidsk_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 71)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id, i.i,
+    (gx.x + gy.y + i.i) % 256 AS v0,
+    (gx.x + gy.y + i.i + 85) % 256 AS v1,
+    (gx.x + gy.y + i.i + 170) % 256 AS v2,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id,
+  CASE WHEN any_value(i) % 2 = 0 THEN 'BAND' ELSE 'PIXEL' END AS ilv,
+  cast(sum(v0 % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS cks_8u,
+  cast(sum(v1 * 100 - 12800) as bigint) AS sum_16s,
+  cast(sum(v2 * 3) as bigint) AS sum_32r
+FROM px GROUP BY image_id
+"""
+
+
 def q_usgsdem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USGS DEM ASCII format (frmts/usgsdem/usgsdemdataset.cpp:
     fixed-offset A record with D-exponent doubles, per-column B
@@ -9752,6 +9840,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
         "nitf_roundtrip": q_nitf_roundtrip,
+        "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "raster_pipeline": q_raster_pipeline,
         "vector_pipeline_exec": q_vector_pipeline_exec,
         "driver_list": q_driver_list,
@@ -11636,6 +11725,7 @@ def oracle_sql() -> dict[str, str]:
         "flac_audio_features": _o_flac_audio_features(),
         "ogg_audio_features": _o_ogg_audio_features(),
         "nitf_roundtrip": _o_nitf_roundtrip(),
+        "pcidsk_roundtrip": _o_pcidsk_roundtrip(),
         "raster_pipeline": _o_raster_pipeline(),
         "vector_pipeline_exec": _o_vector_clip(),
         "driver_list": _o_driver_list(),

@@ -189,6 +189,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("ILWIS", "raster", True, True, "mpr", "raster/hdrpairs.py"),
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
+    ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),
     ("MBTiles", "raster", True, True, "mbtiles", "sources/mbtiles.py"),
     ("PMTiles", "raster", True, True, "pmtiles", "sources/pmtiles.py"),
     ("Zarr", "multidim", True, True, "zarr", "sources/zarr.py"),
