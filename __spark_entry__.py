@@ -3811,6 +3811,91 @@ FROM px GROUP BY image_id
 """
 
 
+def q_hdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF4 DFSD codec (public HDF 4.2 spec; GDAL surfaces these as
+    frmts/hdf4/hdf4dataset.cpp subdatasets): three scientific
+    datasets per file — uint8 pixel rule, int16 affine shift, f64
+    exact small integers — grouped by NDG records, written
+    big-endian, decoded back through the DD-chain walker; checksums
+    and sums close exactly."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 73)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("n_datasets", T2.IntegerType()),
+            T2.StructField("cks_8u", T2.IntegerType()),
+            T2.StructField("sum_16s", T2.LongType()),
+            T2.StructField("sum_f64", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.hdf4 import decode_hdf4, encode_hdf4
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                i, w, h = int(i), int(w), int(h)
+                px = np_image_pixels(i, w, h).astype(np.int64)
+                sets = [
+                    px[:, :, 0].astype(np.uint8),
+                    (px[:, :, 1] * 100 - 12800).astype(np.int16),
+                    (px[:, :, 2] * 7).astype(np.float64),
+                ]
+                out, meta = decode_hdf4(encode_hdf4(sets))
+                rows.append(
+                    {
+                        "image_id": img_id,
+                        "n_datasets": len(out),
+                        "cks_8u": int(gdal_checksum(out[0])),
+                        "sum_16s": int(out[1].astype(np.int64).sum()),
+                        "sum_f64": int(out[2].astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_hdf4_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 73)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS v0,
+    (gx.x + gy.y + i.i + 85) % 256 AS v1,
+    (gx.x + gy.y + i.i + 170) % 256 AS v2,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+)
+SELECT image_id, 3 AS n_datasets,
+  cast(sum(v0 % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS cks_8u,
+  cast(sum(v1 * 100 - 12800) as bigint) AS sum_16s,
+  cast(sum(v2 * 7) as bigint) AS sum_f64
+FROM px GROUP BY image_id
+"""
+
+
 def q_usgsdem_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USGS DEM ASCII format (frmts/usgsdem/usgsdemdataset.cpp:
     fixed-offset A record with D-exponent doubles, per-column B
@@ -9841,6 +9926,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "nitf_roundtrip": q_nitf_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
+        "hdf4_roundtrip": q_hdf4_roundtrip,
         "raster_pipeline": q_raster_pipeline,
         "vector_pipeline_exec": q_vector_pipeline_exec,
         "driver_list": q_driver_list,
@@ -11726,6 +11812,7 @@ def oracle_sql() -> dict[str, str]:
         "ogg_audio_features": _o_ogg_audio_features(),
         "nitf_roundtrip": _o_nitf_roundtrip(),
         "pcidsk_roundtrip": _o_pcidsk_roundtrip(),
+        "hdf4_roundtrip": _o_hdf4_roundtrip(),
         "raster_pipeline": _o_raster_pipeline(),
         "vector_pipeline_exec": _o_vector_clip(),
         "driver_list": _o_driver_list(),

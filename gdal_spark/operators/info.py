@@ -190,6 +190,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
     ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),
+    ("HDF4", "raster", True, True, "hdf", "raster/hdf4.py"),
     ("MBTiles", "raster", True, True, "mbtiles", "sources/mbtiles.py"),
     ("PMTiles", "raster", True, True, "pmtiles", "sources/pmtiles.py"),
     ("Zarr", "multidim", True, True, "zarr", "sources/zarr.py"),
