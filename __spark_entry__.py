@@ -8844,6 +8844,84 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return txt_analysis.token_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter funnel with reason attribution: the standard
+    corpus-cleaning chain (length gate -> language-signal gate ->
+    Gopher repetition gate -> quality-score gate) applied in fixed
+    order, emitting each document's verdict = 'kept' or the FIRST
+    rule that rejected it.  Funnel attribution is the observability
+    surface every production cleaning pipeline needs (which rule
+    costs how much data).  Pure Column math composed from the
+    existing signal operators; exact integer thresholds."""
+    docs = _read(spark, sf_dir, "documents")
+    ts = txt_analysis.token_stats(docs)
+    li = txt_analysis.lang_id(docs)
+    rep = txt_analysis.repetition_signals(docs)
+    j = (
+        docs.select("doc_id")
+        .join(ts.select("doc_id", "n_tokens", "quality_milli"), "doc_id")
+        .join(li.select("doc_id", "best_score"), "doc_id")
+        .join(rep.select("doc_id", "keep"), "doc_id")
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("best_score") < 1, F.lit("no_lang_signal"))
+        .when(F.col("keep") == 0, F.lit("repetitive"))
+        .when(F.col("quality_milli") < 600, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select("doc_id", verdict.alias("verdict"))
+
+
+def _o_filter_funnel() -> str:
+    return f"""
+WITH ts AS ({txt_analysis.sql_token_stats('documents')}),
+li AS ({txt_analysis.sql_lang_id('documents')}),
+rep AS ({txt_analysis.sql_repetition_signals('documents')})
+SELECT d.doc_id,
+  CASE WHEN ts.n_tokens < 20 THEN 'too_short'
+       WHEN li.best_score < 1 THEN 'no_lang_signal'
+       WHEN rep.keep = 0 THEN 'repetitive'
+       WHEN ts.quality_milli < 600 THEN 'low_quality'
+       ELSE 'kept' END AS verdict
+FROM documents d
+JOIN ts USING (doc_id) JOIN li USING (doc_id) JOIN rep USING (doc_id)
+"""
+
+
+def q_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data mixing: per-source sampling
+    rates (src0 keeps 100%, src19 keeps 5% — the data-mixing recipe
+    of every multi-source training corpus) realised with a
+    multiplicative-hash coin (doc_id * 2654435761 mod 100 < rate),
+    so the sample is reproducible, splittable, and engine-neutral —
+    no RNG state, no shuffle beyond the per-source count agg."""
+    docs = _read(spark, sf_dir, "documents")
+    idx = F.substring("source", 4, 10).cast("int")
+    rate = F.lit(100) - idx * 5
+    coin = (F.col("doc_id") * F.lit(2654435761)) % 100
+    return (
+        docs.withColumn("kept", (coin < rate).cast("int"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.max(rate).cast("int").alias("rate_pct"),
+        )
+    )
+
+
+def _o_mixing_sample() -> str:
+    return """
+SELECT source, cast(count(*) as bigint) AS n_total,
+  cast(sum(CASE WHEN (doc_id * 2654435761) % 100 <
+                     100 - cast(substr(source, 4) as int) * 5
+           THEN 1 ELSE 0 END) as bigint) AS n_kept,
+  cast(100 - cast(substr(source, 4) as int) * 5 as int) AS rate_pct
+FROM documents GROUP BY source
+"""
+
+
 LM_TOP_V = 20
 
 
@@ -9934,6 +10012,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "tfidf_topk": q_tfidf_topk,
         "pii_redact": q_pii_redact,
+        "filter_funnel": q_filter_funnel,
+        "mixing_sample": q_mixing_sample,
         "flac_audio_features": q_flac_audio_features,
         "ogg_audio_features": q_ogg_audio_features,
         "mp4_frame_stats": q_mp4_frame_stats,
@@ -11820,6 +11900,8 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": txt_lm.sql_nb(),
         "tfidf_topk": txt_analysis.sql_tfidf_topk(k=3),
         "pii_redact": _o_pii_redact(),
+        "filter_funnel": _o_filter_funnel(),
+        "mixing_sample": _o_mixing_sample(),
         "ascii_grid_roundtrip": _o_ascii_grid_roundtrip(),
         "hex_cell": _o_hex_cell(HEX_RES, counts=False),
         "hex_cell_counts": _o_hex_cell(HEX_COUNT_RES, counts=True),
