@@ -91,6 +91,7 @@ from gdal_spark.operators import similarity as sim
 from gdal_spark.operators import translate as trans
 from gdal_spark.operators import zonal
 from gdal_spark.text import analysis as txt_analysis
+from gdal_spark.text import bpe as txt_bpe
 from gdal_spark.text import dedup as txt_dedup
 from gdal_spark.text import lm as txt_lm
 from gdal_spark.operators.knn import knn_join
@@ -9642,6 +9643,29 @@ def q_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 candidate table: top-32 weighted adjacent
+    symbol pairs of the (word, count) vocabulary — ONE corpus-scale
+    groupBy then metadata-sized pair aggregation (text/bpe.py); the
+    oracle replicates split/pair/argmax in DuckDB list algebra.
+    Deterministic: (cnt desc, l, r) totally orders unique (l, r)."""
+    return txt_bpe.pair_counts_top(_read(spark, sf_dir, "documents"), 32)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table training (Sennrich 2016), 16
+    merges over documents -> (rnk, l, r, cnt).  Iterative (each merge
+    depends on the last), hence ROWS-ONLY at the driver; value truth
+    is the differential pytest suite vs an independent in-memory
+    trainer (tests/test_bpe.py) plus the oracled `bpe_pair_counts`
+    twin of the corpus-scale stage."""
+    merges = txt_bpe.bpe_train(_read(spark, sf_dir, "documents"), 16)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rnk long, l string, r string, cnt long",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language scorer (argmax + alphabetical
     tiebreak)."""
@@ -10002,6 +10026,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_train": q_bpe_train,
         "nitf_roundtrip": q_nitf_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "hdf4_roundtrip": q_hdf4_roundtrip,
@@ -12013,6 +12039,31 @@ SELECT doc_id,
   cast(len(regexp_extract_all(text, '{BPE_PAT}')) as bigint) AS n_bpe,
   cast(len(string_split(text, ' ')) as bigint) AS n_ws
 FROM documents
+""",
+        "bpe_pair_counts": """
+WITH words AS (
+  SELECT w, cast(count(*) as bigint) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), syms AS (
+  SELECT list_append(
+           list_transform(generate_series(1, length(w)), i -> w[i:i]),
+           '</w>') AS s, cnt
+  FROM words
+), pairs AS (
+  SELECT p.l AS l, p.r AS r, cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                  j -> struct_pack(l := s[j], r := s[j + 1]))) AS p, cnt
+    FROM syms WHERE len(s) >= 2
+  )
+), agg AS (
+  SELECT l, r, cast(sum(cnt) as bigint) AS cnt FROM pairs GROUP BY l, r
+)
+SELECT * FROM (
+  SELECT cast(row_number() OVER (ORDER BY cnt DESC, l ASC, r ASC) as bigint)
+           AS rnk, l, r, cnt
+  FROM agg
+) WHERE rnk <= 32
 """,
         "make_valid": _o_make_valid(),
         "tps_transform": _o_tps_transform(),

@@ -187,14 +187,15 @@ def get_view(md: MDArray, expr: str) -> MDArray:
                 & (col < F.lit(e))
                 & (((col - F.lit(b)) % F.lit(st)) == 0)
             )
-            newcol = (col - F.lit(b)) / F.lit(st)
+            # integer div: float division rounds above 2^53 indices
+            newcol = F.expr(f"(`{dname}` - {b}) div {st}")
         else:
             df = df.filter(
                 (col <= F.lit(b))
                 & (col > F.lit(e))
                 & (((F.lit(b) - col) % F.lit(-st)) == 0)
             )
-            newcol = (F.lit(b) - col) / F.lit(-st)
+            newcol = F.expr(f"({b} - `{dname}`) div {-st}")
         new_dims.append((dname, size))
         sel_exprs.append(newcol.cast("long").alias(dname))
     out = df.select(*sel_exprs, F.col(md.value_col))
