@@ -2516,6 +2516,24 @@ def q_jml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC / Feather v2 vector format (ogr/ogrsf_frmts/arrow:
+    schema-level `geo` JSON per ogrfeatherwriterlayer.cpp:288 plus
+    field-level ARROW:extension:name=geoarrow.wkb per
+    ograrrowlayer.hpp:1013): streamed single-file batch writer,
+    footer-indexed DISTRIBUTED by-batch scan."""
+    from gdal_spark.sources.arrowipc import read_arrow_ipc, write_arrow_ipc
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"arrow_{os.path.basename(sf_dir)}") + ".arrow"
+    # small batches force the multi-batch distributed read path
+    write_arrow_ipc(zones, path, batch_rows=64)
+    back = read_arrow_ipc(spark, path)
+    return _roundtrip_shape(back)
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML IO (ogr/ogrsf_frmts/gml FeatureCollection layout,
     ogr2gmlgeometry.cpp GML 2 coordinates/boundaryIs elements):
@@ -10028,6 +10046,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
+        "arrow_roundtrip": q_arrow_roundtrip,
         "nitf_roundtrip": q_nitf_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "hdf4_roundtrip": q_hdf4_roundtrip,
@@ -12243,6 +12262,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "augment": _o_augment(),
         "gmt_roundtrip": _o_shp_roundtrip(),  # same output contract
         "jml_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "arrow_roundtrip": _o_shp_roundtrip(),  # same output contract
         "hf2_roundtrip": _o_hf2_roundtrip(),
         "terragen_roundtrip": _o_terragen_roundtrip(),
         "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),
