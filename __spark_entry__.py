@@ -9900,6 +9900,29 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x_d *= 1 + 0.001*((d%7)-3), cosine ~0.999995) — the pipeline
     must recover exactly the planted pairs; the oracle replicates
     planting, LSH, and verify."""
+    return sim.cosine_dedup_pairs(_cosdup_corpus(spark, sf_dir))
+
+
+def _cosdup_src_sql() -> str:
+    """DuckDB twin of _cosdup_corpus as a parenthesized source."""
+    return f"""(
+  SELECT vec_id,
+         list_transform(embedding, x -> cast(x as double)) AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {COSDUP_OFFSET} AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> cast(embedding[i] as double)
+                * (1.0 + cast(((i - 1) % 7) - 3 as double)
+                   * cast('0.001' as double))) AS embedding
+  FROM embeddings WHERE vec_id % {COSDUP_MOD} = 0
+)"""
+
+
+def _cosdup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings + deterministic perturbed copies of every 7th
+    vector (cosine ~0.999995 to the original) — the planted near-dup
+    corpus shared by cosine_dedup and semdedup."""
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") % COSDUP_MOD == 0).select(
         (F.col("vec_id") + F.lit(COSDUP_OFFSET)).alias("vec_id"),
@@ -9909,12 +9932,11 @@ def q_cosine_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double) * cast('0.001' as double)))"
         ).alias("embedding"),
     )
-    corpus = emb.select(
+    return emb.select(
         "vec_id", F.expr(
             "transform(embedding, x -> cast(x as double))"
         ).alias("embedding")
     ).unionByName(planted)
-    return sim.cosine_dedup_pairs(corpus)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9985,6 +10007,18 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_lloyd(_read(spark, sf_dir, "embeddings"))
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters then
+    intra-cluster pairwise cosine — remove a vector when a
+    cluster-mate with sim >= 0.9 sits farther from the centroid
+    (the paper's diversity-preserving keep order, vec_id tiebreak).
+    Exact integer cluster distances; the cell-key self-join is the
+    only pairwise stage (cluster-bounded, never all-pairs).  Runs on
+    the planted near-dup corpus (organic max pairwise cosine ~0.51),
+    so exactly one of each planted pair must be removed."""
+    return sim.semdedup(_cosdup_corpus(spark, sf_dir))
+
+
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label elementwise centroid of the embedding vectors."""
     return sim.label_centroids(_read(spark, sf_dir, "embeddings"))
@@ -10044,6 +10078,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -12278,21 +12313,9 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "ngram_jaccard": txt_dedup.sql_ngram_jaccard_pairs(),
         "dup_spans": txt_dedup.sql_duplicate_spans(),
         "kmeans_train": sim.sql_kmeans_lloyd(),
+        "semdedup": sim.sql_semdedup(src=_cosdup_src_sql()),
         "repetition_quality": txt_analysis.sql_repetition_signals(),
-        "cosine_dedup": sim.sql_cosine_dedup_pairs(
-            src=f"""(
-  SELECT vec_id,
-         list_transform(embedding, x -> cast(x as double)) AS embedding
-  FROM embeddings
-  UNION ALL
-  SELECT vec_id + {COSDUP_OFFSET} AS vec_id,
-         list_transform(generate_series(1, len(embedding)),
-           i -> cast(embedding[i] as double)
-                * (1.0 + cast(((i - 1) % 7) - 3 as double)
-                   * cast('0.001' as double))) AS embedding
-  FROM embeddings WHERE vec_id % {COSDUP_MOD} = 0
-)"""
-        ),
+        "cosine_dedup": sim.sql_cosine_dedup_pairs(src=_cosdup_src_sql()),
         "zarr_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,

@@ -549,6 +549,26 @@ def kmeans_lloyd(
     shuffle per iteration is the (cell, dim) mean aggregation.
     Empty cells keep their previous centroid.
     """
+    cents, assigned = _lloyd_loop(emb, k, iters, vec)
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    spark = emb.sparkSession
+    cent_rows = [
+        (c, d, int(v)) for c in range(k) for d, v in enumerate(cents[c])
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cell int, d int, comp_q long")
+    return cdf.join(sizes, "cell", "left").select(
+        "cell", "d", "comp_q",
+        F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+    )
+
+
+def _lloyd_loop(emb: DataFrame, k: int, iters: int, vec: str):
+    """Shared Lloyd iteration: -> (final centroid dict, the LAST
+    assignment DataFrame (vec_id, qv, cell, d2) — i.e. the assignment
+    the final centroid update was computed from, with d2 the exact
+    integer distance to the assignment-time centroid)."""
     from pyspark.sql import functions as F
 
     q = emb.select(
@@ -573,7 +593,7 @@ def kmeans_lloyd(
             "cell",
             (F.expr(f"array_position({dists}, array_min({dists}))") - 1)
             .cast("int"),
-        )
+        ).withColumn("d2", F.expr(f"array_min({dists})").cast("long"))
         comp = assigned.select(
             "cell", F.posexplode("qv").alias("d", "x")
         )
@@ -598,19 +618,94 @@ def kmeans_lloyd(
             else cents[c]
             for c in range(k)
         }
+    return cents, assigned
 
-    sizes = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_members")
+
+def semdedup(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    threshold_e4: int = 9000,
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup = k-means clustering, then INTRA-CLUSTER pairwise cosine —
+    a vector i is removed when some cluster-mate j with sim(i, j) >=
+    threshold precedes it in the keep order.  The published keep
+    order retains the example FARTHEST from the cluster centroid
+    (preserves diversity), so j precedes i iff d2_j > d2_i, vec_id
+    ascending on ties; removal is pairwise-to-all within the cluster
+    (the released algorithm's upper-triangle test), not iterative.
+
+    -> (vec_id, cell, d2, keep): every vector, its cluster, exact
+    integer distance-to-assignment-centroid, and the 0/1 decision.
+
+    Scale shape: Lloyd's is the metadata-broadcast loop of
+    kmeans_lloyd; the pairwise stage is a self equi-join ON THE CELL
+    KEY only — cluster sizes are ~N/k by construction (the paper
+    runs k ~ sqrt(N)), AQE skew-split handles hot cells, and no
+    all-pairs join exists outside a cell."""
+    _, assigned = _lloyd_loop(emb, k, iters, vec)
+    prio = assigned.select("vec_id", "cell", "d2")
+    base = with_norm(emb, vec).select("vec_id", F.col(vec).alias("e"),
+                                      "norm")
+    sides = prio.join(base, "vec_id")
+    i = (sides.withColumnRenamed("vec_id", "vid_i")
+         .withColumnRenamed("d2", "d2_i")
+         .withColumnRenamed("e", "ei").withColumnRenamed("norm", "ni"))
+    j = (sides.withColumnRenamed("vec_id", "vid_j")
+         .withColumnRenamed("d2", "d2_j")
+         .withColumnRenamed("e", "ej").withColumnRenamed("norm", "nj"))
+    sim = F.expr(_DOT.format(a="ei", b="ej")) / (F.col("ni") * F.col("nj"))
+    removed = (
+        i.join(j, "cell")
+        .where(
+            (F.col("d2_j") > F.col("d2_i"))
+            | ((F.col("d2_j") == F.col("d2_i"))
+               & (F.col("vid_j") < F.col("vid_i")))
+        )
+        .where(F.floor(sim * 10000).cast("long") >= threshold_e4)
+        .select(F.col("vid_i").alias("vec_id"))
+        .distinct()
+        .withColumn("rm", F.lit(1))
     )
-    spark = emb.sparkSession
-    cent_rows = [
-        (c, d, int(v)) for c in range(k) for d, v in enumerate(cents[c])
-    ]
-    cdf = spark.createDataFrame(cent_rows, "cell int, d int, comp_q long")
-    return cdf.join(sizes, "cell", "left").select(
-        "cell", "d", "comp_q",
-        F.coalesce("n_members", F.lit(0)).cast("long").alias("n_members"),
+    return prio.join(removed, "vec_id", "left").select(
+        "vec_id", "cell", "d2",
+        F.when(F.col("rm").isNull(), 1).otherwise(0)
+        .cast("int").alias("keep"),
     )
+
+
+def sql_semdedup(src: str = "embeddings", k: int = KMEANS_K,
+                 iters: int = KMEANS_ITERS,
+                 threshold_e4: int = 9000,
+                 qbits: int = KMEANS_QBITS) -> str:
+    """DuckDB twin of semdedup: the kmeans CTE ladder, then the
+    precede-pair removal test."""
+    body, _, assign, dist = _sql_lloyd_ctes(src, k, iters, qbits)
+    dot = _DUCK_DOT.format(a="ei.embedding", b="ej.embedding")
+    ni = _DUCK_NORM.format(a="ei.embedding")
+    nj = _DUCK_NORM.format(a="ej.embedding")
+    return f"""
+WITH {body},
+prio AS (
+  SELECT a.vec_id, a.cell, cast(d.d2 as bigint) AS d2
+  FROM {assign} a JOIN {dist} d
+    ON d.vec_id = a.vec_id AND d.cell = a.cell
+),
+rem AS (
+  SELECT DISTINCT i.vec_id
+  FROM prio i JOIN prio j ON i.cell = j.cell
+    AND (j.d2 > i.d2 OR (j.d2 = i.d2 AND j.vec_id < i.vec_id))
+  JOIN {src} ei ON ei.vec_id = i.vec_id
+  JOIN {src} ej ON ej.vec_id = j.vec_id
+  WHERE cast(floor((({dot}) / (({ni}) * ({nj}))) * 10000) as bigint)
+        >= {threshold_e4}
+)
+SELECT p.vec_id, cast(p.cell as int) AS cell, p.d2,
+       cast(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END as int) AS keep
+FROM prio p LEFT JOIN rem r ON r.vec_id = p.vec_id
+"""
 
 
 def sql_kmeans_lloyd(src: str = "embeddings", k: int = KMEANS_K,
@@ -618,6 +713,23 @@ def sql_kmeans_lloyd(src: str = "embeddings", k: int = KMEANS_K,
                      qbits: int = KMEANS_QBITS) -> str:
     """DuckDB twin: the same integer Lloyd iterations unrolled as
     relational CTEs (centroids are ROWS, so nothing expands with k)."""
+    body, ccomp, assign, _ = _sql_lloyd_ctes(src, k, iters, qbits)
+    return f"""
+WITH {body},
+sizes AS (
+  SELECT cell, cast(count(*) as bigint) AS n_members
+  FROM {assign} GROUP BY 1
+)
+SELECT c.cell, cast(c.d as int) AS d, c.cx AS comp_q,
+       coalesce(s.n_members, 0) AS n_members
+FROM {ccomp} c LEFT JOIN sizes s ON s.cell = c.cell
+"""
+
+
+def _sql_lloyd_ctes(src: str, k: int, iters: int, qbits: int
+                    ) -> tuple[str, str, str, str]:
+    """-> (WITH-body, final ccomp name, final assign name, final dist
+    name) — the shared Lloyd ladder for sql_kmeans_lloyd/sql_semdedup."""
     quant = (
         f"list_transform(embedding, x -> cast(floor(cast(x as double) "
         f"* {1 << qbits}) as bigint))"
@@ -668,15 +780,5 @@ ccomp{it} AS (
     ON m.cell = c.cell AND m.d = c.d
 )""")
         prev = f"ccomp{it}"
-    parts.append(f"""
-sizes AS (
-  SELECT cell, cast(count(*) as bigint) AS n_members
-  FROM assign{iters} GROUP BY 1
-)""")
     body = ",".join(parts)
-    return f"""
-WITH {body}
-SELECT c.cell, cast(c.d as int) AS d, c.cx AS comp_q,
-       coalesce(s.n_members, 0) AS n_members
-FROM {prev} c LEFT JOIN sizes s ON s.cell = c.cell
-"""
+    return body, prev, f"assign{iters}", f"dist{iters}"

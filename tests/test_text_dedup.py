@@ -342,3 +342,48 @@ def test_vocab_topk_ordering(spark):
             for r in rows] == [
         (1, "a", 4, 2), (2, "b", 3, 2), (3, "c", 1, 1),
     ]
+
+
+def test_semdedup_removes_one_of_each_planted_pair(spark):
+    """Two separated blobs plus a near-copy of one member per blob:
+    the copy pairs with its original inside the cluster; exactly one
+    of each pair is removed, and the KEPT one is the pair member
+    farther from the cluster centroid."""
+    from gdal_spark.operators import similarity as sim
+
+    rows = []
+    # ANGULAR spacing (cosine is scale-blind): adjacent blob members
+    # are ~0.0004 apart in cosine, the planted copies ~5e-8
+    for i in range(6):                        # blob A near (1, 0)
+        rows.append((i, [1.0, 0.03 * i]))
+    for i in range(6):                        # blob B near (0, 1)
+        rows.append((100 + i, [0.03 * i, 1.0]))
+    rows.append((500, [1.0, 0.0003]))         # near-dup of vec 0
+    rows.append((501, [0.1503, 1.0]))         # near-dup of vec 105
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           sim.semdedup(df, k=2, iters=2, threshold_e4=9999).collect()}
+    assert len(out) == 14
+    removed = {v for v, r in out.items() if r["keep"] == 0}
+    # one per pair: {0 or 500} and {105 or 501}
+    assert len(removed & {0, 500}) == 1
+    assert len(removed & {105, 501}) == 1
+    # the kept member of each pair is FARTHER from the centroid
+    for a, b in ((0, 500), (105, 501)):
+        kept, cut = (a, b) if b in removed else (b, a)
+        assert out[kept]["d2"] >= out[cut]["d2"]
+        assert out[kept]["cell"] == out[cut]["cell"]
+    # non-duplicates all kept
+    assert all(out[v]["keep"] == 1 for v in out
+               if v not in {0, 500, 105, 501})
+
+
+def test_semdedup_threshold_gates_removal(spark):
+    from gdal_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.semdedup(df, k=1, iters=1, threshold_e4=9999).collect()
+    assert all(r["keep"] == 1 for r in out)   # cos(0,1) ~ 0.994 < .9999
