@@ -10046,6 +10046,103 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gdal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdalcompare utility dual (osgeo_utils/gdalcompare.py:128-199
+    compare_band): golden = engine-encoded lossless images; new = the
+    same bytes with pixel (0,0) of band 0 bumped +1 (mod 256) on even
+    ids, re-encoded through the real codecs.  The report must show
+    exactly one differing pixel (max diff 1, or 255 on wrap) and the
+    closed-form checksum delta on perturbed bands, zeros elsewhere —
+    decode -> compare runs in one mapInPandas over an image_id join."""
+    from gdal_spark.operators.compare import compare_rasters
+
+    ids = _image_ids(spark, sf_dir).where(
+        (F.col("i") % IMG_STATS_MOD == 0) & (F.col("i") % 3 != 1)
+    )
+    golden = build_images(spark, ids_df=ids, with_payload=True).select(
+        "i", "image_id", "bytes", "fmt"
+    )
+
+    def perturb(batches):
+        import pandas as pd
+
+        from gdal_spark.raster.codecs import decode_image, encode_image
+
+        for pdf in batches:
+            out = []
+            for i, iid, b, fmt in zip(
+                pdf["i"], pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                data = bytes(b)
+                if int(i) % 2 == 0:
+                    arr = decode_image(data, str(fmt)).copy()
+                    arr[0, 0, 0] = (int(arr[0, 0, 0]) + 1) % 256
+                    data = encode_image(arr, str(fmt))
+                out.append((int(i), str(iid), data, str(fmt)))
+            yield pd.DataFrame(
+                out, columns=["i", "image_id", "bytes", "fmt"]
+            )
+
+    new = golden.mapInPandas(perturb, golden.schema)
+    rep = compare_rasters(golden, new)
+    return rep.select(
+        "image_id", F.col("band").cast("int").alias("band"),
+        "size_diff", "dtype_diff",
+        "checksum_golden", "checksum_new",
+        "pixels_differing", "max_pixel_diff", "found_diff",
+    )
+
+
+def _o_gdal_compare() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {IMG_STATS_MOD} = 0"
+        " AND o_orderkey % 3 <> 1)",
+    )
+    return f"""
+WITH img AS ({img}),
+bands AS (
+  SELECT b.band, CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM range(0, 3) AS b(band)
+),
+px AS (
+  SELECT i.image_id, i.i, b.band,
+    (gx.x + gy.y + i.i + b.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands b
+),
+cs AS (
+  SELECT image_id, i, band,
+    cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as bigint) AS cs_g
+  FROM px GROUP BY 1, 2, 3
+),
+rep AS (
+  SELECT image_id, band, cs_g,
+    CASE WHEN band = 0 AND i % 2 = 0 THEN
+      -- checksum delta of bumping pixel (0,0): prime index 0 is 7,
+      -- v = i % 256 (x=y=phase=0); guard negatives before % 65536
+      (((cs_g - ((i % 256) % 7) + (((i % 256) + 1) % 256) % 7)
+        % 65536) + 65536) % 65536
+    ELSE cs_g END AS cs_n,
+    CASE WHEN band = 0 AND i % 2 = 0 AND (i % 256) = 255
+         THEN 255 ELSE 1 END AS wrapdiff
+  FROM cs
+)
+SELECT image_id, cast(band as int) AS band,
+  cast(0 as int) AS size_diff, cast(0 as int) AS dtype_diff,
+  cast(cs_g as int) AS checksum_golden, cast(cs_n as int) AS checksum_new,
+  cast(CASE WHEN cs_n <> cs_g THEN 1 ELSE 0 END as bigint)
+    AS pixels_differing,
+  cast(CASE WHEN cs_n <> cs_g THEN wrapdiff ELSE 0 END as bigint)
+    AS max_pixel_diff,
+  cast(CASE WHEN cs_n <> cs_g THEN 1 ELSE 0 END as int) AS found_diff
+FROM rep
+"""
+
+
 def _with_shipping(fn: Callable) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_workers_can_import(spark)
@@ -10078,6 +10175,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
@@ -12233,6 +12331,7 @@ JOIN nrm a ON a.vec_id = k.doc_a
 JOIN nrm b ON b.vec_id = k.doc_b
 """,
         "image_stats": _o_image_stats(),
+        "gdal_compare": _o_gdal_compare(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),
