@@ -10046,6 +10046,107 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lr_point_exprs() -> tuple[str, str]:
+    """LCG point coords near the demo path — SHARED text (Spark expr
+    == DuckDB SQL) so engine-side float ops are identical."""
+    from gdal_spark.fixtures.georef import LCG_A, LCG_C, LCG_M
+
+    px = (f"cast((({LCG_A} * (2 * i + 1) + {LCG_C}) % {LCG_M}) % 129 "
+          f"as double) * {tm.sql_double(0.5)}")
+    py = (f"cast((({LCG_A} * (2 * i + 2) + {LCG_C}) % {LCG_M}) % 81 "
+          f"as double) * {tm.sql_double(0.5)} - {tm.sql_double(10.0)}")
+    return px, py
+
+
+def q_line_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing Project (ogrlinestring.cpp:2167, the GEOS
+    GEOSProject dual; apps/ogrlineref.cpp -get_pos): distance along a
+    constant 8-segment path of each site's closest path point.
+    Shuffle-free Column math — the per-segment candidates fold through
+    array_min over a struct array keyed (d2, seg), reproducing the
+    first-minimal-segment rule."""
+    from gdal_spark.geo import lineref as lr
+
+    path = lr.demo_path()
+    px, py = _lr_point_exprs()
+    pts = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("i")
+    ).withColumn("px", F.expr(px)).withColumn("py", F.expr(py))
+    out = lr.locate_points(pts, path)
+    return out.select(
+        "i", F.col("seg").cast("int").alias("seg"),
+        F.floor(F.col("dist") * 10000).cast("long").alias("dist_e4"),
+        F.floor(F.col("cx") * 10000).cast("long").alias("x_e4"),
+        F.floor(F.col("cy") * 10000).cast("long").alias("y_e4"),
+    )
+
+
+def _o_line_locate() -> str:
+    from gdal_spark.geo import lineref as lr
+
+    path = lr.demo_path()
+    px, py = _lr_point_exprs()
+    pts_cte = (f"SELECT c_custkey AS i, {px} AS px, {py} AS py "
+               f"FROM customer")
+    return f"""
+WITH {lr.sql_locate_points(path, pts_cte)}
+SELECT i, cast(seg as int) AS seg,
+  cast(floor(dist * 10000) as bigint) AS dist_e4,
+  cast(floor(cx * 10000) as bigint) AS x_e4,
+  cast(floor(cy * 10000) as bigint) AS y_e4
+FROM loc
+"""
+
+
+def _lr_measure_exprs() -> tuple[str, str]:
+    from gdal_spark.geo import lineref as lr
+
+    lit_l = tm.sql_double(lr.path_length(lr.demo_path()))
+    mf = (f"{lit_l} * cast((i % 89) + 1 as double) / "
+          f"{tm.sql_double(128.0)}")
+    mt = (f"least({lit_l}, m_from + {lit_l} * cast((i % 13) + 1 as double)"
+          f" / {tm.sql_double(64.0)})")
+    return mf, mt
+
+
+def q_line_subline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear referencing getSubLine (ogrlinestring.cpp:2221;
+    apps/ogrlineref.cpp -get_subline / -create parts): per customer a
+    clamped [m_from, m_to] measure window extracts the path portion —
+    interpolated endpoints + covered path vertices, emitted as a
+    constant-width vertex explode (pure Column math, one narrow
+    pass)."""
+    from gdal_spark.geo import lineref as lr
+
+    path = lr.demo_path()
+    mf, mt = _lr_measure_exprs()
+    df = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("i")
+    ).withColumn("m_from", F.expr(mf)).withColumn("m_to", F.expr(mt))
+    out = lr.subline_rows(df, path)
+    return out.select(
+        "i", "vtx",
+        F.floor(F.col("x") * 10000).cast("long").alias("x_e4"),
+        F.floor(F.col("y") * 10000).cast("long").alias("y_e4"),
+    )
+
+
+def _o_line_subline() -> str:
+    from gdal_spark.geo import lineref as lr
+
+    path = lr.demo_path()
+    mf, mt = _lr_measure_exprs()
+    m_cte = (f"SELECT i, m_from, {mt} AS m_to FROM "
+             f"(SELECT c_custkey AS i, {mf} AS m_from FROM customer)")
+    return f"""
+WITH {lr.sql_subline_rows(path, m_cte)}
+SELECT i, vtx,
+  cast(floor(x * 10000) as bigint) AS x_e4,
+  cast(floor(y * 10000) as bigint) AS y_e4
+FROM sub
+"""
+
+
 def q_gdal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalcompare utility dual (osgeo_utils/gdalcompare.py:128-199
     compare_band): golden = engine-encoded lossless images; new = the
@@ -10175,6 +10276,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overview_gauss": q_overview_gauss,
         "grid_invdistnn": q_grid_invdistnn,
         # -- new in round 4
+        "line_locate": q_line_locate,
+        "line_subline": q_line_subline,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12332,6 +12435,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
 """,
         "image_stats": _o_image_stats(),
         "gdal_compare": _o_gdal_compare(),
+        "line_locate": _o_line_locate(),
+        "line_subline": _o_line_subline(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),

@@ -210,9 +210,13 @@ def tile_bounds_deg(z: int, x: int, y: int) -> tuple[float, float, float, float]
 # ---------------------------------------------------------------------------
 
 def sql_double(x: float) -> str:
-    """A float literal that parses as DOUBLE (not DECIMAL) in both
-    Spark SQL and DuckDB: exact repr + explicit cast."""
-    return f"cast({x!r} as double)"
+    """A float literal that parses to the IDENTICAL double in Spark
+    SQL and DuckDB: quoted repr + explicit cast.  The quotes matter —
+    an unquoted literal parses as DECIMAL first, and DuckDB's
+    DECIMAL->DOUBLE conversion double-rounds (int128 / 10^scale), off
+    by one ulp for reprs like 15.402921800749363; string->double is
+    correctly rounded in both engines."""
+    return f"cast('{x!r}' as double)"
 
 
 def sql_merc_x(lon: str) -> str:

@@ -1,0 +1,80 @@
+"""Linear referencing (geo/lineref.py) — Spark Column math vs the
+numpy reference kernels, plus Project/Value inversion invariants."""
+
+import numpy as np
+import pytest
+
+from gdal_spark.geo import lineref as lr
+
+
+@pytest.fixture(scope="module")
+def path():
+    return lr.demo_path()
+
+
+def test_demo_path_general_position(path):
+    assert len(path) == 9
+    assert (np.diff(path[:, 0]) > 0).all()          # no zero segments
+    assert (path * 2 == np.round(path * 2)).all()   # dyadic
+
+
+def test_project_value_inversion(path):
+    L = lr.path_length(path)
+    for m in np.linspace(0.05, 0.95, 19) * L:
+        x, y = lr.np_value(path, float(m))
+        dist, seg, cx, cy = lr.np_project(path, [x], [y])
+        assert abs(dist[0] - m) < 1e-9
+        assert abs(cx[0] - x) < 1e-9 and abs(cy[0] - y) < 1e-9
+
+
+def test_value_clamps(path):
+    assert lr.np_value(path, -5.0) == (path[0, 0], path[0, 1])
+    assert lr.np_value(path, 1e9) == (path[-1, 0], path[-1, 1])
+
+
+def test_subline_endpooints_and_vertices(path):
+    L = lr.path_length(path)
+    sub = lr.np_subline(path, 0.1 * L, 0.8 * L)
+    assert np.allclose(sub[0], lr.np_value(path, 0.1 * L))
+    assert np.allclose(sub[-1], lr.np_value(path, 0.8 * L))
+    # interior rows are exact path vertices, in order
+    a, _, _, _, seglen, cum = lr._segs(path)
+    inner = sub[1:-1]
+    for v in inner:
+        assert any(np.array_equal(v, p) for p in path)
+    # monotone measure along the result
+    d, _, _, _ = lr.np_project(path, sub[:, 0], sub[:, 1])
+    assert (np.diff(d) > 0).all()
+
+
+def test_locate_points_matches_numpy(spark, path):
+    rng = [(i, float(px), float(py)) for i, (px, py) in enumerate(
+        zip(np.linspace(-2, 70, 31), ((np.arange(31) * 7) % 23) - 5.0))]
+    df = spark.createDataFrame(rng, "i long, px double, py double")
+    got = {r["i"]: r for r in lr.locate_points(df, path).collect()}
+    px = np.array([r[1] for r in rng])
+    py = np.array([r[2] for r in rng])
+    dist, seg, cx, cy = lr.np_project(path, px, py)
+    for i in range(len(rng)):
+        assert got[i]["seg"] == seg[i]
+        assert abs(got[i]["dist"] - dist[i]) < 1e-12
+        assert abs(got[i]["cx"] - cx[i]) < 1e-12
+        assert abs(got[i]["cy"] - cy[i]) < 1e-12
+
+
+def test_subline_rows_matches_numpy(spark, path):
+    L = lr.path_length(path)
+    cases = [(k, 0.03 * k * L, min(L, (0.03 * k + 0.21) * L))
+             for k in range(1, 25)]
+    df = spark.createDataFrame(cases, "i long, m_from double, m_to double")
+    out = lr.subline_rows(df, path).collect()
+    by_i = {}
+    for r in out:
+        by_i.setdefault(r["i"], {})[r["vtx"]] = (r["x"], r["y"])
+    for k, mf, mt in cases:
+        want = lr.np_subline(path, mf, mt)
+        rows = by_i[k]
+        assert sorted(rows) == list(range(len(want)))
+        for v in range(len(want)):
+            assert abs(rows[v][0] - want[v][0]) < 1e-12
+            assert abs(rows[v][1] - want[v][1]) < 1e-12
