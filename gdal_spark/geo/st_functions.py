@@ -161,6 +161,52 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
     return pd.Series([f(b, m) for b, m in zip(wkb, max_len)])
 
 
+@F.pandas_udf(T.DoubleType())
+def st_linelocatepoint(wkb: pd.Series, px: pd.Series,
+                       py: pd.Series) -> pd.Series:
+    """OGRSimpleCurve::Project dual (ogrlinestring.cpp:2167, GEOS
+    GEOSProject): distance from the line origin to the closest point
+    on the line."""
+    from gdal_spark.geo import lineref as lr
+
+    def f(b, x, y):
+        g = parse_wkb(bytes(b))
+        dist, _, _, _ = lr.np_project(g.parts[0], [float(x)], [float(y)])
+        return float(dist[0])
+
+    return pd.Series([f(b, x, y) for b, x, y in zip(wkb, px, py)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_lineinterpolatepoint(wkb: pd.Series, m: pd.Series) -> pd.Series:
+    """OGRSimpleCurve::Value dual (ogrlinestring.cpp:2102): point at
+    DISTANCE m along the line (clamped to the endpoints)."""
+    from gdal_spark.geo import lineref as lr
+
+    def f(b, mm):
+        g = parse_wkb(bytes(b))
+        x, y = lr.np_value(g.parts[0], float(mm))
+        return wkb_point(x, y)
+
+    return pd.Series([f(b, mm) for b, mm in zip(wkb, m)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_linesubstring(wkb: pd.Series, m_from: pd.Series,
+                     m_to: pd.Series) -> pd.Series:
+    """OGRSimpleCurve::getSubLine dual (ogrlinestring.cpp:2221,
+    bAsRatio=FALSE): the line portion between two DISTANCES from the
+    origin (clamped, like the reference)."""
+    from gdal_spark.geo import lineref as lr
+    from gdal_spark.geo.wkb import wkb_linestring
+
+    def f(b, a, z):
+        g = parse_wkb(bytes(b))
+        return wkb_linestring(lr.np_subline(g.parts[0], float(a), float(z)))
+
+    return pd.Series([f(b, a, z) for b, a, z in zip(wkb, m_from, m_to)])
+
+
 @F.pandas_udf(T.BinaryType())
 def st_buffer(wkb: pd.Series, dist: pd.Series) -> pd.Series:
     def f(b, d):
@@ -863,6 +909,9 @@ _REGISTRY = {
     "ST_ConvexHull": st_convexhull,
     "ST_Simplify": st_simplify,
     "ST_Segmentize": st_segmentize,
+    "ST_LineLocatePoint": st_linelocatepoint,
+    "ST_LineInterpolatePoint": st_lineinterpolatepoint,
+    "ST_LineSubstring": st_linesubstring,
     "ST_Buffer": st_buffer,
     "ST_PointOnSurface": st_pointonsurface,
     "ST_X": st_x,

@@ -78,3 +78,28 @@ def test_subline_rows_matches_numpy(spark, path):
         for v in range(len(want)):
             assert abs(rows[v][0] - want[v][0]) < 1e-12
             assert abs(rows[v][1] - want[v][1]) < 1e-12
+
+
+def test_st_lineref_functions_sql(spark, path):
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import parse_wkb, wkb_linestring
+
+    register_st_functions(spark)
+    df = spark.createDataFrame(
+        [(1, bytearray(wkb_linestring(path)))], ["id", "geometry"])
+    df.createOrReplaceTempView("lines")
+    L = lr.path_length(path)
+    row = spark.sql(f"""
+        SELECT ST_LineLocatePoint(geometry, 3.0, 14.0) AS at_start,
+               ST_LineInterpolatePoint(geometry, {L / 2!r}) AS mid,
+               ST_LineSubstring(geometry, {0.1 * L!r}, {0.6 * L!r}) AS sub
+        FROM lines
+    """).collect()[0]
+    assert row["at_start"] == 0.0
+    mx, my = lr.np_value(path, L / 2)
+    g = parse_wkb(bytes(row["mid"]))
+    assert abs(g.parts[0][0][0] - mx) < 1e-12
+    assert abs(g.parts[0][0][1] - my) < 1e-12
+    sub = parse_wkb(bytes(row["sub"])).parts[0]
+    want = lr.np_subline(path, 0.1 * L, 0.6 * L)
+    assert np.allclose(sub, want, atol=1e-12)
