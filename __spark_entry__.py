@@ -4648,9 +4648,11 @@ FROM px GROUP BY image_id, i
 
 
 def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ERS (frmts/ers: nested DatasetHeader text + BIL raw) and
-    ILWIS (frmts/ilwis: ODF ini + .mp# raw): the pixel rule rides
-    through REAL (header, raw) pairs in four variants."""
+    """ERS (frmts/ers: nested DatasetHeader text + BIL raw), ILWIS
+    (frmts/ilwis: ODF ini + .mp# raw), EHdr (frmts/raw/ehdrdataset:
+    ESRI BIL .hdr) and SAGA (frmts/saga: .sgrd + BOTTOM-TO-TOP .sdat):
+    the pixel rule rides through REAL (header, raw) pairs in eight
+    variants."""
     import pandas as pd
     from pyspark.sql import types as T2
 
@@ -4673,10 +4675,14 @@ def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gdal_spark.fixtures.georef import np_image_pixels
         from gdal_spark.raster.checksum import gdal_checksum
         from gdal_spark.raster.hdrpairs import (
+            decode_ehdr,
             decode_ers,
             decode_ilwis,
+            decode_saga,
+            encode_ehdr,
             encode_ers,
             encode_ilwis,
+            encode_saga,
         )
 
         for pdf in batches:
@@ -4701,6 +4707,17 @@ def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         *encode_ilwis(b0.astype(np.int32) - 128)
                     )[0].astype(np.int64) + 128
                 )[:, :, None]
+                outs["ehdr_u8"] = decode_ehdr(*encode_ehdr(arr))[0]
+                outs["ehdr_i16"] = (
+                    decode_ehdr(*encode_ehdr(i16))[0].astype(np.int64)
+                    + 128
+                )
+                outs["saga_byte"] = decode_saga(
+                    *encode_saga(b0)
+                )[0][:, :, None]
+                outs["saga_f32"] = decode_saga(
+                    *encode_saga(b0.astype(np.float32))
+                )[0].astype(np.int64)[:, :, None]
                 for fmt, out in outs.items():
                     for b in range(out.shape[2]):
                         rows.append(
@@ -4725,7 +4742,9 @@ def _o_hdr_raster_roundtrip() -> str:
 WITH img AS ({img}),
 fmts AS (
   SELECT * FROM (VALUES ('ers_u8', 3), ('ers_i16', 1),
-                        ('ilwis_byte', 1), ('ilwis_int', 1))
+                        ('ilwis_byte', 1), ('ilwis_int', 1),
+                        ('ehdr_u8', 3), ('ehdr_i16', 1),
+                        ('saga_byte', 1), ('saga_f32', 1))
     AS f(fmt, nb)
 ),
 bands AS (

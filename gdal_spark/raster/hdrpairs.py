@@ -1,5 +1,5 @@
-"""ERS (ERMapper) and ILWIS header+raw raster pairs — the remaining
-ENVI-style sidecar formats.
+"""ERS (ERMapper), ILWIS, EHdr (ESRI BIL) and SAGA header+raw raster
+pairs — the ENVI-style sidecar formats.
 
 Semantics re-derived from the reference drivers:
 
@@ -14,13 +14,28 @@ Semantics re-derived from the reference drivers:
   (`[MapStore]` section with Data=<file>.mp#, Type=Byte|Int|Real,
   :424,:982-1010; `[Size]`-style rows/cols via [Map] Size) + raw
   row-major little-endian data in the .mp# companion.
+- EHdr (/root/reference/frmts/raw/ehdrdataset.cpp): whitespace
+  key/value .hdr (NROWS/NCOLS/NBANDS at :1060-1068, NBITS :1079,
+  PIXELTYPE :1083, BYTEORDER I|M :1089, LAYOUT BIL|BIP|BSQ :1070,
+  ULXMAP/ULYMAP = CENTER of the UL pixel + XDIM/YDIM :640-647,
+  CELLSIZE sets both dims); the reference writer emits BYTEORDER I
+  + LAYOUT BIL (:1712-1713).
+- SAGA (/root/reference/frmts/saga/sagadataset.cpp): tab-aligned
+  .sgrd keys (WriteHeader :780-833 — DATAFORMAT names, BYTEORDER_BIG,
+  POSITION_XMIN/YMIN = CENTER of the LOWER-LEFT cell, CELLCOUNT_X/Y,
+  CELLSIZE, NODATA_VALUE, TOPTOBOTTOM); the .sdat raster is stored
+  BOTTOM-TO-TOP (TOPTOBOTTOM=TRUE is rejected, :545-551), single
+  band, little-endian unless BYTEORDER_BIG.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_ers", "decode_ers", "encode_ilwis", "decode_ilwis"]
+__all__ = [
+    "encode_ers", "decode_ers", "encode_ilwis", "decode_ilwis",
+    "encode_ehdr", "decode_ehdr", "encode_saga", "decode_saga",
+]
 
 _ERS_TYPES = {
     np.dtype(np.uint8): "Unsigned8BitInteger",
@@ -159,3 +174,179 @@ def decode_ilwis(raw: bytes, odf: str):
     h, w = (int(v) for v in size.split())
     dt = _ILWIS_DTYPES[kv["MapStore.Type"]]
     return np.frombuffer(raw, dtype=dt, count=h * w).reshape(h, w), kv
+
+
+# ---------------------------------------------------------------------------
+# EHdr (ESRI BIL .hdr) — frmts/raw/ehdrdataset.cpp
+# ---------------------------------------------------------------------------
+
+_EHDR_DTYPES = {
+    (8, "UNSIGNEDINT"): np.dtype("u1"),
+    (16, "SIGNEDINT"): np.dtype("i2"),
+    (16, "UNSIGNEDINT"): np.dtype("u2"),
+    (32, "SIGNEDINT"): np.dtype("i4"),
+    (32, "UNSIGNEDINT"): np.dtype("u4"),
+    (32, "FLOAT"): np.dtype("f4"),
+}
+_EHDR_TYPES = {v: k for k, v in _EHDR_DTYPES.items()}
+
+
+def encode_ehdr(arr: np.ndarray, geo: tuple | None = None
+                ) -> tuple[bytes, str]:
+    """(H,W) or (H,W,B) -> (.bil raw bytes, .hdr text) — the
+    reference writer's shape: BYTEORDER I, LAYOUT BIL
+    (ehdrdataset.cpp:1712-1728)."""
+    arr = np.asarray(arr)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nb = arr.shape
+    tk = _EHDR_TYPES.get(arr.dtype)
+    if tk is None:
+        raise ValueError(f"ehdr: unsupported dtype {arr.dtype}")
+    nbits, ptype = tk
+    raw = np.moveaxis(arr, 2, 1).astype(
+        arr.dtype.newbyteorder("<")
+    ).tobytes()
+    lines = [
+        "BYTEORDER      I",
+        "LAYOUT         BIL",
+        f"NROWS          {h}",
+        f"NCOLS          {w}",
+        f"NBANDS         {nb}",
+        f"NBITS          {nbits}",
+        f"BANDROWBYTES   {w * (nbits // 8)}",
+        f"TOTALROWBYTES  {nb * w * (nbits // 8)}",
+        f"PIXELTYPE      {ptype}",
+    ]
+    if geo is not None:
+        gt = geo[0]
+        if gt[2] != 0.0 or gt[4] != 0.0:
+            raise ValueError("ehdr: rotated geotransforms unsupported")
+        # ULXMAP/ULYMAP are the CENTER of the UL pixel (:640-647)
+        lines += [
+            f"ULXMAP         {gt[0] + gt[1] / 2.0!r}",
+            f"ULYMAP         {gt[3] + gt[5] / 2.0!r}",
+            f"XDIM           {gt[1]!r}",
+            f"YDIM           {abs(gt[5])!r}",
+        ]
+    return raw, "\n".join(lines) + "\n"
+
+
+def decode_ehdr(raw: bytes, header: str):
+    kv = {}
+    for line in header.splitlines():
+        toks = line.split()
+        if len(toks) >= 2:
+            kv[toks[0].upper()] = toks[1]
+    h, w = int(kv["NROWS"]), int(kv["NCOLS"])
+    nb = int(kv.get("NBANDS", "1"))
+    nbits = int(kv.get("NBITS", "8"))
+    ptype = kv.get(
+        "PIXELTYPE", "UNSIGNEDINT" if nbits == 8 else "SIGNEDINT"
+    ).upper()
+    dt = _EHDR_DTYPES.get((nbits, ptype))
+    if dt is None:
+        raise ValueError(f"ehdr: unsupported NBITS={nbits}/{ptype}")
+    dt = dt.newbyteorder(
+        ">" if kv.get("BYTEORDER", "I").upper().startswith("M") else "<"
+    )
+    layout = kv.get("LAYOUT", "BIL").upper()
+    a = np.frombuffer(raw, dtype=dt, count=h * w * nb)
+    if layout == "BIL":
+        out = np.moveaxis(a.reshape(h, nb, w), 1, 2)
+    elif layout == "BIP":
+        out = a.reshape(h, w, nb)
+    elif layout == "BSQ":
+        out = np.moveaxis(a.reshape(nb, h, w), 0, 2)
+    else:
+        raise ValueError(f"ehdr: unknown LAYOUT {layout!r}")
+    meta = {}
+    if "ULXMAP" in kv:
+        xd = float(kv.get("XDIM", kv.get("CELLSIZE", "1")))
+        yd = float(kv.get("YDIM", kv.get("CELLSIZE", "1")))
+        meta["geotransform"] = (
+            float(kv["ULXMAP"]) - xd / 2.0, xd, 0.0,
+            float(kv["ULYMAP"]) + yd / 2.0, 0.0, -yd,
+        )
+    return out, meta
+
+
+# ---------------------------------------------------------------------------
+# SAGA (.sgrd / .sdat) — frmts/saga/sagadataset.cpp
+# ---------------------------------------------------------------------------
+
+_SAGA_FORMATS = {
+    np.dtype("u1"): "BYTE_UNSIGNED",
+    np.dtype("i2"): "SHORTINT",
+    np.dtype("u2"): "SHORTINT_UNSIGNED",
+    np.dtype("i4"): "INTEGER",
+    np.dtype("u4"): "INTEGER_UNSIGNED",
+    np.dtype("f4"): "FLOAT",
+    np.dtype("f8"): "DOUBLE",
+}
+_SAGA_DTYPES = {v: k for k, v in _SAGA_FORMATS.items()}
+
+
+def encode_saga(arr: np.ndarray, name: str = "grid",
+                xmin_center: float = 0.0, ymin_center: float = 0.0,
+                cellsize: float = 1.0, nodata: float = -99999.0
+                ) -> tuple[bytes, str]:
+    """(H,W) -> (.sdat raw bytes BOTTOM-TO-TOP, .sgrd header text) —
+    WriteHeader's exact key set (sagadataset.cpp:780-833)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("saga: single-band grids only")
+    fmt = _SAGA_FORMATS.get(arr.dtype)
+    if fmt is None:
+        raise ValueError(f"saga: unsupported dtype {arr.dtype}")
+    raw = arr[::-1].astype(arr.dtype.newbyteorder("<")).tobytes()
+    h, w = arr.shape
+    hdr = "".join(
+        [
+            f"NAME\t= {name}\n",
+            "DESCRIPTION\t=\n",
+            "UNIT\t=\n",
+            "DATAFILE_OFFSET\t= 0\n",
+            f"DATAFORMAT\t= {fmt}\n",
+            "BYTEORDER_BIG\t= FALSE\n",
+            f"POSITION_XMIN\t= {xmin_center:.10f}\n",
+            f"POSITION_YMIN\t= {ymin_center:.10f}\n",
+            f"CELLCOUNT_X\t= {w}\n",
+            f"CELLCOUNT_Y\t= {h}\n",
+            f"CELLSIZE\t= {cellsize:.10f}\n",
+            "Z_FACTOR\t= 1.000000\n",
+            f"NODATA_VALUE\t= {nodata:f}\n",
+            "TOPTOBOTTOM\t= FALSE\n",
+        ]
+    )
+    return raw, hdr
+
+
+def decode_saga(raw: bytes, header: str):
+    kv = {}
+    for line in header.splitlines():
+        if "=" in line:
+            k, v = line.split("=", 1)
+            kv[k.strip().upper()] = v.strip()
+    if kv.get("TOPTOBOTTOM", "FALSE").upper().startswith("T"):
+        # sagadataset.cpp:545-551 — the reference rejects these
+        raise ValueError("saga: TOPTOBOTTOM grids unsupported")
+    w, h = int(kv["CELLCOUNT_X"]), int(kv["CELLCOUNT_Y"])
+    dt = _SAGA_DTYPES.get(kv.get("DATAFORMAT", "FLOAT"))
+    if dt is None:
+        raise ValueError(f"saga: unknown DATAFORMAT {kv.get('DATAFORMAT')!r}")
+    if kv.get("BYTEORDER_BIG", "FALSE").upper().startswith("T"):
+        dt = dt.newbyteorder(">")
+    else:
+        dt = dt.newbyteorder("<")
+    arr = np.frombuffer(raw, dtype=dt, count=h * w).reshape(h, w)[::-1]
+    cs = float(kv.get("CELLSIZE", "1"))
+    meta = {
+        "nodata": float(kv.get("NODATA_VALUE", "nan")),
+        "geotransform": (
+            float(kv.get("POSITION_XMIN", "0")) - cs / 2.0, cs, 0.0,
+            float(kv.get("POSITION_YMIN", "0")) - cs / 2.0 + cs * h,
+            0.0, -cs,
+        ),
+    }
+    return arr, meta

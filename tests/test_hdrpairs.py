@@ -56,3 +56,64 @@ def test_bad_inputs():
                         "CellType = Quad")
     with pytest.raises(ValueError, match="Map.Size"):
         decode_ilwis(b"", "[Ilwis]\nType=BaseMap\n")
+
+
+def test_ehdr_layouts_and_byteorder():
+    import numpy as np
+
+    from gdal_spark.raster.hdrpairs import decode_ehdr, encode_ehdr
+
+    a = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    raw, hdr = encode_ehdr(a)
+    assert "LAYOUT         BIL" in hdr and "NBITS          8" in hdr
+    out, _ = decode_ehdr(raw, hdr)
+    assert (out == a).all()
+    # BIP and BSQ read paths
+    bip = a.tobytes()
+    out, _ = decode_ehdr(bip, "NROWS 5\nNCOLS 4\nNBANDS 3\nLAYOUT BIP\n")
+    assert (out == a).all()
+    bsq = np.moveaxis(a, 2, 0).tobytes()
+    out, _ = decode_ehdr(bsq, "NROWS 5\nNCOLS 4\nNBANDS 3\nLAYOUT BSQ\n")
+    assert (out == a).all()
+    # Motorola byte order, signed 16-bit
+    b = (np.arange(20).reshape(4, 5).astype(np.int16) - 7)
+    out, _ = decode_ehdr(
+        b.astype(">i2").tobytes(),
+        "BYTEORDER M\nNROWS 4\nNCOLS 5\nNBITS 16\nPIXELTYPE SIGNEDINT\n",
+    )
+    assert (out[:, :, 0] == b).all()
+
+
+def test_ehdr_georef_center_convention():
+    import numpy as np
+
+    from gdal_spark.raster.hdrpairs import decode_ehdr, encode_ehdr
+
+    a = np.zeros((4, 5), dtype=np.uint8)
+    gt = (100.0, 2.0, 0.0, 50.0, 0.0, -2.0)
+    raw, hdr = encode_ehdr(a, geo=(gt,))
+    assert "ULXMAP         101.0" in hdr    # center of UL pixel
+    assert "ULYMAP         49.0" in hdr
+    _, meta = decode_ehdr(raw, hdr)
+    assert meta["geotransform"] == gt
+
+
+def test_saga_bottom_to_top_and_georef():
+    import numpy as np
+    import pytest as _pt
+
+    from gdal_spark.raster.hdrpairs import decode_saga, encode_saga
+
+    g = np.arange(20, dtype=np.int16).reshape(4, 5)
+    raw, hdr = encode_saga(g, xmin_center=10.5, ymin_center=2.5,
+                           cellsize=1.0)
+    assert "TOPTOBOTTOM\t= FALSE" in hdr
+    # the first stored row is the BOTTOM image row
+    first = np.frombuffer(raw, dtype="<i2", count=5)
+    assert (first == g[-1]).all()
+    out, meta = decode_saga(raw, hdr)
+    assert (out == g).all()
+    assert meta["geotransform"] == (10.0, 1.0, 0.0, 6.0, 0.0, -1.0)
+    with _pt.raises(ValueError, match="TOPTOBOTTOM"):
+        decode_saga(raw, hdr.replace("TOPTOBOTTOM\t= FALSE",
+                                     "TOPTOBOTTOM\t= TRUE"))
