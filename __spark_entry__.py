@@ -10166,6 +10166,75 @@ FROM sub
 """
 
 
+LR_MILEPOST_MOD = 250  # every 250th customer site is a milepost
+
+
+def q_lineref_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrlineref -create (apps/ogrlineref.cpp:440-640): project the
+    milepost points onto the path, sort by projected distance, and
+    cut one part per adjacent milepost pair with getSubLine —
+    (part, begin/end measure, part vertices).  Composition of the
+    two linear-referencing primitives, end to end."""
+    from pyspark.sql import Window
+
+    from gdal_spark.geo import lineref as lr
+
+    path = lr.demo_path()
+    px, py = _lr_point_exprs()
+    mps = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("i")
+    ).where(F.col("i") % LR_MILEPOST_MOD == 3).withColumn(
+        "px", F.expr(px)
+    ).withColumn("py", F.expr(py))
+    loc = lr.locate_points(mps, path)
+    w = Window.orderBy("dist", "i")
+    parts = (
+        loc.select(
+            F.row_number().over(w).cast("int").alias("part"),
+            F.col("dist").alias("m_from"),
+            F.lead("dist").over(w).alias("m_to"),
+        )
+        .where(F.col("m_to").isNotNull())
+        .withColumnRenamed("part", "i")
+    )
+    out = lr.subline_rows(parts, path)
+    return out.select(
+        F.col("i").alias("part"), "vtx",
+        F.floor(F.col("m_from") * 10000).cast("long").alias("begin_e4"),
+        F.floor(F.col("m_to") * 10000).cast("long").alias("end_e4"),
+        F.floor(F.col("x") * 10000).cast("long").alias("x_e4"),
+        F.floor(F.col("y") * 10000).cast("long").alias("y_e4"),
+    )
+
+
+def _o_lineref_parts() -> str:
+    from gdal_spark.geo import lineref as lr
+
+    path = lr.demo_path()
+    px, py = _lr_point_exprs()
+    pts_cte = (
+        f"SELECT c_custkey AS i, {px} AS px, {py} AS py FROM customer "
+        f"WHERE c_custkey % {LR_MILEPOST_MOD} = 3"
+    )
+    m_cte = """
+  SELECT a.part AS i, a.dist AS m_from, b.dist AS m_to
+  FROM (SELECT dist, row_number() OVER (ORDER BY dist, i) AS part
+        FROM loc) a
+  JOIN (SELECT dist, row_number() OVER (ORDER BY dist, i) AS part
+        FROM loc) b ON b.part = a.part + 1
+"""
+    return f"""
+WITH {lr.sql_locate_points(path, pts_cte)},
+{lr.sql_subline_rows(path, m_cte)}
+SELECT s.i AS part, s.vtx,
+  cast(floor(m.m_from * 10000) as bigint) AS begin_e4,
+  cast(floor(m.m_to * 10000) as bigint) AS end_e4,
+  cast(floor(s.x * 10000) as bigint) AS x_e4,
+  cast(floor(s.y * 10000) as bigint) AS y_e4
+FROM sub s JOIN m ON m.i = s.i
+"""
+
+
 def q_gdal_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdalcompare utility dual (osgeo_utils/gdalcompare.py:128-199
     compare_band): golden = engine-encoded lossless images; new = the
@@ -10297,6 +10366,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4
         "line_locate": q_line_locate,
         "line_subline": q_line_subline,
+        "lineref_parts": q_lineref_parts,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12456,6 +12526,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gdal_compare": _o_gdal_compare(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
+        "lineref_parts": _o_lineref_parts(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),
