@@ -4768,6 +4768,105 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_isis3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISIS3 planetary cubes (frmts/pds/isis3dataset.cpp: PVL label,
+    BandSequential + band-major PADDED-Tile cores, Lsb/Msb, Base/
+    Multiplier metadata): the pixel rule rides through REAL .cub
+    bytes as 3-band u8 BSQ, int16 in a non-dividing tile grid
+    (exercises edge-tile padding), and Real float32."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 79)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.isis3 import decode_isis3, encode_isis3
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                b0 = arr[:, :, 0]
+                outs = {}
+                outs["isis3_bsq"] = decode_isis3(encode_isis3(arr))[0]
+                outs["isis3_tile"] = (
+                    decode_isis3(
+                        encode_isis3(
+                            b0.astype(np.int16) - 128,
+                            fmt="Tile", tile=(48, 40),
+                        )
+                    )[0].astype(np.int64) + 128
+                )
+                outs["isis3_real"] = decode_isis3(
+                    encode_isis3(b0.astype(np.float32))
+                )[0].astype(np.int64)
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_isis3_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 79)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('isis3_bsq', 3), ('isis3_tile', 1),
+                        ('isis3_real', 1))
+    AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_bsb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BSB/KAP nautical charts (frmts/bsb/bsb_read.c: ASCII header +
     0x1A terminator, RGB/ palette lines, base-128 line numbers, RLE
@@ -10367,6 +10466,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_locate": q_line_locate,
         "line_subline": q_line_subline,
         "lineref_parts": q_lineref_parts,
+        "isis3_roundtrip": q_isis3_roundtrip,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12527,6 +12627,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),
+        "isis3_roundtrip": _o_isis3_roundtrip(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),
