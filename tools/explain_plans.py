@@ -79,6 +79,16 @@ def main() -> None:
         "repetition_quality (pure Column math, zero shuffle)": entry.q_repetition_quality,
         "wrapdateline (narrow Arrow map over WKB, no shuffle)": entry.q_wrapdateline,
         "grib_roundtrip (narrow mapInPandas codec kernel)": entry.q_grib_roundtrip,
+        # round 4, fourth sweep
+        "filter_funnel (pure Column math signals, zero shuffle)": entry.q_filter_funnel,
+        "mixing_sample (stratified window sample: one source-key shuffle)": entry.q_mixing_sample,
+        "lm_perplexity (bigram model join: broadcast model side)": entry.q_lm_perplexity,
+        # round 4, fifth sweep
+        "bpe_pair_counts (one corpus groupBy -> TakeOrderedAndProject top-k)": entry.q_bpe_pair_counts,
+        "semdedup (cell-key self-join; cluster-bounded pairwise)": entry.q_semdedup,
+        "line_locate (constant-path Column math, zero shuffle)": entry.q_line_locate,
+        "arrow_roundtrip (footer-indexed by-batch distributed scan)": entry.q_arrow_roundtrip,
+        "gdal_compare (image_id equi-join -> one mapInPandas decode+compare)": entry.q_gdal_compare,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",
