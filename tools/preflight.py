@@ -45,6 +45,14 @@ SAMPLE = [
     "vrt_roundtrip", "ngram_jaccard", "cosine_dedup", "pmtiles_roundtrip",
     "raster_stack", "sozip_roundtrip", "osm_roundtrip",
     "flat_raster_roundtrip",
+    # round-4 session-3/4 families
+    "grib_roundtrip", "dup_spans", "kmeans_train", "mvt_roundtrip",
+    "filter_funnel", "mixing_sample", "lm_perplexity", "nb_classify",
+    "nitf_roundtrip", "raster_pipeline", "driver_list",
+    # round-4 fifth-sweep families
+    "bpe_pair_counts", "semdedup", "gdal_compare", "line_locate",
+    "lineref_parts", "arrow_roundtrip", "isis3_roundtrip",
+    "hdr_raster_roundtrip",
 ]
 
 
@@ -59,9 +67,12 @@ def main() -> None:
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    missing = [n for n in qs if n not in oracles]
+    # rows-only exceptions mirror tests/test_entry_contract.py
+    rows_only = {"bpe_train"}
+    missing = [n for n in qs if n not in oracles and n not in rows_only]
     assert not missing, f"queries without oracles: {missing}"
-    print(f"[ok] contract: {len(qs)} queries, all oracle-backed")
+    print(f"[ok] contract: {len(qs)} queries, all oracle-backed "
+          f"({len(rows_only)} documented rows-only)")
 
     from check_oracles import load_cache
 
