@@ -4867,6 +4867,112 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_lan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erdas LAN (.lan, frmts/raw/landataset.cpp: 128-byte HEAD74
+    header, endianness detected from the band-count byte, BIL body,
+    4-bit two-pixels-per-byte packing): the pixel rule rides through
+    REAL .lan bytes as 3-band u8 (big AND little endian), int16, and
+    the 4-bit nibble path (values v//16, width cropped even)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 89)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.lan import decode_lan, encode_lan
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                b0 = arr[:, :, 0]
+                outs = {}
+                outs["lan_u8"] = decode_lan(encode_lan(arr))[0]
+                outs["lan_u8_be"] = decode_lan(
+                    encode_lan(arr, big_endian=True)
+                )[0]
+                outs["lan_i16"] = (
+                    decode_lan(
+                        encode_lan(b0.astype(np.int16) - 128)
+                    )[0].astype(np.int64) + 128
+                )
+                we = (int(w) // 2) * 2
+                outs["lan_4bit"] = decode_lan(
+                    encode_lan((b0[:, :we] >> 4), four_bit=True)
+                )[0]
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_lan_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 89)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('lan_u8', 3), ('lan_u8_be', 3),
+                        ('lan_i16', 1), ('lan_4bit', 1))
+    AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  -- the 4-bit variant crops to even width: its checksum prime index
+  -- runs in OUTPUT-LOCAL coordinates (y * cropped_w + x)
+  SELECT i.image_id, fb.fmt, fb.band,
+    CASE WHEN fb.fmt = 'lan_4bit'
+         THEN ((gx.x + gy.y + i.i) % 256) // 16
+         ELSE (gx.x + gy.y + i.i + fb.phase) % 256 END AS val,
+    gy.y * (CASE WHEN fb.fmt = 'lan_4bit' THEN (i.w // 2) * 2
+            ELSE i.w END) + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+  WHERE fb.fmt <> 'lan_4bit' OR gx.x < (i.w // 2) * 2
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_bsb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BSB/KAP nautical charts (frmts/bsb/bsb_read.c: ASCII header +
     0x1A terminator, RGB/ palette lines, base-128 line numbers, RLE
@@ -10431,6 +10537,86 @@ FROM rep
 """
 
 
+def q_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block SSIM (Wang et al. 2004, uniform 8x8 windows, population
+    stats) between the two phase-shifted bands of each lossless
+    image — the quality screen of a multimodal near-dup pipeline,
+    through the REAL decode path.  Per-block stats are exact integer
+    sums; the float tree is mirrored token-for-token in the oracle
+    and the mean is an integer division over floor(ssim*1e6) blocks
+    (aggregation-order-free)."""
+    ids = _image_ids(spark, sf_dir).where(
+        (F.col("i") % PALETTED_MOD == 83) & (F.col("i") % 3 != 1)
+    )
+    images = build_images(spark, ids_df=ids, with_payload=True)
+    return multimodal.image_ssim(images)
+
+
+def _o_image_ssim() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 83 AND o_orderkey % 3 <> 1)",
+    )
+    d64 = tm.sql_double(64.0)
+    c1 = tm.sql_double(multimodal.SSIM_C1)
+    c2 = tm.sql_double(multimodal.SSIM_C2)
+    two = tm.sql_double(2.0)
+    e6 = tm.sql_double(1e6)
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id, gy.y // 8 AS by, gx.x // 8 AS bx,
+    (gx.x + gy.y + i.i) % 256 AS v0,
+    (gx.x + gy.y + i.i + 85) % 256 AS v1
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < (i.w // 8) * 8
+  JOIN range(0, 512) AS gy(y) ON gy.y < (i.h // 8) * 8
+),
+blk AS (
+  SELECT image_id, by, bx,
+    cast(sum(v0) as bigint) AS sa, cast(sum(v1) as bigint) AS sb,
+    cast(sum(v0 * v0) as bigint) AS saa,
+    cast(sum(v1 * v1) as bigint) AS sbb,
+    cast(sum(v0 * v1) as bigint) AS sab
+  FROM px GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT image_id,
+    cast(sa as double) / {d64} AS mux,
+    cast(sb as double) / {d64} AS muy,
+    cast(saa as double) / {d64} AS mxx,
+    cast(sbb as double) / {d64} AS myy,
+    cast(sab as double) / {d64} AS mxy
+  FROM blk
+),
+s AS (
+  SELECT image_id, mux, muy,
+    mxx - mux * mux AS sxx,
+    myy - muy * muy AS syy,
+    mxy - mux * muy AS sxy
+  FROM m
+),
+nd AS (
+  SELECT image_id,
+    {two} * mux * muy + {c1} AS num1,
+    {two} * sxy + {c2} AS num2,
+    mux * mux + muy * muy + {c1} AS den1,
+    sxx + syy + {c2} AS den2
+  FROM s
+),
+q AS (
+  SELECT image_id,
+    cast(floor(num1 * num2 / (den1 * den2) * {e6}) as bigint) AS qv
+  FROM nd
+)
+SELECT image_id, cast(count(*) as bigint) AS n_blocks,
+  cast((sum(qv) - (((sum(qv) % count(*)) + count(*)) % count(*)))
+       / count(*) as bigint) AS mssim_e6
+FROM q GROUP BY image_id
+"""
+
+
 def _with_shipping(fn: Callable) -> Callable:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_workers_can_import(spark)
@@ -10467,6 +10653,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_subline": q_line_subline,
         "lineref_parts": q_lineref_parts,
         "isis3_roundtrip": q_isis3_roundtrip,
+        "image_ssim": q_image_ssim,
+        "lan_roundtrip": q_lan_roundtrip,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12628,6 +12816,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),
         "isis3_roundtrip": _o_isis3_roundtrip(),
+        "image_ssim": _o_image_ssim(),
+        "lan_roundtrip": _o_lan_roundtrip(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),

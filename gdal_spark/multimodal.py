@@ -461,3 +461,97 @@ def phash_pairs(images: DataFrame, max_dist: int = 3,
         .where(F.col("hdist") <= max_dist)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Block SSIM (image quality / near-dup verification metric)
+# ---------------------------------------------------------------------------
+
+SSIM_C1 = (0.01 * 255.0) ** 2   # Wang et al. 2004 constants, L=255
+SSIM_C2 = (0.03 * 255.0) ** 2
+SSIM_BLOCK = 8
+
+IMAGE_SSIM_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("mssim_e6", T.LongType()),
+    ]
+)
+
+
+def block_ssim_e6(a: np.ndarray, b: np.ndarray,
+                  block: int = SSIM_BLOCK) -> tuple[int, int]:
+    """Mean SSIM (x1e6, floored) over NON-OVERLAPPING uniform block
+    windows with population statistics — the SQL-mirrorable variant
+    of Wang et al. 2004 (the original uses an 11x11 Gaussian window;
+    the uniform 8x8 form is the classic block-SSIM used for fast
+    quality screens).  Both images crop to whole blocks.
+
+    Determinism contract: per-block stats are EXACT integer sums;
+    the float evaluation tree below is reproduced token-for-token in
+    the DuckDB oracle, so the doubles are bit-identical and the
+    per-block floor(x*1e6) quantization can never straddle; the
+    final mean is an INTEGER division over the quantized blocks
+    (aggregation-order-free)."""
+    h8 = (a.shape[0] // block) * block
+    w8 = (a.shape[1] // block) * block
+    if h8 == 0 or w8 == 0:
+        return 0, 0
+    n = block * block
+
+    def blocks(x):
+        x = x[:h8, :w8].astype(np.int64)
+        return (
+            x.reshape(h8 // block, block, w8 // block, block)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, n)
+        )
+
+    A, B = blocks(a), blocks(b)
+    sa = A.sum(1)
+    sb = B.sum(1)
+    saa = (A * A).sum(1)
+    sbb = (B * B).sum(1)
+    sab = (A * B).sum(1)
+    nd = float(n)
+    mux = sa / nd
+    muy = sb / nd
+    sxx = saa / nd - mux * mux
+    syy = sbb / nd - muy * muy
+    sxy = sab / nd - mux * muy
+    num = (2.0 * mux * muy + SSIM_C1) * (2.0 * sxy + SSIM_C2)
+    den = (mux * mux + muy * muy + SSIM_C1) * (sxx + syy + SSIM_C2)
+    q = np.floor(num / den * 1e6).astype(np.int64)
+    return len(q), int(q.sum()) // len(q)
+
+
+def image_ssim(images: DataFrame, band_a: int = 0,
+               band_b: int = 1) -> DataFrame:
+    """Per-image block SSIM between two decoded bands — the quality
+    screen a multimodal dedup pipeline runs on candidate image pairs
+    (here the two phase-shifted bands of one payload, so the oracle
+    has a closed pixel form).  Narrow mapInPandas over the payload:
+    no pixel ever shuffles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = decode_image(bytes(data), str(fmt))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+                nb, ms = block_ssim_e6(
+                    arr[:, :, band_a], arr[:, :, band_b]
+                )
+                recs.append({"image_id": str(iid), "n_blocks": nb,
+                             "mssim_e6": ms})
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in IMAGE_SSIM_SCHEMA]
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, IMAGE_SSIM_SCHEMA
+    )
