@@ -9908,6 +9908,55 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SEED = "r4s5"   # training-order shuffle salt
+SHUFFLE_SHARDS = 8      # world size
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data ordering: every epoch-0 loader
+    needs a reproducible global shuffle.  shard = first 8 hex digits
+    of md5(doc_id:seed) mod world_size; position inside the shard is
+    a rank over the remaining hash — so the 'shuffle' is a hash
+    ORDER computed shard-parallel (window PARTITIONED BY shard,
+    never a single global sort) and any worker can materialise its
+    shard independently.  md5 hex is identical across engines."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + SHUFFLE_SEED)))
+    d = docs.withColumn("h", h).withColumn(
+        "shard",
+        (F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+         % SHUFFLE_SHARDS).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return d.select(
+        "doc_id", "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+def _o_corpus_shuffle() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    md5(cast(doc_id as varchar) || ':{SHUFFLE_SEED}') AS h
+  FROM documents
+),
+s AS (
+  SELECT doc_id, h,
+    cast(cast(('0x' || substring(h, 1, 8)) as bigint)
+         % {SHUFFLE_SHARDS} as int) AS shard
+  FROM d
+)
+SELECT doc_id, shard,
+  cast(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+       as bigint) AS pos
+FROM s
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language scorer (argmax + alphabetical
     tiebreak)."""
@@ -10655,6 +10704,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isis3_roundtrip": q_isis3_roundtrip,
         "image_ssim": q_image_ssim,
         "lan_roundtrip": q_lan_roundtrip,
+        "corpus_shuffle": q_corpus_shuffle,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12818,6 +12868,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "isis3_roundtrip": _o_isis3_roundtrip(),
         "image_ssim": _o_image_ssim(),
         "lan_roundtrip": _o_lan_roundtrip(),
+        "corpus_shuffle": _o_corpus_shuffle(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),
