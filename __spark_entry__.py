@@ -4650,9 +4650,10 @@ FROM px GROUP BY image_id, i
 def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ERS (frmts/ers: nested DatasetHeader text + BIL raw), ILWIS
     (frmts/ilwis: ODF ini + .mp# raw), EHdr (frmts/raw/ehdrdataset:
-    ESRI BIL .hdr) and SAGA (frmts/saga: .sgrd + BOTTOM-TO-TOP .sdat):
-    the pixel rule rides through REAL (header, raw) pairs in eight
-    variants."""
+    ESRI BIL .hdr), SAGA (frmts/saga: .sgrd + BOTTOM-TO-TOP .sdat)
+    and PAux (frmts/raw/pauxdataset: ChanDefinition offsets, mixed
+    types, Swapped=LE): the pixel rule rides through REAL
+    (header, raw) pairs in ten variants."""
     import pandas as pd
     from pyspark.sql import types as T2
 
@@ -4678,10 +4679,12 @@ def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             decode_ehdr,
             decode_ers,
             decode_ilwis,
+            decode_paux,
             decode_saga,
             encode_ehdr,
             encode_ers,
             encode_ilwis,
+            encode_paux,
             encode_saga,
         )
 
@@ -4718,6 +4721,14 @@ def q_hdr_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs["saga_f32"] = decode_saga(
                     *encode_saga(b0.astype(np.float32))
                 )[0].astype(np.int64)[:, :, None]
+                px = decode_paux(
+                    *encode_paux([arr[:, :, b] for b in range(3)])
+                )
+                outs["paux_u8"] = np.stack(px, axis=2)
+                outs["paux_i16"] = (
+                    decode_paux(*encode_paux([i16]))[0]
+                    .astype(np.int64) + 128
+                )[:, :, None]
                 for fmt, out in outs.items():
                     for b in range(out.shape[2]):
                         rows.append(
@@ -4744,7 +4755,8 @@ fmts AS (
   SELECT * FROM (VALUES ('ers_u8', 3), ('ers_i16', 1),
                         ('ilwis_byte', 1), ('ilwis_int', 1),
                         ('ehdr_u8', 3), ('ehdr_i16', 1),
-                        ('saga_byte', 1), ('saga_f32', 1))
+                        ('saga_byte', 1), ('saga_f32', 1),
+                        ('paux_u8', 3), ('paux_i16', 1))
     AS f(fmt, nb)
 ),
 bands AS (

@@ -350,3 +350,75 @@ def decode_saga(raw: bytes, header: str):
         ),
     }
     return arr, meta
+
+
+# ---------------------------------------------------------------------------
+# PAux (PCI .aux sidecar) — frmts/raw/pauxdataset.cpp
+# ---------------------------------------------------------------------------
+# .aux text: "AuxilaryTarget: <rawfile>" (:545), "RawDefinition: W H
+# nbands" (:567-588), per band "ChanDefinition-N: <type> <offset>
+# <pixoffset> <lineoffset> [Swapped|Unswapped]" (:631-669) with types
+# 16U/16S/32R and 8U default; "Swapped" marks little-endian bytes
+# (the :660 native test on CPL_LSB hosts).
+
+_PAUX_TYPES = {
+    np.dtype("u1"): "8U",
+    np.dtype("u2"): "16U",
+    np.dtype("i2"): "16S",
+    np.dtype("f4"): "32R",
+}
+_PAUX_DTYPES = {v: k for k, v in _PAUX_TYPES.items()}
+
+
+def encode_paux(bands: list[np.ndarray], target: str = "raw.img"
+                ) -> tuple[bytes, str]:
+    """[per-band 2-D arrays, mixed dtypes] -> (raw bytes, .aux text).
+    Bands pack band-sequential at explicit offsets, little-endian."""
+    if not bands:
+        raise ValueError("paux: no bands")
+    h, w = bands[0].shape
+    lines = [f"AuxilaryTarget: {target}",
+             f"RawDefinition: {w} {h} {len(bands)}"]
+    raw = bytearray()
+    for i, b in enumerate(bands):
+        b = np.asarray(b)
+        if b.shape != (h, w):
+            raise ValueError("paux: band shape mismatch")
+        t = _PAUX_TYPES.get(b.dtype)
+        if t is None:
+            raise ValueError(f"paux: unsupported dtype {b.dtype}")
+        sz = b.dtype.itemsize
+        lines.append(
+            f"ChanDefinition-{i + 1}: {t} {len(raw)} {sz} {w * sz} Swapped"
+        )
+        raw += b.astype(b.dtype.newbyteorder("<")).tobytes()
+    return bytes(raw), "\n".join(lines) + "\n"
+
+
+def decode_paux(raw: bytes, aux: str):
+    """-> list of per-band 2-D arrays (mixed dtypes preserved)."""
+    kv = {}
+    for line in aux.splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            kv[k.strip()] = v.strip()
+    if "RawDefinition" not in kv:
+        raise ValueError("paux: RawDefinition missing")
+    w, h, nb = (int(t) for t in kv["RawDefinition"].split())
+    out = []
+    for i in range(nb):
+        toks = kv[f"ChanDefinition-{i + 1}"].split()
+        dt = _PAUX_DTYPES.get(toks[0], np.dtype("u1"))
+        off, pix, line_off = int(toks[1]), int(toks[2]), int(toks[3])
+        if len(toks) > 4 and toks[4] == "Unswapped":
+            dt = dt.newbyteorder(">")
+        else:
+            dt = dt.newbyteorder("<")
+        if pix != dt.itemsize or line_off != w * dt.itemsize:
+            raise ValueError("paux: non-contiguous channel layouts "
+                             "unsupported")
+        out.append(
+            np.frombuffer(raw, dtype=dt, count=h * w,
+                          offset=off).reshape(h, w)
+        )
+    return out

@@ -117,3 +117,27 @@ def test_saga_bottom_to_top_and_georef():
     with _pt.raises(ValueError, match="TOPTOBOTTOM"):
         decode_saga(raw, hdr.replace("TOPTOBOTTOM\t= FALSE",
                                      "TOPTOBOTTOM\t= TRUE"))
+
+
+def test_paux_mixed_channels_and_endian():
+    import numpy as np
+    import pytest as _pt
+
+    from gdal_spark.raster.hdrpairs import decode_paux, encode_paux
+
+    b0 = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    b1 = (np.arange(20).reshape(4, 5).astype(np.int16) - 7)
+    b2 = np.linspace(0, 1, 20, dtype=np.float32).reshape(4, 5)
+    raw, aux = encode_paux([b0, b1, b2])
+    assert "RawDefinition: 5 4 3" in aux
+    assert "ChanDefinition-2: 16S 20 2 10 Swapped" in aux
+    out = decode_paux(raw, aux)
+    for a, b in zip(out, [b0, b1, b2]):
+        assert (a == b).all() and a.dtype == b.dtype
+    # Unswapped channel = big-endian bytes
+    be_aux = ("AuxilaryTarget: x\nRawDefinition: 5 4 1\n"
+              "ChanDefinition-1: 16S 0 2 10 Unswapped\n")
+    out = decode_paux(b1.astype(">i2").tobytes(), be_aux)
+    assert (out[0] == b1).all()
+    with _pt.raises(ValueError, match="non-contiguous"):
+        decode_paux(raw, aux.replace("16S 20 2 10", "16S 20 4 10"))
