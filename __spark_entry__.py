@@ -8202,6 +8202,106 @@ WHERE i % {GEOTIFF_MOD} = 2
 """
 
 
+def q_geotiff_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_edit.py / gdalmove.py dual: IN-PLACE GeoTIFF georef patch
+    (ModelPixelScale/Tiepoint doubles + the CS GeoKey rewritten at
+    their existing offsets; no other byte moves).  Each image's
+    georeferenced bytes get a deterministic move (origin shifted by
+    (+2.5, -1.5) pixels, resolution doubled, CRS re-tagged 32633);
+    the emitted columns come from read_georef on the PATCHED bytes,
+    and the band-0 checksum proves the pixel bytes never moved."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % GEOTIFF_MOD == 5)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("epsg", T2.IntegerType()),
+            T2.StructField("x0_q3", T2.LongType()),
+            T2.StructField("y0_q3", T2.LongType()),
+            T2.StructField("res_q6", T2.LongType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        from gdal_spark.fixtures.georef import RES0, np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.tiff import (
+            decode_tiff,
+            edit_georef,
+            encode_tiff,
+            read_georef,
+        )
+
+        for pdf in batches:
+            recs = []
+            for i, xmin, ymax in zip(pdf["i"], pdf["xmin"], pdf["ymax"]):
+                gt = (float(xmin), RES0, 0.0, float(ymax), 0.0, -RES0)
+                buf = encode_tiff(
+                    np_image_pixels(int(i), 16, 16), geo=(gt, 3857)
+                )
+                new_gt = (
+                    float(xmin) + 2.5 * RES0, RES0 * 2.0, 0.0,
+                    float(ymax) - 1.5 * RES0, 0.0, -(RES0 * 2.0),
+                )
+                out = edit_georef(buf, geotransform=new_gt, epsg=32633)
+                got_gt, got_epsg = read_georef(out)
+                recs.append(
+                    {
+                        "i": int(i),
+                        "epsg": int(got_epsg),
+                        "x0_q3": _math.floor(got_gt[0] * 1e3),
+                        "y0_q3": _math.floor(got_gt[3] * 1e3),
+                        "res_q6": _math.floor(got_gt[1] * 1e6),
+                        "checksum": gdal_checksum(
+                            decode_tiff(out)[:, :, 0]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return geo.select("i", "xmin", "ymax").mapInPandas(run, schema)
+
+
+def _o_geotiff_edit() -> str:
+    from gdal_spark.fixtures.georef import RES0, sql_images_cte
+    from gdal_spark.tiles import tilemath as _tm
+
+    imgs = sql_images_cte("cast(o_orderkey as bigint)", "orders")
+    dx = _tm.sql_double(2.5 * RES0)
+    dy = _tm.sql_double(1.5 * RES0)
+    r2 = _tm.sql_double(RES0 * 2.0)
+    return f"""
+WITH imgs AS ({imgs}),
+px AS (
+  SELECT m.i, (gx.x + gy.y + m.i) % 256 AS val,
+         gy.y * 16 + gx.x AS pidx
+  FROM imgs m
+  CROSS JOIN range(0, 16) AS gx(x)
+  CROSS JOIN range(0, 16) AS gy(y)
+  WHERE m.i % {GEOTIFF_MOD} = 5
+),
+cks AS (
+  SELECT i,
+    cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+      AS checksum
+  FROM px GROUP BY i
+)
+SELECT m.i,
+       cast(32633 as int) AS epsg,
+       cast(floor((m.xmin + {dx}) * 1000.0) as bigint) AS x0_q3,
+       cast(floor((m.ymax - {dy}) * 1000.0) as bigint) AS y0_q3,
+       cast(floor({r2} * 1000000.0) as bigint) AS res_q6,
+       c.checksum
+FROM imgs m JOIN cks c ON c.i = m.i
+WHERE m.i % {GEOTIFF_MOD} = 5
+"""
+
+
 INFO_MOD = 499  # image subset for the gdalinfo report oracle
 
 
@@ -10717,6 +10817,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim": q_image_ssim,
         "lan_roundtrip": q_lan_roundtrip,
         "corpus_shuffle": q_corpus_shuffle,
+        "geotiff_edit": q_geotiff_edit,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -12881,6 +12982,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "image_ssim": _o_image_ssim(),
         "lan_roundtrip": _o_lan_roundtrip(),
         "corpus_shuffle": _o_corpus_shuffle(),
+        "geotiff_edit": _o_geotiff_edit(),
         "histogram": _o_histogram(),
         "color_relief": _o_color_relief(),
         "fillnodata": _o_fillnodata(),

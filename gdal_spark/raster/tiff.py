@@ -325,3 +325,57 @@ def decode_tiff_levels(data: bytes) -> list[np.ndarray]:
         (ifd_off,) = struct.unpack_from(
             "<I", data, ifd_off + 2 + 12 * n_entries)
     return out
+
+
+def edit_georef(data: bytes, geotransform: tuple | None = None,
+                epsg: int | None = None) -> bytes:
+    """gdal_edit.py / gdalmove.py dual: patch ModelPixelScale,
+    ModelTiepoint and the GeoKey CS code IN PLACE — a header-only
+    edit that leaves every pixel byte untouched, like the reference
+    utility's SetGeoTransform/SetProjection on an existing GTiff
+    (swig/python/gdal-utils/osgeo_utils/gdal_edit.py).  The tags must
+    already exist: ADDING them would relocate the IFD, which the
+    in-place contract refuses loudly."""
+    if data[:4] != _II:
+        raise ValueError("tiff codec: not little-endian classic TIFF")
+    if geotransform is not None and (
+        geotransform[2] != 0.0 or geotransform[4] != 0.0
+        or geotransform[5] >= 0.0
+    ):
+        raise ValueError("edit_georef: north-up unrotated only")
+    buf = bytearray(data)
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n_entries,) = struct.unpack_from("<H", buf, ifd_off)
+    did_scale = did_tie = did_epsg = False
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from("<HHI", buf, base)
+        if geotransform is not None and tag == T_PIXEL_SCALE and typ == 12:
+            (off,) = struct.unpack_from("<I", buf, base + 8)
+            struct.pack_into("<3d", buf, off, geotransform[1],
+                             -geotransform[5], 0.0)
+            did_scale = True
+        elif geotransform is not None and tag == T_TIEPOINT and typ == 12:
+            (off,) = struct.unpack_from("<I", buf, base + 8)
+            struct.pack_into("<6d", buf, off, 0.0, 0.0, 0.0,
+                             geotransform[0], geotransform[3], 0.0)
+            did_tie = True
+        elif epsg is not None and tag == T_GEOKEYS and typ == 3:
+            inline = 2 * count <= 4
+            if inline:
+                voff = base + 8
+            else:
+                (voff,) = struct.unpack_from("<I", buf, base + 8)
+            keys = list(struct.unpack_from(f"<{count}H", buf, voff))
+            for i in range(keys[3]):
+                kid, loc = keys[4 + 4 * i], keys[5 + 4 * i]
+                if kid in (_GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS) and loc == 0:
+                    struct.pack_into("<H", buf, voff + 2 * (7 + 4 * i),
+                                     epsg)
+                    did_epsg = True
+    if geotransform is not None and not (did_scale and did_tie):
+        raise ValueError("edit_georef: no ModelPixelScale/Tiepoint "
+                         "tags to patch (dataset not georeferenced)")
+    if epsg is not None and not did_epsg:
+        raise ValueError("edit_georef: no CS GeoKey to patch")
+    return bytes(buf)

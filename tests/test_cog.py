@@ -63,3 +63,30 @@ def test_corrupted_layout_rejected():
     # tile data is relocated before metadata by reversing the check:
     with pytest.raises(Exception):
         decode_cog(buf[:100])  # truncated file can't parse
+
+
+def test_edit_georef_in_place():
+    import numpy as np
+    import pytest as _pt
+
+    from gdal_spark.raster.tiff import (
+        decode_tiff, edit_georef, encode_tiff, read_georef,
+    )
+
+    a = (np.arange(8 * 8 * 3) % 256).astype(np.uint8).reshape(8, 8, 3)
+    gt = (100.0, 2.0, 0.0, 500.0, 0.0, -2.0)
+    buf = encode_tiff(a, geo=(gt, 3857))
+    new = (110.0, 4.0, 0.0, 480.0, 0.0, -4.0)
+    out = edit_georef(buf, geotransform=new, epsg=4326)
+    assert read_georef(out) == (new, 4326)
+    assert len(out) == len(buf)            # nothing relocated
+    assert (decode_tiff(out) == a).all()   # pixels untouched
+    # epsg-only edit leaves the geotransform alone
+    out2 = edit_georef(buf, epsg=32633)
+    assert read_georef(out2) == (gt, 32633)
+    # refuses non-georeferenced input and rotation
+    plain = encode_tiff(a)
+    with _pt.raises(ValueError, match="not georeferenced|no ModelPixelScale"):
+        edit_georef(plain, geotransform=new)
+    with _pt.raises(ValueError, match="north-up"):
+        edit_georef(buf, geotransform=(0, 1, 0.1, 0, 0, -1))
