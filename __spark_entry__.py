@@ -2534,6 +2534,25 @@ def q_arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_arrows_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC STREAM variant (no footer): a driver-side indexing
+    pass walks the length-prefixed messages once, then each record
+    batch decodes DISTRIBUTED from its own byte span against the
+    broadcast schema."""
+    from gdal_spark.sources.arrowipc import (
+        read_arrow_stream,
+        write_arrow_stream,
+    )
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"arrows_{os.path.basename(sf_dir)}") + ".arrows"
+    write_arrow_stream(zones, path, batch_rows=64)
+    back = read_arrow_stream(spark, path)
+    return _roundtrip_shape(back)
+
+
 def q_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GML IO (ogr/ogrsf_frmts/gml FeatureCollection layout,
     ogr2gmlgeometry.cpp GML 2 coordinates/boundaryIs elements):
@@ -10823,6 +10842,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_train": q_bpe_train,
         "arrow_roundtrip": q_arrow_roundtrip,
+        "arrows_roundtrip": q_arrows_roundtrip,
         "nitf_roundtrip": q_nitf_roundtrip,
         "pcidsk_roundtrip": q_pcidsk_roundtrip,
         "hdf4_roundtrip": q_hdf4_roundtrip,
@@ -13048,6 +13068,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gmt_roundtrip": _o_shp_roundtrip(),  # same output contract
         "jml_roundtrip": _o_shp_roundtrip(),  # same output contract
         "arrow_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "arrows_roundtrip": _o_shp_roundtrip(),  # same output contract
         "hf2_roundtrip": _o_hf2_roundtrip(),
         "terragen_roundtrip": _o_terragen_roundtrip(),
         "hdr_raster_roundtrip": _o_hdr_raster_roundtrip(),

@@ -90,3 +90,34 @@ def test_reader_raises_without_any_geometry_marker(spark, tmp_path):
             w.write_table(tab)
     with pytest.raises(ValueError, match="no geo metadata"):
         read_arrow_ipc(spark, path)
+
+
+def test_stream_variant_distributed_spans(spark, tmp_path):
+    from gdal_spark.sources.arrowipc import (
+        read_arrow_stream, write_arrow_stream,
+    )
+
+    path = str(tmp_path / "many.arrows")
+    write_arrow_stream(_df(spark, 23), path, batch_rows=5)
+    back = read_arrow_stream(spark, path)
+    got = sorted(r["fid"] for r in back.collect())
+    assert got == list(range(1, 24))
+    assert back.rdd.getNumPartitions() >= 5    # one task per batch span
+    g = parse_wkb(bytes(
+        {r["fid"]: r for r in back.collect()}[2]["geometry"]))
+    assert g.type_id == 3 and len(g.parts) == 2
+
+
+def test_stream_has_no_footer_but_same_metadata(spark, tmp_path):
+    from gdal_spark.sources.arrowipc import write_arrow_stream
+
+    path = str(tmp_path / "z.arrows")
+    write_arrow_stream(_df(spark), path)
+    with pa.OSFile(path, "rb") as fh:
+        with pytest.raises(pa.lib.ArrowInvalid):
+            pa.ipc.open_file(fh)           # not the footer format
+    with pa.OSFile(path, "rb") as fh:
+        schema = pa.ipc.open_stream(fh).schema
+    assert schema.field("geometry").metadata[
+        b"ARROW:extension:name"] == b"geoarrow.wkb"
+    assert b"geo" in schema.metadata
