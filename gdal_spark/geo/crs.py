@@ -75,7 +75,7 @@ def utm_forward(lon, lat, zone: int):
 # ---------------------------------------------------------------------------
 
 def _d(x: float) -> str:
-    return f"cast({x!r} as double)"
+    return f"cast('{x!r}' as double)"  # quoted: see tilemath.sql_double
 
 
 def _sinh(x: str) -> str:

@@ -224,7 +224,7 @@ def bng_forward(lon_deg, lat_deg):
 # ---------------------------------------------------------------------------
 
 def _d(v: float) -> str:
-    return f"cast({v!r} as double)"
+    return f"cast('{v!r}' as double)"  # quoted: see tilemath.sql_double
 
 
 def _sql_geocentric(lon: str, lat: str, datum: str):

@@ -33,8 +33,11 @@ from gdal_spark.geo.datum import DATUMS, ELLIPSOIDS, datum_shift
 
 
 def _d(v: float) -> str:
-    """Exact float literal for DuckDB (bare literals parse DECIMAL)."""
-    return f"cast({float(v)!r} as double)"
+    """Exact float literal for DuckDB — QUOTED: an unquoted literal
+    parses as DECIMAL and DuckDB's DECIMAL->DOUBLE conversion
+    double-rounds (1 ulp off); string->double is correctly rounded in
+    both engines (same fix as tilemath.sql_double)."""
+    return f"cast('{float(v)!r}' as double)"
 
 
 def ell_consts(datum: str) -> tuple[float, float, float]:
