@@ -8069,6 +8069,68 @@ FROM {src}
 """
 
 
+def q_proj_cassini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cassini-Soldner (EPSG 9806; geo/projzoo.cassini_forward pinned
+    to the EPSG Guidance Trinidad 1903 worked example to 0.001
+    links).  Sites within ±5° of the central meridian project
+    DATUM-INTERNALLY (Trinidad's ellipsoid unit is Clarke's links, so
+    no meter-Helmert crossing exists — the lon/lat are taken on the
+    CRS's own datum, like the worked example itself)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    lon_lo, lon_hi = -66.334, -56.333
+    lat_lo, lat_hi = -60.0, 60.0
+    sites = build_sites(spark, ids_df=_site_ids(spark, sf_dir)).where(
+        (F.col("slat") >= lat_lo) & (F.col("slat") <= lat_hi)
+        & (F.col("slon") >= lon_lo) & (F.col("slon") <= lon_hi)
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("cell_x", T2.LongType()),
+            T2.StructField("cell_y", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.geo import projzoo as pz
+
+        for pdf in batches:
+            x, y = pz.forward(
+                30200, pdf["slon"].to_numpy(), pdf["slat"].to_numpy()
+            )
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"].to_numpy(dtype=np.int64),
+                    "cell_x": np.floor(x / PROJ_CELL).astype(np.int64),
+                    "cell_y": np.floor(y / PROJ_CELL).astype(np.int64),
+                }
+            )
+
+    return sites.select("i", "slon", "slat").mapInPandas(run, schema)
+
+
+def _o_proj_cassini() -> str:
+    from gdal_spark.geo import projzoo as pz
+
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    px, py = pz.sql_forward(30200, "slon", "slat")
+    return f"""
+WITH sites AS ({st}),
+ll AS (
+  SELECT * FROM sites
+  WHERE slat >= -60.0 AND slat <= 60.0
+    AND slon >= -66.334 AND slon <= -56.333
+)
+SELECT i, cast(floor({px} / {PROJ_CELL!r}) as bigint) AS cell_x,
+       cast(floor({py} / {PROJ_CELL!r}) as bigint) AS cell_y
+FROM ll
+"""
+
+
 EXIF_MOD = 97  # image subset for the EXIF roundtrip oracle
 _OVR_W = 64  # tiff_overviews base level size
 
@@ -10919,6 +10981,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_sinusoidal": q_proj_sinusoidal,
         "proj_eqc": q_proj_eqc,
         "proj_mercator_ups": q_proj_mercator_ups,
+        "proj_cassini": q_proj_cassini,
         "reproject_chain": q_reproject_chain,
         "tile_render_albers": q_tile_render_albers,
         "tile_render_polar": q_tile_render_polar,
@@ -13028,6 +13091,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "proj_sinusoidal": _o_proj_cells("ESRI:54008", -180.0, 180.0, -84.0, 84.0),
         "proj_eqc": _o_proj_cells(4087, -180.0, 180.0, -84.0, 84.0),
         "proj_mercator_ups": _o_proj_mercator_ups(),
+        "proj_cassini": _o_proj_cassini(),
         "reproject_chain": _o_reproject_chain(),
         "tile_render_albers": _o_tile_render_proj(5070, ALBERS_Z),
         "tile_render_polar": _o_tile_render_proj(3031, POLAR_Z),

@@ -55,6 +55,11 @@ ELLIPSOIDS = {
     "krass": (6378245.0, 298.3),         # Krassowsky 1940
     "clrk66": (6378206.4, 294.978698214),  # Clarke 1866
     "evrst30": (6377298.556, 300.8017),    # Everest 1830 (1967 def)
+    # Clarke 1858 in CLARKE'S LINKS (EPSG 7007: a = 20926348 ft,
+    # b = 20855233 ft; 1 chain = 100 links = 66 ft) — the native
+    # axis/ellipsoid unit of Trinidad 1903 / Cassini (EPSG 30200)
+    "clrk58_links": (20926348.0 * 100.0 / 66.0,
+                     20926348.0 / (20926348.0 - 20855233.0)),
 }
 
 # name -> (ellipsoid, towgs84 (tx, ty, tz, rx", ry", rz", s_ppm))
@@ -84,6 +89,10 @@ DATUMS = {
     "TIMBALAI": ("evrst30", (-679.0, 669.0, -48.0, 0.0, 0.0, 0.0, 0.0)),
     # S-JTSK (Krovak) — published 3-param towgs84 (EPSG 1623 rounded)
     "SJTSK": ("bessel", (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
+    # Trinidad 1903 — ellipsoid unit is LINKS, so a Helmert crossing
+    # (meter offsets) is NOT registered: zeros mark "projection math
+    # only"; coordinates stay on the datum's own geographic CRS
+    "TRINIDAD1903": ("clrk58_links", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
 }
 
 _AS2RAD = np.pi / (180.0 * 3600.0)

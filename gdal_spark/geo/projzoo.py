@@ -654,6 +654,81 @@ def sql_eqc_inverse(x: str, y: str, datum: str, lat1: float = 0.0,
 
 
 # ---------------------------------------------------------------------------
+# Cassini-Soldner (EPSG method 9806; Snyder p.95, EPSG Guidance 7-2
+# §3.2.2 — the Trinidad 1903 worked example pins the series).
+# Reference driver surface: SRS_PT_CASSINI_SOLDNER
+# (ogr/ogr_srs_api.h:80), proj4 '+proj=cass'
+# (autotest/osr/osr_proj4.py:239).
+# ---------------------------------------------------------------------------
+
+def cassini_forward(lon, lat, datum: str, lat0: float, lon0: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon0)
+    s, c = np.sin(phi), np.cos(phi)
+    t = np.tan(phi)
+    A = lam * c
+    T = t * t
+    C = e2 * c * c / (1.0 - e2)
+    nu = a / np.sqrt(1.0 - e2 * s * s)
+    M = merid_arc(phi, a, e2)
+    M0 = merid_arc(np.float64(math.radians(lat0)), a, e2)
+    A2 = A * A
+    x = fe + nu * (A - T * A * A2 / 6.0
+                   - (8.0 - T + 8.0 * C) * T * A * A2 * A2 / 120.0)
+    y = fn + M - M0 + nu * t * (A2 / 2.0
+                                + (5.0 - T + 6.0 * C) * A2 * A2 / 24.0)
+    return x, y
+
+
+def cassini_inverse(x, y, datum: str, lat0: float, lon0: float,
+                    fe: float = 0.0, fn: float = 0.0):
+    a, e, e2 = ell_consts(datum)
+    M0 = merid_arc(np.float64(math.radians(lat0)), a, e2)
+    M1 = M0 + (np.asarray(y, dtype=np.float64) - fn)
+    phi1 = inv_merid_arc(M1, a, e2)
+    s1 = np.sin(phi1)
+    t1 = np.tan(phi1)
+    T1 = t1 * t1
+    den = 1.0 - e2 * s1 * s1
+    nu1 = a / np.sqrt(den)
+    rho1 = a * (1.0 - e2) / (den * np.sqrt(den))
+    D = (np.asarray(x, dtype=np.float64) - fe) / nu1
+    D2 = D * D
+    phi = phi1 - (nu1 * t1 / rho1) * (
+        D2 / 2.0 - (1.0 + 3.0 * T1) * D2 * D2 / 24.0
+    )
+    lam = (D - T1 * D * D2 / 3.0
+           + (1.0 + 3.0 * T1) * T1 * D * D2 * D2 / 15.0) / np.cos(phi1)
+    return np.degrees(lam + math.radians(lon0)), np.degrees(phi)
+
+
+def sql_cassini_forward(lon: str, lat: str, datum: str, lat0: float,
+                        lon0: float, fe: float = 0.0, fn: float = 0.0
+                        ) -> tuple[str, str]:
+    a, e, e2 = ell_consts(datum)
+    phi = f"radians({lat})"
+    lam = f"(radians({lon}) - {_d(math.radians(lon0))})"
+    A = f"(({lam}) * cos({phi}))"
+    T = f"(tan({phi}) * tan({phi}))"
+    C = f"({_d(e2)} * cos({phi}) * cos({phi}) / {_d(1.0 - e2)})"
+    nu = f"({_d(a)} / sqrt(1.0 - {_d(e2)} * sin({phi}) * sin({phi})))"
+    M0 = float(merid_arc(np.float64(math.radians(lat0)), a, e2))
+    A2 = f"({A} * {A})"
+    x = (
+        f"({_d(fe)} + {nu} * ({A} - {T} * {A} * {A2} / 6.0 "
+        f"- (8.0 - {T} + 8.0 * {C}) * {T} * {A} * {A2} * {A2} / 120.0))"
+    )
+    y = (
+        f"({_d(fn)} + {sql_merid_arc(phi, a, e2)} - {_d(M0)} "
+        f"+ {nu} * tan({phi}) * ({A2} / 2.0 "
+        f"+ (5.0 - {T} + 6.0 * {C}) * {A2} * {A2} / 24.0))"
+    )
+    return x, y
+
+
+# ---------------------------------------------------------------------------
 # Authalic latitude: q(phi), qp, and the beta -> phi series
 # (Snyder 3-11/3-12/3-18) — shared by the equal-area methods
 # (LAEA 9820, Cylindrical Equal Area 9835).
@@ -1218,6 +1293,13 @@ REGISTRY: dict[int | str, CrsDef] = {
         k0=0.9999079, fe=155000.0, fn=463000.0)),
     # WGS 84 / World Equidistant Cylindrical (EPSG 1028)
     4087: CrsDef("eqc", "WGS84", dict(lat1=0.0, lon0=0.0, fe=0.0, fn=0.0)),
+    # Trinidad 1903 / Trinidad Grid (Cassini-Soldner, EPSG 9806) —
+    # axis + ellipsoid unit is CLARKE'S LINKS; lat0 = 10d26'30"N,
+    # lon0 = 61d20'00"W (the EPSG Guidance worked example CRS)
+    30200: CrsDef("cassini", "TRINIDAD1903", dict(
+        lat0=10.0 + 26.0 / 60.0 + 30.0 / 3600.0,
+        lon0=-(61.0 + 20.0 / 60.0),
+        fe=430000.0, fn=325000.0)),
     # WGS 84 / World Mercator (ellipsoidal 1SP)
     3395: CrsDef("mercator", "WGS84", dict(k0=1.0, lon0=0.0, fe=0.0, fn=0.0)),
     # Universal Polar Stereographic (variant A, k0 = 0.994)
@@ -1313,6 +1395,8 @@ def forward(code: int | str, lon, lat):
         return sinusoidal_forward(lon, lat, d.datum, **p)
     if d.method == "eqc":
         return eqc_forward(lon, lat, d.datum, **p)
+    if d.method == "cassini":
+        return cassini_forward(lon, lat, d.datum, **p)
     if d.method == "laea":
         return laea_forward(lon, lat, d.datum, **p)
     if d.method == "cea":
@@ -1362,6 +1446,8 @@ def inverse(code: int | str, x, y):
         return sinusoidal_inverse(x, y, d.datum, **p)
     if d.method == "eqc":
         return eqc_inverse(x, y, d.datum, **p)
+    if d.method == "cassini":
+        return cassini_inverse(x, y, d.datum, **p)
     if d.method == "laea":
         return laea_inverse(x, y, d.datum, **p)
     if d.method == "cea":
@@ -1408,6 +1494,8 @@ def sql_forward(code: int | str, lon: str, lat: str) -> tuple[str, str]:
         return sql_sinusoidal_forward(lon, lat, d.datum, **p)
     if d.method == "eqc":
         return sql_eqc_forward(lon, lat, d.datum, **p)
+    if d.method == "cassini":
+        return sql_cassini_forward(lon, lat, d.datum, **p)
     if d.method == "laea":
         return sql_laea_forward(lon, lat, d.datum, **p)
     if d.method == "cea":
@@ -1493,9 +1581,15 @@ def to_proj4(code) -> str:
     ell = DATUMS[d.datum][0]
     ell_p4 = {"WGS84": "WGS84", "GRS80": "GRS80", "intl": "intl",
               "airy": "airy", "bessel": "bessel", "krass": "krass",
-              "clrk66": "clrk66", "evrst30": "evrst30"}[ell]
+              "clrk66": "clrk66", "evrst30": "evrst30"}.get(ell)
     tw = DATUMS[d.datum][1]
-    datum_part = f"+ellps={ell_p4} +towgs84=" + ",".join(
+    if ell_p4 is None:
+        # no proj4 alias (e.g. Clarke 1858 in links): explicit +a/+rf
+        a_, rf_ = ELLIPSOIDS[ell]
+        ell_part = f"+a={a_!r} +rf={rf_!r}"
+    else:
+        ell_part = f"+ellps={ell_p4}"
+    datum_part = f"{ell_part} +towgs84=" + ",".join(
         repr(v) if v != int(v) else str(int(v)) for v in tw)
     p = d.params
     if d.method == "geographic":
@@ -1510,7 +1604,7 @@ def to_proj4(code) -> str:
                "polar_stereo_a": "stere", "oblique_stereo": "sterea",
                "sinusoidal": "sinu", "eqc": "eqc", "laea": "laea",
                "cea": "cea", "mollweide": "moll", "homerc": "omerc",
-               "krovak": "krovak"}
+               "krovak": "krovak", "cassini": "cass"}
     p4_key = {"k0": "k_0", "lon0": "lon_0", "lat0": "lat_0",
               "lat1": "lat_1" if d.method == "albers" else "lat_ts",
               "lat2": "lat_2", "lat_ts": "lat_ts",
@@ -1553,6 +1647,7 @@ _PROJ4_METHODS = {
     "moll": "mollweide",
     "omerc": "homerc",
     "krovak": "krovak",
+    "cass": "cassini",
 }
 
 
@@ -1642,6 +1737,8 @@ def resolve_crs(user_input) -> int | str:
                        "k0": "k_0", "fe": "x_0", "fn": "y_0"},
             "krovak": {"lat0": "lat_0", "lonc": "lon_0",
                        "k0": "k_0", "fe": "x_0", "fn": "y_0"},
+            "cassini": {"lat0": "lat_0", "lon0": "lon_0",
+                        "fe": "x_0", "fn": "y_0"},
         }
         defaults = {"k_0": 1.0, "lon_0": 0.0, "lat_0": 0.0,
                     "lat_ts": 0.0, "x_0": 0.0, "y_0": 0.0,

@@ -165,6 +165,9 @@ _METHOD_WKT: dict[str, tuple[str, dict[str, str]]] = {
     "mollweide": ("Mollweide", {
         "lon0": "central_meridian",
         "fe": "false_easting", "fn": "false_northing"}),
+    "cassini": ("Cassini_Soldner", {
+        "lat0": "latitude_of_origin", "lon0": "central_meridian",
+        "fe": "false_easting", "fn": "false_northing"}),
     # variant B (EPSG 9815) — the reference's _Azimuth_Center spelling
     "homerc": ("Hotine_Oblique_Mercator_Azimuth_Center", {
         "latc": "latitude_of_center", "lonc": "longitude_of_center",
@@ -196,6 +199,7 @@ _ELLIPSOID_WKT_NAMES = {
     "krass": "Krassowsky 1940",
     "clrk66": "Clarke 1866",
     "evrst30": "Everest 1830 (1967 Definition)",
+    "clrk58_links": "Clarke 1858 (Clarke's links)",
 }
 
 _DATUM_WKT_NAMES = {
@@ -211,6 +215,7 @@ _DATUM_WKT_NAMES = {
     "CH1903PLUS": "CH1903+",
     "TIMBALAI": "Timbalai_1948",
     "SJTSK": "System_of_the_Unified_Trigonometrical_Cadastral_Network",
+    "TRINIDAD1903": "Trinidad_1903",
 }
 
 # registry geographic codes per datum (GEOGCS emission + import)
@@ -376,6 +381,7 @@ _WKT2_DATUM_NAMES = {
     "CH1903PLUS": "CH1903+",
     "TIMBALAI": "Timbalai 1948",
     "SJTSK": "System of the Unified Trigonometrical Cadastral Network",
+    "TRINIDAD1903": "Trinidad 1903",
 }
 
 _WKT2_METHOD_DISPLAY = {
@@ -391,6 +397,7 @@ _WKT2_METHOD_DISPLAY = {
     9815: "Hotine Oblique Mercator (variant B)",
     9819: "Krovak",
     1024: "Popular Visualisation Pseudo Mercator",
+    9806: "Cassini-Soldner",
 }
 
 _WKT2_PARAM_DISPLAY = {
@@ -518,6 +525,8 @@ _WKT2_METHODS = {
     1041: ("krovak", {8811: "lat0", 8833: "lonc", 8805: "k0",
                       8806: "fe", 8807: "fn"}),
     1024: ("webmerc", {}),
+    9806: ("cassini", {8801: "lat0", 8802: "lon0",
+                       8806: "fe", 8807: "fn"}),
 }
 # methods without EPSG codes match by name
 _WKT2_METHOD_NAMES = {

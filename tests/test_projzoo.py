@@ -401,3 +401,52 @@ def test_homerc_krovak_sql_stage_twin(code, lon, lat):
     nx, ny = pz.forward(code, lon, lat)
     assert abs(dx - float(nx)) < 1e-6
     assert abs(dy - float(ny)) < 1e-6
+
+
+def test_cassini_trinidad_worked_example():
+    """EPSG Guidance 7-2 §3.2.2 (Trinidad 1903 / Trinidad Grid,
+    Clarke's links): phi 10°N lam 62°W -> E 66644.94 N 82536.22."""
+    import numpy as np
+
+    x, y = pz.forward(30200, np.array([-62.0]), np.array([10.0]))
+    assert abs(x[0] - 66644.94) < 0.01
+    assert abs(y[0] - 82536.22) < 0.01
+    lon, lat = pz.inverse(30200, x, y)
+    assert abs(lon[0] + 62.0) < 1e-9 and abs(lat[0] - 10.0) < 1e-7
+
+
+def test_cassini_properties():
+    import numpy as np
+
+    d = pz.REGISTRY[30200]
+    p = d.params
+    # central meridian maps to x = FE exactly (A = 0)
+    x, y = pz.forward(30200, np.array([p["lon0"]]), np.array([25.0]))
+    assert abs(x[0] - p["fe"]) < 1e-6
+    # origin maps to (FE, FN)
+    x, y = pz.forward(30200, np.array([p["lon0"]]), np.array([p["lat0"]]))
+    assert abs(x[0] - p["fe"]) < 1e-6 and abs(y[0] - p["fn"]) < 1e-6
+    # forward∘inverse identity: the EPSG series are truncated at A^5,
+    # so the residual grows with distance from the central meridian —
+    # sub-mm within ±2° of lon0, ~cm-level by ±5° (still far inside
+    # the method's use envelope)
+    # (the inverse-meridian rectifying series itself carries ~3e-8°)
+    for span, tol in ((2.0, 1e-7), (5.0, 5e-7)):
+        lons = np.linspace(p["lon0"] - span, p["lon0"] + span, 15)
+        lats = np.linspace(-55.0, 55.0, 23)
+        LO, LA = np.meshgrid(lons, lats)
+        X, Y = pz.forward(30200, LO.ravel(), LA.ravel())
+        lo2, la2 = pz.inverse(30200, X, Y)
+        assert np.abs(lo2 - LO.ravel()).max() < tol
+        assert np.abs(la2 - LA.ravel()).max() < tol
+
+
+def test_cassini_proj4_and_wkt_roundtrip():
+    s = pz.to_proj4(30200)
+    assert "+proj=cass" in s and "+a=" in s    # no proj4 ellps alias
+    assert pz.resolve_crs(s) == 30200
+    from gdal_spark.geo.wktcrs import to_wkt, wkt_to_crs
+
+    w = to_wkt(30200)
+    assert "Cassini_Soldner" in w and "Trinidad_1903" in w
+    assert wkt_to_crs(w) == 30200
