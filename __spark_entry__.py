@@ -8669,6 +8669,83 @@ WHERE i % {EXIF_MOD} = 1
 """
 
 
+def q_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy scrub: strip_app1 removes the APP1 segment from
+    REAL JPEG bytes (marker walk, entropy-coded data untouched) —
+    the PII-removal step an image training pipeline runs before
+    publication.  The kernel asserts the scrub end-to-end: EXIF
+    present before / absent after, and the stripped file is
+    BYTE-IDENTICAL to the pre-EXIF original; `orientation` is parsed
+    out of the bytes before stripping (per-row rule, not a
+    constant)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % EXIF_MOD == 3)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("had_exif", T2.IntegerType()),
+            T2.StructField("has_after", T2.IntegerType()),
+            T2.StructField("bytes_identical", T2.IntegerType()),
+            T2.StructField("orientation", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.exif import (
+            build_exif,
+            extract_app1,
+            insert_app1,
+            parse_exif,
+            strip_app1,
+        )
+        from gdal_spark.raster.jpeg import encode_jpeg
+
+        for pdf in batches:
+            recs = []
+            for i in pdf["i"]:
+                i = int(i)
+                plain = encode_jpeg(np_image_pixels(i, 20, 20), 90)
+                tagged = insert_app1(
+                    plain,
+                    build_exif({"Make": "gdal_spark",
+                                "Orientation": 1 + i % 8}),
+                )
+                before = extract_app1(tagged)
+                stripped = strip_app1(tagged)
+                recs.append(
+                    {
+                        "i": i,
+                        "had_exif": int(before is not None),
+                        "has_after": int(
+                            extract_app1(stripped) is not None
+                        ),
+                        "bytes_identical": int(stripped == plain),
+                        "orientation": int(
+                            parse_exif(before)["Orientation"]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return geo.select("i").mapInPandas(run, schema)
+
+
+def _o_exif_strip() -> str:
+    from gdal_spark.fixtures.georef import sql_images_cte
+
+    imgs = sql_images_cte("cast(o_orderkey as bigint)", "orders")
+    return f"""
+WITH imgs AS ({imgs})
+SELECT i, cast(1 as int) AS had_exif, cast(0 as int) AS has_after,
+       cast(1 as int) AS bytes_identical,
+       cast(1 + i % 8 as int) AS orientation
+FROM imgs WHERE i % {EXIF_MOD} = 3
+"""
+
+
 q_proj_albers = _proj_cells_query(5070, -130.0, -60.0, 20.0, 50.0)
 q_proj_laea = _proj_cells_query(3035, -60.0, 80.0, 5.0, 84.0)
 q_proj_cea = _proj_cells_query(6933, -180.0, 180.0, -84.0, 84.0)
@@ -10899,6 +10976,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lan_roundtrip": q_lan_roundtrip,
         "corpus_shuffle": q_corpus_shuffle,
         "geotiff_edit": q_geotiff_edit,
+        "proj_cassini": q_proj_cassini,
+        "exif_strip": q_exif_strip,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -10981,7 +11060,6 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_sinusoidal": q_proj_sinusoidal,
         "proj_eqc": q_proj_eqc,
         "proj_mercator_ups": q_proj_mercator_ups,
-        "proj_cassini": q_proj_cassini,
         "reproject_chain": q_reproject_chain,
         "tile_render_albers": q_tile_render_albers,
         "tile_render_polar": q_tile_render_polar,
@@ -13058,6 +13136,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
 """,
         "image_stats": _o_image_stats(),
         "gdal_compare": _o_gdal_compare(),
+        "proj_cassini": _o_proj_cassini(),
+        "exif_strip": _o_exif_strip(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),
@@ -13091,7 +13171,6 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "proj_sinusoidal": _o_proj_cells("ESRI:54008", -180.0, 180.0, -84.0, 84.0),
         "proj_eqc": _o_proj_cells(4087, -180.0, 180.0, -84.0, 84.0),
         "proj_mercator_ups": _o_proj_mercator_ups(),
-        "proj_cassini": _o_proj_cassini(),
         "reproject_chain": _o_reproject_chain(),
         "tile_render_albers": _o_tile_render_proj(5070, ALBERS_Z),
         "tile_render_polar": _o_tile_render_proj(3031, POLAR_Z),

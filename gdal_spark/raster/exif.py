@@ -203,3 +203,28 @@ def exif_metadata(jpeg: bytes) -> dict[str, str]:
     if payload is None:
         return {}
     return {f"EXIF_{k}": str(v) for k, v in parse_exif(payload).items()}
+
+
+def strip_app1(jpeg: bytes) -> bytes:
+    """Remove every APP1 Exif segment (the privacy-scrub op:
+    gdal_edit -unsetmd's JPEG-EXIF effect).  Walks marker headers
+    like extract_app1 and leaves entropy-coded bytes untouched."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("exif: not a JPEG")
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg) and jpeg[pos] == 0xFF:
+        marker = jpeg[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += jpeg[pos:pos + 2]
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if not (marker == 0xE1
+                and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00"):
+            out += jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    out += jpeg[pos:]
+    return bytes(out)
