@@ -8669,6 +8669,134 @@ WHERE i % {EXIF_MOD} = 1
 """
 
 
+def q_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram MATCHING (CDF matching, the radiometric
+    normalization a mosaic / image-training corpus applies against a
+    reference frame; raster/enhance.match_lut — exact cross-
+    multiplied integer rule, no float quantiles).  Source = band 0 of
+    the decoded lossless image; reference = band 1 cropped to its
+    top-left 3/4 x 3/4 (a genuinely different histogram).  Emits the
+    matched image's GDAL checksum + two LUT probes."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(
+        (F.col("i") % PALETTED_MOD == 97) & (F.col("i") % 3 != 1)
+    )
+    images = build_images(spark, ids_df=ids, with_payload=True)
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("lut32", T2.IntegerType()),
+            T2.StructField("lut160", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.codecs import decode_image
+        from gdal_spark.raster.enhance import match_lut
+
+        for pdf in batches:
+            recs = []
+            for iid, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                arr = decode_image(bytes(data), str(fmt))
+                src = arr[:, :, 0]
+                h, w = src.shape
+                ref = arr[: (3 * h) // 4, : (3 * w) // 4, 1]
+                lut = match_lut(
+                    np.bincount(src.ravel(), minlength=256),
+                    np.bincount(ref.ravel(), minlength=256),
+                )
+                recs.append(
+                    {
+                        "image_id": str(iid),
+                        "checksum": gdal_checksum(lut[src]),
+                        "lut32": int(lut[32]),
+                        "lut160": int(lut[160]),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, schema
+    )
+
+
+def _o_histogram_match() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 97 AND o_orderkey % 3 <> 1)",
+    )
+    return f"""
+WITH img AS ({img}),
+spx AS (
+  SELECT i.image_id, (gx.x + gy.y + i.i) % 256 AS v,
+         gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+rpx AS (
+  SELECT i.image_id, (gx.x + gy.y + i.i + 85) % 256 AS v
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < (3 * i.w) // 4
+  JOIN range(0, 512) AS gy(y) ON gy.y < (3 * i.h) // 4
+),
+dom AS (
+  SELECT DISTINCT i.image_id, r.v
+  FROM img i CROSS JOIN range(0, 256) AS r(v)
+),
+sh AS (
+  SELECT d.image_id, d.v, cast(coalesce(c.c, 0) as bigint) AS c
+  FROM dom d LEFT JOIN (
+    SELECT image_id, v, count(*) AS c FROM spx GROUP BY 1, 2
+  ) c ON c.image_id = d.image_id AND c.v = d.v
+),
+rh AS (
+  SELECT d.image_id, d.v, cast(coalesce(c.c, 0) as bigint) AS c
+  FROM dom d LEFT JOIN (
+    SELECT image_id, v, count(*) AS c FROM rpx GROUP BY 1, 2
+  ) c ON c.image_id = d.image_id AND c.v = d.v
+),
+scdf AS (
+  SELECT image_id, v,
+    cast(sum(c) OVER (PARTITION BY image_id ORDER BY v) as bigint) AS cs,
+    cast(sum(c) OVER (PARTITION BY image_id) as bigint) AS n_src
+  FROM sh
+),
+rcdf AS (
+  SELECT image_id, v,
+    cast(sum(c) OVER (PARTITION BY image_id ORDER BY v) as bigint) AS cr,
+    cast(sum(c) OVER (PARTITION BY image_id) as bigint) AS n_ref
+  FROM rh
+),
+lut AS (
+  -- LUT[v] = min u with cdf_ref[u] * n_src >= cdf_src[v] * n_ref
+  SELECT s.image_id, s.v, cast(min(r.v) as bigint) AS u
+  FROM scdf s JOIN rcdf r
+    ON r.image_id = s.image_id AND r.cr * s.n_src >= s.cs * r.n_ref
+  GROUP BY 1, 2
+)
+SELECT p.image_id,
+  cast(sum(l.u % ({_PRIMES_SQL})[(p.pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(min(CASE WHEN l32.v IS NOT NULL THEN l32.u END) as int) AS lut32,
+  cast(min(CASE WHEN l160.v IS NOT NULL THEN l160.u END) as int) AS lut160
+FROM spx p
+JOIN lut l ON l.image_id = p.image_id AND l.v = p.v
+LEFT JOIN lut l32 ON l32.image_id = p.image_id AND l32.v = 32
+LEFT JOIN lut l160 ON l160.image_id = p.image_id AND l160.v = 160
+GROUP BY p.image_id
+"""
+
+
 def q_exif_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF privacy scrub: strip_app1 removes the APP1 segment from
     REAL JPEG bytes (marker walk, entropy-coded data untouched) —
@@ -10978,6 +11106,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_edit": q_geotiff_edit,
         "proj_cassini": q_proj_cassini,
         "exif_strip": q_exif_strip,
+        "histogram_match": q_histogram_match,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -13138,6 +13267,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "gdal_compare": _o_gdal_compare(),
         "proj_cassini": _o_proj_cassini(),
         "exif_strip": _o_exif_strip(),
+        "histogram_match": _o_histogram_match(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),

@@ -39,3 +39,39 @@ def equalize_u8(arr: np.ndarray) -> np.ndarray:
     arr = np.asarray(arr)
     hist = np.bincount(arr.ravel(), minlength=256)
     return equalize_lut(hist)[arr]
+
+
+def match_lut(src_hist: np.ndarray, ref_hist: np.ndarray) -> np.ndarray:
+    """Histogram MATCHING (radiometric normalization of a mosaic /
+    training corpus to a reference frame — the classic CDF-matching
+    rule): LUT[v] = the smallest u whose reference CDF reaches the
+    source CDF at v,
+
+        LUT[v] = min { u : cdf_ref[u] * n_src >= cdf_src[v] * n_ref }
+
+    cross-multiplied so everything stays EXACT integer (no float
+    quantiles); falls back to the last bin when the reference CDF
+    never reaches (only possible at v with cdf_src[v] = n_src and
+    trailing zero reference bins — still covered since
+    cdf_ref[-1] = n_ref)."""
+    s = np.asarray(src_hist, dtype=np.int64)
+    r = np.asarray(ref_hist, dtype=np.int64)
+    if len(s) != len(r):
+        raise ValueError("match_lut: histogram sizes differ")
+    cs = np.cumsum(s)
+    cr = np.cumsum(r)
+    n_src = int(cs[-1])
+    n_ref = int(cr[-1])
+    # smallest u with cr[u] * n_src >= cs[v] * n_ref
+    lut = np.searchsorted(cr * n_src, cs * n_ref, side="left")
+    return np.minimum(lut, len(r) - 1).astype(np.int64)
+
+
+def match_u8(src: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """(H,W) uint8 source matched to a reference image's histogram."""
+    src = np.asarray(src)
+    lut = match_lut(
+        np.bincount(src.ravel(), minlength=256),
+        np.bincount(np.asarray(ref).ravel(), minlength=256),
+    )
+    return lut[src]

@@ -51,3 +51,29 @@ def test_cumulative_uses_half_own_bin():
     lut = equalize_lut(hist)
     # cum[10] = 0 + 2 -> (2*256)//8 = 64; cum[20] = 4+2 -> 192
     assert lut[10] == 64 and lut[20] == 192
+
+
+def test_match_lut_cdf_rule():
+    import numpy as np
+
+    from gdal_spark.raster.enhance import match_lut, match_u8
+
+    # dark source matched to a bright reference lands on its range
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 100, (50, 60)).astype(np.uint8)
+    ref = rng.randint(100, 256, (40, 40)).astype(np.uint8)
+    out = match_u8(src, ref)
+    assert out.min() >= 100
+    assert abs(float(out.mean()) - float(ref.mean())) < 5.0
+    # self-match is the identity on occupied bins
+    assert (match_u8(src, src) == src).all()
+    # monotone LUT (CDF matching preserves ordering)
+    lut = match_lut(np.bincount(src.ravel(), minlength=256),
+                    np.bincount(ref.ravel(), minlength=256))
+    assert (np.diff(lut) >= 0).all()
+    # exact rule at one bin: smallest u with cr*n_src >= cs*n_ref
+    cs = np.cumsum(np.bincount(src.ravel(), minlength=256))
+    cr = np.cumsum(np.bincount(ref.ravel(), minlength=256))
+    v = 50
+    want = int(np.argmax(cr * cs[-1] >= cs[v] * cr[-1]))
+    assert lut[v] == want
