@@ -10106,6 +10106,104 @@ GROUP BY c.clip_id, c.n
 """
 
 
+G711_MOD = 37
+
+
+def q_g711_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 companded audio (raster/g711.py — bit-verified against
+    CPython's audioop over the full 16-bit domain; WAV format tags 7
+    = mu-law, 6 = A-law): triangle waveforms scaled x13 (so the
+    magnitudes span the companding segments) encode through
+    encode_wav_g711, decode back through the chunk walker, and the
+    QUANTIZED features close in SQL via the exact integer staircase
+    twins (sql_ulaw_quantize / sql_alaw_quantize)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.wav import decode_wav, encode_wav_g711
+
+    ids = _site_ids(spark, sf_dir).where(F.col("i") % G711_MOD == 0)
+    out_schema = T2.StructType(
+        [
+            T2.StructField("clip_id", T2.StringType()),
+            T2.StructField("law", T2.StringType()),
+            T2.StructField("n_samples", T2.LongType()),
+            T2.StructField("ssq", T2.LongType()),
+            T2.StructField("zero_crossings", T2.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for i in pdf["i"]:
+                i = int(i)
+                n = 1500 + (i % 4) * 700
+                k = np.arange(n, dtype=np.int64)
+                sig = (np.abs((k * (i % 5 + 1)) % 8000 - 4000)
+                       - 2000) * 13
+                for law in ("ulaw", "alaw"):
+                    data = encode_wav_g711(
+                        sig.astype(np.int16), 8000, law
+                    )
+                    q, _ = decode_wav(data)
+                    q = q[:, 0].astype(np.int64)
+                    sgn = q < 0
+                    recs.append(
+                        {
+                            "clip_id": f"g711_{i:08d}",
+                            "law": law,
+                            "n_samples": len(q),
+                            "ssq": int((q * q).sum()),
+                            "zero_crossings": int(
+                                (sgn[1:] != sgn[:-1]).sum()
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=["clip_id", "law", "n_samples", "ssq",
+                         "zero_crossings"],
+            )
+
+    return ids.select("i").mapInPandas(gen, out_schema)
+
+
+def _o_g711_audio_features() -> str:
+    from gdal_spark.raster.g711 import sql_alaw_quantize, sql_ulaw_quantize
+
+    s = "((abs((k.k * (c.i % 5 + 1)) % 8000 - 4000) - 2000) * 13)"
+    sp = "((abs(((k.k - 1) * (c.i % 5 + 1)) % 8000 - 4000) - 2000) * 13)"
+    qu, qup = sql_ulaw_quantize(s), sql_ulaw_quantize(sp)
+    qa, qap = sql_alaw_quantize(s), sql_alaw_quantize(sp)
+    return f"""
+WITH c AS (
+  SELECT cast(c_custkey as bigint) AS i,
+    'g711_' || lpad(cast(c_custkey as varchar), 8, '0') AS clip_id,
+    1500 + (cast(c_custkey as bigint) % 4) * 700 AS n
+  FROM customer WHERE c_custkey % {G711_MOD} = 0
+),
+samp AS (
+  SELECT c.clip_id, c.n, k.k,
+    cast({qu} as bigint) AS qu, cast({qup} as bigint) AS qup,
+    cast({qa} as bigint) AS qa, cast({qap} as bigint) AS qap
+  FROM c JOIN range(0, 3600) AS k(k) ON k.k < c.n
+)
+SELECT clip_id, 'ulaw' AS law, cast(n as bigint) AS n_samples,
+  cast(sum(qu * qu) as bigint) AS ssq,
+  cast(sum(CASE WHEN k > 0 AND ((qu < 0) <> (qup < 0))
+           THEN 1 ELSE 0 END) as bigint) AS zero_crossings
+FROM samp GROUP BY clip_id, n
+UNION ALL
+SELECT clip_id, 'alaw' AS law, cast(n as bigint) AS n_samples,
+  cast(sum(qa * qa) as bigint) AS ssq,
+  cast(sum(CASE WHEN k > 0 AND ((qa < 0) <> (qap < 0))
+           THEN 1 ELSE 0 END) as bigint) AS zero_crossings
+FROM samp GROUP BY clip_id, n
+"""
+
+
 FLAC_MOD = 31
 
 
@@ -11107,6 +11205,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proj_cassini": q_proj_cassini,
         "exif_strip": q_exif_strip,
         "histogram_match": q_histogram_match,
+        "g711_audio_features": q_g711_audio_features,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -13268,6 +13367,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "proj_cassini": _o_proj_cassini(),
         "exif_strip": _o_exif_strip(),
         "histogram_match": _o_histogram_match(),
+        "g711_audio_features": _o_g711_audio_features(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),

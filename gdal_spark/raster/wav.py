@@ -3,8 +3,11 @@ the multimodal pipeline (replacing the round-1 int8 decode stub for
 clips carrying RIFF payloads; the stub remains the documented
 fallback for container-less formats).
 
-Scope: canonical RIFF/WAVE with a `fmt ` chunk (PCM, format tag 1,
-16-bit) and a `data` chunk; mono or interleaved multi-channel.
+Scope: canonical RIFF/WAVE with a `fmt ` chunk and a `data` chunk;
+mono or interleaved multi-channel.  Format tags: 1 (PCM 16-bit),
+6 (G.711 A-law, 8-bit) and 7 (G.711 mu-law, 8-bit) — the companding
+codecs live in raster/g711.py and are bit-verified against CPython's
+audioop over the full 16-bit domain.
 """
 
 from __future__ import annotations
@@ -13,7 +16,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_wav", "decode_wav", "is_wav"]
+__all__ = ["encode_wav", "encode_wav_g711", "decode_wav", "is_wav"]
 
 
 def is_wav(data: bytes) -> bool:
@@ -36,6 +39,27 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
 
 
+def encode_wav_g711(samples: np.ndarray, sample_rate: int = 8000,
+                    law: str = "ulaw") -> bytes:
+    """samples (n,) or (n, ch) int16 -> companded RIFF/WAVE bytes
+    (format tag 7 = mu-law, 6 = A-law, 8 bits per sample)."""
+    from gdal_spark.raster.g711 import alaw_encode, ulaw_encode
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    enc = ulaw_encode(s) if law == "ulaw" else alaw_encode(s)
+    tag = 7 if law == "ulaw" else 6
+    data = enc.astype("u1").tobytes()
+    byte_rate = sample_rate * ch
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, tag, ch, sample_rate, byte_rate, ch, 8
+    )
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """-> (samples (n, channels) int16, sample_rate). Walks chunks,
     so extra chunks (LIST, fact, ...) are tolerated."""
@@ -49,12 +73,19 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         off += 8
         if cid == b"fmt ":
             tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", data, off)
-            if tag != 1 or bits != 16:
+            if not ((tag == 1 and bits == 16)
+                    or (tag in (6, 7) and bits == 8)):
                 raise ValueError(f"unsupported WAV format tag={tag} bits={bits}")
         elif cid == b"data":
             pcm = data[off : off + sz]
         off += sz + (sz & 1)  # chunks are word-aligned
     if ch is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
-    arr = np.frombuffer(pcm, dtype="<i2")
+    if tag == 1:
+        arr = np.frombuffer(pcm, dtype="<i2")
+    else:
+        from gdal_spark.raster.g711 import alaw_decode, ulaw_decode
+
+        b = np.frombuffer(pcm, dtype="u1")
+        arr = ulaw_decode(b) if tag == 7 else alaw_decode(b)
     return arr.reshape(-1, ch), rate
