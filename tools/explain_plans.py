@@ -89,6 +89,8 @@ def main() -> None:
         "line_locate (constant-path Column math, zero shuffle)": entry.q_line_locate,
         "arrow_roundtrip (footer-indexed by-batch distributed scan)": entry.q_arrow_roundtrip,
         "gdal_compare (image_id equi-join -> one mapInPandas decode+compare)": entry.q_gdal_compare,
+        "histogram_match (narrow decode+LUT kernel, zero shuffle)": entry.q_histogram_match,
+        "corpus_shuffle (shard-partitioned hash rank, no global sort)": entry.q_corpus_shuffle,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",

@@ -52,7 +52,9 @@ SAMPLE = [
     # round-4 fifth-sweep families
     "bpe_pair_counts", "semdedup", "gdal_compare", "line_locate",
     "lineref_parts", "arrow_roundtrip", "isis3_roundtrip",
-    "hdr_raster_roundtrip",
+    "hdr_raster_roundtrip", "proj_cassini", "exif_strip",
+    "histogram_match", "g711_audio_features", "corpus_shuffle",
+    "geotiff_edit", "image_ssim", "lan_roundtrip",
 ]
 
 
