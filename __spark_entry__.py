@@ -9092,6 +9092,7 @@ FROM ll
 
 ALBERS_Z = 9   # warp target zoom for the Albers render
 POLAR_Z = 7    # warp target zoom for the polar-stereographic render
+CASSINI_Z = 10  # warp target zoom for the Trinidad Cassini render
 
 
 def q_tile_render_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9120,6 +9121,25 @@ def q_tile_render_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _image_ids(spark, sf_dir).where(F.col("i") % UTM_MOD == 0)
     images = render.proj_image_geo(ids, 3031)
     out = render.render_tiles_proj(images, POLAR_Z, 3031)
+    return out.where(F.col("n_px") > 0).select(
+        F.col("tile_x").cast("int"),
+        F.col("tile_y").cast("int"),
+        F.col("band").cast("int"),
+        F.col("checksum").cast("int"),
+        F.col("n_px").cast("long"),
+    )
+
+
+def q_tile_render_cassini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reprojection warp EPSG:30200 (Trinidad 1903 / Cassini,
+    Clarke's-links axis) -> WebMercator tiles through the registry —
+    the oldest national-grid method in the zoo driving the same
+    gdalwarp chain.  Trinidad 1903 is registered WGS84-coincident at
+    the engine's accuracy contract (its ellipsoid unit is links, so
+    no meter Helmert exists — see geo/datum.py)."""
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % UTM_MOD == 0)
+    images = render.proj_image_geo(ids, 30200)
+    out = render.render_tiles_proj(images, CASSINI_Z, 30200)
     return out.where(F.col("n_px") > 0).select(
         F.col("tile_x").cast("int"),
         F.col("tile_y").cast("int"),
@@ -9194,6 +9214,56 @@ sampled AS (
     {R} * (th / {sd(n)} + {sd(lam0)}) AS mx,
     {R} * ln(tan(pi() / 4.0 + phi / 2.0)) AS my
   FROM it8
+)"""
+    elif code == 30200:
+        import math as _math
+
+        d = pz.REGISTRY[code]
+        a, e, e2 = pz.ell_consts(d.datum)
+        pp = d.params
+        M0 = float(pz.merid_arc(
+            __import__("numpy").float64(_math.radians(pp["lat0"])), a, e2
+        ))
+        lam0 = _math.radians(pp["lon0"])
+        phi1 = pz.sql_inv_merid_arc("M1", a, e2)
+        # staged to keep every later stage on simple column names
+        # (mirrors cassini_inverse term for term)
+        inv_stages = f"""
+inv0 AS (
+  SELECT s.i, s.E, {sd(M0)} + (s.N - {sd(pp['fn'])}) AS M1 FROM samples s
+),
+cf0 AS (SELECT i, E, {phi1} AS phi1 FROM inv0),
+cf1 AS (
+  SELECT i, E, phi1, sin(phi1) AS s1, tan(phi1) AS t1, cos(phi1) AS c1
+  FROM cf0
+),
+cf2 AS (
+  SELECT i, phi1, t1, c1,
+    {sd(a)} / sqrt(1.0 - {sd(e2)} * s1 * s1) AS nu1,
+    {sd(a)} * {sd(1.0 - e2)} / ((1.0 - {sd(e2)} * s1 * s1)
+      * sqrt(1.0 - {sd(e2)} * s1 * s1)) AS rho1,
+    (E - {sd(pp['fe'])}) AS dE
+  FROM cf1
+),
+cf3 AS (
+  SELECT i, phi1, t1, c1, nu1, rho1, dE / nu1 AS D,
+    t1 * t1 AS T1
+  FROM cf2
+),
+cf4 AS (
+  SELECT i,
+    degrees(phi1 - (nu1 * t1 / rho1) * (D * D / 2.0
+      - (1.0 + 3.0 * T1) * (D * D) * (D * D) / 24.0)) AS lat_deg,
+    degrees((D - T1 * D * (D * D) / 3.0
+      + (1.0 + 3.0 * T1) * T1 * D * (D * D) * (D * D) / 15.0) / c1
+      + {sd(lam0)}) AS lon_deg
+  FROM cf3
+),
+sampled AS (
+  SELECT i,
+    {R} * radians(lon_deg) AS mx,
+    {R} * ln(tan(pi() / 4.0 + radians(lat_deg) / 2.0)) AS my
+  FROM cf4
 )"""
     else:
         raise KeyError(code)
@@ -11206,6 +11276,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_strip": q_exif_strip,
         "histogram_match": q_histogram_match,
         "g711_audio_features": q_g711_audio_features,
+        "tile_render_cassini": q_tile_render_cassini,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -13368,6 +13439,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "exif_strip": _o_exif_strip(),
         "histogram_match": _o_histogram_match(),
         "g711_audio_features": _o_g711_audio_features(),
+        "tile_render_cassini": _o_tile_render_proj(30200, CASSINI_Z),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),

@@ -382,6 +382,10 @@ PROJ_RENDER = {
                y0=2800000.0, ystep=-2000.0),
     3031: dict(res=200.0, x0=1000000.0, xstep=2000.0,
                y0=-1000000.0, ystep=-2000.0),
+    # Trinidad 1903 / Cassini — axis unit is CLARKE'S LINKS
+    # (500 links/px ~ 100.6 m/px); sources stay inside the grid zone
+    30200: dict(res=500.0, x0=350000.0, xstep=120.0,
+                y0=420000.0, ystep=-100.0),
 }
 
 
