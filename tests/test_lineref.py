@@ -103,3 +103,35 @@ def test_st_lineref_functions_sql(spark, path):
     sub = parse_wkb(bytes(row["sub"])).parts[0]
     want = lr.np_subline(path, 0.1 * L, 0.6 * L)
     assert np.allclose(sub, want, atol=1e-12)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n_vert=st.integers(2, 7),
+       px=st.integers(-40, 200), py=st.integers(-80, 80))
+def test_project_matches_dense_bruteforce(seed, n_vert, px, py):
+    """np_project vs a dense parameterization: the projected distance
+    must be within one sample step of the dense minimum, and its
+    distance-to-line never worse."""
+    rng = np.random.RandomState(seed)
+    pts = np.cumsum(rng.randint(1, 9, size=(n_vert, 2)), axis=0) * 0.5
+    path = pts.astype(np.float64)
+    p = np.array([px * 0.5, py * 0.5])
+    dist, seg, cx, cy = lr.np_project(path, [p[0]], [p[1]])
+    got_d2 = (p[0] - cx[0]) ** 2 + (p[1] - cy[0]) ** 2
+    # dense brute force along the polyline
+    a, b, d, l2, seglen, cum = lr._segs(path)
+    best = np.inf
+    best_m = 0.0
+    for i in range(len(seglen)):
+        for t in np.linspace(0.0, 1.0, 2001):
+            x = a[i, 0] + t * d[i, 0]
+            y = a[i, 1] + t * d[i, 1]
+            dd = (p[0] - x) ** 2 + (p[1] - y) ** 2
+            if dd < best:
+                best, best_m = dd, cum[i] + t * seglen[i]
+    assert got_d2 <= best + 1e-9
+    assert abs(dist[0] - best_m) < max(2.0 * seglen.max() / 2000, 1e-6)
