@@ -4799,6 +4799,94 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_gxf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GXF / Geosoft ASCII grids (frmts/gxf/gxfopen.c: #-titled
+    sections, #GRID vectors, #SENSE mirroring where the default
+    LL_RIGHT stores rows BOTTOM-TO-TOP): the pixel rule rides through
+    real GXF text in all four row-organized senses plus the #DUMMY
+    nodata path (dummies read back and zeroed before checksumming)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 101)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.gxf import decode_gxf, encode_gxf
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                b0 = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                outs = {}
+                for fmt, sense in (("gxf_s1", 1), ("gxf_sm2", -2),
+                                   ("gxf_s3", 3)):
+                    out, _ = decode_gxf(encode_gxf(b0, sense=sense))
+                    outs[fmt] = out.astype(np.int64)
+                dm = b0.astype(np.float64)
+                dm[b0 == 7] = -1.0
+                out, meta = decode_gxf(encode_gxf(dm, dummy=-1.0))
+                out[out == meta["dummy"]] = 0.0
+                outs["gxf_dummy"] = out.astype(np.int64)
+                for fmt, out in outs.items():
+                    rows.append(
+                        {
+                            "image_id": img_id, "fmt": fmt,
+                            "checksum": gdal_checksum(out),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_gxf_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 101)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('gxf_s1'), ('gxf_sm2'), ('gxf_s3'),
+                        ('gxf_dummy')) AS f(fmt)
+),
+px AS (
+  SELECT i.image_id, f.fmt,
+    CASE WHEN f.fmt = 'gxf_dummy'
+         AND (gx.x + gy.y + i.i) % 256 = 7 THEN 0
+         ELSE (gx.x + gy.y + i.i) % 256 END AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN fmts f
+)
+SELECT image_id, fmt,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt
+"""
+
+
 def q_isis3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISIS3 planetary cubes (frmts/pds/isis3dataset.cpp: PVL label,
     BandSequential + band-major PADDED-Tile cores, Lsb/Msb, Base/
@@ -11277,6 +11365,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_match": q_histogram_match,
         "g711_audio_features": q_g711_audio_features,
         "tile_render_cassini": q_tile_render_cassini,
+        "gxf_roundtrip": q_gxf_roundtrip,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
         "bpe_pair_counts": q_bpe_pair_counts,
@@ -13440,6 +13529,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "histogram_match": _o_histogram_match(),
         "g711_audio_features": _o_g711_audio_features(),
         "tile_render_cassini": _o_tile_render_proj(30200, CASSINI_Z),
+        "gxf_roundtrip": _o_gxf_roundtrip(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),
         "lineref_parts": _o_lineref_parts(),
