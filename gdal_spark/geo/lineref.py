@@ -105,8 +105,10 @@ def np_value(path: np.ndarray, m: float) -> tuple[float, float]:
 
 
 def np_subline(path: np.ndarray, m_from: float, m_to: float) -> np.ndarray:
-    """ogrlinestring.cpp:2221 (clamped; from > 0 assumed, as the
-    driver fixture guarantees)."""
+    """ogrlinestring.cpp:2221 (clamped).  At m_from == 0 the reference
+    adds vertex 0 and then RESTARTS the vertex loop at i=0
+    (ogrlinestring.cpp:2256,2343), duplicating the start point — the
+    sf=-1 branch below reproduces that quirk exactly."""
     a, b, _, _, seglen, cum = _segs(path)
     total = float(cum[-1] + seglen[-1])
     m_from = max(0.0, m_from)
@@ -220,11 +222,14 @@ def _interp(segs: list[dict], seg: str, m: str, axis: str) -> str:
 def subline_rows(df: DataFrame, path: np.ndarray,
                  m_from: str = "m_from", m_to: str = "m_to") -> DataFrame:
     """getSubLine per input row -> exploded (vtx, x, y) vertex rows.
-    m_to must be pre-clamped to the path length; 0 < m_from <= m_to.
+    m_to must be pre-clamped to the path length; 0 <= m_from <= m_to.
+    m_from == 0 mirrors the reference's duplicate-start quirk
+    (ogrlinestring.cpp:2256: vertex 0 is emitted, then the add-points
+    loop restarts at i=0 and emits it again) via the _sf = -1 branch.
     Pure Column math: vertex emission is a constant-width explode."""
     segs = _const_segs(path)
     n = len(segs)
-    sf = _covering_seg(segs, m_from)
+    sf = f"CASE WHEN ({m_from}) = 0 THEN -1 ELSE {_covering_seg(segs, m_from)} END"
     df = df.withColumn("_sf", F.expr(sf).cast("int"))
     st = _covering_seg(segs, m_to, lo="_sf - 1")
     df = df.withColumn("_st", F.expr(st).cast("int"))
@@ -245,7 +250,8 @@ def subline_rows(df: DataFrame, path: np.ndarray,
         .withColumn(
             "x",
             F.expr(
-                f"CASE WHEN _v = 0 THEN {_interp(segs, '_sf', m_from, 'x')} "
+                f"CASE WHEN _v = 0 AND _sf = -1 THEN {_d(segs[0]['ax'])} "
+                f"WHEN _v = 0 THEN {_interp(segs, '_sf', m_from, 'x')} "
                 f"WHEN _v = _st - _sf + 1 THEN "
                 f"{_interp(segs, '_st', m_to, 'x')} "
                 f"ELSE {vtx_x} END"
@@ -254,7 +260,8 @@ def subline_rows(df: DataFrame, path: np.ndarray,
         .withColumn(
             "y",
             F.expr(
-                f"CASE WHEN _v = 0 THEN {_interp(segs, '_sf', m_from, 'y')} "
+                f"CASE WHEN _v = 0 AND _sf = -1 THEN {_d(segs[0]['ay'])} "
+                f"WHEN _v = 0 THEN {_interp(segs, '_sf', m_from, 'y')} "
                 f"WHEN _v = _st - _sf + 1 THEN "
                 f"{_interp(segs, '_st', m_to, 'y')} "
                 f"ELSE {vtx_y} END"
@@ -314,10 +321,12 @@ loc AS (
 def sql_subline_rows(path: np.ndarray, m_cte: str,
                      m_from: str = "m_from", m_to: str = "m_to") -> str:
     """m_cte must expose (i, {m_from}, {m_to}).  -> CTE body ending in
-    `sub` with (i, vtx, x, y) — same branch logic as subline_rows."""
+    `sub` with (i, vtx, x, y) — same branch logic as subline_rows,
+    including the m_from == 0 duplicate-start quirk (_sf = -1)."""
     segs = _const_segs(path)
     n = len(segs)
-    sf = _covering_seg(segs, m_from)
+    sf = (f"CASE WHEN ({m_from}) = 0 THEN -1 "
+          f"ELSE {_covering_seg(segs, m_from)} END")
     st = _covering_seg(segs, m_to, lo="_sf - 1")
     vx = "cast(0.0 as double)"
     vy = "cast(0.0 as double)"
@@ -342,10 +351,12 @@ bounds AS (
 ),
 sub AS (
   SELECT b.i, cast(v.v as int) AS vtx,
-    CASE WHEN v.v = 0 THEN {ix0}
+    CASE WHEN v.v = 0 AND b._sf = -1 THEN {_d(segs[0]['ax'])}
+         WHEN v.v = 0 THEN {ix0}
          WHEN v.v = b._st - b._sf + 1 THEN {ix1}
          ELSE {vx} END AS x,
-    CASE WHEN v.v = 0 THEN {iy0}
+    CASE WHEN v.v = 0 AND b._sf = -1 THEN {_d(segs[0]['ay'])}
+         WHEN v.v = 0 THEN {iy0}
          WHEN v.v = b._st - b._sf + 1 THEN {iy1}
          ELSE {vy} END AS y
   FROM bounds b JOIN range(0, {n + 2}) AS v(v)

@@ -187,7 +187,7 @@ def extract_app1(jpeg: bytes) -> bytes | None:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
-        if marker == 0xDA:  # entropy-coded data follows; no more headers
+        if marker in (0xDA, 0xD9):  # SOS / premature EOI: no more headers
             return None
         (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
         if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
@@ -219,7 +219,9 @@ def strip_app1(jpeg: bytes) -> bytes:
             out += jpeg[pos:pos + 2]
             pos += 2
             continue
-        if marker == 0xDA:
+        if marker in (0xDA, 0xD9):
+            # SOS or a premature EOI: entropy/trailing bytes follow —
+            # neither carries a length word, stop the marker walk here.
             break
         (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
         if not (marker == 0xE1

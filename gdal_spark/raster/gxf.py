@@ -89,10 +89,18 @@ def decode_gxf(text: str):
     if sense not in _ROW_SENSES:
         raise ValueError(f"gxf: column-organized #SENSE {sense} "
                          "unsupported")
-    vals = np.array(" ".join(lines[grid_at:]).split(), dtype=np.float64)
+    tokens = " ".join(lines[grid_at:]).split()
+    try:
+        vals = np.array(tokens, dtype=np.float64)
+    except ValueError as exc:
+        raise ValueError(f"gxf: non-numeric token in #GRID: {exc}") from None
     if len(vals) < h * w:
         raise ValueError("gxf: short grid")
-    a = vals[: h * w].reshape(h, w)
+    if len(vals) > h * w:
+        raise ValueError(
+            f"gxf: {len(vals) - h * w} surplus grid tokens after "
+            f"{h}x{w} values")
+    a = vals.reshape(h, w)
     flip_v, mirror_h = _ROW_SENSES[sense]
     if flip_v:
         a = a[::-1]

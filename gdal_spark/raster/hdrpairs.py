@@ -35,6 +35,7 @@ import numpy as np
 __all__ = [
     "encode_ers", "decode_ers", "encode_ilwis", "decode_ilwis",
     "encode_ehdr", "decode_ehdr", "encode_saga", "decode_saga",
+    "encode_paux", "decode_paux",
 ]
 
 _ERS_TYPES = {

@@ -80,6 +80,62 @@ def test_subline_rows_matches_numpy(spark, path):
             assert abs(rows[v][1] - want[v][1]) < 1e-12
 
 
+def test_subline_zero_start_duplicates_origin(path):
+    """Reference quirk (ogrlinestring.cpp:2256): dfDistanceFrom == 0
+    emits vertex 0, then the add-points loop restarts at i=0 and emits
+    it AGAIN — the subline starts with a duplicated origin vertex."""
+    L = lr.path_length(path)
+    sub = lr.np_subline(path, 0.0, 0.55 * L)
+    assert np.array_equal(sub[0], path[0])
+    assert np.array_equal(sub[1], path[0])          # the duplicate
+    assert not np.array_equal(sub[2], path[0])
+    assert np.allclose(sub[-1], lr.np_value(path, 0.55 * L))
+
+
+def test_subline_rows_zero_start_matches_numpy(spark, path):
+    """Spark subline_rows must mirror np_subline (and the reference)
+    at the m_from == 0 boundary, duplicate origin included."""
+    L = lr.path_length(path)
+    cases = [(1, 0.0, 0.55 * L), (2, 0.0, 0.07 * L), (3, 0.0, L),
+             (4, 0.2 * L, 0.9 * L)]
+    df = spark.createDataFrame(cases, "i long, m_from double, m_to double")
+    out = lr.subline_rows(df, path).collect()
+    by_i = {}
+    for r in out:
+        by_i.setdefault(r["i"], {})[r["vtx"]] = (r["x"], r["y"])
+    for k, mf, mt in cases:
+        want = lr.np_subline(path, mf, mt)
+        rows = by_i[k]
+        assert sorted(rows) == list(range(len(want)))
+        for v in range(len(want)):
+            assert abs(rows[v][0] - want[v][0]) < 1e-12
+            assert abs(rows[v][1] - want[v][1]) < 1e-12
+
+
+def test_sql_subline_rows_zero_start_matches_numpy(path):
+    """DuckDB twin at the m_from == 0 boundary — same duplicate."""
+    import duckdb
+
+    L = lr.path_length(path)
+    cases = [(1, 0.0, 0.55 * L), (2, 0.0, L), (3, 0.35 * L, 0.8 * L)]
+    m_cte = " UNION ALL ".join(
+        f"SELECT {i} AS i, cast({mf!r} as double) AS m_from, "
+        f"cast({mt!r} as double) AS m_to" for i, mf, mt in cases)
+    sql = ("WITH " + lr.sql_subline_rows(path, m_cte)
+           + " SELECT i, vtx, x, y FROM sub ORDER BY i, vtx")
+    got = duckdb.sql(sql).fetchall()
+    by_i = {}
+    for i, vtx, x, y in got:
+        by_i.setdefault(i, {})[vtx] = (x, y)
+    for k, mf, mt in cases:
+        want = lr.np_subline(path, mf, mt)
+        rows = by_i[k]
+        assert sorted(rows) == list(range(len(want)))
+        for v in range(len(want)):
+            assert abs(rows[v][0] - want[v][0]) < 1e-12
+            assert abs(rows[v][1] - want[v][1]) < 1e-12
+
+
 def test_st_lineref_functions_sql(spark, path):
     from gdal_spark.geo.st_functions import register_st_functions
     from gdal_spark.geo.wkb import parse_wkb, wkb_linestring
