@@ -19,6 +19,8 @@ import sys
 import zipfile
 from collections.abc import Callable
 
+import pandas as pd  # module-top: pandas_udf type hints resolve here
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
@@ -6508,6 +6510,56 @@ def q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geodesic_ellipsoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal WGS84 geodesic area + perimeter of per-customer
+    site triangles via ST_GeodesicArea/Length — the reference's
+    geod_polygonarea / per-edge geod_inverse semantics
+    (ogr/ogrlinestring.cpp:3230,3251; ogrsurface.cpp:39,111),
+    computed by the quadrature-Newton solver in geo/geodesic.py and
+    pinned against PROJ outputs in tests/test_geodesic.py."""
+    import pandas as pd
+
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import wkb_polygon
+
+    register_st_functions(spark)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(F.col("c_custkey").cast("long").alias("i"))
+        .filter(F.col("i") < 2000)
+    )
+    sites = georef.with_site_geo(cust, "i")
+
+    @F.pandas_udf("binary")
+    def tri_wkb(i: pd.Series, slon: pd.Series, slat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for ii, lo, la in zip(i, slon, slat):
+            ii, lo, la = int(ii), float(lo), float(la)
+            x2 = lo + 1.5 + (ii % 7) * 0.4
+            y2 = la * 0.9 + ((ii % 11) - 5.0) * 0.8
+            x3 = lo + 0.7
+            y3 = la * 0.85 - 1.1
+            ring = np.array(
+                [(lo, la), (x2, y2), (x3, y3), (lo, la)], dtype=np.float64)
+            out.append(wkb_polygon([ring]))
+        return pd.Series(out)
+
+    tris = sites.withColumn("geometry", tri_wkb("i", "slon", "slat"))
+    tris.createOrReplaceTempView("geod_tris")
+    return spark.sql(
+        """
+        SELECT i AS fid,
+          cast(floor(ST_GeodesicArea(geometry) / 1e6 * 100) as bigint)
+            AS area_km2_e2,
+          cast(floor(ST_GeodesicLength(geometry) * 10) as bigint)
+            AS perim_dm
+        FROM geod_tris
+        """
+    )
+
+
 DEM_METRICS = ["slope", "aspect", "tri", "tpi", "roughness"]
 DEM_TILES = [(tx, ty) for tx in range(8, 14) for ty in range(4, 10)]
 
@@ -11547,6 +11599,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fillnodata": q_fillnodata,
         "geom_measures": q_geom_measures,
         "geodesic_measures": q_geodesic_measures,
+        "geodesic_ellipsoid": q_geodesic_ellipsoid,
         "overview_mode": q_overview_mode,
         "overview_rms": q_overview_rms,
         "raster_attribute_table": q_raster_attribute_table,
@@ -13089,39 +13142,66 @@ FROM oa o LEFT JOIN ha h ON h.fid = o.fid
 
 
 def _o_geodesic_measures() -> str:
-    from gdal_spark.geo.ops import MEAN_EARTH_RADIUS
+    """Ellipsoidal (WGS84) twin: per-edge geodesic inverse via the
+    fixed-Newton + Gauss-Legendre CTE chain (geo/geodesic.py), then
+    |outer ring area| - |hole area| and outer+hole perimeters —
+    mirroring geod_polygonarea / per-edge geod_inverse semantics
+    (ogr/ogrlinestring.cpp:3230,3251)."""
+    from gdal_spark.geo import geodesic
 
     zn = georef.sql_zones_cte("s_suppkey", "supplier")
-    R = tm.sql_double(MEAN_EARTH_RADIUS)
-    dlam = "(radians(x2) - radians(x1))"
-    area_term = f"{dlam} * (2.0 + sin(radians(y1)) + sin(radians(y2)))"
-    hav = (
-        f"2.0 * {R} * asin(sqrt("
-        f"sin((radians(y2) - radians(y1)) / 2.0) * sin((radians(y2) - radians(y1)) / 2.0)"
-        f" + cos(radians(y1)) * cos(radians(y2))"
-        f" * sin({dlam} / 2.0) * sin({dlam} / 2.0)))"
-    )
+    edges = f"""
+  SELECT e.fid * 16 + e.j AS edge_id, e.x1, e.y1, e.x2, e.y2
+  FROM ({_zone_edges_cte('r')}) e
+  UNION ALL
+  SELECT e.fid * 16 + 8 + e.j AS edge_id, e.x1, e.y1, e.x2, e.y2
+  FROM ({_zone_edges_cte('hole_r')}) e JOIN zn zh ON zh.fid = e.fid
+  WHERE zh.has_hole
+"""
     return f"""
 WITH zn AS ({zn}),
-outer_edges AS ({_zone_edges_cte('r')}),
-hole_edges AS ({_zone_edges_cte('hole_r')}),
-oa AS (
-  SELECT fid,
-    abs(sum({area_term})) * {R} * {R} / 2.0 AS area,
-    sum({hav}) AS perim
-  FROM outer_edges GROUP BY fid
-),
-ha AS (
-  SELECT e.fid,
-    abs(sum({area_term})) * {R} * {R} / 2.0 AS area,
-    sum({hav}) AS perim
-  FROM hole_edges e JOIN zn z ON z.fid = e.fid
-  WHERE z.has_hole GROUP BY e.fid
+{geodesic.sql_edge_measures_cte(edges)},
+per_ring AS (
+  SELECT cast(edge_id // 16 as bigint) AS fid,
+         (edge_id % 16) >= 8 AS is_hole,
+         sum(s12) AS perim, abs(sum(s12_area)) AS area
+  FROM geod GROUP BY 1, 2
 )
 SELECT o.fid,
   cast(floor((o.area - coalesce(h.area, 0)) / 1e6 * 100) as bigint) AS area_km2_e2,
   cast(floor((o.perim + coalesce(h.perim, 0)) / 1e3 * 100) as bigint) AS perim_km_e2
-FROM oa o LEFT JOIN ha h ON h.fid = o.fid
+FROM per_ring o
+LEFT JOIN per_ring h ON h.fid = o.fid AND h.is_hole
+WHERE NOT o.is_hole
+"""
+
+
+def _o_geodesic_ellipsoid() -> str:
+    from gdal_spark.geo import geodesic
+
+    st = georef.sql_sites_cte("c_custkey", "customer")
+    edges = """
+  SELECT i * 4 + 0 AS edge_id, x1, y1, x2 AS x2, y2 AS y2 FROM tri
+  UNION ALL
+  SELECT i * 4 + 1 AS edge_id, x2 AS x1, y2 AS y1, x3 AS x2, y3 AS y2 FROM tri
+  UNION ALL
+  SELECT i * 4 + 2 AS edge_id, x3 AS x1, y3 AS y1, x1 AS x2, y1 AS y2 FROM tri
+"""
+    return f"""
+WITH sites AS ({st}),
+tri AS (
+  SELECT i, slon AS x1, slat AS y1,
+         slon + 1.5 + (i % 7) * 0.4 AS x2,
+         slat * 0.9 + ((i % 11) - 5.0) * 0.8 AS y2,
+         slon + 0.7 AS x3,
+         slat * 0.85 - 1.1 AS y3
+  FROM sites WHERE i < 2000
+),
+{geodesic.sql_edge_measures_cte(edges)}
+SELECT cast(edge_id // 4 as bigint) AS fid,
+  cast(floor(abs(sum(s12_area)) / 1e6 * 100) as bigint) AS area_km2_e2,
+  cast(floor(sum(s12) * 10) as bigint) AS perim_dm
+FROM geod GROUP BY 1
 """
 
 
@@ -13638,6 +13718,7 @@ FROM cube GROUP BY t
         "interpolate_point": _o_interpolate_point(),
         "geom_measures": _o_geom_measures(),
         "geodesic_measures": _o_geodesic_measures(),
+        "geodesic_ellipsoid": _o_geodesic_ellipsoid(),
         "dem_metrics": _o_dem_metrics(),
         "overview_mode": _o_overview_mode(),
         "overview_rms": _o_overview_rms(),

@@ -136,10 +136,11 @@ MEAN_EARTH_RADIUS = 6371008.8  # IUGG mean radius
 
 
 def geodesic_ring_area(ring: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> float:
-    """Spherical polygon area (m^2) by the Chamberlain–Duquette
-    formula (public literature; the spherical stand-in for OGR's
-    PROJ-ellipsoidal get_GeodesicArea, ogr/ogrsurface.cpp:39 —
-    differs from the ellipsoid by < 0.3%):
+    """SPHERICAL polygon area (m^2) by the Chamberlain–Duquette
+    formula — SUPERSEDED as the ST_GeodesicArea backend by the
+    ellipsoidal WGS84 solver in geo/geodesic.py (which matches the
+    reference's PROJ semantics, ogr/ogrsurface.cpp:39); kept as the
+    explicit spherical-model helper:
         area = |Σ (λ2-λ1)·(2 + sin φ1 + sin φ2)| · R² / 2
     over edges in radians."""
     lon = np.radians(ring[:, 0])
@@ -149,8 +150,10 @@ def geodesic_ring_area(ring: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> f
 
 
 def geodesic_line_length(coords: np.ndarray, radius: float = MEAN_EARTH_RADIUS) -> float:
-    """Great-circle length (m) via haversine edge sums (spherical
-    stand-in for get_GeodesicLength, ogr/ogrcurve.cpp:111)."""
+    """Great-circle length (m) via haversine edge sums — SUPERSEDED
+    as the ST_GeodesicLength backend by geo/geodesic.py (ellipsoidal,
+    get_GeodesicLength semantics, ogrcurve.cpp:111); kept as the
+    explicit spherical-model helper."""
     lon = np.radians(coords[:, 0])
     lat = np.radians(coords[:, 1])
     dlat = lat[1:] - lat[:-1]

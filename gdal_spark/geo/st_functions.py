@@ -63,11 +63,16 @@ def st_length(wkb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def st_geodesic_area(wkb: pd.Series) -> pd.Series:
+    """Ellipsoidal (WGS84) geodesic area: |outer| - sum(|holes|)
+    (ogr/ogrsurface.cpp:39 via geod_polygonarea,
+    ogrlinestring.cpp:3230; geo/geodesic.py for the algorithm)."""
+    from gdal_spark.geo import geodesic
+
     def f(b):
         rings = _rings(parse_wkb(bytes(b)))
-        area = ops.geodesic_ring_area(rings[0])
+        area = geodesic.ring_area(rings[0])
         for hole in rings[1:]:
-            area -= ops.geodesic_ring_area(hole)
+            area -= geodesic.ring_area(hole)
         return area
 
     return wkb.map(f)
@@ -75,11 +80,16 @@ def st_geodesic_area(wkb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def st_geodesic_length(wkb: pd.Series) -> pd.Series:
+    """Ellipsoidal (WGS84) geodesic length: per-edge geod_inverse s12
+    summed over every ring/part (ogrlinestring.cpp:3251,
+    ogrsurface.cpp:111 — polygon perimeters include inner rings)."""
+    from gdal_spark.geo import geodesic
+
     def f(b):
         g = parse_wkb(bytes(b))
         if g.type_id == WKB_LINESTRING:
-            return ops.geodesic_line_length(g.parts[0])
-        return float(sum(ops.geodesic_line_length(r) for r in _rings(g)))
+            return geodesic.line_length(g.parts[0])
+        return float(sum(geodesic.line_length(r) for r in _rings(g)))
 
     return wkb.map(f)
 
