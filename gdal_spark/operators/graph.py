@@ -384,16 +384,44 @@ def yen_k_shortest(
     B: list[tuple[int, list[int]]] = []
     edge_cost: dict = {}
 
-    def w_of(a: int, b: int) -> int:
-        key = (a, b)
-        if key not in edge_cost:
-            row = (
-                e0.where((F.col("src") == a) & (F.col("dst") == b))
-                .agg(F.min("w"))
-                .first()
+    def cache_path_weights(path: list[int]) -> None:
+        """ONE broadcast-join job fetches every still-unknown edge
+        weight along `path` (root costs only ever read edges of
+        accepted A-paths, so this keeps the deviation loop at
+        O(K * pathlen) Spark jobs — not O(K * pathlen * edges) as a
+        per-edge lookup would)."""
+        missing = [
+            (int(path[j]), int(path[j + 1]))
+            for j in range(len(path) - 1)
+            if (path[j], path[j + 1]) not in edge_cost
+        ]
+        if not missing:
+            return
+        md = spark.createDataFrame(missing, "a long, b long")
+        sc = spark.sparkContext
+        # job-group tag: lets tests (and the Spark UI) count weight
+        # fetches — exactly one job per accepted path, by contract
+        sc.setJobGroup("gdal-spark-yen-weights",
+                       "batched spur-root edge weights")
+        try:
+            rows = (
+                e0.join(
+                    F.broadcast(md),
+                    (e0["src"] == md["a"]) & (e0["dst"] == md["b"]),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("w").alias("w"))
+                .collect()
             )
-            edge_cost[key] = row[0]
-        return edge_cost[key]
+        finally:
+            sc.setJobGroup("gdal-spark-yen", "yen k-shortest spur loop")
+        for r in rows:
+            edge_cost[(r["src"], r["dst"])] = r["w"]
+
+    cache_path_weights(path0)
+
+    def w_of(a: int, b: int) -> int:
+        return edge_cost[(a, b)]
 
     while len(A) < k:
         prev_path = A[-1][1]
@@ -418,4 +446,5 @@ def yen_k_shortest(
             break
         B.sort(key=lambda cp: (cp[0], cp[1]))
         A.append(B.pop(0))
+        cache_path_weights(A[-1][1])
     return A
