@@ -627,6 +627,7 @@ def semdedup(
     iters: int = KMEANS_ITERS,
     threshold_e4: int = 9000,
     vec: str = "embedding",
+    max_cluster: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     dedup = k-means clustering, then INTRA-CLUSTER pairwise cosine —
@@ -644,9 +645,37 @@ def semdedup(
     kmeans_lloyd; the pairwise stage is a self equi-join ON THE CELL
     KEY only — cluster sizes are ~N/k by construction (the paper
     runs k ~ sqrt(N)), AQE skew-split handles hot cells, and no
-    all-pairs join exists outside a cell."""
+    all-pairs join exists outside a cell.
+
+    `max_cluster` is the hot-cluster guard for pathological data
+    (every vector identical -> one cell -> quadratic join): cells
+    larger than it are split into ceil(size / max_cluster) salted
+    sub-cells (deterministic pmod(vec_id, n_sub) — shuffle-free, no
+    per-cell sort) and pairs are tested within a sub-cell only.
+    Pair count per cell drops from size^2 to ~size*max_cluster.
+    Semantics under the cap are CONSERVATIVE: the tested pairs are a
+    subset of the exact algorithm's, so removals are a subset and
+    keep(capped) >= keep(exact) row-wise — documented approximation,
+    default off (None = exact, the oracle path)."""
     _, assigned = _lloyd_loop(emb, k, iters, vec)
     prio = assigned.select("vec_id", "cell", "d2")
+    if max_cluster is not None:
+        sizes = prio.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+        prio = (
+            prio.join(F.broadcast(sizes), "cell")
+            .withColumn(
+                "_nsub",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(F.col("_cn") / F.lit(max_cluster)).cast("long"),
+                ),
+            )
+            .withColumn(
+                "sub", F.pmod(F.col("vec_id"), F.col("_nsub")).cast("int"))
+            .drop("_cn", "_nsub")
+        )
+    else:
+        prio = prio.withColumn("sub", F.lit(0).cast("int"))
     base = with_norm(emb, vec).select("vec_id", F.col(vec).alias("e"),
                                       "norm")
     sides = prio.join(base, "vec_id")
@@ -658,7 +687,7 @@ def semdedup(
          .withColumnRenamed("e", "ej").withColumnRenamed("norm", "nj"))
     sim = F.expr(_DOT.format(a="ei", b="ej")) / (F.col("ni") * F.col("nj"))
     removed = (
-        i.join(j, "cell")
+        i.join(j, ["cell", "sub"])
         .where(
             (F.col("d2_j") > F.col("d2_i"))
             | ((F.col("d2_j") == F.col("d2_i"))

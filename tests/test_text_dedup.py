@@ -387,3 +387,43 @@ def test_semdedup_threshold_gates_removal(spark):
     )
     out = sim.semdedup(df, k=1, iters=1, threshold_e4=9999).collect()
     assert all(r["keep"] == 1 for r in out)   # cos(0,1) ~ 0.994 < .9999
+
+
+def test_semdedup_hot_cluster_cap_bounds_pairs(spark):
+    """Planted 10x skew: one giant all-similar cluster.  max_cluster
+    splits it into pmod(vec_id, n_sub) sub-cells so the pairwise join
+    is size*max_cluster-bounded, and the capped result is
+    CONSERVATIVE (its removals are a subset of the exact run's)."""
+    from pyspark.sql import functions as F
+
+    from gdal_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(100):                      # hot blob near (1, 0)
+        rows.append((i, [1.0, 1e-6 * i]))
+    for i in range(10):                       # small blob near (0, 1)
+        rows.append((1000 + i, [0.03 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {r["vec_id"]: r["keep"]
+             for r in sim.semdedup(df, k=2, iters=2,
+                                   threshold_e4=9999).collect()}
+    capped = {r["vec_id"]: r["keep"]
+              for r in sim.semdedup(df, k=2, iters=2, threshold_e4=9999,
+                                    max_cluster=10).collect()}
+    assert set(capped) == set(exact)
+    # conservative: capped never removes what exact kept
+    assert all(exact[v] == 0 for v, kp in capped.items() if kp == 0)
+    # the hot cluster still deduplicates hard inside sub-cells
+    assert sum(1 for v, kp in capped.items() if v < 100 and kp == 0) >= 80
+
+    # pair bound: largest (cell, sub) group is ~max_cluster-sized, so
+    # worst-case pairs fall from size^2 = 10000 to ~size*max_cluster
+    _, assigned = sim._lloyd_loop(df, 2, 2, "embedding")
+    prio = assigned.select("vec_id", "cell", "d2")
+    sizes = prio.groupBy("cell").agg(F.count(F.lit(1)).alias("cn"))
+    sub = (prio.join(F.broadcast(sizes), "cell")
+           .withColumn("nsub", F.ceil(F.col("cn") / 10).cast("long"))
+           .withColumn("sub", F.pmod(F.col("vec_id"), F.col("nsub")))
+           .groupBy("cell", "sub").count().agg(F.max("count")).first()[0])
+    assert sub <= 25  # pmod(vec_id) balance within 2.5x of the cap
