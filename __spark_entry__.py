@@ -5512,6 +5512,58 @@ def q_zarr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hdf5_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDF5 chunked+deflate IO from scratch (the reference's
+    frmts/hdf5/hdf5dataset.cpp payload semantics, wire format from the
+    public HDF5 spec: superblock v0, v1 object headers, B-tree v1
+    chunk index — multi-level at this chunk grid — local heap + SNOD
+    group): the mdim cube writes through ONE distributed groupBy pack,
+    reads back as a distributed chunk scan, and per-slab statistics
+    must match the cube closed form (chunk addressing or edge-trim
+    bugs would skew slabs)."""
+    from gdal_spark.sources.hdf5 import read_hdf5, write_hdf5
+
+    md = _mdim_cube(spark, sf_dir)
+    path = _artifact_path(f"cube_{os.path.basename(sf_dir)}") + ".h5"
+    write_hdf5(md, path, var_name="data", dtype="<i4", chunks=(4, 5, 5),
+               gzip=6, attrs={"title": "gdal_spark mdim cube"})
+    back = read_hdf5(spark, path, dim_names=["t", "y", "x"])
+    st = mdim.statistics(back, by=["t"])
+    return st.select(
+        F.col("t").cast("long"),
+        F.col("vmin").cast("int"),
+        F.col("vmax").cast("int"),
+        F.col("vsum").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
+def q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """netCDF-4 (HDF5-backed) IO: dimension-scale datasets with
+    CLASS/NAME/_Netcdf4Dimid resolve REAL dim names on read-back
+    (frmts/netcdf/netcdfdataset.cpp nc4 mode; sources/netcdf4.py
+    documents the DIMENSION_LIST-vlen scope bound).  Superblock v2 +
+    v2 object headers (lookup3-checksummed) exercise the 'latest'
+    HDF5 metadata path."""
+    from gdal_spark.sources.hdf5 import write_hdf5
+    from gdal_spark.sources.netcdf4 import read_netcdf4, write_netcdf4
+
+    md = _mdim_cube(spark, sf_dir)
+    path = _artifact_path(f"cube4_{os.path.basename(sf_dir)}") + ".nc4"
+    write_netcdf4(md, path, var_name="data", dtype="<i4",
+                  chunks=(4, 5, 5), gzip=6)
+    back = read_netcdf4(spark, path)
+    assert [n for n, _ in back.dims] == ["t", "y", "x"]
+    st = mdim.statistics(back, by=["t"])
+    return st.select(
+        F.col("t").cast("long"),
+        F.col("vmin").cast("int"),
+        F.col("vmax").cast("int"),
+        F.col("vsum").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
 def q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NetCDF classic CDF-2 chunked IO (frmts/netcdf/netcdfdataset.cpp
     classic-format handling; multidim semantics
@@ -11504,6 +11556,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_albers": q_tile_render_albers,
         "tile_render_polar": q_tile_render_polar,
         "netcdf_roundtrip": q_netcdf_roundtrip,
+        "hdf5_roundtrip": q_hdf5_roundtrip,
+        "netcdf4_roundtrip": q_netcdf4_roundtrip,
         "geoloc_transform": q_geoloc_transform,
         "gnm_k_shortest": q_gnm_k_shortest,
         "curve_fit_back": q_curve_fit_back,
@@ -13709,6 +13763,18 @@ SELECT t, min(value) AS vmin, max(value) AS vmax,
 FROM cube GROUP BY t
 """,
         "netcdf_roundtrip": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t, min(value) AS vmin, max(value) AS vmax,
+       cast(sum(value) as bigint) AS vsum, count(*) AS n
+FROM cube GROUP BY t
+""",
+        "hdf5_roundtrip": f"""
+WITH {_MDIM_CUBE_CTE}
+SELECT t, min(value) AS vmin, max(value) AS vmax,
+       cast(sum(value) as bigint) AS vsum, count(*) AS n
+FROM cube GROUP BY t
+""",
+        "netcdf4_roundtrip": f"""
 WITH {_MDIM_CUBE_CTE}
 SELECT t, min(value) AS vmin, max(value) AS vmax,
        cast(sum(value) as bigint) AS vsum, count(*) AS n
