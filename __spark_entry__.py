@@ -2940,6 +2940,34 @@ def q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_db_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-database vector read contract (ogrsf_frmts/pg layer scan
+    semantics re-expressed as Spark's JDBC DataSource options,
+    sources/dbscan.py): zones land in a SpatiaLite database, then a
+    fid-partitioned scan with a PUSHED predicate (the engine filters,
+    not Spark) and a PRUNED column list reads them back; sqlite is
+    the in-container stand-in for a server engine (no DB server in
+    this sandbox — documented)."""
+    from gdal_spark.sources.dbscan import read_db
+    from gdal_spark.sources.spatialite import write_spatialite
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir)).select(
+        "fid", "eas_id", "kind", "geometry"
+    )
+    path = _artifact_path(f"dbscan_{os.path.basename(sf_dir)}.sqlite")
+    write_spatialite(zones, path, layer="zones")
+    back = read_db(
+        spark,
+        f"sqlite:///{path}",
+        "zones",
+        columns=["fid", "eas_id", "kind", "geometry"],
+        predicate="eas_id % 3 <> 1",
+        partition_column="fid",
+        num_partitions=8,
+    )
+    return _roundtrip_shape(back)
+
+
 def q_topojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TopoJSON IO (ogr/ogrsf_frmts/geojson/ogrtopojsonreader.cpp:
     Topology object, shared arc table, negative-index reversal):
@@ -11528,6 +11556,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_vector": q_info_vector,
         "topojson_roundtrip": q_topojson_roundtrip,
         "spatialite_roundtrip": q_spatialite_roundtrip,
+        "db_scan": q_db_scan,
         "paletted_roundtrip": q_paletted_roundtrip,
         "tile_tree_roundtrip": q_tile_tree_roundtrip,
         "vrt_roundtrip": q_vrt_roundtrip,
@@ -13714,6 +13743,9 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "info_vector": _o_info_vector(),
         "topojson_roundtrip": _o_shp_roundtrip(),  # same output contract
         "spatialite_roundtrip": _o_shp_roundtrip(),  # same output contract
+        "db_scan": f"""
+SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
+""",
         "paletted_roundtrip": _o_paletted_roundtrip(),
         "pmtiles_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "raster_stack": _o_raster_stack(),
