@@ -2940,6 +2940,143 @@ def q_spatialite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_shape(back)
 
 
+def q_rat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster Attribute Table from REAL paletted bytes
+    (gcore/gdal_rat.cpp model: GFU_MinMax value + GFU_PixelCount
+    histogram + GFU_Name classes + GFU_Red/Green/Blue from the color
+    table): each task decodes its images' PNG palette indices and
+    emits a partial 256-bin histogram; ONE groupBy reduces them into
+    the thematic table (metadata-sized — the scale shape of
+    gdalinfo -stats on a classified raster).  The XML PAM form
+    (Serialize/parse) is covered in tests/test_rat.py."""
+    import pandas as pd2
+    from pyspark.sql import types as T2
+
+    from gdal_spark.raster.rat import rat_from_band_counts
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 7)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "w", "h")
+    schema = T2.StructType([
+        T2.StructField("value", T2.IntegerType()),
+        T2.StructField("pixel_count", T2.LongType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.png import (
+            decode_png_paletted,
+            encode_png_paletted,
+        )
+
+        gray = np.arange(256, dtype=np.uint8)[:, None].repeat(3, 1)
+        for pdf in batches:
+            tot = np.zeros(256, dtype=np.int64)
+            for i, w, h in zip(pdf["i"], pdf["w"], pdf["h"]):
+                idx = np_image_pixels(int(i), int(w), int(h))[:, :, 0]
+                band = decode_png_paletted(
+                    encode_png_paletted(idx, gray))[0]
+                tot += np.bincount(band.ravel(), minlength=256)
+            yield pd2.DataFrame(
+                {"value": np.arange(256, dtype=np.int32),
+                 "pixel_count": tot})
+
+    import numpy as np
+
+    counts = geo.mapInPandas(run, schema)
+    gray = np.arange(256, dtype=np.uint8)[:, None].repeat(3, 1)
+    rat, _fields = rat_from_band_counts(counts, gray)
+    return rat.select(
+        F.col("value").cast("int"),
+        F.col("pixel_count").cast("long"),
+        "name",
+        F.col("red").cast("int"),
+        F.col("green").cast("int"),
+        F.col("blue").cast("int"),
+    )
+
+
+def q_surface_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIN / PolyhedralSurface WKB (ISO types 15/16/17 + Z,
+    ogr/ogr_core.h:437-442): per-zone TIN fans (center + k-gon rim
+    with closed-form quarter-step Z) emit as WKB TIN Z, parse back,
+    demote via CastToMultiPolygon (ogrpolyhedralsurface.cpp:700), and
+    report patch count, projected 2D area, and the SFCGAL-semantics
+    3D surface area (ogrpolyhedralsurface.cpp:610)."""
+    import math
+
+    from pyspark.sql import types as T2
+
+    from gdal_spark.geo.surfaces import (
+        WKB_TIN,
+        cast_to_multipolygon,
+        parse_surface,
+        surface_area_3d,
+        wkb_surface,
+    )
+    from gdal_spark.geo.wkb import parse_wkb
+
+    ids = _zone_ids(spark, sf_dir)
+    schema = T2.StructType([
+        T2.StructField("fid", T2.LongType()),
+        T2.StructField("n_patches", T2.IntegerType()),
+        T2.StructField("area2d_e6", T2.LongType()),
+        T2.StructField("area3d_e6", T2.LongType()),
+    ])
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for fid in pdf["fid"]:
+                fid = int(fid)
+                j0 = fid + georef.ZONE_OFFSET
+                v1 = (j0 * georef.LCG_A + georef.LCG_C) % georef.LCG_M
+                v2 = (v1 * georef.LCG_A + georef.LCG_C) % georef.LCG_M
+                lon0 = -150.0 + 300.0 * v1 / georef.LCG_M
+                lat0 = -70.0 + 140.0 * v2 / georef.LCG_M
+                k = 5 + fid % 4
+                r = 0.5 + (fid % 7) * 0.3
+                zc = (fid % 3) * 0.5
+                patches = []
+                for j in range(k):
+                    ang1 = 2.0 * math.pi * j / k
+                    ang2 = 2.0 * math.pi * ((j + 1) % k) / k
+                    z1 = ((fid * 7 + j) % 5) * 0.25
+                    z2 = ((fid * 7 + (j + 1) % k) % 5) * 0.25
+                    tri = np.array([
+                        (lon0, lat0, zc),
+                        (lon0 + r * math.cos(ang1),
+                         lat0 + r * math.sin(ang1), z1),
+                        (lon0 + r * math.cos(ang2),
+                         lat0 + r * math.sin(ang2), z2),
+                        (lon0, lat0, zc),
+                    ])
+                    patches.append([tri])
+                blob = wkb_surface(WKB_TIN, patches, has_z=True)
+                s = parse_surface(blob)
+                assert s.type_id == WKB_TIN and s.has_z
+                mp = parse_wkb(cast_to_multipolygon(s))
+                a2 = 0.0
+                for rings in mp.polys:
+                    ring = rings[0]
+                    x, y = ring[:-1, 0], ring[:-1, 1]
+                    x2_, y2_ = ring[1:, 0], ring[1:, 1]
+                    a2 += abs(float((x * y2_ - x2_ * y).sum())) / 2.0
+                a3 = surface_area_3d(s)
+                recs.append({
+                    "fid": fid, "n_patches": len(s.patches),
+                    "area2d_e6": int(math.floor(a2 * 1e6)),
+                    "area3d_e6": int(math.floor(a3 * 1e6)),
+                })
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return ids.repartition(8).mapInPandas(run, schema)
+
+
 def q_db_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live-database vector read contract (ogrsf_frmts/pg layer scan
     semantics re-expressed as Spark's JDBC DataSource options,
@@ -11557,6 +11694,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topojson_roundtrip": q_topojson_roundtrip,
         "spatialite_roundtrip": q_spatialite_roundtrip,
         "db_scan": q_db_scan,
+        "surface_roundtrip": q_surface_roundtrip,
+        "rat": q_rat,
         "paletted_roundtrip": q_paletted_roundtrip,
         "tile_tree_roundtrip": q_tile_tree_roundtrip,
         "vrt_roundtrip": q_vrt_roundtrip,
@@ -13288,6 +13427,63 @@ FROM geod GROUP BY 1
 """
 
 
+def _o_rat() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 7)",
+    )
+    # residue counting: #{x<w: x%256=xt} = (w-xt+255)//256, same for y
+    # against t = (v - i - xt) mod 256 (band-0 rule (x+y+i) % 256)
+    t = "(((v.v - im.i - xt.x) % 256 + 256) % 256)"
+    return f"""
+WITH imgs AS ({img}),
+contrib AS (
+  SELECT v.v AS value,
+    ((im.w - xt.x + 255) // 256) * ((im.h - {t} + 255) // 256) AS cnt
+  FROM imgs im, range(0, 256) AS xt(x), range(0, 256) AS v(v)
+)
+SELECT cast(value as int) AS value,
+  cast(sum(cnt) as bigint) AS pixel_count,
+  'class_' || value AS name,
+  cast(value as int) AS red, cast(value as int) AS green,
+  cast(value as int) AS blue
+FROM contrib GROUP BY value
+"""
+
+
+def _o_surface_roundtrip() -> str:
+    zn = georef.sql_zones_cte("s_suppkey", "supplier")
+    ux = "(x1 - cx)"
+    uy = "(y1 - cy)"
+    uz = "(z1 - zc)"
+    wx = "(x2 - cx)"
+    wy = "(y2 - cy)"
+    wz = "(z2 - zc)"
+    nx = f"({uy} * {wz} - {uz} * {wy})"
+    ny = f"({uz} * {wx} - {ux} * {wz})"
+    nz = f"({ux} * {wy} - {uy} * {wx})"
+    return f"""
+WITH zn AS ({zn}),
+edges AS ({_zone_edges_cte('r')}),
+tri AS (
+  SELECT e.fid, e.j, z.lon0 AS cx, z.lat0 AS cy,
+    e.x1, e.y1, e.x2, e.y2,
+    ((e.fid * 7 + e.j) % 5) * 0.25 AS z1,
+    ((e.fid * 7 + ((e.j + 1) % z.k)) % 5) * 0.25 AS z2,
+    (e.fid % 3) * 0.5 AS zc
+  FROM edges e JOIN zn z ON z.fid = e.fid
+)
+SELECT fid,
+  cast(count(*) as int) AS n_patches,
+  cast(floor(sum(abs({ux} * {wy} - {wx} * {uy})) / 2.0 * 1e6) as bigint)
+    AS area2d_e6,
+  cast(floor(sum(sqrt({nx} * {nx} + {ny} * {ny} + {nz} * {nz})) / 2.0
+             * 1e6) as bigint) AS area3d_e6
+FROM tri GROUP BY fid
+"""
+
+
 def _o_zonal_stats() -> str:
     return f"""{_rast_ctes(RAST_Z)},
 pix_outer AS (
@@ -13746,6 +13942,8 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "db_scan": f"""
 SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
 """,
+        "surface_roundtrip": _o_surface_roundtrip(),
+        "rat": _o_rat(),
         "paletted_roundtrip": _o_paletted_roundtrip(),
         "pmtiles_roundtrip": _o_mbtiles_roundtrip(),  # same contract
         "raster_stack": _o_raster_stack(),
