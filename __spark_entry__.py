@@ -11599,8 +11599,46 @@ def _with_shipping(fn: Callable) -> Callable:
     return run
 
 
+# Round-5 rotation (VERDICT r4 ask #9): the driver's correctness
+# artifact covers a PREFIX of queries() (~50 rows).  These 66 are the
+# registered queries with NO driver row in CORRECTNESS_r01..r04
+# (judge/cache-green only) plus this round's new ones — they lead, in
+# retire-the-tail order, so round 5's artifact covers the
+# never-sampled set first.
+_ROTATION_FIRST = [
+    # new in round 5 (never driver-verified)
+    "geodesic_ellipsoid", "hdf5_roundtrip", "netcdf4_roundtrip",
+    "db_scan", "surface_roundtrip", "rat",
+    # judge-verified in r4's VERDICT spot-check, still no driver row
+    "proj_albers", "ogr_sql_join", "netcdf_roundtrip",
+    "pmtiles_roundtrip", "gnm_k_shortest", "sieve", "seq_packing",
+    "decontaminate", "tile_render_albers", "mvt_roundtrip",
+    "ngram_jaccard", "cosine_dedup",
+    # cache-green only, never sampled by driver or judge
+    "pds_roundtrip", "idrisi_roundtrip", "misc_raster_roundtrip",
+    "pgdump_roundtrip", "equalize", "augment", "gmt_roundtrip",
+    "jml_roundtrip", "hf2_roundtrip", "terragen_roundtrip",
+    "hdr_raster_roundtrip", "bsb_roundtrip", "vocab_topk",
+    "gpx_roundtrip", "gpx_track_points", "gif_roundtrip",
+    "mif_roundtrip", "dxf_roundtrip", "proj_homerc", "proj_krovak",
+    "info_raster", "info_vector", "topojson_roundtrip",
+    "spatialite_roundtrip", "paletted_roundtrip",
+    "tile_tree_roundtrip", "vrt_roundtrip", "raster_stack",
+    "sozip_roundtrip", "osm_roundtrip", "flat_raster_roundtrip",
+    "proj_laea", "st_transform_sql", "jpeg_exif", "geotiff_georef",
+    "tiff_overviews", "proj_cea", "proj_mollweide",
+    "proj_polar_stereo", "proj_stereo_oblique", "proj_sinusoidal",
+    "proj_eqc", "proj_mercator_ups", "reproject_chain",
+    "tile_render_polar", "geoloc_transform", "curve_fit_back",
+    "video_mjpeg",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _with_shipping(fn) for name, fn in _queries_raw().items()}
+    raw = {name: _with_shipping(fn) for name, fn in _queries_raw().items()}
+    head = {k: raw[k] for k in _ROTATION_FIRST if k in raw}
+    head.update((k, v) for k, v in raw.items() if k not in head)
+    return head
 
 
 def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
