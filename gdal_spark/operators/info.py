@@ -176,6 +176,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("DTED", "raster", True, True, "dt1", "raster/dted.py"),
     ("USGSDEM", "raster", True, True, "dem", "raster/usgsdem.py"),
     ("GRIB", "raster", True, True, "grb2", "raster/grib.py"),
+    ("JP2OpenJPEG", "raster", True, True, "jp2", "raster/jp2.py"),
     ("PDS", "raster", True, True, "img", "raster/pds.py"),
     ("FITS", "raster", True, True, "fits", "raster/fits.py"),
     ("TGA", "raster", True, True, "tga", "raster/tga.py"),

@@ -15,7 +15,7 @@ from gdal_spark.raster.png import decode_png, encode_png
 from gdal_spark.raster.tiff import decode_tiff, encode_tiff
 from gdal_spark.raster.webp import decode_webp, encode_webp_lossless
 
-LOSSLESS = {"png", "tiff", "webp"}
+LOSSLESS = {"png", "tiff", "webp", "jp2"}
 
 
 def sniff_format(data: bytes) -> str:
@@ -33,6 +33,10 @@ def sniff_format(data: bytes) -> str:
         return "bmp"
     if data[:4] == b"GRIB":
         return "grib"
+    if data[:4] == b"\xff\x4f\xff\x51":
+        return "jp2"  # raw JPEG2000 codestream (SOC+SIZ)
+    if data[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        return "jp2"  # JP2 box container
     raise ValueError("unknown image format")
 
 
@@ -56,6 +60,10 @@ def encode_image(arr: np.ndarray, fmt: str, quality: int = 90) -> bytes:
         from gdal_spark.raster.bmp import encode_bmp
 
         return encode_bmp(arr)
+    if fmt in ("jp2", "j2k", "jpeg2000"):
+        from gdal_spark.raster.jp2 import encode_jp2
+
+        return encode_jp2(arr)
     raise ValueError(f"unsupported format: {fmt}")
 
 
@@ -82,4 +90,8 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
             idx, pal = out
             return pal[idx]
         return out
+    if fmt in ("jp2", "j2k", "jpeg2000"):
+        from gdal_spark.raster.jp2 import decode_jp2
+
+        return decode_jp2(data)
     raise ValueError(f"unsupported format: {fmt}")

@@ -1,0 +1,232 @@
+"""JPEG 2000 lossless codec (raster/jp2.py): exhaustive roundtrips,
+hypothesis properties, structural codestream assertions, and the
+subset's loud-error contract.
+
+Reference semantics: frmts/openjpeg/openjpegdataset.cpp (the
+reference delegates to OpenJPEG); the bitstream here is re-derived
+from the public ITU-T T.800 spec."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from gdal_spark.raster.jp2 import (
+    _MQDecoder,
+    _MQEncoder,
+    decode_j2k,
+    decode_jp2,
+    encode_j2k,
+    encode_jp2,
+)
+
+RNG = np.random.default_rng(20260819)
+
+
+# --------------------------------------------------------------- MQ coder
+
+
+def test_mq_random_decisions_roundtrip():
+    """The MQ coder is the foundation: random decision/context
+    streams must survive encode->flush->decode bit-exactly."""
+    for trial in range(20):
+        rng = np.random.default_rng(trial)
+        n = int(rng.integers(1, 4000))
+        bits = rng.integers(0, 2, size=n).tolist()
+        ctxs = rng.integers(0, 19, size=n).tolist()
+        enc = _MQEncoder()
+        for b, c in zip(bits, ctxs):
+            enc.encode(int(b), int(c))
+        seg = enc.flush()
+        dec = _MQDecoder(seg)
+        for b, c in zip(bits, ctxs):
+            assert dec.decode(int(c)) == b
+
+
+def test_mq_skewed_streams():
+    """Highly skewed streams (the common case for EBCOT contexts)."""
+    for p in (0.01, 0.99):
+        rng = np.random.default_rng(int(p * 100))
+        bits = (rng.random(5000) < p).astype(int).tolist()
+        enc = _MQEncoder()
+        for b in bits:
+            enc.encode(b, 0)
+        dec = _MQDecoder(enc.flush())
+        assert [dec.decode(0) for _ in bits] == bits
+
+
+# ------------------------------------------------------------ roundtrips
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 9), (7, 1), (4, 4),
+                                   (5, 3), (16, 16), (33, 31),
+                                   (64, 64), (65, 67), (96, 40)])
+@pytest.mark.parametrize("levels", [0, 1, 2, 3])
+def test_u8_roundtrip(shape, levels):
+    a = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    out = decode_j2k(encode_j2k(a, levels=levels))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, a)
+
+
+@pytest.mark.parametrize("dtype,lo,hi", [
+    (np.uint16, 0, 65536),
+    (np.int16, -32768, 32768),
+    (np.int8, -128, 128),
+])
+def test_wide_dtypes(dtype, lo, hi):
+    a = RNG.integers(lo, hi, size=(40, 52)).astype(dtype)
+    out = decode_j2k(encode_j2k(a, levels=2))
+    assert out.dtype == dtype
+    assert np.array_equal(out, a)
+
+
+@pytest.mark.parametrize("pattern", ["zeros", "max", "grad", "checker"])
+def test_patterns(pattern):
+    a = {
+        "zeros": np.zeros((50, 60), np.uint8),
+        "max": np.full((50, 60), 255, np.uint8),
+        "grad": (np.add.outer(np.arange(50), np.arange(60)) % 256
+                 ).astype(np.uint8),
+        "checker": ((np.add.outer(np.arange(50), np.arange(60))) % 2
+                    * 255).astype(np.uint8),
+    }[pattern]
+    assert np.array_equal(decode_j2k(encode_j2k(a, levels=2)), a)
+
+
+def test_rgb_jp2_container():
+    a = RNG.integers(0, 256, size=(45, 38, 3), dtype=np.uint8)
+    buf = encode_jp2(a, levels=2)
+    assert buf[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    out = decode_jp2(buf)
+    assert np.array_equal(out, a)
+
+
+def test_small_codeblocks():
+    a = RNG.integers(0, 256, size=(70, 61), dtype=np.uint8)
+    for cb_exp in (2, 4, 6):
+        assert np.array_equal(
+            decode_j2k(encode_j2k(a, levels=1, cb_exp=cb_exp)), a)
+
+
+def test_multi_codeblock_grid():
+    """> 64 px per side forces a real code-block grid + tag trees."""
+    a = (np.add.outer(np.arange(150), 3 * np.arange(170)) % 251
+         ).astype(np.uint8)
+    assert np.array_equal(decode_j2k(encode_j2k(a, levels=2)), a)
+
+
+def test_synthetic_fixture_pixels():
+    """The repo's pixel rule (value = (x+y+i+phase) % 256) through
+    all three bands, matching the other codec goldens."""
+    from gdal_spark.fixtures.georef import np_image_pixels
+
+    a = np_image_pixels(103, 64, 96)
+    out = decode_jp2(encode_jp2(a, levels=2))
+    assert np.array_equal(out, a)
+
+
+# --------------------------------------------------------- hypothesis
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.tuples(st.integers(1, 20), st.integers(1, 20)).flatmap(
+        lambda s: arrays(np.uint8, s, elements=st.integers(0, 255))),
+    st.integers(0, 3),
+)
+def test_property_u8(a, levels):
+    assert np.array_equal(decode_j2k(encode_j2k(a, levels=levels)), a)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.tuples(st.integers(1, 16), st.integers(1, 16)).flatmap(
+        lambda s: arrays(np.int16, s,
+                         elements=st.integers(-32768, 32767))),
+)
+def test_property_i16(a):
+    assert np.array_equal(decode_j2k(encode_j2k(a, levels=2)), a)
+
+
+# ------------------------------------------------------------ structure
+
+
+def test_codestream_markers():
+    a = RNG.integers(0, 256, size=(30, 20), dtype=np.uint8)
+    buf = encode_j2k(a, levels=2)
+    assert buf[:2] == b"\xff\x4f"          # SOC
+    assert buf[2:4] == b"\xff\x51"         # SIZ
+    assert buf[-2:] == b"\xff\xd9"         # EOC
+    # SIZ geometry
+    _, W, H = struct.unpack_from(">HII", buf, 6)
+    assert (W, H) == (20, 30)
+    # COD: LRCP, 1 layer, no MCT, 2 levels, 5/3
+    i = buf.index(b"\xff\x52")
+    scod, prog, layers, mct, levels = struct.unpack_from(
+        ">BBHBB", buf, i + 4)
+    assert (scod, prog, layers, mct, levels) == (0, 0, 1, 0, 2)
+
+
+def test_sot_psot_consistent():
+    a = RNG.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    buf = encode_j2k(a, levels=1)
+    i = buf.index(b"\xff\x90")
+    _isot, psot = struct.unpack_from(">HI", buf, i + 4)
+    # SOT .. EOC spans exactly Psot bytes
+    assert buf[i + psot:i + psot + 2] == b"\xff\xd9"
+
+
+def test_unsupported_features_raise():
+    a = RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    buf = bytearray(encode_j2k(a, levels=1))
+    # flip the transform byte (5/3 -> 9/7) inside COD
+    i = buf.index(b"\xff\x52")
+    assert buf[i + 13] == 1
+    buf[i + 13] = 0
+    with pytest.raises(ValueError, match="5/3"):
+        decode_j2k(bytes(buf))
+    with pytest.raises(ValueError, match="SOC"):
+        decode_j2k(b"\x00\x00" + bytes(buf))
+    with pytest.raises(ValueError):
+        encode_j2k(a.astype(np.float32))
+    with pytest.raises(ValueError):
+        encode_j2k(a, levels=9)
+
+
+def test_truncated_stream_raises():
+    a = RNG.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    buf = encode_j2k(a, levels=1)
+    with pytest.raises(Exception):
+        decode_j2k(buf[:20])
+
+
+# ------------------------------------------------------------- dispatch
+
+
+def test_codecs_dispatch():
+    from gdal_spark.raster.codecs import (
+        LOSSLESS,
+        decode_image,
+        encode_image,
+        sniff_format,
+    )
+
+    a = RNG.integers(0, 256, size=(21, 33, 3), dtype=np.uint8)
+    buf = encode_image(a, "jp2")
+    assert sniff_format(buf[:12]) == "jp2"
+    assert np.array_equal(decode_image(buf), a)
+    assert "jp2" in LOSSLESS
+    # raw codestream sniff
+    raw = encode_j2k(a[:, :, 0])
+    assert sniff_format(raw[:12]) == "jp2"
+
+
+def test_driver_registered():
+    from gdal_spark.operators.info import DRIVERS
+
+    rows = [d for d in DRIVERS if d[0] == "JP2OpenJPEG"]
+    assert rows and rows[0][5] == "raster/jp2.py"
