@@ -3645,9 +3645,11 @@ def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pixel rule rides through REAL GRIB2 bytes six ways — simple
     packing (5.0) as 3-band uint8 / offset-negative int / decimal
     tenths, complex packing (5.2, 3-band), complex packing with
-    order-2 spatial differencing (5.3), and 16-bit PNG packing (5.41,
-    values scaled by 257 to force depth 16) — and the decoded
-    per-band checksums all match one closed form."""
+    order-2 spatial differencing (5.3), 16-bit PNG packing (5.41,
+    values scaled by 257 to force depth 16), and 16-bit JPEG2000
+    packing (5.40, round 5: rides the from-scratch T.800 codec on a
+    64x64 crop — EBCOT is a sequential bit-plane coder) — and the
+    decoded per-band checksums all match one closed form."""
     import pandas as pd
     from pyspark.sql import types as T2
 
@@ -3697,6 +3699,13 @@ def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p16 = decode_grib2(encode_grib2(b0 * 257,
                                                 packing="png"))[0]
                 outs["grib_png16"] = p16 // 257
+                wc, hc = min(int(w), 64), min(int(h), 64)
+                c0 = np_image_pixels(int(i), wc, hc)[:, :, 0].astype(
+                    np.int64
+                )
+                j16 = decode_grib2(encode_grib2(c0 * 257,
+                                                packing="jpeg2000"))[0]
+                outs["grib_j2k"] = j16 // 257
                 for fmt, out in outs.items():
                     for b in range(out.shape[2]):
                         rows.append(
@@ -3722,7 +3731,8 @@ WITH img AS ({img}),
 fmts AS (
   SELECT * FROM (VALUES ('grib_u8', 3), ('grib_off', 1),
                         ('grib_ds1', 1), ('grib_cpx', 3),
-                        ('grib_sd2', 1), ('grib_png16', 1))
+                        ('grib_sd2', 1), ('grib_png16', 1),
+                        ('grib_j2k', 1))
        AS f(fmt, nb)
 ),
 bands AS (
@@ -3733,11 +3743,16 @@ bands AS (
 px AS (
   SELECT i.image_id, fb.fmt, fb.band,
     (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
-    gy.y * i.w + gx.x AS pidx
+    gy.y * (CASE WHEN fb.fmt = 'grib_j2k' THEN least(i.w, 64)
+            ELSE i.w END) + gx.x AS pidx
   FROM img i
-  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
-  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
   CROSS JOIN bands fb
+  JOIN range(0, 512) AS gx(x)
+    ON gx.x < (CASE WHEN fb.fmt = 'grib_j2k' THEN least(i.w, 64)
+               ELSE i.w END)
+  JOIN range(0, 512) AS gy(y)
+    ON gy.y < (CASE WHEN fb.fmt = 'grib_j2k' THEN least(i.h, 64)
+               ELSE i.h END)
 )
 SELECT image_id, fmt, cast(band as int) AS band,
   cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)

@@ -36,8 +36,12 @@ enc_png/dec_png) stores the scaled offsets as a PNG image via the
 repo's own codec (raster/png.py): depth 8 -> gray, 16 -> 16-bit gray,
 24 -> RGB, 32 -> RGBA, big-endian bytes within a sample.  All
 packings here choose E=0 and R = the scaled minimum, so integer
-inputs roundtrip bit-exactly.  JPEG2000 packing raises loudly (no
-codec stack ships in this container).
+inputs roundtrip bit-exactly.  JPEG2000 packing (5.40, g2clib
+jpcpack/jpcunpack) stores the scaled offsets as a lossless raw
+codestream via the repo's own T.800 codec (raster/jp2.py): depth 8
+-> uint8, <=16 -> uint16 single component; spans beyond 16 bits
+raise loudly (documented subset; g2clib itself caps at the jasper
+depth limit).
 """
 
 from __future__ import annotations
@@ -366,7 +370,7 @@ def _sect4() -> bytes:
 
 
 _PACKING_TEMPLATES = {"simple": 0, "complex": 2, "complex_diff": 3,
-                      "png": 41}
+                      "png": 41, "jpeg2000": 40}
 
 
 def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
@@ -379,7 +383,7 @@ def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
     given decimal scale) roundtrip bit-exactly under every packing.
     packing: "simple" (template 5.0), "complex" (5.2), "complex_diff"
     (5.3, spatial differencing of the given order 1 or 2), "png"
-    (5.41)."""
+    (5.41), "jpeg2000" (5.40, lossless)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -419,9 +423,23 @@ def encode_grib2(arr: np.ndarray, geo: tuple | None = None,
             tmpl_tail = tail2 + _u(diff_order, 1) + _u(_DIFF_WW, 1)
             head = b"".join(_s(v, _DIFF_WW) for v in init)
             packed = head + _s(gmin, _DIFF_WW) + grouped
-        else:  # png
+        elif packing == "png":
             depth, packed = _encode_png_body(vals, h, w)
             nbits = depth
+        else:  # jpeg2000 (5.40)
+            from gdal_spark.raster.jp2 import encode_j2k
+
+            if span >= (1 << 16):
+                raise ValueError(
+                    "grib: jpeg2000 packing span exceeds 16 bits"
+                )
+            depth = 8 if span < 256 else 16
+            grid = vals.reshape(h, w).astype(
+                np.uint8 if depth == 8 else np.uint16
+            )
+            packed = encode_j2k(grid, levels=2)
+            nbits = depth
+            tmpl_tail = _u(0, 1) + _u(255, 1)  # lossless, ratio M=255
 
         sect1 = _u(21, 4) + b"".join(
             [
@@ -519,10 +537,10 @@ def decode_grib2(data: bytes):
                 )
             elif snum == 5:
                 dtmpl = int.from_bytes(body[9:11], "big")
-                if dtmpl not in (0, 2, 3, 41):
+                if dtmpl not in (0, 2, 3, 40, 41):
                     raise ValueError(
-                        "grib: unsupported data template 5.%d "
-                        "(simple/complex/complex-diff/png only)" % dtmpl
+                        "grib: unsupported data template 5.%d (simple/"
+                        "complex/complex-diff/jpeg2000/png only)" % dtmpl
                     )
                 npoints = int.from_bytes(body[5:9], "big")
                 ref = struct.unpack(">f", body[11:15])[0]
@@ -550,8 +568,18 @@ def decode_grib2(data: bytes):
             grouped = packed[(order + 1) * ww:]
             x = _decode_complex_body(sect5_body, grouped, npoints)
             x = _undo_spatial_diff(x, init, gmin, order)
-        else:  # 41: png
+        elif dtmpl == 41:  # png
             x = _decode_png_body(packed, h, w, nbits)
+        else:  # 40: jpeg2000
+            from gdal_spark.raster.jp2 import decode_j2k
+
+            if sect5_body[21] != 0:
+                raise ValueError("grib: lossy jpeg2000 unsupported")
+            img = decode_j2k(packed)
+            if img.shape != (h, w):
+                raise ValueError("grib: jpeg2000 dims %s != grid (%d, %d)"
+                                 % (img.shape, h, w))
+            x = img.astype(np.int64).ravel()
         vals = (ref + x.astype(np.float64) * (2.0 ** es)) / (10.0 ** ds)
         grid = vals.reshape(h, w)
         if scan & 0x40:       # +j: stored bottom-to-top

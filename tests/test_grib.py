@@ -161,9 +161,31 @@ def test_packing_decimal_scale():
         assert np.allclose(out[:, :, 0], vals, atol=1e-12)
 
 
+def test_jpeg2000_packing_roundtrip():
+    """Template 5.40 rides the from-scratch T.800 codec (round 5);
+    depth 8 and 16 spans, offsets, and decimal scale all bit-exact."""
+    rng = np.random.default_rng(11)
+    for span in (200, 60_000):
+        a = np.linspace(0, span, 20 * 17).astype(np.int64).reshape(20, 17)
+        out, meta = decode_grib2(encode_grib2(a, packing="jpeg2000"))
+        assert (out[:, :, 0] == a).all()
+        assert meta["data_template"] == 40
+    neg = rng.integers(-300, 9500, (23, 31)).astype(np.int64)
+    out, _ = decode_grib2(encode_grib2(neg, packing="jpeg2000"))
+    assert (out[:, :, 0] == neg).all()
+    vals = np.arange(-60, 60).reshape(10, 12) / 10.0
+    out, _ = decode_grib2(encode_grib2(vals, dscale=1, packing="jpeg2000"))
+    assert np.allclose(out[:, :, 0], vals, atol=1e-12)
+
+
+def test_jpeg2000_packing_span_limit():
+    with pytest.raises(ValueError, match="16 bits"):
+        encode_grib2(np.array([[0, 1 << 17]]), packing="jpeg2000")
+
+
 def test_bad_packing_args():
     with pytest.raises(ValueError, match="unknown packing"):
-        encode_grib2(np.zeros((4, 4)), packing="jpeg2000")
+        encode_grib2(np.zeros((4, 4)), packing="jasper")
     with pytest.raises(ValueError, match="order"):
         encode_grib2(np.zeros((4, 4)), packing="complex_diff", diff_order=3)
     with pytest.raises(ValueError, match="too small"):
