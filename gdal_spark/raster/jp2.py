@@ -27,11 +27,8 @@ Implemented subset (documented, loud errors outside it):
 
 NOT implemented (raise loudly): 9/7 irreversible, quantization,
 multiple tiles/tile-parts beyond the first, precinct partitions,
-SOP/EPH, RGN, COC/QCC overrides that change the subset, MCT/RCT,
-progression orders other than LRCP on write (any order token is
-accepted on read since with 1 layer / 1 precinct the packet sequence
-of LRCP and RLCP coincide per component loop order only for LRCP —
-other tokens are rejected).
+SOP/EPH, RGN, COC/QCC overrides, MCT/RCT, progression orders other
+than LRCP (both directions).
 
 CAVEAT (same class as raster/webp.py): the container has no external
 JPEG2000 implementation, so conformance is spec-derived and verified
