@@ -91,6 +91,13 @@ def main() -> None:
         "gdal_compare (image_id equi-join -> one mapInPandas decode+compare)": entry.q_gdal_compare,
         "histogram_match (narrow decode+LUT kernel, zero shuffle)": entry.q_histogram_match,
         "corpus_shuffle (shard-partitioned hash rank, no global sort)": entry.q_corpus_shuffle,
+        # round 5
+        "geodesic_ellipsoid (vectorized Karney-class inverse, zero shuffle)": entry.q_geodesic_ellipsoid,
+        "hdf5_roundtrip (byte-range chunk scan -> narrow inflate -> one agg)": entry.q_hdf5_roundtrip,
+        "db_scan (JDBC-style stride partitions, predicate pushed)": entry.q_db_scan,
+        "surface_roundtrip (narrow WKB surface kernel, zero shuffle)": entry.q_surface_roundtrip,
+        "rat (pixel histogram -> one value-key agg)": entry.q_rat,
+        "jp2_roundtrip (narrow mapInPandas MQ/EBCOT codec kernel)": entry.q_jp2_roundtrip,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",
