@@ -505,26 +505,9 @@ _BAND_LL, _BAND_HL, _BAND_LH, _BAND_HH = 0, 1, 2, 3
 _BAND_FAMILY = {_BAND_LL: 0, _BAND_LH: 0, _BAND_HL: 1, _BAND_HH: 2}
 
 
-def _ctx_sig(sigma, w, h, x, y, fam):
-    """Significance-coding context (T.800 Table D.1)."""
-    idx = y * w + x
-    left = sigma[idx - 1] if x > 0 else 0
-    right = sigma[idx + 1] if x < w - 1 else 0
-    up = sigma[idx - w] if y > 0 else 0
-    down = sigma[idx + w] if y < h - 1 else 0
-    dsum = 0
-    if y > 0:
-        if x > 0:
-            dsum += sigma[idx - w - 1]
-        if x < w - 1:
-            dsum += sigma[idx - w + 1]
-    if y < h - 1:
-        if x > 0:
-            dsum += sigma[idx + w - 1]
-        if x < w - 1:
-            dsum += sigma[idx + w + 1]
-    hsum = left + right
-    vsum = up + down
+def _ctx_from_counts(hsum: int, vsum: int, dsum: int, fam: int) -> int:
+    """Significance-coding context from neighbor significance counts
+    (T.800 Table D.1).  fam: 0 = LL/LH, 1 = HL (transposed), 2 = HH."""
     if fam == 1:
         hsum, vsum = vsum, hsum
     if fam != 2:
@@ -555,6 +538,40 @@ def _ctx_sig(sigma, w, h, x, y, fam):
     return 1 if hv == 1 else 0
 
 
+# 45-entry LUTs indexed nh*15 + nv*5 + nd (nh, nv <= 2; nd <= 4) — the
+# hot passes maintain neighbor counts incrementally instead of
+# re-reading 8 neighbors per visit.
+_SIG_LUTS = tuple(
+    bytes(
+        _ctx_from_counts(a, b, c, fam)
+        for a in range(3) for b in range(3) for c in range(5)
+    )
+    for fam in (0, 1, 2)
+)
+
+
+def _ctx_sig(sigma, w, h, x, y, fam):
+    """Reference (non-incremental) context computation — used by the
+    tests to pin the LUT path and by nothing on the hot path."""
+    idx = y * w + x
+    left = sigma[idx - 1] if x > 0 else 0
+    right = sigma[idx + 1] if x < w - 1 else 0
+    up = sigma[idx - w] if y > 0 else 0
+    down = sigma[idx + w] if y < h - 1 else 0
+    dsum = 0
+    if y > 0:
+        if x > 0:
+            dsum += sigma[idx - w - 1]
+        if x < w - 1:
+            dsum += sigma[idx - w + 1]
+    if y < h - 1:
+        if x > 0:
+            dsum += sigma[idx + w - 1]
+        if x < w - 1:
+            dsum += sigma[idx + w + 1]
+    return _ctx_from_counts(left + right, up + down, dsum, fam)
+
+
 def _ctx_sign(sigma, signs, w, h, x, y):
     """Sign-coding context + XOR bit (T.800 Tables D.3/D.4)."""
     idx = y * w + x
@@ -583,35 +600,42 @@ def _ctx_sign(sigma, signs, w, h, x, y):
     return (11, 1) if vc == 1 else (12, 1) if vc == 0 else (13, 1)
 
 
-def _ctx_mag(sigma, refined, w, h, x, y):
-    """Magnitude-refinement context (T.800 Table D.2)."""
-    idx = y * w + x
-    if refined[idx]:
-        return 16
-    any8 = 0
-    for dy in (-1, 0, 1):
-        yy = y + dy
-        if yy < 0 or yy >= h:
-            continue
-        base = yy * w
-        for dx in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            xx = x + dx
-            if 0 <= xx < w and sigma[base + xx]:
-                any8 = 1
-                break
-        if any8:
-            break
-    return 15 if any8 else 14
-
-
 def _t1_encode(mags, signs, w, h, fam, nbits, mq: _MQEncoder) -> int:
-    """Encode all passes of one code-block; returns pass count."""
+    """Encode all passes of one code-block; returns pass count.
+
+    Neighbor significance is maintained incrementally (nh/nv/nd
+    bumped once when a sample becomes significant) so each visit is
+    a 45-entry LUT index instead of an 8-neighbor re-read; the LUT
+    is pinned against the direct Table-D.1 evaluation in tests."""
     n = w * h
     sigma = bytearray(n)
     pi = bytearray(n)
     refined = bytearray(n)
+    nh = bytearray(n)
+    nv = bytearray(n)
+    nd = bytearray(n)
+    lut = _SIG_LUTS[fam]
+    enc = mq.encode
+
+    def mark(idx, x, y):
+        sigma[idx] = 1
+        if x > 0:
+            nh[idx - 1] += 1
+            if y > 0:
+                nd[idx - w - 1] += 1
+            if y < h - 1:
+                nd[idx + w - 1] += 1
+        if x < w - 1:
+            nh[idx + 1] += 1
+            if y > 0:
+                nd[idx - w + 1] += 1
+            if y < h - 1:
+                nd[idx + w + 1] += 1
+        if y > 0:
+            nv[idx - w] += 1
+        if y < h - 1:
+            nv[idx + w] += 1
+
     npasses = 0
     for plane in range(nbits - 1, -1, -1):
         first = plane == nbits - 1
@@ -624,16 +648,18 @@ def _t1_encode(mags, signs, w, h, fam, nbits, mq: _MQEncoder) -> int:
                         idx = y * w + x
                         if sigma[idx]:
                             continue
-                        cx = _ctx_sig(sigma, w, h, x, y, fam)
-                        if cx == 0:
+                        a = nh[idx]
+                        b = nv[idx]
+                        c = nd[idx]
+                        if not (a or b or c):
                             continue
                         bit = (mags[idx] >> plane) & 1
-                        mq.encode(bit, cx)
+                        enc(bit, lut[a * 15 + b * 5 + c])
                         pi[idx] = 1
                         if bit:
-                            sigma[idx] = 1
+                            mark(idx, x, y)
                             scx, sxor = _ctx_sign(sigma, signs, w, h, x, y)
-                            mq.encode(signs[idx] ^ sxor, scx)
+                            enc(signs[idx] ^ sxor, scx)
             npasses += 1
             # magnitude refinement
             for s0 in range(0, h, 4):
@@ -643,8 +669,12 @@ def _t1_encode(mags, signs, w, h, fam, nbits, mq: _MQEncoder) -> int:
                         idx = y * w + x
                         if not sigma[idx] or pi[idx]:
                             continue
-                        cx = _ctx_mag(sigma, refined, w, h, x, y)
-                        mq.encode((mags[idx] >> plane) & 1, cx)
+                        if refined[idx]:
+                            cx = 16
+                        else:
+                            cx = 15 if (nh[idx] or nv[idx] or nd[idx]) \
+                                else 14
+                        enc((mags[idx] >> plane) & 1, cx)
                         refined[idx] = 1
             npasses += 1
         # cleanup
@@ -656,8 +686,8 @@ def _t1_encode(mags, signs, w, h, fam, nbits, mq: _MQEncoder) -> int:
                     rl = True
                     for y in range(s0, smax):
                         idx = y * w + x
-                        if sigma[idx] or pi[idx] or \
-                                _ctx_sig(sigma, w, h, x, y, fam) != 0:
+                        if sigma[idx] or pi[idx] or nh[idx] or nv[idx] \
+                                or nd[idx]:
                             rl = False
                             break
                     if rl:
@@ -667,31 +697,29 @@ def _t1_encode(mags, signs, w, h, fam, nbits, mq: _MQEncoder) -> int:
                                 r = y - s0
                                 break
                         if r < 0:
-                            mq.encode(0, _CTX_RL)
+                            enc(0, _CTX_RL)
                             continue
-                        mq.encode(1, _CTX_RL)
-                        mq.encode((r >> 1) & 1, _CTX_UNI)
-                        mq.encode(r & 1, _CTX_UNI)
+                        enc(1, _CTX_RL)
+                        enc((r >> 1) & 1, _CTX_UNI)
+                        enc(r & 1, _CTX_UNI)
                         y = s0 + r
                         idx = y * w + x
-                        sigma[idx] = 1
+                        mark(idx, x, y)
                         scx, sxor = _ctx_sign(sigma, signs, w, h, x, y)
-                        mq.encode(signs[idx] ^ sxor, scx)
+                        enc(signs[idx] ^ sxor, scx)
                         ystart = y + 1
                 for y in range(ystart, smax):
                     idx = y * w + x
                     if sigma[idx] or pi[idx]:
                         continue
-                    cx = _ctx_sig(sigma, w, h, x, y, fam)
                     bit = (mags[idx] >> plane) & 1
-                    mq.encode(bit, cx)
+                    enc(bit, lut[nh[idx] * 15 + nv[idx] * 5 + nd[idx]])
                     if bit:
-                        sigma[idx] = 1
+                        mark(idx, x, y)
                         scx, sxor = _ctx_sign(sigma, signs, w, h, x, y)
-                        mq.encode(signs[idx] ^ sxor, scx)
+                        enc(signs[idx] ^ sxor, scx)
         npasses += 1
-        for i in range(n):
-            pi[i] = 0
+        pi = bytearray(n)
     return npasses
 
 
@@ -701,8 +729,33 @@ def _t1_decode(mq: _MQDecoder, w, h, fam, nbits, npasses):
     sigma = bytearray(n)
     pi = bytearray(n)
     refined = bytearray(n)
+    nh = bytearray(n)
+    nv = bytearray(n)
+    nd = bytearray(n)
     mags = [0] * n
     signs = bytearray(n)
+    lut = _SIG_LUTS[fam]
+    dec = mq.decode
+
+    def mark(idx, x, y):
+        sigma[idx] = 1
+        if x > 0:
+            nh[idx - 1] += 1
+            if y > 0:
+                nd[idx - w - 1] += 1
+            if y < h - 1:
+                nd[idx + w - 1] += 1
+        if x < w - 1:
+            nh[idx + 1] += 1
+            if y > 0:
+                nd[idx - w + 1] += 1
+            if y < h - 1:
+                nd[idx + w + 1] += 1
+        if y > 0:
+            nv[idx - w] += 1
+        if y < h - 1:
+            nv[idx + w] += 1
+
     left = npasses
     for plane in range(nbits - 1, -1, -1):
         first = plane == nbits - 1
@@ -716,16 +769,18 @@ def _t1_decode(mq: _MQDecoder, w, h, fam, nbits, npasses):
                         idx = y * w + x
                         if sigma[idx]:
                             continue
-                        cx = _ctx_sig(sigma, w, h, x, y, fam)
-                        if cx == 0:
+                        a = nh[idx]
+                        b = nv[idx]
+                        c = nd[idx]
+                        if not (a or b or c):
                             continue
-                        bit = mq.decode(cx)
+                        bit = dec(lut[a * 15 + b * 5 + c])
                         pi[idx] = 1
                         if bit:
-                            sigma[idx] = 1
+                            mark(idx, x, y)
                             mags[idx] = 1 << plane
                             scx, sxor = _ctx_sign(sigma, signs, w, h, x, y)
-                            signs[idx] = mq.decode(scx) ^ sxor
+                            signs[idx] = dec(scx) ^ sxor
             left -= 1
             if left <= 0:
                 break
@@ -736,8 +791,12 @@ def _t1_decode(mq: _MQDecoder, w, h, fam, nbits, npasses):
                         idx = y * w + x
                         if not sigma[idx] or pi[idx]:
                             continue
-                        cx = _ctx_mag(sigma, refined, w, h, x, y)
-                        if mq.decode(cx):
+                        if refined[idx]:
+                            cx = 16
+                        else:
+                            cx = 15 if (nh[idx] or nv[idx] or nd[idx]) \
+                                else 14
+                        if dec(cx):
                             mags[idx] |= 1 << plane
                         refined[idx] = 1
             left -= 1
@@ -751,34 +810,32 @@ def _t1_decode(mq: _MQDecoder, w, h, fam, nbits, npasses):
                     rl = True
                     for y in range(s0, smax):
                         idx = y * w + x
-                        if sigma[idx] or pi[idx] or \
-                                _ctx_sig(sigma, w, h, x, y, fam) != 0:
+                        if sigma[idx] or pi[idx] or nh[idx] or nv[idx] \
+                                or nd[idx]:
                             rl = False
                             break
                     if rl:
-                        if not mq.decode(_CTX_RL):
+                        if not dec(_CTX_RL):
                             continue
-                        r = (mq.decode(_CTX_UNI) << 1) | mq.decode(_CTX_UNI)
+                        r = (dec(_CTX_UNI) << 1) | dec(_CTX_UNI)
                         y = s0 + r
                         idx = y * w + x
-                        sigma[idx] = 1
+                        mark(idx, x, y)
                         mags[idx] = 1 << plane
                         scx, sxor = _ctx_sign(sigma, signs, w, h, x, y)
-                        signs[idx] = mq.decode(scx) ^ sxor
+                        signs[idx] = dec(scx) ^ sxor
                         ystart = y + 1
                 for y in range(ystart, smax):
                     idx = y * w + x
                     if sigma[idx] or pi[idx]:
                         continue
-                    cx = _ctx_sig(sigma, w, h, x, y, fam)
-                    if mq.decode(cx):
-                        sigma[idx] = 1
+                    if dec(lut[nh[idx] * 15 + nv[idx] * 5 + nd[idx]]):
+                        mark(idx, x, y)
                         mags[idx] = 1 << plane
                         scx, sxor = _ctx_sign(sigma, signs, w, h, x, y)
-                        signs[idx] = mq.decode(scx) ^ sxor
+                        signs[idx] = dec(scx) ^ sxor
         left -= 1
-        for i in range(n):
-            pi[i] = 0
+        pi = bytearray(n)
         if left <= 0:
             break
     return mags, signs

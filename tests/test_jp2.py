@@ -230,3 +230,21 @@ def test_driver_registered():
 
     rows = [d for d in DRIVERS if d[0] == "JP2OpenJPEG"]
     assert rows and rows[0][5] == "raster/jp2.py"
+
+
+def test_sig_lut_matches_reference():
+    """The incremental-counter LUT equals the direct Table-D.1
+    evaluation over every 8-neighbor significance pattern."""
+    from gdal_spark.raster.jp2 import _SIG_LUTS, _ctx_sig
+
+    order = [0, 1, 2, 3, 5, 6, 7, 8]
+    for fam in (0, 1, 2):
+        for bits in range(256):
+            sig = bytearray(9)
+            for k in range(8):
+                sig[order[k]] = (bits >> k) & 1
+            nh = sig[3] + sig[5]
+            nv = sig[1] + sig[7]
+            nd = sig[0] + sig[2] + sig[6] + sig[8]
+            assert (_SIG_LUTS[fam][nh * 15 + nv * 5 + nd]
+                    == _ctx_sig(sig, 3, 3, 1, 1, fam))
