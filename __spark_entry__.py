@@ -8769,6 +8769,90 @@ WHERE i % {GEOTIFF_MOD} = 2
 """
 
 
+def q_jp2_georef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJP2 georeferencing roundtrip (gcore/gdaljp2metadata.cpp
+    msi_uuid2; frmts/openjpeg reads the same box): each image's
+    fixture extent rides a degenerate GeoTIFF inside the JP2 `uuid`
+    box around a REAL lossless codestream; pixels decode bit-exact
+    AND the georef comes back out of read_jp2_georef — the checksum
+    column proves the image survived the boxed carrier."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % GEOTIFF_MOD == 7)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("epsg", T2.IntegerType()),
+            T2.StructField("x0_q3", T2.LongType()),
+            T2.StructField("y0_q3", T2.LongType()),
+            T2.StructField("res_q6", T2.LongType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        from gdal_spark.fixtures.georef import RES0, np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.jp2 import (
+            decode_jp2,
+            encode_jp2,
+            read_jp2_georef,
+        )
+
+        for pdf in batches:
+            recs = []
+            for i, xmin, ymax in zip(pdf["i"], pdf["xmin"], pdf["ymax"]):
+                gt = (float(xmin), RES0, 0.0, float(ymax), 0.0, -RES0)
+                arr = np_image_pixels(int(i), 16, 16)
+                buf = encode_jp2(arr, levels=1, geo=(gt, 3857))
+                got_gt, got_epsg = read_jp2_georef(buf)
+                out = decode_jp2(buf)
+                recs.append(
+                    {
+                        "i": int(i),
+                        "epsg": int(got_epsg),
+                        "x0_q3": _math.floor(got_gt[0] * 1e3),
+                        "y0_q3": _math.floor(got_gt[3] * 1e3),
+                        "res_q6": _math.floor(got_gt[1] * 1e6),
+                        "checksum": gdal_checksum(out[:, :, 0]),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema])
+
+    return geo.select("i", "xmin", "ymax").mapInPandas(run, schema)
+
+
+def _o_jp2_georef() -> str:
+    from gdal_spark.fixtures.georef import RES0, sql_images_cte
+    from gdal_spark.tiles import tilemath as _tm
+
+    imgs = sql_images_cte("cast(o_orderkey as bigint)", "orders")
+    return f"""
+WITH imgs AS ({imgs}),
+px AS (
+  SELECT i.i, (gx.x + gy.y + i.i) % 256 AS val,
+         gy.y * 16 + gx.x AS pidx
+  FROM imgs i
+  JOIN range(0, 16) AS gx(x) ON true
+  JOIN range(0, 16) AS gy(y) ON true
+  WHERE i.i % {GEOTIFF_MOD} = 7
+)
+SELECT i.i,
+       cast(3857 as int) AS epsg,
+       cast(floor(i.xmin * 1000.0) as bigint) AS x0_q3,
+       cast(floor(i.ymax * 1000.0) as bigint) AS y0_q3,
+       cast(floor({_tm.sql_double(RES0)} * 1000000.0) as bigint) AS res_q6,
+       (SELECT cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536
+                    as int)
+        FROM px WHERE px.i = i.i) AS checksum
+FROM imgs i
+WHERE i.i % {GEOTIFF_MOD} = 7
+"""
+
+
 def q_geotiff_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_edit.py / gdalmove.py dual: IN-PLACE GeoTIFF georef patch
     (ModelPixelScale/Tiepoint doubles + the CS GeoKey rewritten at
@@ -11736,7 +11820,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
-    "jp2_roundtrip",
+    "jp2_roundtrip", "jp2_georef",
     "geodesic_ellipsoid", "hdf5_roundtrip", "netcdf4_roundtrip",
     "db_scan", "surface_roundtrip", "rat",
     # judge-verified in r4's VERDICT spot-check, still no driver row
@@ -11880,6 +11964,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_transform_sql": q_st_transform_sql,
         "jpeg_exif": q_jpeg_exif,
         "geotiff_georef": q_geotiff_georef,
+        "jp2_georef": q_jp2_georef,
         "tiff_overviews": q_tiff_overviews,
         "proj_cea": q_proj_cea,
         "proj_mollweide": q_proj_mollweide,
@@ -14082,6 +14167,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "st_transform_sql": _o_proj_cells(3035, -60.0, 80.0, 5.0, 84.0),
         "jpeg_exif": _o_jpeg_exif(),
         "geotiff_georef": _o_geotiff_georef(),
+        "jp2_georef": _o_jp2_georef(),
         "tiff_overviews": _o_tiff_overviews(),
         "proj_cea": _o_proj_cells(6933, -180.0, 180.0, -84.0, 84.0),
         "proj_mollweide": _o_proj_cells(

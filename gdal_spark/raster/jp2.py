@@ -42,7 +42,8 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_j2k", "decode_j2k", "encode_jp2", "decode_jp2"]
+__all__ = ["encode_j2k", "decode_j2k", "encode_jp2", "decode_jp2",
+           "read_jp2_georef"]
 
 # --------------------------------------------------------------------------
 # MQ arithmetic coder (T.800 Annex C; table C.2)
@@ -1234,9 +1235,17 @@ def _box(btype: bytes, payload: bytes) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + btype + payload
 
 
-def encode_jp2(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
+# GeoJP2 uuid (gdal/gcore gdaljp2metadata.cpp msi_uuid2): marks a
+# degenerate GeoTIFF whose tags georeference the JP2 image grid.
+_GEOJP2_UUID = bytes.fromhex("b14bf8bd083d4b43a5ae8cd7d5a6ce03")
+
+
+def encode_jp2(arr: np.ndarray, levels: int = 2, cb_exp: int = 6,
+               geo: tuple | None = None) -> bytes:
     """JP2 file: signature/ftyp/jp2h(ihdr+colr)/jp2c boxes around the
-    lossless codestream."""
+    lossless codestream.  `geo` = (gdal 6-term geotransform, epsg)
+    adds a GeoJP2 uuid box (a 1x1 GeoTIFF carrying the tags, the
+    reference's msi_uuid2 convention)."""
     arr = np.asarray(arr)
     cs = encode_j2k(arr, levels=levels, cb_exp=cb_exp)
     h, w = arr.shape[:2]
@@ -1250,7 +1259,37 @@ def encode_jp2(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
         7, 0, 0))
     colr = _box(b"colr", struct.pack(">BBB", 1, 0, 0)
                 + struct.pack(">I", 16 if nc >= 3 else 17))
-    return sig + ftyp + _box(b"jp2h", ihdr + colr) + _box(b"jp2c", cs)
+    out = sig + ftyp + _box(b"jp2h", ihdr + colr)
+    if geo is not None:
+        from gdal_spark.raster.tiff import encode_tiff
+
+        degen = encode_tiff(np.zeros((1, 1), dtype=np.uint8), geo=geo)
+        out += _box(b"uuid", _GEOJP2_UUID + degen)
+    return out + _box(b"jp2c", cs)
+
+
+def read_jp2_georef(buf: bytes):
+    """(geotransform, epsg) from a GeoJP2 uuid box, or None."""
+    from gdal_spark.raster.tiff import read_georef
+
+    buf = bytes(buf)
+    if buf[4:8] != b"jP  ":
+        return None
+    pos = 0
+    while pos + 8 <= len(buf):
+        ln, = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4:pos + 8]
+        start = pos + 8
+        if ln == 1:
+            ln, = struct.unpack_from(">Q", buf, pos + 8)
+            start = pos + 16
+        elif ln == 0:
+            ln = len(buf) - pos
+        if btype == b"uuid" and \
+                buf[start:start + 16] == _GEOJP2_UUID:
+            return read_georef(buf[start + 16:pos + ln])
+        pos += ln
+    return None
 
 
 def decode_jp2(buf: bytes) -> np.ndarray:

@@ -248,3 +248,17 @@ def test_sig_lut_matches_reference():
             nd = sig[0] + sig[2] + sig[6] + sig[8]
             assert (_SIG_LUTS[fam][nh * 15 + nv * 5 + nd]
                     == _ctx_sig(sig, 3, 3, 1, 1, fam))
+
+
+def test_geojp2_georef_roundtrip():
+    """GeoJP2 uuid box (the reference's msi_uuid2 GeoTIFF-in-JP2
+    convention): georef + pixels both survive the boxed carrier."""
+    from gdal_spark.raster.jp2 import read_jp2_georef
+
+    a = RNG.integers(0, 256, size=(18, 13), dtype=np.uint8)
+    gt = (1234.5, 2.5, 0.0, 987.5, 0.0, -2.5)
+    buf = encode_jp2(a, levels=1, geo=(gt, 32633))
+    assert np.array_equal(decode_jp2(buf), a)
+    got_gt, got_epsg = read_jp2_georef(buf)
+    assert got_gt == gt and got_epsg == 32633
+    assert read_jp2_georef(encode_jp2(a, levels=1)) is None
