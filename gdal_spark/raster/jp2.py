@@ -23,12 +23,20 @@ Implemented subset (documented, loud errors outside it):
   bands, one codeword segment per code-block;
 - 5/3 reversible DWT (T.800 F.4, whole-point symmetric extension),
   0..8 decomposition levels, odd sizes handled by the standard
-  ceil/floor band splits.
+  ceil/floor band splits;
+- 9/7 irreversible DWT (lossy path, `lossy=True`): float lifting
+  with the published alpha/beta/gamma/delta constants, scalar
+  quantization with expounded QCD (style 2, per-band eps/mu), T.800
+  E.1.1.2 midpoint dequantization — PSNR well above the 40 dB bar at
+  the default step 0.5 on 8-bit imagery.
 
-NOT implemented (raise loudly): 9/7 irreversible, quantization,
-multiple tiles/tile-parts beyond the first, precinct partitions,
-SOP/EPH, RGN, COC/QCC overrides, MCT/RCT, progression orders other
-than LRCP (both directions).
+NOT implemented (raise loudly): multiple tiles/tile-parts beyond the
+first, precinct partitions, SOP/EPH, RGN, COC/QCC overrides,
+MCT/RCT, scalar-DERIVED quantization (style 1), progression orders
+other than LRCP (both directions).  The 9/7 final normalization
+uses the common (1/K, K) convention, mirrored exactly by the
+inverse; foreign-stream lossy parity is unverifiable in-container
+(subset caveat below).
 
 CAVEAT (same class as raster/webp.py): the container has no external
 JPEG2000 implementation, so conformance is spec-derived and verified
@@ -494,6 +502,124 @@ def _inv53_2d(a: np.ndarray, levels: int) -> np.ndarray:
         merged2 = _inv53_axis0(mt[:wl, :], mt[wl:, :], w).T
         out[:h, :w] = merged2
     return out
+
+
+# --------------------------------------------------------------------------
+# 9/7 irreversible DWT (T.800 F.4.8.2) — the lossy path
+# --------------------------------------------------------------------------
+
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_KSCALE = 1.230174104914001
+# Final normalization: low * 1/K, high * K — mirrored exactly by the
+# inverse, so self-roundtrip is exact up to float noise; foreign-
+# stream parity is unverifiable in-container (documented subset).
+
+
+def _pair_step(even: np.ndarray, odd: np.ndarray, coef: float) -> np.ndarray:
+    """odd' = odd + coef*(evenL + evenR) with whole-point mirrors."""
+    no = odd.shape[0]
+    if even.shape[0] > no:  # n odd
+        even_r = even[1:]
+    else:
+        even_r = np.concatenate([even[1:], even[-1:]], axis=0)
+    return odd + coef * (even[:no] + even_r)
+
+
+def _update_step(even: np.ndarray, d: np.ndarray, coef: float) -> np.ndarray:
+    """even' = even + coef*(dL + dR) with whole-point mirrors."""
+    if even.shape[0] > d.shape[0]:  # n odd
+        d_l = np.concatenate([d[:1], d], axis=0)
+        d_r = np.concatenate([d, d[-1:]], axis=0)
+    else:
+        d_l = np.concatenate([d[:1], d[:-1]], axis=0)
+        d_r = d
+    return even + coef * (d_l + d_r)
+
+
+def _fwd97_axis0(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = a.shape[0]
+    if n == 1:
+        return a.copy(), a[:0]
+    even = a[0::2].astype(np.float64)
+    odd = a[1::2].astype(np.float64)
+    d = _pair_step(even, odd, _ALPHA)
+    s = _update_step(even, d, _BETA)
+    d = _pair_step(s, d, _GAMMA)
+    s = _update_step(s, d, _DELTA)
+    return s * (1.0 / _KSCALE), d * _KSCALE
+
+
+def _inv97_axis0(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return s.copy()
+    s = s * _KSCALE
+    d = d * (1.0 / _KSCALE)
+    s = _update_step(s, d, -_DELTA)
+    d = _pair_step(s, d, -_GAMMA)
+    s = _update_step(s, d, -_BETA)
+    d = _pair_step(s, d, -_ALPHA)
+    out = np.empty((n,) + s.shape[1:], dtype=np.float64)
+    out[0::2] = s
+    out[1::2] = d
+    return out
+
+
+def _fwd97_2d(tile: np.ndarray, levels: int) -> np.ndarray:
+    a = tile.astype(np.float64).copy()
+    h, w = a.shape
+    for _ in range(levels):
+        sub = a[:h, :w]
+        lo, hi = _fwd97_axis0(sub.T)
+        sub2 = np.concatenate([lo, hi], axis=0).T
+        lo2, hi2 = _fwd97_axis0(sub2)
+        a[:h, :w] = np.concatenate([lo2, hi2], axis=0)
+        w = (w + 1) // 2
+        h = (h + 1) // 2
+    return a
+
+
+def _inv97_2d(a: np.ndarray, levels: int) -> np.ndarray:
+    h0, w0 = a.shape
+    dims = [(h0, w0)]
+    for _ in range(levels):
+        h, w = dims[-1]
+        dims.append(((h + 1) // 2, (w + 1) // 2))
+    out = a.astype(np.float64).copy()
+    for lev in range(levels, 0, -1):
+        h, w = dims[lev - 1]
+        hl = (h + 1) // 2
+        wl = (w + 1) // 2
+        sub = out[:h, :w]
+        merged = _inv97_axis0(sub[:hl, :], sub[hl:, :], h)
+        mt = merged.T
+        merged2 = _inv97_axis0(mt[:wl, :], mt[wl:, :], w).T
+        out[:h, :w] = merged2
+    return out
+
+
+def _qstep(eps: int, mant: int, rb: int) -> float:
+    """Scalar quantizer step (T.800 E.1): 2^(Rb-eps) * (1 + mu/2^11).
+    Both sides derive the step from the STORED (eps, mu) so encoder
+    and decoder use the identical value."""
+    return (2.0 ** (rb - eps)) * (1.0 + mant / 2048.0)
+
+
+def _qparams_for_step(step: float, rb: int) -> tuple[int, int]:
+    """(eps, mu) whose _qstep best matches the requested step."""
+    import math
+
+    e = rb - math.floor(math.log2(step))
+    mu = int(round((step / (2.0 ** (rb - e)) - 1.0) * 2048.0))
+    if mu < 0:
+        mu = 0
+    if mu > 2047:
+        mu = 2047
+    if not 0 <= e <= 31:
+        raise ValueError("jp2: quantizer step out of range")
+    return e, mu
 
 
 # --------------------------------------------------------------------------
@@ -1000,11 +1126,16 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">HH", marker, len(payload) + 2) + payload
 
 
-def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
-    """Lossless JPEG 2000 codestream (.j2c) for a (h, w) or (h, w, c)
-    uint8/uint16/int16 array; 5/3 reversible, single tile, LRCP,
-    1 layer.  `levels` = DWT decomposition count (0..8); `cb_exp` =
-    log2 code-block side (2..6)."""
+def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6,
+               lossy: bool = False, step: float = 0.5) -> bytes:
+    """JPEG 2000 codestream (.j2c) for a (h, w) or (h, w, c)
+    uint8/uint16/int16 array; single tile, LRCP, 1 layer.  `levels` =
+    DWT decomposition count (0..8); `cb_exp` = log2 code-block side
+    (2..6).  Default is the 5/3 reversible (lossless) path;
+    `lossy=True` switches to the 9/7 irreversible transform with
+    scalar quantization (T.800 E.1, expounded QCD) at base step
+    `step` per band — step 0.5 lands far above the 40 dB PSNR bar on
+    8-bit imagery."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         comps = [arr]
@@ -1028,11 +1159,34 @@ def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
     nbands = 3 * levels + 1
     shift = 0 if signed else 1 << (depth - 1)
 
-    # pass 1: DWT + per-band max coefficient bits (across components)
+    # pass 1: DWT (+ scalar quantization when lossy) + per-band max
+    # coefficient bits across components
+    band_list = [bt for bands in layout for (bt, _x, _y, _w, _h) in bands]
+    qmus = None
+    if lossy:
+        if not (step > 0):
+            raise ValueError("jp2: quantizer step must be positive")
+        qparams = [_qparams_for_step(step, depth + _GAIN[bt])
+                   for bt in band_list]
     coeffs = []
     max_nbits = [0] * nbands
     for comp in comps:
-        cf = _fwd53_2d(comp.astype(np.int64) - shift, levels)
+        if lossy:
+            cff = _fwd97_2d(comp.astype(np.float64) - shift, levels)
+            cf = np.zeros(cff.shape, dtype=np.int64)
+            bi = 0
+            for bands in layout:
+                for (bt, x0, y0, bw, bh) in bands:
+                    if bw > 0 and bh > 0:
+                        e, mu = qparams[bi]
+                        delta = _qstep(e, mu, depth + _GAIN[bt])
+                        reg = cff[y0:y0 + bh, x0:x0 + bw]
+                        q = np.floor(np.abs(reg) / delta).astype(np.int64)
+                        cf[y0:y0 + bh, x0:x0 + bw] = np.where(
+                            reg < 0, -q, q)
+                    bi += 1
+        else:
+            cf = _fwd53_2d(comp.astype(np.int64) - shift, levels)
         coeffs.append(cf)
         bi = 0
         for bands in layout:
@@ -1041,14 +1195,24 @@ def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
                     m = int(np.abs(cf[y0:y0 + bh, x0:x0 + bw]).max())
                     max_nbits[bi] = max(max_nbits[bi], m.bit_length())
                 bi += 1
-    # exponents: enough head-room for the data, at least depth+gain
-    eps = []
-    bi = 0
-    for bands in layout:
-        for (bt, _x0, _y0, _bw, _bh) in bands:
-            eps.append(max(depth + _GAIN[bt],
-                           max_nbits[bi] - _GUARD + 1))
-            bi += 1
+    if lossy:
+        eps = [e for (e, _mu) in qparams]
+        qmus = [mu for (_e, mu) in qparams]
+        guard = 2
+        for bi in range(nbands):
+            guard = max(guard, max_nbits[bi] - eps[bi] + 1)
+        if guard > 7:
+            raise ValueError("jp2: quantized magnitudes exceed guard range")
+    else:
+        # exponents: enough head-room for the data, at least depth+gain
+        guard = _GUARD
+        eps = []
+        bi = 0
+        for bands in layout:
+            for (bt, _x0, _y0, _bw, _bh) in bands:
+                eps.append(max(depth + _GAIN[bt],
+                               max_nbits[bi] - _GUARD + 1))
+                bi += 1
 
     # pass 2: Tier-1 encode every code-block
     packets = []  # LRCP: r-major, then component
@@ -1057,7 +1221,7 @@ def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
         for cf in coeffs:
             bands_blocks = []
             for k, (bt, x0, y0, bw, bh) in enumerate(bands):
-                mb = eps[base_bi + k] + _GUARD - 1
+                mb = eps[base_bi + k] + guard - 1
                 nbx, nby = _cb_grid(bw, bh, cb)
                 blocks = []
                 fam = _BAND_FAMILY[bt]
@@ -1094,10 +1258,16 @@ def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6) -> bytes:
     for _ in comps:
         siz += struct.pack(">BBB", ssiz, 1, 1)
     cod = struct.pack(">BBHB", 0, 0, 1, 0)  # Scod, LRCP, 1 layer, no MCT
-    cod += struct.pack(">BBBBB", levels, cb_exp - 2, cb_exp - 2, 0, 1)
-    qcd = struct.pack(">B", (_GUARD << 5) | 0)
-    for e in eps:
-        qcd += struct.pack(">B", e << 3)
+    cod += struct.pack(">BBBBB", levels, cb_exp - 2, cb_exp - 2, 0,
+                       0 if lossy else 1)
+    if lossy:
+        qcd = struct.pack(">B", (guard << 5) | 2)  # scalar expounded
+        for e, mu in zip(eps, qmus):
+            qcd += struct.pack(">H", (e << 11) | mu)
+    else:
+        qcd = struct.pack(">B", (guard << 5) | 0)
+        for e in eps:
+            qcd += struct.pack(">B", e << 3)
     body = b"".join(packets)
     psot = 12 + 2 + len(body)
     sot = struct.pack(">HIBB", 0, psot, 0, 1)
@@ -1161,16 +1331,28 @@ def decode_j2k(buf: bytes) -> np.ndarray:
                                                               cod, 5)
     if cbstyle != 0:
         raise ValueError("jp2: code-block style modes unsupported")
-    if transform != 1:
-        raise ValueError("jp2: only the 5/3 reversible transform")
+    if transform not in (0, 1):
+        raise ValueError("jp2: unknown wavelet transform byte")
     if xcb != ycb or not (0 <= xcb <= 4):
         raise ValueError("jp2: non-square / oversized code-blocks")
     cb = 1 << (xcb + 2)
     sqcd = qcd[0]
-    if sqcd & 0x1F:
-        raise ValueError("jp2: quantization unsupported (reversible only)")
+    qstyle = sqcd & 0x1F
     guard = sqcd >> 5
-    eps = [b >> 3 for b in qcd[1:]]
+    if qstyle == 0:
+        if transform != 1:
+            raise ValueError("jp2: no-quantization QCD needs the 5/3")
+        eps = [b >> 3 for b in qcd[1:]]
+        qmus = None
+    elif qstyle == 2:
+        if transform != 0:
+            raise ValueError("jp2: expounded QCD needs the 9/7")
+        vals = [struct.unpack_from(">H", qcd, 1 + 2 * i)[0]
+                for i in range((len(qcd) - 1) // 2)]
+        eps = [v >> 11 for v in vals]
+        qmus = [v & 0x7FF for v in vals]
+    else:
+        raise ValueError("jp2: scalar-derived quantization unsupported")
     layout = _band_layout(W, H, levels)
     if len(eps) < 3 * levels + 1:
         raise ValueError("jp2: QCD subband count mismatch")
@@ -1220,7 +1402,30 @@ def decode_j2k(buf: bytes) -> np.ndarray:
     shift = 0 if signed else 1 << (depth - 1)
     dtype = (np.int8 if depth <= 8 else np.int16) if signed else \
         (np.uint8 if depth <= 8 else np.uint16)
-    planes = [(_inv53_2d(o, levels) + shift).astype(dtype) for o in out]
+    if qmus is None:
+        planes = [(_inv53_2d(o, levels) + shift).astype(dtype)
+                  for o in out]
+    else:
+        lo = np.iinfo(dtype).min
+        hi = np.iinfo(dtype).max
+        planes = []
+        for o in out:
+            deq = np.zeros(o.shape, dtype=np.float64)
+            bi = 0
+            for bands in layout:
+                for (bt, x0b, y0b, bw, bh) in bands:
+                    if bw > 0 and bh > 0:
+                        delta = _qstep(eps[bi], qmus[bi],
+                                       depth + _GAIN[bt])
+                        q = o[y0b:y0b + bh, x0b:x0b + bw]
+                        # midpoint reconstruction (T.800 E.1.1.2, r=1/2)
+                        deq[y0b:y0b + bh, x0b:x0b + bw] = np.where(
+                            q > 0, (q + 0.5) * delta,
+                            np.where(q < 0, (q - 0.5) * delta, 0.0))
+                    bi += 1
+            pix = _inv97_2d(deq, levels) + shift
+            planes.append(
+                np.clip(np.floor(pix + 0.5), lo, hi).astype(dtype))
     if ncomp == 1:
         return planes[0]
     return np.stack(planes, axis=-1)
@@ -1241,13 +1446,16 @@ _GEOJP2_UUID = bytes.fromhex("b14bf8bd083d4b43a5ae8cd7d5a6ce03")
 
 
 def encode_jp2(arr: np.ndarray, levels: int = 2, cb_exp: int = 6,
-               geo: tuple | None = None) -> bytes:
+               geo: tuple | None = None, lossy: bool = False,
+               step: float = 0.5) -> bytes:
     """JP2 file: signature/ftyp/jp2h(ihdr+colr)/jp2c boxes around the
-    lossless codestream.  `geo` = (gdal 6-term geotransform, epsg)
+    codestream (lossless 5/3 by default; `lossy=True` = 9/7 at
+    quantizer `step`).  `geo` = (gdal 6-term geotransform, epsg)
     adds a GeoJP2 uuid box (a 1x1 GeoTIFF carrying the tags, the
     reference's msi_uuid2 convention)."""
     arr = np.asarray(arr)
-    cs = encode_j2k(arr, levels=levels, cb_exp=cb_exp)
+    cs = encode_j2k(arr, levels=levels, cb_exp=cb_exp, lossy=lossy,
+                    step=step)
     h, w = arr.shape[:2]
     nc = 1 if arr.ndim == 2 else arr.shape[2]
     depth = arr.dtype.itemsize * 8

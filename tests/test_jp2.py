@@ -262,3 +262,69 @@ def test_geojp2_georef_roundtrip():
     got_gt, got_epsg = read_jp2_georef(buf)
     assert got_gt == gt and got_epsg == 32633
     assert read_jp2_georef(encode_jp2(a, levels=1)) is None
+
+
+# ------------------------------------------------------------- 9/7 lossy
+
+
+def _psnr(a, b, peak):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+def test_lossy_psnr_bar():
+    """The input-hint contract: lossy formats must land PSNR >= 40 dB.
+    The 9/7 path at the default step clears it with a wide margin on
+    smooth, noisy, and 16-bit imagery."""
+    from gdal_spark.fixtures.georef import np_image_pixels
+
+    smooth = np_image_pixels(103, 96, 96)[:, :, 0]
+    noise = RNG.integers(0, 256, (64, 64), dtype=np.uint8)
+    for a, peak in ((smooth, 255), (noise, 255)):
+        out = decode_j2k(encode_j2k(a, levels=2, lossy=True))
+        assert out.dtype == a.dtype and out.shape == a.shape
+        assert _psnr(out, a, peak) >= 40.0
+    u16 = smooth.astype(np.uint16) * 257
+    out = decode_j2k(encode_j2k(u16, levels=2, lossy=True))
+    assert _psnr(out, u16, 65535) >= 40.0
+
+
+def test_lossy_step_ladder_monotone_size():
+    """Coarser steps shrink the stream; every rung clears 40 dB."""
+    from gdal_spark.fixtures.georef import np_image_pixels
+
+    a = np_image_pixels(11, 80, 72)[:, :, 0]
+    sizes = []
+    for step in (0.25, 0.5, 1.0, 2.0):
+        buf = encode_j2k(a, levels=2, lossy=True, step=step)
+        assert _psnr(decode_j2k(buf), a, 255) >= 40.0
+        sizes.append(len(buf))
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_lossy_markers():
+    a = RNG.integers(0, 256, size=(30, 20), dtype=np.uint8)
+    buf = encode_j2k(a, levels=2, lossy=True)
+    i = buf.index(b"\xff\x52")
+    transform = buf[i + 13]
+    assert transform == 0  # 9/7
+    j = buf.index(b"\xff\x5c")
+    sqcd = buf[j + 4]
+    assert sqcd & 0x1F == 2  # scalar expounded
+    # 2-byte (eps, mu) per subband
+    lqcd = struct.unpack_from(">H", buf, j + 2)[0]
+    assert lqcd == 2 + 1 + 2 * 7  # 2 levels -> 7 subbands
+
+
+def test_lossy_rgb_and_container():
+    a = RNG.integers(0, 256, size=(33, 41, 3), dtype=np.uint8)
+    buf = encode_jp2(a, levels=1, lossy=True)
+    out = decode_jp2(buf)
+    assert out.shape == a.shape
+    assert _psnr(out, a, 255) >= 40.0
+
+
+def test_lossy_bad_step():
+    a = RNG.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="step"):
+        encode_j2k(a, lossy=True, step=0.0)
