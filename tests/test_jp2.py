@@ -328,3 +328,23 @@ def test_lossy_bad_step():
     a = RNG.integers(0, 256, size=(8, 8), dtype=np.uint8)
     with pytest.raises(ValueError, match="step"):
         encode_j2k(a, lossy=True, step=0.0)
+
+
+def test_corruption_fuzz_terminates_cleanly():
+    """Distributed scans see corrupt bytes: every single-byte
+    corruption must raise (or return wrong pixels) quickly — never
+    hang an executor.  The bit readers raise at EOF by construction;
+    this pins it across 200 random corruptions."""
+    a = RNG.integers(0, 256, size=(40, 33), dtype=np.uint8)
+    buf = bytearray(encode_j2k(a, levels=2))
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        pos = int(rng.integers(2, len(buf)))
+        old = buf[pos]
+        buf[pos] = int(rng.integers(0, 256))
+        try:
+            out = decode_j2k(bytes(buf))
+            assert out.shape == (40, 33)  # decoded (possibly wrong)
+        except Exception:
+            pass  # clean refusal is fine; hanging is not
+        buf[pos] = old
