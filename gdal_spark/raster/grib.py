@@ -484,7 +484,7 @@ def decode_grib2(data: bytes):
     """GRIB2 bytes -> ((H,W,B) array, meta dict).
 
     Walks every message; requires grid template 3.0 and data template
-    5.0 / 5.2 / 5.3 / 5.41, no bitmap. Returns int64 pixels when D==0
+    5.0 / 5.2 / 5.3 / 5.40 / 5.41, no bitmap. Returns int64 pixels when D==0
     and the reference value is integral, float64 otherwise; meta
     carries the recovered north-up geotransform and the packing
     template of the last message."""

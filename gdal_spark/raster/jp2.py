@@ -1476,6 +1476,30 @@ def encode_jp2(arr: np.ndarray, levels: int = 2, cb_exp: int = 6,
     return out + _box(b"jp2c", cs)
 
 
+def _iter_boxes(buf: bytes):
+    """Yield (box_type, payload_start, box_end) over a JP2 box
+    stream.  Handles XLBox extended lengths and the to-end-of-file
+    ln==0 form; a corrupt length that fails to advance stops the
+    walk (callers treat a missing box as not-found)."""
+    pos = 0
+    n = len(buf)
+    while pos + 8 <= n:
+        ln, = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4:pos + 8]
+        start = pos + 8
+        if ln == 1:  # extended length
+            if pos + 16 > n:
+                return
+            ln, = struct.unpack_from(">Q", buf, pos + 8)
+            start = pos + 16
+        elif ln == 0:
+            ln = n - pos
+        if ln < start - pos:  # corrupt: would not advance
+            return
+        yield btype, start, pos + ln
+        pos += ln
+
+
 def read_jp2_georef(buf: bytes):
     """(geotransform, epsg) from a GeoJP2 uuid box, or None."""
     from gdal_spark.raster.tiff import read_georef
@@ -1483,20 +1507,9 @@ def read_jp2_georef(buf: bytes):
     buf = bytes(buf)
     if buf[4:8] != b"jP  ":
         return None
-    pos = 0
-    while pos + 8 <= len(buf):
-        ln, = struct.unpack_from(">I", buf, pos)
-        btype = buf[pos + 4:pos + 8]
-        start = pos + 8
-        if ln == 1:
-            ln, = struct.unpack_from(">Q", buf, pos + 8)
-            start = pos + 16
-        elif ln == 0:
-            ln = len(buf) - pos
-        if btype == b"uuid" and \
-                buf[start:start + 16] == _GEOJP2_UUID:
-            return read_georef(buf[start + 16:pos + ln])
-        pos += ln
+    for btype, start, end in _iter_boxes(buf):
+        if btype == b"uuid" and buf[start:start + 16] == _GEOJP2_UUID:
+            return read_georef(buf[start + 16:end])
     return None
 
 
@@ -1505,19 +1518,9 @@ def decode_jp2(buf: bytes) -> np.ndarray:
     buf = bytes(buf)
     if buf[:2] == struct.pack(">H", _SOC):
         return decode_j2k(buf)
-    pos = 0
     if buf[4:8] != b"jP  ":
         raise ValueError("jp2: not a JP2 file")
-    while pos + 8 <= len(buf):
-        ln, = struct.unpack_from(">I", buf, pos)
-        btype = buf[pos + 4:pos + 8]
-        start = pos + 8
-        if ln == 1:  # extended length
-            ln, = struct.unpack_from(">Q", buf, pos + 8)
-            start = pos + 16
-        elif ln == 0:
-            ln = len(buf) - pos
+    for btype, start, end in _iter_boxes(buf):
         if btype == b"jp2c":
-            return decode_j2k(buf[start:pos + ln])
-        pos += ln
+            return decode_j2k(buf[start:end])
     raise ValueError("jp2: no jp2c codestream box")
