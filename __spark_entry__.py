@@ -3060,17 +3060,44 @@ def q_surface_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 s = parse_surface(blob)
                 assert s.type_id == WKB_TIN and s.has_z
                 mp = parse_wkb(cast_to_multipolygon(s))
-                a2 = 0.0
+                # Per-triangle quantization with CENTERED difference
+                # vectors (identical operation tree to the oracle's
+                # (x1-cx, ...) cross products), then integer sums —
+                # a whole-surface float sum quantized once leaves
+                # under the 1e6x quantum/error margin CLAUDE.md
+                # requires (Newell on absolute ~1e2 coords).
+                a2q = 0
                 for rings in mp.polys:
                     ring = rings[0]
-                    x, y = ring[:-1, 0], ring[:-1, 1]
-                    x2_, y2_ = ring[1:, 0], ring[1:, 1]
-                    a2 += abs(float((x * y2_ - x2_ * y).sum())) / 2.0
+                    ux = float(ring[1, 0]) - float(ring[0, 0])
+                    uy = float(ring[1, 1]) - float(ring[0, 1])
+                    wx = float(ring[2, 0]) - float(ring[0, 0])
+                    wy = float(ring[2, 1]) - float(ring[0, 1])
+                    a2q += int(math.floor(
+                        abs(ux * wy - wx * uy) / 2.0 * 1e6))
+                a3q = 0
+                for rings in s.patches:
+                    t = rings[0]
+                    ux = float(t[1, 0]) - float(t[0, 0])
+                    uy = float(t[1, 1]) - float(t[0, 1])
+                    uz = float(t[1, 2]) - float(t[0, 2])
+                    wx = float(t[2, 0]) - float(t[0, 0])
+                    wy = float(t[2, 1]) - float(t[0, 1])
+                    wz = float(t[2, 2]) - float(t[0, 2])
+                    nx = uy * wz - uz * wy
+                    ny = uz * wx - ux * wz
+                    nz = ux * wy - uy * wx
+                    a3q += int(math.floor(
+                        math.sqrt(nx * nx + ny * ny + nz * nz)
+                        / 2.0 * 1e6))
+                # the library function stays the semantics under test:
+                # it must agree with the per-patch tree to float noise
                 a3 = surface_area_3d(s)
+                assert abs(a3 - a3q / 1e6) < 1e-4 * max(1.0, a3)
                 recs.append({
                     "fid": fid, "n_patches": len(s.patches),
-                    "area2d_e6": int(math.floor(a2 * 1e6)),
-                    "area3d_e6": int(math.floor(a3 * 1e6)),
+                    "area2d_e6": a2q,
+                    "area3d_e6": a3q,
                 })
             yield pd.DataFrame(recs, columns=[f.name for f in schema])
 
@@ -5845,7 +5872,7 @@ def q_netcdf4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     md = _mdim_cube(spark, sf_dir)
     path = _artifact_path(f"cube4_{os.path.basename(sf_dir)}") + ".nc4"
     write_netcdf4(md, path, var_name="data", dtype="<i4",
-                  chunks=(4, 5, 5), gzip=6)
+                  chunks=(4, 5, 5), gzip=6, superblock=2, oh_version=2)
     back = read_netcdf4(spark, path)
     assert [n for n, _ in back.dims] == ["t", "y", "x"]
     st = mdim.statistics(back, by=["t"])
@@ -6838,8 +6865,10 @@ FROM vals GROUP BY 1, 2
 
 
 def q_geodesic_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geodesic (spherical) area/perimeter per zone — the spherical
-    stand-in for OGR's PROJ-backed get_GeodesicArea/Length
+    """Ellipsoidal (WGS84) geodesic area/perimeter per zone via
+    ST_GeodesicArea/Length — since round 5 these ride the
+    quadrature-Newton ellipsoidal solver (geo/geodesic.py), matching
+    OGR's PROJ-backed get_GeodesicArea/Length semantics
     (ogr/ogrsurface.cpp:39, ogrcurve.cpp:111)."""
     from gdal_spark.geo.st_functions import register_st_functions
 
@@ -13730,10 +13759,10 @@ tri AS (
 )
 SELECT fid,
   cast(count(*) as int) AS n_patches,
-  cast(floor(sum(abs({ux} * {wy} - {wx} * {uy})) / 2.0 * 1e6) as bigint)
-    AS area2d_e6,
-  cast(floor(sum(sqrt({nx} * {nx} + {ny} * {ny} + {nz} * {nz})) / 2.0
-             * 1e6) as bigint) AS area3d_e6
+  cast(sum(cast(floor(abs({ux} * {wy} - {wx} * {uy}) / 2.0 * 1e6)
+                as bigint)) as bigint) AS area2d_e6,
+  cast(sum(cast(floor(sqrt({nx} * {nx} + {ny} * {ny} + {nz} * {nz})
+                      / 2.0 * 1e6) as bigint)) as bigint) AS area3d_e6
 FROM tri GROUP BY fid
 """
 

@@ -63,17 +63,21 @@ def st_length(wkb: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.DoubleType())
 def st_geodesic_area(wkb: pd.Series) -> pd.Series:
-    """Ellipsoidal (WGS84) geodesic area: |outer| - sum(|holes|)
+    """Ellipsoidal (WGS84) geodesic area: per polygon |outer| -
+    sum(|holes|), summed over multipolygon parts (a flat ring list
+    would misread a second outer as a hole — same pitfall as st_area)
     (ogr/ogrsurface.cpp:39 via geod_polygonarea,
     ogrlinestring.cpp:3230; geo/geodesic.py for the algorithm)."""
     from gdal_spark.geo import geodesic
 
     def f(b):
-        rings = _rings(parse_wkb(bytes(b)))
-        area = geodesic.ring_area(rings[0])
-        for hole in rings[1:]:
-            area -= geodesic.ring_area(hole)
-        return area
+        total = 0.0
+        for rings in parse_wkb(bytes(b)).all_rings():
+            area = geodesic.ring_area(rings[0])
+            for hole in rings[1:]:
+                area -= geodesic.ring_area(hole)
+            total += area
+        return total
 
     return wkb.map(f)
 

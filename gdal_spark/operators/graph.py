@@ -400,7 +400,12 @@ def yen_k_shortest(
         md = spark.createDataFrame(missing, "a long, b long")
         sc = spark.sparkContext
         # job-group tag: lets tests (and the Spark UI) count weight
-        # fetches — exactly one job per accepted path, by contract
+        # fetches — exactly one job per accepted path, by contract.
+        # Save/restore the caller's group so their cancelJobGroup
+        # scoping survives this call (a hardcoded restore would
+        # permanently re-tag the driver thread).
+        prev_group = sc.getLocalProperty("spark.jobGroup.id")
+        prev_desc = sc.getLocalProperty("spark.job.description")
         sc.setJobGroup("gdal-spark-yen-weights",
                        "batched spur-root edge weights")
         try:
@@ -414,7 +419,8 @@ def yen_k_shortest(
                 .collect()
             )
         finally:
-            sc.setJobGroup("gdal-spark-yen", "yen k-shortest spur loop")
+            sc.setLocalProperty("spark.jobGroup.id", prev_group)
+            sc.setLocalProperty("spark.job.description", prev_desc)
         for r in rows:
             edge_cost[(r["src"], r["dst"])] = r["w"]
 

@@ -151,7 +151,9 @@ def read_db(
             ).fetchone()
             lower_bound = lo if lower_bound is None else lower_bound
             upper_bound = hi if upper_bound is None else upper_bound
-        if lower_bound is None:       # empty table
+        if lower_bound is None or upper_bound is None:
+            # empty table / all-NULL partition column (either bound
+            # may still be None when the caller supplied the other)
             con.close()
             return spark.createDataFrame([], schema)
         clauses = partition_clauses(

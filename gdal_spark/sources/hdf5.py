@@ -647,7 +647,7 @@ def _parse_oh(f: _F, addr: int) -> list[tuple[int, bytes]]:
         ver, flags = head[4], head[5]
         o = addr + 6
         if flags & 0x20:
-            o += 8       # times
+            o += 16      # access/mod/change/birth times, 4 bytes each
         if flags & 0x10:
             o += 4       # max compact/dense attrs
         szbytes = 1 << (flags & 0x3)

@@ -44,6 +44,8 @@ def write_netcdf4(
     chunks: tuple | None = None,
     gzip: int = 6,
     fill_value=0,
+    superblock: int = 0,
+    oh_version: int = 1,
     atts: dict | None = None,
 ) -> None:
     """One netCDF-4 file: the variable plus one dimension-scale
@@ -63,8 +65,8 @@ def write_netcdf4(
     attrs.update(atts or {})
     write_hdf5(
         md, path, var_name=var_name, dtype=dtype, chunks=chunks,
-        gzip=gzip, fill_value=fill_value, attrs=attrs,
-        extra_datasets=scales,
+        gzip=gzip, fill_value=fill_value, superblock=superblock,
+        oh_version=oh_version, attrs=attrs, extra_datasets=scales,
     )
 
 

@@ -98,3 +98,19 @@ def test_read_db_geometry_unwraps(spark, tmp_path):
                    columns=["fid", "geometry"]).collect()
     g = parse_wkb(bytes(back[0]["geometry"]))
     assert np.array_equal(g.all_rings()[0][0], ring)
+
+
+def test_read_db_empty_table_with_supplied_bound(spark, tmp_path):
+    """A caller-supplied lower_bound must not defeat the empty-table
+    guard when upper_bound still has to be auto-computed (and vice
+    versa): both bounds NULL-check independently."""
+    p = str(tmp_path / "empty.sqlite")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE obs (fid INTEGER, v REAL)")
+    con.commit()
+    con.close()
+    for kw in ({"lower_bound": 0}, {"upper_bound": 10}, {}):
+        df = read_db(spark, f"sqlite:///{p}", "obs",
+                     partition_column="fid", num_partitions=4, **kw)
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["fid", "v"]

@@ -180,3 +180,25 @@ def test_st_functions_ellipsoidal(spark):
         " ST_GeodesicLength(geometry) AS p FROM geod_t").collect()[0]
     assert row["a"] == pytest.approx(AREA_4849, rel=1e-9)
     assert row["p"] == pytest.approx(PERIM_4849, rel=1e-11)
+
+
+def test_st_geodesic_area_multipolygon_sums_parts(spark):
+    """A second polygon's outer ring must ADD, not subtract (the
+    flat-ring pitfall st_area's comment documents; the reference sums
+    member polygons in OGRMultiSurface::get_GeodesicArea)."""
+    from gdal_spark.geo.st_functions import register_st_functions
+    from gdal_spark.geo.wkb import wkb_multipolygon, wkb_polygon
+
+    register_st_functions(spark)
+    far = RING_4849 + np.array([10.0, 0.0])
+    mp = wkb_multipolygon([[RING_4849], [far]])
+    df = spark.createDataFrame(
+        [(1, bytearray(mp)), (2, bytearray(wkb_polygon([RING_4849]))),
+         (3, bytearray(wkb_polygon([far])))],
+        ["id", "geometry"])
+    df.createOrReplaceTempView("geod_mp_t")
+    rows = {r["id"]: r["a"] for r in spark.sql(
+        "SELECT id, ST_GeodesicArea(geometry) AS a FROM geod_mp_t"
+    ).collect()}
+    assert rows[1] == pytest.approx(rows[2] + rows[3], rel=1e-12)
+    assert rows[1] > rows[2]  # not outer-minus-"hole"
