@@ -5096,6 +5096,131 @@ FROM px GROUP BY image_id, fmt
 """
 
 
+def q_gtiff_industrial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Industrial GTiff surface (frmts/gtiff/gtiffdataset_read.cpp,
+    gtiffdataset_write.cpp; kernels from the TIFF 6.0 spec + TechNote
+    3 + the BigTIFF spec): the pixel rule rides through REAL strip
+    TIFFs across the full creation-option matrix — LZW (MSB-first
+    early-change codes), DEFLATE, PackBits, horizontal predictor 2,
+    floating-point predictor 3, both byte orders, BigTIFF, and
+    u8/i8/u16/i16/u32/i32/f32/f64 sample formats — every combo
+    decoding to the exact original band.  Windows crop to 120x112
+    (pure-Python LZW keeps the sweep cheap; multi-strip layouts still
+    exercise strip boundaries at rows_per_strip=16)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 107)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.tiff import decode_tiff, encode_tiff_ext
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                wc, hc = min(int(w), 120), min(int(h), 112)
+                arr = np_image_pixels(int(i), wc, hc)
+                b0 = arr[:, :, 0].copy()
+                combos = {
+                    # fmt -> (encoded array, kwargs, invert fn)
+                    "u8_lzw_p2_rgb": (
+                        arr, dict(compression="lzw", predictor=2),
+                        lambda o: o[:, :, 0].astype(np.int64)),
+                    "u16_deflate_p2_mm": (
+                        (b0.astype(np.uint16) * 257),
+                        dict(compression="deflate", predictor=2,
+                             big_endian=True, rows_per_strip=16),
+                        lambda o: o.astype(np.int64) // 257),
+                    "i16_lzw_mm": (
+                        (b0.astype(np.int16) - 128),
+                        dict(compression="lzw", big_endian=True),
+                        lambda o: o.astype(np.int64) + 128),
+                    "i8_packbits": (
+                        (b0.astype(np.int16) - 128).astype(np.int8),
+                        dict(compression="packbits",
+                             rows_per_strip=16),
+                        lambda o: o.astype(np.int64) + 128),
+                    "u32_none_bigtiff_mm": (
+                        (b0.astype(np.uint32) * 16843009),
+                        dict(bigtiff=True, big_endian=True),
+                        lambda o: o.astype(np.int64) // 16843009),
+                    "i32_deflate_p2": (
+                        (b0.astype(np.int32) - 1000000),
+                        dict(compression="deflate", predictor=2,
+                             rows_per_strip=16),
+                        lambda o: o.astype(np.int64) + 1000000),
+                    "f32_deflate_p3": (
+                        b0.astype(np.float32),
+                        dict(compression="deflate", predictor=3),
+                        lambda o: o.astype(np.int64)),
+                    "f64_lzw_p3_bigtiff": (
+                        (b0.astype(np.float64) - 0.5),
+                        dict(compression="lzw", predictor=3,
+                             bigtiff=True, rows_per_strip=16),
+                        lambda o: (o + 0.5).astype(np.int64)),
+                }
+                for fmt, (enc_arr, kw, invert) in combos.items():
+                    out = decode_tiff(encode_tiff_ext(enc_arr, **kw))
+                    rows.append(
+                        {
+                            "image_id": img_id, "fmt": fmt,
+                            "checksum": gdal_checksum(invert(out)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_gtiff_industrial() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 107)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('u8_lzw_p2_rgb'), ('u16_deflate_p2_mm'),
+                        ('i16_lzw_mm'), ('i8_packbits'),
+                        ('u32_none_bigtiff_mm'), ('i32_deflate_p2'),
+                        ('f32_deflate_p3'), ('f64_lzw_p3_bigtiff'))
+    AS f(fmt)
+),
+px AS (
+  SELECT i.image_id, f.fmt,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * least(i.w, 120) + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 120) AS gx(x) ON gx.x < least(i.w, 120)
+  JOIN range(0, 112) AS gy(y) ON gy.y < least(i.h, 112)
+  CROSS JOIN fmts f
+)
+SELECT image_id, fmt,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt
+"""
+
+
 def q_jp2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG 2000 lossless (frmts/openjpeg/openjpegdataset.cpp; the
     bitstream re-derived from public ITU-T T.800): the pixel rule
@@ -11849,7 +11974,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
-    "jp2_roundtrip", "jp2_georef",
+    "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "geodesic_ellipsoid", "hdf5_roundtrip", "netcdf4_roundtrip",
     "db_scan", "surface_roundtrip", "rat",
     # judge-verified in r4's VERDICT spot-check, still no driver row
@@ -11916,6 +12041,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g711_audio_features": q_g711_audio_features,
         "tile_render_cassini": q_tile_render_cassini,
         "gxf_roundtrip": q_gxf_roundtrip,
+        "gtiff_industrial": q_gtiff_industrial,
         "jp2_roundtrip": q_jp2_roundtrip,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
@@ -14172,6 +14298,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "g711_audio_features": _o_g711_audio_features(),
         "tile_render_cassini": _o_tile_render_proj(30200, CASSINI_Z),
         "gxf_roundtrip": _o_gxf_roundtrip(),
+        "gtiff_industrial": _o_gtiff_industrial(),
         "jp2_roundtrip": _o_jp2_roundtrip(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),

@@ -1,14 +1,27 @@
-"""Minimal pure-numpy baseline TIFF codec (uncompressed, 8-bit).
+"""Pure-numpy GTiff codec (classic + BigTIFF, compressed strips).
 
-Stand-in for the reference's GTiff driver read path
-(frmts/gtiff/gtiffdataset_read.cpp) at "baseline strip TIFF" scope:
-little-endian classic TIFF, chunky planar config, 1 or 3 samples,
-uncompressed strips. Lossless -> exact pixel parity.
+Stand-in for the reference's GTiff driver
+(frmts/gtiff/gtiffdataset_read.cpp, gtiffdataset_write.cpp; the
+compression kernels re-derived from the published TIFF 6.0 spec,
+TIFF Technical Note 3, and the BigTIFF spec — not libtiff source):
+
+- ``encode_tiff``/legacy helpers: the original baseline writer
+  (little-endian classic, uncompressed, 8-bit) kept byte-identical —
+  the COG layout rules, internal-overview splicer and
+  ``edit_georef``'s in-place patch contract depend on the layout.
+- ``encode_tiff_ext``/``decode_tiff``: the industrial surface —
+  both byte orders, BigTIFF (version 43, 8-byte offsets), LZW
+  (MSB-first early-change codes), DEFLATE (zlib), PackBits,
+  horizontal predictor 2 and floating-point predictor 3, sample
+  formats u8/i8/u16/i16/u32/i32/f32/f64, multi-strip.
+
+Lossless -> exact pixel parity for every combination.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -23,6 +36,10 @@ T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS, T_PLANAR = (
     279,
     284,
 )
+T_PREDICTOR, T_SAMPLEFORMAT = 317, 339
+# compression tag values (TIFF 6.0 §7 + the deflate extension)
+C_NONE, C_LZW, C_DEFLATE, C_PACKBITS = 1, 5, 8, 32773
+C_DEFLATE_OLD = 32946  # the pre-standard code libtiff also accepts
 # GeoTIFF georeferencing tags (frmts/gtiff/gt_wkt_srs.cpp; the
 # published GeoTIFF 1.1 spec)
 T_COLORMAP = 320
@@ -145,38 +162,450 @@ def _read_values(data, typ, count, value_field):
     return list(struct.unpack_from(f"<{count}{fmt}", data, off))
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    if data[:4] != _II:
-        raise ValueError("tiff codec: not little-endian classic TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
-    (n_entries,) = struct.unpack_from("<H", data, ifd_off)
-    tags: dict[int, list[int]] = {}
-    for k in range(n_entries):
-        base = ifd_off + 2 + 12 * k
-        tag, typ, count = struct.unpack_from("<HHI", data, base)
-        if typ not in (3, 4):
+# ---------------------------------------------------------------------------
+# industrial surface: general parser, compression kernels, predictors
+# ---------------------------------------------------------------------------
+
+# field type -> (byte size, struct format char); subset used by the
+# general reader (TIFF 6.0 §2 + BigTIFF LONG8/SLONG8/IFD8)
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 8: 2, 9: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
+
+
+def _parse_header(data: bytes):
+    """-> (endian char, bigtiff?, first IFD offset)."""
+    if data[:2] == b"II":
+        en = "<"
+    elif data[:2] == b"MM":
+        en = ">"
+    else:
+        raise ValueError("tiff codec: not a TIFF stream")
+    (ver,) = struct.unpack_from(en + "H", data, 2)
+    if ver == 42:
+        (ifd,) = struct.unpack_from(en + "I", data, 4)
+        return en, False, ifd
+    if ver == 43:
+        osize, zero = struct.unpack_from(en + "HH", data, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError("tiff codec: malformed BigTIFF header")
+        (ifd,) = struct.unpack_from(en + "Q", data, 8)
+        return en, True, ifd
+    raise ValueError(f"tiff codec: unknown TIFF version {ver}")
+
+
+def _read_ifd(data: bytes, en: str, big: bool, ifd_off: int):
+    """-> (tags {id: [values]}, next IFD offset).  Unknown field
+    types are skipped (foreign files carry RATIONALs etc.)."""
+    if big:
+        (n,) = struct.unpack_from(en + "Q", data, ifd_off)
+        base0, esize, vsize = ifd_off + 8, 20, 8
+    else:
+        (n,) = struct.unpack_from(en + "H", data, ifd_off)
+        base0, esize, vsize = ifd_off + 2, 12, 4
+    tags: dict[int, list] = {}
+    for k in range(n):
+        base = base0 + esize * k
+        if big:
+            tag, typ, count = struct.unpack_from(en + "HHQ", data, base)
+            vpos = base + 12
+        else:
+            tag, typ, count = struct.unpack_from(en + "HHI", data, base)
+            vpos = base + 8
+        if typ not in _TYPE_FMT:
             continue
-        tags[tag] = _read_values(data, typ, count, data[base + 8 : base + 12])
-    w = tags[T_WIDTH][0]
-    h = tags[T_HEIGHT][0]
-    c = tags.get(T_SPP, [1])[0]
-    if tags.get(T_COMPRESSION, [1])[0] != 1:
-        raise ValueError("tiff codec: only uncompressed supported")
+        nbytes = _TYPE_SIZE[typ] * count
+        if nbytes <= vsize:
+            off = vpos
+        else:
+            (off,) = struct.unpack_from(en + ("Q" if big else "I"),
+                                        data, vpos)
+        tags[tag] = list(
+            struct.unpack_from(f"{en}{count}{_TYPE_FMT[typ]}", data, off))
+    next_pos = base0 + esize * n
+    (nxt,) = struct.unpack_from(en + ("Q" if big else "I"), data, next_pos)
+    return tags, nxt
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, ClearCode=256,
+    EOI=257, EARLY code-width change (width grows when the next code
+    to assign reaches 2**width - 1), table flush at 4094."""
+    out = bytearray()
+    bitbuf = nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            bitbuf &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        w = bytes([ch])
+        if next_code >= 4094:
+            emit(_LZW_CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        elif next_code == (1 << width) - 1:
+            width += 1
+    if w:
+        emit(table[w])
+    emit(_LZW_EOI)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int | None = None) -> bytes:
+    """The decoder lags the encoder by exactly one table add, so its
+    read width comes from the RECONSTRUCTED encoder state
+    (next_code + 1) — TIFF 6.0 §13's 'the decoder switches bit
+    lengths one code earlier'.  `expected` stops cleanly at the
+    strip's decoded size (the EOI following the final data code can
+    straddle a width boundary)."""
+    out = bytearray()
+    pos, total = 0, len(data) * 8
+    table: dict[int, bytes] = {}
+    next_code = 258
+    prev: bytes | None = None
+    while expected is None or len(out) < expected:
+        enc_nc = next_code + (1 if prev is not None else 0)
+        width = (9 + (enc_nc >= 511) + (enc_nc >= 1023)
+                 + (enc_nc >= 2047))
+        if pos + width > total:
+            break
+        b0 = pos >> 3
+        chunk = int.from_bytes(data[b0:b0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (pos & 7) - width)) & ((1 << width) - 1)
+        pos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = {i: bytes([i]) for i in range(256)}
+            next_code, prev = 258, None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("tiff lzw: stream must start with Clear"
+                                 " + literal")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("tiff lzw: corrupt code stream")
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 §9): replicate runs >= 3 as (257-n, byte),
+    literals in <=128 chunks."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end):
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j:j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i:i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128 is a no-op per spec
+    return bytes(out)
+
+
+def _compress(raw: bytes, compression: int) -> bytes:
+    if compression == C_NONE:
+        return raw
+    if compression == C_LZW:
+        return _lzw_encode(raw)
+    if compression in (C_DEFLATE, C_DEFLATE_OLD):
+        return zlib.compress(raw, 6)
+    if compression == C_PACKBITS:
+        return _packbits_encode(raw)
+    raise ValueError(f"tiff codec: unsupported compression {compression}")
+
+
+def _decompress(blob: bytes, compression: int,
+                expected: int | None = None) -> bytes:
+    if compression == C_NONE:
+        return blob
+    if compression == C_LZW:
+        return _lzw_decode(blob, expected)
+    if compression in (C_DEFLATE, C_DEFLATE_OLD):
+        return zlib.decompress(blob)
+    if compression == C_PACKBITS:
+        return _packbits_decode(blob)
+    raise ValueError(f"tiff codec: unsupported compression {compression}")
+
+
+def _predict2_encode(vals: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal differencing (TIFF 6.0 §14) on a (rows, w*spp)
+    block of integer samples: per row, per channel, modular delta
+    against the previous pixel."""
+    u = vals.view(np.dtype(f"u{vals.dtype.itemsize}"))
+    d = u.copy()
+    d[:, spp:] = u[:, spp:] - u[:, :-spp]
+    return d.view(vals.dtype)
+
+
+def _predict2_decode(vals: np.ndarray, spp: int) -> np.ndarray:
+    u = vals.view(np.dtype(f"u{vals.dtype.itemsize}"))
+    out = np.empty_like(u)
+    for k in range(spp):
+        np.cumsum(u[:, k::spp], axis=1, dtype=u.dtype,
+                  out=out[:, k::spp])
+    return out.view(vals.dtype)
+
+
+def _predict3_encode(vals: np.ndarray, spp: int) -> bytes:
+    """Floating-point predictor (TIFF Technical Note 3): per row,
+    split values into big-endian byte planes (all MSBs first), then
+    byte-wise horizontal differencing with stride = samples/pixel."""
+    bpp = vals.dtype.itemsize
+    be = vals.astype(f">f{bpp}")
+    rows, n = be.shape
+    # (rows, n, bpp) bytes -> plane-major (rows, bpp, n) -> flat rows
+    b = be.view(np.uint8).reshape(rows, n, bpp)
+    planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, -1)
+    d = planes.copy()
+    d[:, spp:] = planes[:, spp:] - planes[:, :-spp]
+    return d.tobytes()
+
+
+def _predict3_decode(raw: bytes, rows: int, n: int, bpp: int,
+                     spp: int) -> np.ndarray:
+    d = np.frombuffer(raw, dtype=np.uint8).reshape(rows, bpp * n)
+    planes = np.empty_like(d)
+    for k in range(spp):
+        np.cumsum(d[:, k::spp], axis=1, dtype=np.uint8,
+                  out=planes[:, k::spp])
+    b = planes.reshape(rows, bpp, n).transpose(0, 2, 1)
+    return np.ascontiguousarray(b).reshape(rows, n * bpp).view(
+        f">f{bpp}").reshape(rows, n)
+
+
+_SF_UNSIGNED, _SF_SIGNED, _SF_FLOAT = 1, 2, 3
+_KIND_SF = {"u": _SF_UNSIGNED, "i": _SF_SIGNED, "f": _SF_FLOAT}
+_SF_KIND = {v: k for k, v in _KIND_SF.items()}
+_COMP_NAME = {"none": C_NONE, "lzw": C_LZW, "deflate": C_DEFLATE,
+              "packbits": C_PACKBITS}
+
+
+def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
+                    predictor: int = 1, bigtiff: bool = False,
+                    big_endian: bool = False,
+                    rows_per_strip: int | None = None) -> bytes:
+    """Industrial GTiff strip writer (gtiffdataset_write.cpp surface;
+    kernels from the TIFF 6.0 spec + TechNote 3 + the BigTIFF spec):
+    both byte orders, classic or BigTIFF, none/lzw/deflate/packbits,
+    predictor 1/2 (integer) / 3 (float), any of
+    u8/i8/u16/i16/u32/i32/f32/f64, 1 or 3 chunky samples,
+    multi-strip.  Lossless: decode_tiff returns the exact array."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"tiff codec: unsupported channel count {c}")
+    kind, bpp = arr.dtype.kind, arr.dtype.itemsize
+    if kind not in _KIND_SF or bpp not in (1, 2, 4, 8) or (
+            kind == "f" and bpp < 4):
+        raise ValueError(f"tiff codec: unsupported dtype {arr.dtype}")
+    comp = _COMP_NAME[compression]
+    if predictor == 2 and kind == "f":
+        raise ValueError("tiff codec: predictor 2 is integer-only")
+    if predictor == 3 and kind != "f":
+        raise ValueError("tiff codec: predictor 3 is float-only")
+    en = ">" if big_endian else "<"
+    rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
+    file_dtype = np.dtype(f"{kind}{bpp}").newbyteorder(en)
+
+    strips = []
+    for r0 in range(0, h, rps):
+        block = np.ascontiguousarray(
+            arr[r0:r0 + rps]).reshape(-1, w * c)
+        if predictor == 2:
+            raw = _predict2_encode(block, c).astype(file_dtype).tobytes()
+        elif predictor == 3:
+            raw = _predict3_encode(block, c)
+        else:
+            raw = block.astype(file_dtype).tobytes()
+        strips.append(_compress(raw, comp))
+
+    hdr_len = 16 if bigtiff else 8
+    offs, pos = [], hdr_len
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    extra_off = pos
+
+    SHORT, LONG, LONG8 = 3, 4, 16
+    off_typ = LONG8 if bigtiff else LONG
+    entries = [
+        (T_WIDTH, LONG, [w]),
+        (T_HEIGHT, LONG, [h]),
+        (T_BPS, SHORT, [bpp * 8] * c),
+        (T_COMPRESSION, SHORT, [comp]),
+        (T_PHOTO, SHORT, [2 if c == 3 else 1]),
+        (T_STRIP_OFFSETS, off_typ, offs),
+        (T_SPP, SHORT, [c]),
+        (T_ROWS_PER_STRIP, LONG, [rps]),
+        (T_STRIP_COUNTS, LONG, [len(s) for s in strips]),
+        (T_PLANAR, SHORT, [1]),
+    ]
+    if predictor != 1:
+        entries.append((T_PREDICTOR, SHORT, [predictor]))
+    if kind != "u":
+        entries.append((T_SAMPLEFORMAT, SHORT, [_KIND_SF[kind]] * c))
+    entries.sort()
+
+    vsize = 8 if bigtiff else 4
+    cfmt = "Q" if bigtiff else "I"
+    extra = bytearray()
+    ifd = bytearray()
+    ifd += struct.pack(en + ("Q" if bigtiff else "H"), len(entries))
+    for tag, typ, values in entries:
+        payload = struct.pack(
+            f"{en}{len(values)}{_TYPE_FMT[typ]}", *values)
+        if len(payload) <= vsize:
+            vf = payload.ljust(vsize, b"\0")
+        else:
+            if len(extra) % 2:
+                extra += b"\0"
+            vf = struct.pack(en + cfmt, extra_off + len(extra))
+            extra += payload
+        ifd += struct.pack(en + "HH" + cfmt, tag, typ, len(values)) + vf
+    ifd += struct.pack(en + cfmt, 0)  # next IFD
+
+    ifd_off = extra_off + len(extra)
+    out = bytearray(b"II" if en == "<" else b"MM")
+    if bigtiff:
+        out += struct.pack(en + "HHHQ", 43, 8, 0, ifd_off)
+    else:
+        out += struct.pack(en + "HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += extra
+    out += ifd
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """General strip-TIFF reader (gtiffdataset_read.cpp surface):
+    both byte orders, classic + BigTIFF, none/lzw/deflate/packbits,
+    predictors 1/2/3, u8..f64 chunky samples.  Single-band palette
+    files expand through the ColorMap (the legacy contract);
+    single-band output is 2-D, multi-band (h, w, c)."""
+    en, big, ifd_off = _parse_header(data)
+    tags, _ = _read_ifd(data, en, big, ifd_off)
+    w, h = int(tags[T_WIDTH][0]), int(tags[T_HEIGHT][0])
+    c = int(tags.get(T_SPP, [1])[0])
+    bps = tags.get(T_BPS, [8])
+    if len(set(bps)) != 1 or bps[0] % 8:
+        raise ValueError(f"tiff codec: unsupported BitsPerSample {bps}")
+    bpp = bps[0] // 8
+    comp = int(tags.get(T_COMPRESSION, [C_NONE])[0])
+    pred = int(tags.get(T_PREDICTOR, [1])[0])
+    sf = int(tags.get(T_SAMPLEFORMAT, [_SF_UNSIGNED])[0])
     if tags.get(T_PLANAR, [1])[0] != 1:
         raise ValueError("tiff codec: only chunky planar config supported")
-    if any(b != 8 for b in tags.get(T_BPS, [8])):
-        raise ValueError("tiff codec: only 8-bit supported")
+    if sf not in _SF_KIND:
+        raise ValueError(f"tiff codec: unsupported SampleFormat {sf}")
+    kind = _SF_KIND[sf]
+    if kind == "f" and pred == 2:
+        raise ValueError("tiff codec: predictor 2 on float samples")
+    dt = np.dtype(f"{kind}{bpp}").newbyteorder(en)
+    rps = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
     offsets = tags[T_STRIP_OFFSETS]
     counts = tags[T_STRIP_COUNTS]
-    buf = b"".join(data[o : o + n] for o, n in zip(offsets, counts))
-    arr = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, c)
-    if c == 1 and tags.get(T_PHOTO, [1])[0] == 3 and T_COLORMAP in tags:
+    row_bytes = w * c * bpp
+    parts = []
+    for si, (o, n) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - si * rps)
+        raw = _decompress(data[int(o):int(o) + int(n)], comp,
+                          rows * row_bytes)
+        if len(raw) < rows * row_bytes:
+            raise ValueError("tiff codec: short strip")
+        raw = raw[:rows * row_bytes]
+        if pred == 3:
+            vals = _predict3_decode(raw, rows, w * c, bpp, c)
+            if dt.kind != "f" or dt.itemsize != bpp:
+                raise ValueError("tiff codec: predictor 3 needs floats")
+            parts.append(vals.astype(f"f{bpp}"))
+        else:
+            # native order BEFORE un-differencing: predictor 2 is
+            # defined on sample VALUES, not file bytes
+            vals = np.frombuffer(raw, dtype=dt).reshape(
+                rows, w * c).astype(dt.newbyteorder("="))
+            if pred == 2:
+                vals = _predict2_decode(vals, c)
+            parts.append(vals)
+    arr = np.concatenate(parts, axis=0).reshape(h, w, c)
+    if (c == 1 and bpp == 1 and kind == "u"
+            and tags.get(T_PHOTO, [1])[0] == 3 and T_COLORMAP in tags):
         # palette-color: expand through the ColorMap like the
         # reference's -expand rgb path (decode_tiff_paletted keeps
         # the band + table view)
         cmap = np.asarray(tags[T_COLORMAP], dtype=np.uint16).reshape(3, 256)
         return (cmap.T[arr[:, :, 0]] // 257).astype(np.uint8)
-    return arr[:, :, 0] if c == 1 else arr.copy()
+    return arr[:, :, 0] if c == 1 else arr
 
 
 def decode_tiff_paletted(data: bytes):

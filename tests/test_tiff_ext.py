@@ -1,0 +1,124 @@
+"""Industrial GTiff surface: compression kernels, predictors,
+BigTIFF/byte-order layout (gdal_spark/raster/tiff.py ext path;
+semantics from the TIFF 6.0 spec, TechNote 3, the BigTIFF spec —
+reference surface frmts/gtiff/gtiffdataset_{read,write}.cpp)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gdal_spark.raster.tiff import (
+    _lzw_decode,
+    _lzw_encode,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+    encode_tiff_ext,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _rand(dt, shape):
+    if dt[0] == "f":
+        return (RNG.integers(-10000, 10000, shape) / 16.0).astype(dt)
+    info = np.iinfo(np.dtype(dt))
+    return RNG.integers(info.min, info.max, shape, endpoint=True).astype(dt)
+
+
+@pytest.mark.parametrize("dt", ["u1", "i1", "u2", "i2", "u4", "i4",
+                                "f4", "f8"])
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate", "packbits"])
+def test_roundtrip_dtype_compression(dt, comp):
+    for c in (1, 3):
+        shape = (21, 17, c) if c == 3 else (21, 17)
+        a = _rand(dt, shape)
+        out = decode_tiff(encode_tiff_ext(a, compression=comp))
+        assert out.dtype.kind == a.dtype.kind and np.array_equal(out, a)
+
+
+@pytest.mark.parametrize("big,be", [(False, True), (True, False),
+                                    (True, True)])
+def test_roundtrip_layouts(big, be):
+    a = _rand("i2", (33, 29, 3))
+    out = decode_tiff(encode_tiff_ext(a, compression="lzw", predictor=2,
+                                      bigtiff=big, big_endian=be,
+                                      rows_per_strip=5))
+    assert np.array_equal(out, a)
+
+
+def test_predictor_validation():
+    with pytest.raises(ValueError, match="integer-only"):
+        encode_tiff_ext(np.zeros((4, 4), np.float32), predictor=2)
+    with pytest.raises(ValueError, match="float-only"):
+        encode_tiff_ext(np.zeros((4, 4), np.uint8), predictor=3)
+    with pytest.raises(ValueError, match="dtype"):
+        encode_tiff_ext(np.zeros((4, 4), np.float16))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"PK\x03\x04----------")
+
+
+def test_float_predictor_bit_exact():
+    # predictor 3 is a byte shuffle + modular diff: bit-exact on
+    # every value incl. nan/inf payloads
+    a = np.array([[0.1, -0.0, np.inf, np.nan, 3.0e38, 1e-42]],
+                 dtype=np.float32).repeat(8, axis=0)
+    out = decode_tiff(encode_tiff_ext(a, compression="deflate",
+                                      predictor=3))
+    assert out.tobytes() == a.tobytes()
+
+
+def test_legacy_writer_reads_through_general_decoder():
+    a = _rand("u1", (20, 30, 3))
+    assert np.array_equal(decode_tiff(encode_tiff(a)), a)
+    idx = _rand("u1", (20, 30)) % 16
+    pal = _rand("u1", (16, 3))
+    assert np.array_equal(decode_tiff(encode_tiff(idx, palette=pal)),
+                          pal[idx])
+
+
+def test_lzw_table_flush_and_width_boundaries():
+    # >4094 distinct phrases forces a mid-stream Clear; runs force
+    # KwKwK codes; width grows through 10/11/12 bits
+    data = (np.tile(np.arange(256, dtype=np.uint8), 240).tobytes()
+            + b"\x00" * 5000
+            + RNG.integers(0, 255, 60000, endpoint=True)
+            .astype(np.uint8).tobytes())
+    enc = _lzw_encode(data)
+    assert _lzw_decode(enc) == data
+    assert _lzw_decode(enc, expected=len(data)) == data
+    assert len(enc) < len(data)  # the tiled prefix must compress
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_lzw_property(data):
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_packbits_property(data):
+    assert _packbits_decode(_packbits_encode(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["u1", "i2", "u2", "i4", "f4", "f8"]),
+    st.sampled_from(["none", "lzw", "deflate", "packbits"]),
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([1, 3]),
+    st.integers(1, 13),
+)
+def test_roundtrip_property(dt, comp, h, w, c, rps):
+    pred = 3 if dt[0] == "f" else 2
+    shape = (h, w, c) if c == 3 else (h, w)
+    a = _rand(dt, shape)
+    out = decode_tiff(encode_tiff_ext(a, compression=comp,
+                                      predictor=pred,
+                                      rows_per_strip=rps))
+    assert out.tobytes() == a.astype(out.dtype).tobytes()
+    assert out.shape == a.shape
