@@ -5099,14 +5099,15 @@ FROM px GROUP BY image_id, fmt
 def q_gtiff_industrial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Industrial GTiff surface (frmts/gtiff/gtiffdataset_read.cpp,
     gtiffdataset_write.cpp; kernels from the TIFF 6.0 spec + TechNote
-    3 + the BigTIFF spec): the pixel rule rides through REAL strip
-    TIFFs across the full creation-option matrix — LZW (MSB-first
+    3 + the BigTIFF spec): the pixel rule rides through REAL TIFFs
+    across the full creation-option matrix — LZW (MSB-first
     early-change codes), DEFLATE, PackBits, horizontal predictor 2,
-    floating-point predictor 3, both byte orders, BigTIFF, and
-    u8/i8/u16/i16/u32/i32/f32/f64 sample formats — every combo
-    decoding to the exact original band.  Windows crop to 120x112
-    (pure-Python LZW keeps the sweep cheap; multi-strip layouts still
-    exercise strip boundaries at rows_per_strip=16)."""
+    floating-point predictor 3, both byte orders, BigTIFF,
+    u8/i8/u16/i16/u32/i32/f32/f64 sample formats, and both §15 tiled
+    (non-dividing grids exercise edge-tile padding) and multi-strip
+    layouts — every combo decoding to the exact original band.
+    Windows crop to 120x112 (pure-Python LZW keeps the sweep
+    cheap)."""
     import pandas as pd
     from pyspark.sql import types as T2
 
@@ -5174,6 +5175,17 @@ def q_gtiff_industrial(spark: SparkSession, sf_dir: str) -> DataFrame:
                         dict(compression="lzw", predictor=3,
                              bigtiff=True, rows_per_strip=16),
                         lambda o: (o + 0.5).astype(np.int64)),
+                    # tiled layout (§15): grid does not divide
+                    # 120x112, so edge tiles exercise the padding
+                    "u8_tiled_lzw_p2_rgb": (
+                        arr, dict(compression="lzw", predictor=2,
+                                  tile=(64, 48)),
+                        lambda o: o[:, :, 0].astype(np.int64)),
+                    "f32_tiled_deflate_p3_mm": (
+                        b0.astype(np.float32),
+                        dict(compression="deflate", predictor=3,
+                             big_endian=True, tile=(48, 32)),
+                        lambda o: o.astype(np.int64)),
                 }
                 for fmt, (enc_arr, kw, invert) in combos.items():
                     out = decode_tiff(encode_tiff_ext(enc_arr, **kw))
@@ -5202,7 +5214,9 @@ fmts AS (
   SELECT * FROM (VALUES ('u8_lzw_p2_rgb'), ('u16_deflate_p2_mm'),
                         ('i16_lzw_mm'), ('i8_packbits'),
                         ('u32_none_bigtiff_mm'), ('i32_deflate_p2'),
-                        ('f32_deflate_p3'), ('f64_lzw_p3_bigtiff'))
+                        ('f32_deflate_p3'), ('f64_lzw_p3_bigtiff'),
+                        ('u8_tiled_lzw_p2_rgb'),
+                        ('f32_tiled_deflate_p3_mm'))
     AS f(fmt)
 ),
 px AS (

@@ -37,6 +37,10 @@ T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS, T_PLANAR = (
     284,
 )
 T_PREDICTOR, T_SAMPLEFORMAT = 317, 339
+# tiled layout (TIFF 6.0 §15)
+T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = (
+    322, 323, 324, 325,
+)
 # compression tag values (TIFF 6.0 §7 + the deflate extension)
 C_NONE, C_LZW, C_DEFLATE, C_PACKBITS = 1, 5, 8, 32773
 C_DEFLATE_OLD = 32946  # the pre-standard code libtiff also accepts
@@ -452,13 +456,16 @@ _COMP_NAME = {"none": C_NONE, "lzw": C_LZW, "deflate": C_DEFLATE,
 def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
                     predictor: int = 1, bigtiff: bool = False,
                     big_endian: bool = False,
-                    rows_per_strip: int | None = None) -> bytes:
-    """Industrial GTiff strip writer (gtiffdataset_write.cpp surface;
+                    rows_per_strip: int | None = None,
+                    tile: tuple[int, int] | None = None) -> bytes:
+    """Industrial GTiff writer (gtiffdataset_write.cpp surface;
     kernels from the TIFF 6.0 spec + TechNote 3 + the BigTIFF spec):
     both byte orders, classic or BigTIFF, none/lzw/deflate/packbits,
     predictor 1/2 (integer) / 3 (float), any of
     u8/i8/u16/i16/u32/i32/f32/f64, 1 or 3 chunky samples,
-    multi-strip.  Lossless: decode_tiff returns the exact array."""
+    multi-strip or tiled (`tile=(tw, th)`, multiples of 16 per §15;
+    edge tiles zero-padded to full size, row-major tile order).
+    Lossless: decode_tiff returns the exact array."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -477,17 +484,32 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
     rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
     file_dtype = np.dtype(f"{kind}{bpp}").newbyteorder(en)
 
-    strips = []
-    for r0 in range(0, h, rps):
-        block = np.ascontiguousarray(
-            arr[r0:r0 + rps]).reshape(-1, w * c)
+    def chunk_bytes(block):
+        # block: (rows, row_samples) in native order
         if predictor == 2:
-            raw = _predict2_encode(block, c).astype(file_dtype).tobytes()
-        elif predictor == 3:
-            raw = _predict3_encode(block, c)
-        else:
-            raw = block.astype(file_dtype).tobytes()
-        strips.append(_compress(raw, comp))
+            return _predict2_encode(block, c).astype(file_dtype).tobytes()
+        if predictor == 3:
+            return _predict3_encode(block, c)
+        return block.astype(file_dtype).tobytes()
+
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tiff codec: tile dims must be positive "
+                             "multiples of 16 (TIFF 6.0 §15)")
+        for ty0 in range(0, h, th):
+            for tx0 in range(0, w, tw):
+                pad = np.zeros((th, tw, c), dtype=arr.dtype)
+                sub = arr[ty0:ty0 + th, tx0:tx0 + tw]
+                pad[:sub.shape[0], :sub.shape[1]] = sub
+                strips.append(_compress(
+                    chunk_bytes(pad.reshape(th, tw * c)), comp))
+    else:
+        for r0 in range(0, h, rps):
+            block = np.ascontiguousarray(
+                arr[r0:r0 + rps]).reshape(-1, w * c)
+            strips.append(_compress(chunk_bytes(block), comp))
 
     hdr_len = 16 if bigtiff else 8
     offs, pos = [], hdr_len
@@ -504,12 +526,22 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
         (T_BPS, SHORT, [bpp * 8] * c),
         (T_COMPRESSION, SHORT, [comp]),
         (T_PHOTO, SHORT, [2 if c == 3 else 1]),
-        (T_STRIP_OFFSETS, off_typ, offs),
         (T_SPP, SHORT, [c]),
-        (T_ROWS_PER_STRIP, LONG, [rps]),
-        (T_STRIP_COUNTS, LONG, [len(s) for s in strips]),
         (T_PLANAR, SHORT, [1]),
     ]
+    if tile is not None:
+        entries += [
+            (T_TILE_WIDTH, LONG, [tile[0]]),
+            (T_TILE_LENGTH, LONG, [tile[1]]),
+            (T_TILE_OFFSETS, off_typ, offs),
+            (T_TILE_COUNTS, LONG, [len(s) for s in strips]),
+        ]
+    else:
+        entries += [
+            (T_STRIP_OFFSETS, off_typ, offs),
+            (T_ROWS_PER_STRIP, LONG, [rps]),
+            (T_STRIP_COUNTS, LONG, [len(s) for s in strips]),
+        ]
     if predictor != 1:
         entries.append((T_PREDICTOR, SHORT, [predictor]))
     if kind != "u":
@@ -571,33 +603,49 @@ def decode_tiff(data: bytes) -> np.ndarray:
     kind = _SF_KIND[sf]
     if kind == "f" and pred == 2:
         raise ValueError("tiff codec: predictor 2 on float samples")
+    if pred == 3 and kind != "f":
+        raise ValueError("tiff codec: predictor 3 needs floats")
     dt = np.dtype(f"{kind}{bpp}").newbyteorder(en)
-    rps = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
-    offsets = tags[T_STRIP_OFFSETS]
-    counts = tags[T_STRIP_COUNTS]
-    row_bytes = w * c * bpp
-    parts = []
-    for si, (o, n) in enumerate(zip(offsets, counts)):
-        rows = min(rps, h - si * rps)
-        raw = _decompress(data[int(o):int(o) + int(n)], comp,
-                          rows * row_bytes)
-        if len(raw) < rows * row_bytes:
-            raise ValueError("tiff codec: short strip")
-        raw = raw[:rows * row_bytes]
+
+    def decode_chunk(blob, rows, row_samples):
+        raw = _decompress(blob, comp, rows * row_samples * bpp)
+        if len(raw) < rows * row_samples * bpp:
+            raise ValueError("tiff codec: short strip/tile")
+        raw = raw[:rows * row_samples * bpp]
         if pred == 3:
-            vals = _predict3_decode(raw, rows, w * c, bpp, c)
-            if dt.kind != "f" or dt.itemsize != bpp:
-                raise ValueError("tiff codec: predictor 3 needs floats")
-            parts.append(vals.astype(f"f{bpp}"))
-        else:
-            # native order BEFORE un-differencing: predictor 2 is
-            # defined on sample VALUES, not file bytes
-            vals = np.frombuffer(raw, dtype=dt).reshape(
-                rows, w * c).astype(dt.newbyteorder("="))
-            if pred == 2:
-                vals = _predict2_decode(vals, c)
-            parts.append(vals)
-    arr = np.concatenate(parts, axis=0).reshape(h, w, c)
+            return _predict3_decode(
+                raw, rows, row_samples, bpp, c).astype(f"f{bpp}")
+        # native order BEFORE un-differencing: predictor 2 is
+        # defined on sample VALUES, not file bytes
+        vals = np.frombuffer(raw, dtype=dt).reshape(
+            rows, row_samples).astype(dt.newbyteorder("="))
+        return _predict2_decode(vals, c) if pred == 2 else vals
+
+    if T_TILE_WIDTH in tags:
+        tw = int(tags[T_TILE_WIDTH][0])
+        th = int(tags[T_TILE_LENGTH][0])
+        offsets, counts = tags[T_TILE_OFFSETS], tags[T_TILE_COUNTS]
+        across = -(-w // tw)
+        down = -(-h // th)
+        arr = np.empty((down * th, across * tw, c),
+                       dtype=np.dtype(f"{kind}{bpp}"))
+        for ti, (o, n) in enumerate(zip(offsets, counts)):
+            tyl = (ti // across) * th
+            txl = (ti % across) * tw
+            arr[tyl:tyl + th, txl:txl + tw] = decode_chunk(
+                data[int(o):int(o) + int(n)], th, tw * c
+            ).reshape(th, tw, c)
+        arr = arr[:h, :w]
+    else:
+        rps = int(tags.get(T_ROWS_PER_STRIP, [h])[0])
+        offsets, counts = tags[T_STRIP_OFFSETS], tags[T_STRIP_COUNTS]
+        row_bytes = w * c * bpp
+        parts = []
+        for si, (o, n) in enumerate(zip(offsets, counts)):
+            rows = min(rps, h - si * rps)
+            parts.append(decode_chunk(data[int(o):int(o) + int(n)],
+                                      rows, w * c))
+        arr = np.concatenate(parts, axis=0).reshape(h, w, c)
     if (c == 1 and bpp == 1 and kind == "u"
             and tags.get(T_PHOTO, [1])[0] == 3 and T_COLORMAP in tags):
         # palette-color: expand through the ColorMap like the

@@ -92,6 +92,24 @@ def test_lzw_table_flush_and_width_boundaries():
     assert len(enc) < len(data)  # the tiled prefix must compress
 
 
+@pytest.mark.parametrize("tile", [(16, 16), (32, 16), (64, 48)])
+@pytest.mark.parametrize("dt", ["u1", "i2", "f4"])
+def test_tiled_roundtrip(tile, dt):
+    pred = 3 if dt[0] == "f" else 2
+    for c in (1, 3):
+        # 37x53 never divides the tile grid: edge padding exercised
+        shape = (37, 53, c) if c == 3 else (37, 53)
+        a = _rand(dt, shape)
+        out = decode_tiff(encode_tiff_ext(a, compression="lzw",
+                                          predictor=pred, tile=tile))
+        assert out.shape == a.shape and np.array_equal(out, a)
+
+
+def test_tile_dims_must_be_multiples_of_16():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff_ext(np.zeros((8, 8), np.uint8), tile=(20, 16))
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.binary(min_size=0, max_size=4000))
 def test_lzw_property(data):
