@@ -5235,6 +5235,121 @@ FROM px GROUP BY image_id, fmt
 """
 
 
+def q_gtiff_codec_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-chunk GTiff layouts (frmts/gtiff creation options
+    COMPRESS=WEBP / COMPRESS=JPEG; TIFF TechNote 2 new-style JPEG
+    tag 7, libtiff's registered WEBP tag 50001): each strip/tile
+    holds one complete in-repo codestream.  WEBP is VP8L lossless,
+    so the pixel rule rides through REAL tiffs to an exact checksum
+    (strips + a non-dividing tile grid with edge-replicated padding,
+    classic LE + BigTIFF BE).  JPEG chunks are lossy: those rows
+    carry the sentinel checksum -1 and a PSNR>=45dB verdict computed
+    against the closed-form original (the codec's documented
+    contract; content is the smooth triangle transform of the pixel
+    rule so quality-90 quantization has ~12 dB of margin)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 211)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("psnr_ok", T2.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.tiff import decode_tiff, encode_tiff_ext
+
+        def psnr(a, b):
+            mse = np.mean(
+                (a.astype(np.float64) - b.astype(np.float64)) ** 2)
+            return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                wc, hc = min(int(w), 120), min(int(h), 112)
+                arr = np_image_pixels(int(i), wc, hc)
+                # smooth triangle content for the lossy rows: slope
+                # <= 1/px everywhere, no 255->0 wrap edges
+                xg = np.arange(wc, dtype=np.int64)
+                yg = np.arange(hc, dtype=np.int64)[:, None]
+                tri = np.abs(((xg + yg + int(i)) % 510) - 255).astype(
+                    np.uint8)
+                tri_rgb = np.stack(
+                    [np.abs(((xg + yg + int(i) + p) % 510) - 255)
+                     for p in (0, 85, 170)], axis=-1).astype(np.uint8)
+                for fmt, enc_arr, kw in (
+                    ("webp_strips",
+                     arr, dict(compression="webp", rows_per_strip=16)),
+                    ("webp_tiled_mm",
+                     arr, dict(compression="webp", tile=(48, 32),
+                               bigtiff=True, big_endian=True)),
+                    ("jpeg_rgb_tiled",
+                     tri_rgb, dict(compression="jpeg", tile=(48, 32))),
+                    ("jpeg_gray_strips",
+                     tri, dict(compression="jpeg", rows_per_strip=32)),
+                ):
+                    out = decode_tiff(encode_tiff_ext(enc_arr, **kw))
+                    lossy = kw["compression"] == "jpeg"
+                    rows.append(
+                        {
+                            "image_id": img_id, "fmt": fmt,
+                            "checksum": -1 if lossy else gdal_checksum(
+                                out[:, :, 0].astype(np.int64)),
+                            "psnr_ok": bool(psnr(out, enc_arr) >= 45.0),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_gtiff_codec_chunks() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 211)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.image_id,
+    (gx.x + gy.y + i.i) % 256 AS val,
+    gy.y * least(i.w, 120) + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 120) AS gx(x) ON gx.x < least(i.w, 120)
+  JOIN range(0, 112) AS gy(y) ON gy.y < least(i.h, 112)
+),
+exact AS (
+  SELECT image_id,
+    cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+      AS checksum
+  FROM px GROUP BY image_id
+)
+SELECT e.image_id, f.fmt,
+  CASE WHEN f.fmt LIKE 'jpeg%' THEN -1 ELSE e.checksum END AS checksum,
+  TRUE AS psnr_ok
+FROM exact e
+CROSS JOIN (VALUES ('webp_strips'), ('webp_tiled_mm'),
+                   ('jpeg_rgb_tiled'), ('jpeg_gray_strips')) AS f(fmt)
+"""
+
+
 def q_jp2_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG 2000 lossless (frmts/openjpeg/openjpegdataset.cpp; the
     bitstream re-derived from public ITU-T T.800): the pixel rule
@@ -11988,6 +12103,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
+    "gtiff_codec_chunks",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "geodesic_ellipsoid", "hdf5_roundtrip", "netcdf4_roundtrip",
     "db_scan", "surface_roundtrip", "rat",
@@ -12056,6 +12172,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_render_cassini": q_tile_render_cassini,
         "gxf_roundtrip": q_gxf_roundtrip,
         "gtiff_industrial": q_gtiff_industrial,
+        "gtiff_codec_chunks": q_gtiff_codec_chunks,
         "jp2_roundtrip": q_jp2_roundtrip,
         "gdal_compare": q_gdal_compare,
         "semdedup": q_semdedup,
@@ -14313,6 +14430,7 @@ JOIN nrm b ON b.vec_id = k.doc_b
         "tile_render_cassini": _o_tile_render_proj(30200, CASSINI_Z),
         "gxf_roundtrip": _o_gxf_roundtrip(),
         "gtiff_industrial": _o_gtiff_industrial(),
+        "gtiff_codec_chunks": _o_gtiff_codec_chunks(),
         "jp2_roundtrip": _o_jp2_roundtrip(),
         "line_locate": _o_line_locate(),
         "line_subline": _o_line_subline(),

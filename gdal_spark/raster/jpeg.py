@@ -197,22 +197,36 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                gray: bool = False) -> bytes:
+    """uint8 (h, w, 3) RGB -> 3-component 4:4:4 stream; with
+    ``gray=True``, uint8 (h, w) -> a single-component (luminance
+    only) baseline stream, the shape the reference's 1-band JPEG
+    writes (frmts/jpeg/jpgdataset.cpp nBands==1 path)."""
+    if gray:
+        if arr.ndim != 2 or arr.dtype != np.uint8:
+            raise ValueError("jpeg codec: gray mode takes uint8 (h, w)")
+        return _encode_jpeg_planes(
+            arr.astype(np.float64)[:, :, None] - 128.0,
+            (_quality_scale(_Q_LUMA, quality),))
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if arr.dtype != np.uint8 or arr.shape[2] != 3:
         raise ValueError("jpeg codec: uint8 RGB only")
-    h, w, _ = arr.shape
     qt = (_quality_scale(_Q_LUMA, quality), _quality_scale(_Q_CHROMA, quality))
+    return _encode_jpeg_planes(_rgb_to_ycbcr(arr) - 128.0, qt)
 
-    ycc = _rgb_to_ycbcr(arr) - 128.0
+
+def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple) -> bytes:
+    # ycc: (h, w, nc) centered float planes; nc == 1 (gray) or 3
+    h, w, nc = ycc.shape
     pad_h = (-h) % 8
     pad_w = (-w) % 8
     if pad_h or pad_w:
         ycc = np.pad(ycc, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
 
     comp_coeffs = []
-    for ci in range(3):
+    for ci in range(nc):
         blocks = _blockify(ycc[:, :, ci])
         dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
         q = qt[0] if ci == 0 else qt[1]
@@ -222,9 +236,9 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     n_blocks = comp_coeffs[0].shape[0]
-    prev_dc = [0, 0, 0]
+    prev_dc = [0] * nc
     for bi in range(n_blocks):
-        for ci in range(3):
+        for ci in range(nc):
             tsel = 0 if ci == 0 else 1
             dc_codes = _ENC_DC[tsel]
             ac_codes = _ENC_AC[tsel]
@@ -264,19 +278,20 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
     for tid, q in enumerate(qt):
         zzq = q.reshape(-1)[_ZZ].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, tq in ((1, 0), (2, 1), (3, 1))[:nc]:
         out += struct.pack("BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
-    for tclass, tid, bits, vals in (
+    huff_pairs = (
         (0, 0, _DC_L_BITS, _DC_L_VALS),
         (1, 0, _AC_L_BITS, _AC_L_VALS),
         (0, 1, _DC_C_BITS, _DC_C_VALS),
         (1, 1, _AC_C_BITS, _AC_C_VALS),
-    ):
+    )[: 2 * min(nc, 2)]
+    for tclass, tid, bits, vals in huff_pairs:
         body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11)):
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11))[:nc]:
         out += struct.pack("BB", cid, tsel)
     out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
     out += bw.buf
@@ -438,4 +453,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         blocks = blocks.reshape(-1, 8, 8) * q
         pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
         planes.append(_unblockify(pix, h8, w8)[:h, :w])
+    if len(planes) == 1:  # single-component (grayscale) stream
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -12,10 +12,14 @@ TIFF Technical Note 3, and the BigTIFF spec — not libtiff source):
 - ``encode_tiff_ext``/``decode_tiff``: the industrial surface —
   both byte orders, BigTIFF (version 43, 8-byte offsets), LZW
   (MSB-first early-change codes), DEFLATE (zlib), PackBits,
-  horizontal predictor 2 and floating-point predictor 3, sample
-  formats u8/i8/u16/i16/u32/i32/f32/f64, multi-strip.
+  new-style JPEG chunks (TechNote 2, tag 7, riding the in-repo
+  T.81 codec), WEBP chunks (libtiff's registered tag 50001, riding
+  the in-repo VP8L codec — lossless), horizontal predictor 2 and
+  floating-point predictor 3, sample formats
+  u8/i8/u16/i16/u32/i32/f32/f64, multi-strip or tiled.
 
-Lossless -> exact pixel parity for every combination.
+Lossless -> exact pixel parity for every combination (JPEG chunks
+are bounded by the JPEG codec's PSNR contract instead).
 """
 
 from __future__ import annotations
@@ -44,6 +48,11 @@ T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = (
 # compression tag values (TIFF 6.0 §7 + the deflate extension)
 C_NONE, C_LZW, C_DEFLATE, C_PACKBITS = 1, 5, 8, 32773
 C_DEFLATE_OLD = 32946  # the pre-standard code libtiff also accepts
+# new-style JPEG (TIFF Technical Note 2) and the registered WEBP code
+# (libtiff COMPRESSION_WEBP; frmts/gtiff supports both as creation
+# options) — each strip/tile holds one complete standalone stream
+C_JPEG, C_WEBP = 7, 50001
+T_YCBCR_SUBSAMPLING = 530
 # GeoTIFF georeferencing tags (frmts/gtiff/gt_wkt_srs.cpp; the
 # published GeoTIFF 1.1 spec)
 T_COLORMAP = 320
@@ -450,22 +459,31 @@ _SF_UNSIGNED, _SF_SIGNED, _SF_FLOAT = 1, 2, 3
 _KIND_SF = {"u": _SF_UNSIGNED, "i": _SF_SIGNED, "f": _SF_FLOAT}
 _SF_KIND = {v: k for k, v in _KIND_SF.items()}
 _COMP_NAME = {"none": C_NONE, "lzw": C_LZW, "deflate": C_DEFLATE,
-              "packbits": C_PACKBITS}
+              "packbits": C_PACKBITS, "jpeg": C_JPEG, "webp": C_WEBP}
 
 
 def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
                     predictor: int = 1, bigtiff: bool = False,
                     big_endian: bool = False,
                     rows_per_strip: int | None = None,
-                    tile: tuple[int, int] | None = None) -> bytes:
+                    tile: tuple[int, int] | None = None,
+                    quality: int = 90) -> bytes:
     """Industrial GTiff writer (gtiffdataset_write.cpp surface;
     kernels from the TIFF 6.0 spec + TechNote 3 + the BigTIFF spec):
-    both byte orders, classic or BigTIFF, none/lzw/deflate/packbits,
-    predictor 1/2 (integer) / 3 (float), any of
-    u8/i8/u16/i16/u32/i32/f32/f64, 1 or 3 chunky samples,
-    multi-strip or tiled (`tile=(tw, th)`, multiples of 16 per §15;
-    edge tiles zero-padded to full size, row-major tile order).
-    Lossless: decode_tiff returns the exact array."""
+    both byte orders, classic or BigTIFF,
+    none/lzw/deflate/packbits/jpeg/webp, predictor 1/2 (integer) /
+    3 (float), any of u8/i8/u16/i16/u32/i32/f32/f64, 1 or 3 chunky
+    samples, multi-strip or tiled (`tile=(tw, th)`, multiples of 16
+    per §15; edge tiles padded to full size by edge replication —
+    lossy codecs ring on hard pad edges — row-major tile order).
+    Codec chunks (TechNote 2 new-style JPEG, tag 7; libtiff's
+    registered WEBP, tag 50001) each hold one complete standalone
+    stream: JPEG is uint8 1/3-band (PhotometricInterpretation 6 +
+    YCbCrSubSampling 1,1 for color — the stream itself carries the
+    color transform, like libtiff's JPEGCOLORMODE_RGB path), WEBP is
+    uint8 3-band VP8L lossless.  Lossless compressions (and webp):
+    decode_tiff returns the exact array; jpeg is bounded by the
+    codec's PSNR contract."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
@@ -476,6 +494,16 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
             kind == "f" and bpp < 4):
         raise ValueError(f"tiff codec: unsupported dtype {arr.dtype}")
     comp = _COMP_NAME[compression]
+    codec_chunks = comp in (C_JPEG, C_WEBP)
+    if codec_chunks:
+        if arr.dtype != np.uint8:
+            raise ValueError(
+                f"tiff codec: {compression} compression is uint8-only")
+        if predictor != 1:
+            raise ValueError(
+                f"tiff codec: {compression} takes no predictor")
+        if comp == C_WEBP and c != 3:
+            raise ValueError("tiff codec: webp compression needs 3 samples")
     if predictor == 2 and kind == "f":
         raise ValueError("tiff codec: predictor 2 is integer-only")
     if predictor == 3 and kind != "f":
@@ -484,13 +512,24 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
     rps = h if rows_per_strip is None else max(1, int(rows_per_strip))
     file_dtype = np.dtype(f"{kind}{bpp}").newbyteorder(en)
 
-    def chunk_bytes(block):
-        # block: (rows, row_samples) in native order
+    def chunk_payload(block):
+        # block: (rows, cols, c) native-order sub-image
+        if comp == C_JPEG:
+            from gdal_spark.raster.jpeg import encode_jpeg
+            return (encode_jpeg(block[:, :, 0], quality, gray=True)
+                    if c == 1 else encode_jpeg(block, quality))
+        if comp == C_WEBP:
+            from gdal_spark.raster.webp import encode_webp_lossless
+            return encode_webp_lossless(block)
+        rows = block.shape[0]
+        flat = np.ascontiguousarray(block).reshape(rows, -1)
         if predictor == 2:
-            return _predict2_encode(block, c).astype(file_dtype).tobytes()
-        if predictor == 3:
-            return _predict3_encode(block, c)
-        return block.astype(file_dtype).tobytes()
+            raw = _predict2_encode(flat, c).astype(file_dtype).tobytes()
+        elif predictor == 3:
+            raw = _predict3_encode(flat, c)
+        else:
+            raw = flat.astype(file_dtype).tobytes()
+        return _compress(raw, comp)
 
     strips = []
     if tile is not None:
@@ -500,16 +539,17 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
                              "multiples of 16 (TIFF 6.0 §15)")
         for ty0 in range(0, h, th):
             for tx0 in range(0, w, tw):
-                pad = np.zeros((th, tw, c), dtype=arr.dtype)
                 sub = arr[ty0:ty0 + th, tx0:tx0 + tw]
-                pad[:sub.shape[0], :sub.shape[1]] = sub
-                strips.append(_compress(
-                    chunk_bytes(pad.reshape(th, tw * c)), comp))
+                pad = np.pad(
+                    sub,
+                    ((0, th - sub.shape[0]), (0, tw - sub.shape[1]),
+                     (0, 0)),
+                    mode="edge")
+                strips.append(chunk_payload(pad))
     else:
         for r0 in range(0, h, rps):
-            block = np.ascontiguousarray(
-                arr[r0:r0 + rps]).reshape(-1, w * c)
-            strips.append(_compress(chunk_bytes(block), comp))
+            strips.append(chunk_payload(
+                np.ascontiguousarray(arr[r0:r0 + rps])))
 
     hdr_len = 16 if bigtiff else 8
     offs, pos = [], hdr_len
@@ -520,15 +560,20 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
 
     SHORT, LONG, LONG8 = 3, 4, 16
     off_typ = LONG8 if bigtiff else LONG
+    photo = 2 if c == 3 else 1
+    if comp == C_JPEG and c == 3:
+        photo = 6  # the stream carries the YCbCr transform
     entries = [
         (T_WIDTH, LONG, [w]),
         (T_HEIGHT, LONG, [h]),
         (T_BPS, SHORT, [bpp * 8] * c),
         (T_COMPRESSION, SHORT, [comp]),
-        (T_PHOTO, SHORT, [2 if c == 3 else 1]),
+        (T_PHOTO, SHORT, [photo]),
         (T_SPP, SHORT, [c]),
         (T_PLANAR, SHORT, [1]),
     ]
+    if photo == 6:
+        entries.append((T_YCBCR_SUBSAMPLING, SHORT, [1, 1]))
     if tile is not None:
         entries += [
             (T_TILE_WIDTH, LONG, [tile[0]]),
@@ -608,6 +653,21 @@ def decode_tiff(data: bytes) -> np.ndarray:
     dt = np.dtype(f"{kind}{bpp}").newbyteorder(en)
 
     def decode_chunk(blob, rows, row_samples):
+        if comp in (C_JPEG, C_WEBP):
+            cols = row_samples // c
+            if comp == C_JPEG:
+                from gdal_spark.raster.jpeg import decode_jpeg
+                img = decode_jpeg(blob)
+            else:
+                from gdal_spark.raster.webp import decode_webp
+                img = decode_webp(blob)[:, :, :3]
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[0] < rows or img.shape[1] < cols or (
+                    img.shape[2] != c):
+                raise ValueError(
+                    "tiff codec: codec chunk dims do not match layout")
+            return img[:rows, :cols].reshape(rows, row_samples)
         raw = _decompress(blob, comp, rows * row_samples * bpp)
         if len(raw) < rows * row_samples * bpp:
             raise ValueError("tiff codec: short strip/tile")

@@ -140,3 +140,73 @@ def test_roundtrip_property(dt, comp, h, w, c, rps):
                                       rows_per_strip=rps))
     assert out.tobytes() == a.astype(out.dtype).tobytes()
     assert out.shape == a.shape
+
+
+def _tri(v):
+    # triangle wave: smooth everywhere (max slope 1/px) so JPEG's
+    # quality-90 quantization stays comfortably above the PSNR bar
+    return np.abs((v % 510) - 255).astype(np.uint8)
+
+
+def _smooth_rgb(h, w, phase=0):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([_tri(x + y + phase), _tri(x + y + phase + 85),
+                     _tri(x + y + phase + 170)], axis=2)
+
+
+@pytest.mark.parametrize("kw", [dict(rows_per_strip=16),
+                                dict(tile=(48, 32)),
+                                dict(tile=(64, 48), bigtiff=True,
+                                     big_endian=True)])
+def test_webp_chunks_pixel_exact(kw):
+    # WEBP chunks (tag 50001) are VP8L lossless: exact roundtrip,
+    # including non-dividing tile grids (edge replication cropped off)
+    a = RNG.integers(0, 256, (53, 37, 3), endpoint=False).astype(np.uint8)
+    out = decode_tiff(encode_tiff_ext(a, compression="webp", **kw))
+    assert out.shape == a.shape and np.array_equal(out, a)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("kw", [dict(rows_per_strip=32),
+                                dict(tile=(48, 32)),
+                                dict(tile=(64, 48), big_endian=True)])
+def test_jpeg_chunks_rgb_psnr(kw):
+    a = _smooth_rgb(112, 120, phase=7)
+    out = decode_tiff(encode_tiff_ext(a, compression="jpeg", **kw))
+    assert out.shape == a.shape and _psnr(out, a) >= 45.0
+
+
+def test_jpeg_chunks_gray_psnr():
+    x, y = np.meshgrid(np.arange(120), np.arange(112))
+    a = _tri(x + y + 3)
+    for kw in (dict(rows_per_strip=16), dict(tile=(64, 48))):
+        out = decode_tiff(encode_tiff_ext(a, compression="jpeg", **kw))
+        assert out.shape == a.shape and _psnr(out, a) >= 45.0
+
+
+def test_codec_chunk_validation():
+    g8 = np.zeros((16, 16), np.uint8)
+    with pytest.raises(ValueError, match="3 samples"):
+        encode_tiff_ext(g8, compression="webp")
+    with pytest.raises(ValueError, match="uint8-only"):
+        encode_tiff_ext(g8.astype(np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="no predictor"):
+        encode_tiff_ext(g8, compression="jpeg", predictor=2)
+
+
+def test_gray_jpeg_stream_is_single_component():
+    # the TIFF layer's SPP=1 contract depends on the 1-component
+    # stream shape (jpgdataset.cpp nBands==1 path)
+    from gdal_spark.raster.jpeg import decode_jpeg, encode_jpeg
+    a = _tri(np.arange(40)[None, :] + np.arange(24)[:, None])
+    blob = encode_jpeg(a, gray=True)
+    out = decode_jpeg(blob)
+    assert out.ndim == 2 and out.shape == a.shape
+    assert _psnr(out, a) >= 45.0
+    # SOF0 component count byte: 8 bytes into the SOF payload
+    sof = blob.index(b"\xff\xc0")
+    assert blob[sof + 9] == 1
