@@ -7,9 +7,15 @@ written BEFORE any pixel data — the cloud-optimized property: a
 reader learns the complete layout from one header-range request —
 followed by the tile payloads, full-res tiles last (overviews first
 mirrors the reference's leader layout so small zoomed-out reads stay
-in the file head). Pixels are stored as 256x256 uncompressed
-interleaved RGB tiles (TileWidth/TileLength/TileOffsets/
-TileByteCounts), edge tiles padded to full size per the TIFF6 spec.
+in the file head). Pixels are stored as 256x256 interleaved RGB
+tiles (TileWidth/TileLength/TileOffsets/TileByteCounts), edge tiles
+padded to full size (edge replication) per the TIFF6 spec.
+
+Compression mirrors the reference's COG creation options
+(cogdriver.cpp COMPRESS=): none, LZW, DEFLATE (exact roundtrips),
+WEBP (VP8L lossless chunks, exact), JPEG (TechNote-2 chunks, bounded
+by the JPEG codec's PSNR contract) — each tile one payload through
+the same kernels as raster/tiff.py.
 
 decode_cog reads the structure back (all IFDs), which is how the
 oracle closes the loop: encode -> decode -> per-level checksums must
@@ -19,6 +25,7 @@ match the closed-form pixel formulas.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -45,31 +52,83 @@ _DOUBLE = 12
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_GEOKEYS = 33550, 33922, 34735
 
 
-def _tiles_of(arr: np.ndarray) -> list[bytes]:
+# COG creation-option compression codes (shared with raster/tiff.py)
+_COG_COMP = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8,
+             "webp": 50001}
+_T_YCBCR_SUB = 530
+
+
+def _encode_tile(tile: np.ndarray, comp: str, quality: int) -> bytes:
+    if comp == "none":
+        return tile.tobytes()
+    if comp == "deflate":
+        return zlib.compress(tile.tobytes())
+    if comp == "lzw":
+        from gdal_spark.raster.tiff import _lzw_encode
+        return _lzw_encode(tile.tobytes())
+    if comp == "webp":
+        from gdal_spark.raster.webp import encode_webp_lossless
+        return encode_webp_lossless(tile)
+    if comp == "jpeg":
+        from gdal_spark.raster.jpeg import encode_jpeg
+        return encode_jpeg(tile, quality)
+    raise ValueError(f"cog: unsupported compression {comp!r}")
+
+
+def _decode_tile(blob: bytes, comp_code: int) -> np.ndarray:
+    if comp_code == 1:
+        return np.frombuffer(blob, np.uint8).reshape(TILE, TILE, 3)
+    if comp_code == 8:
+        return np.frombuffer(zlib.decompress(blob), np.uint8).reshape(
+            TILE, TILE, 3)
+    if comp_code == 5:
+        from gdal_spark.raster.tiff import _lzw_decode
+        return np.frombuffer(
+            _lzw_decode(blob, expected=TILE * TILE * 3), np.uint8
+        ).reshape(TILE, TILE, 3)
+    if comp_code == 50001:
+        from gdal_spark.raster.webp import decode_webp
+        return decode_webp(blob)[:, :, :3]
+    if comp_code == 7:
+        from gdal_spark.raster.jpeg import decode_jpeg
+        return decode_jpeg(blob)
+    raise ValueError(f"cog: unsupported compression tag {comp_code}")
+
+
+def _tiles_of(arr: np.ndarray, comp: str = "none",
+              quality: int = 90) -> list[bytes]:
     h, w, _ = arr.shape
     out = []
     for ty in range(0, h, TILE):
         for tx in range(0, w, TILE):
-            tile = np.zeros((TILE, TILE, 3), dtype=np.uint8)
             sub = arr[ty : ty + TILE, tx : tx + TILE]
-            tile[: sub.shape[0], : sub.shape[1]] = sub
-            out.append(tile.tobytes())
+            # edge replication: lossy codecs ring on hard pad edges;
+            # the decoded crop is unaffected for lossless
+            tile = np.pad(
+                sub,
+                ((0, TILE - sub.shape[0]), (0, TILE - sub.shape[1]),
+                 (0, 0)),
+                mode="edge")
+            out.append(_encode_tile(tile, comp, quality))
     return out
 
 
-def encode_cog(levels: list[np.ndarray], geo: tuple | None = None) -> bytes:
+def encode_cog(levels: list[np.ndarray], geo: tuple | None = None,
+               compression: str = "none", quality: int = 90) -> bytes:
     """levels[0] = full resolution (H, W, 3) uint8; levels[1:] =
     overviews, coarsest last. -> COG-layout TIFF bytes.  geo =
     (gdal 6-term geotransform, epsg) stamps IFD0 with the GeoTIFF
     scale/tiepoint/GeoKey tags (raster/tiff.py semantics;
-    raster.tiff.read_georef reads them back)."""
+    raster.tiff.read_georef reads them back).  compression mirrors
+    the reference COG driver's COMPRESS= creation option."""
     if geo is not None and (geo[0][2] != 0.0 or geo[0][4] != 0.0):
         raise ValueError("cog: rotated geotransforms unsupported")
+    comp_code = _COG_COMP[compression]
     ifds: list[dict] = []
     all_tiles: list[list[bytes]] = []
     for lvl, arr in enumerate(levels):
         assert arr.ndim == 3 and arr.shape[2] == 3 and arr.dtype == np.uint8
-        all_tiles.append(_tiles_of(arr))
+        all_tiles.append(_tiles_of(arr, compression, quality))
         ifds.append({"h": arr.shape[0], "w": arr.shape[1], "lvl": lvl})
 
     def ifd_entries(meta, n_tiles):
@@ -78,8 +137,9 @@ def encode_cog(levels: list[np.ndarray], geo: tuple | None = None) -> bytes:
             (_T_WIDTH, _LONG, 1, meta["w"]),
             (_T_HEIGHT, _LONG, 1, meta["h"]),
             (_T_BPS, _SHORT, 3, None),       # external when count > 2
-            (_T_COMPRESSION, _SHORT, 1, 1),
-            (_T_PHOTO, _SHORT, 1, 2),        # RGB
+            (_T_COMPRESSION, _SHORT, 1, comp_code),
+            # JPEG chunks carry the YCbCr transform in-stream
+            (_T_PHOTO, _SHORT, 1, 6 if compression == "jpeg" else 2),
             (_T_SPP, _SHORT, 1, 3),
             (_T_PLANAR, _SHORT, 1, 1),
             (_T_TILE_W, _LONG, 1, TILE),
@@ -87,6 +147,9 @@ def encode_cog(levels: list[np.ndarray], geo: tuple | None = None) -> bytes:
             (_T_TILE_OFFSETS, _LONG, n_tiles, None),
             (_T_TILE_COUNTS, _LONG, n_tiles, None),
         ]
+        if compression == "jpeg":
+            # two inline SHORTs: 1,1 (no subsampling)
+            e.append((_T_YCBCR_SUB, _SHORT, 2, 0x00010001))
         if geo is not None and meta["lvl"] == 0:
             e += [
                 (_T_PIXEL_SCALE, _DOUBLE, 3, None),
@@ -202,12 +265,17 @@ def decode_cog(buf: bytes) -> list[np.ndarray]:
         (ifd_off_next,) = struct.unpack_from("<I", buf, ifd_off + 2 + 12 * n)
         h = tags[_T_HEIGHT][2]
         w = tags[_T_WIDTH][2]
+        comp_code = tags.get(_T_COMPRESSION, (0, 1, 1))[2]
         n_tiles = tags[_T_TILE_OFFSETS][1]
         if n_tiles == 1:
             offsets = [tags[_T_TILE_OFFSETS][2]]
+            counts = [tags[_T_TILE_COUNTS][2]]
         else:
             offsets = list(
                 struct.unpack_from(f"<{n_tiles}I", buf, tags[_T_TILE_OFFSETS][2])
+            )
+            counts = list(
+                struct.unpack_from(f"<{n_tiles}I", buf, tags[_T_TILE_COUNTS][2])
             )
             max_meta_end = max(max_meta_end, tags[_T_TILE_OFFSETS][2] + 4 * n_tiles)
         max_meta_end = max(max_meta_end, ifd_off + 2 + 12 * n + 4)
@@ -215,11 +283,9 @@ def decode_cog(buf: bytes) -> list[np.ndarray]:
         arr = np.zeros((((h + TILE - 1) // TILE) * TILE,
                         ((w + TILE - 1) // TILE) * TILE, 3), dtype=np.uint8)
         tpr = (w + TILE - 1) // TILE
-        for ti, off in enumerate(offsets):
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(ti, tpr)
-            tile = np.frombuffer(buf, np.uint8, TILE * TILE * 3, off).reshape(
-                TILE, TILE, 3
-            )
+            tile = _decode_tile(buf[off : off + cnt], comp_code)
             arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE] = tile
         levels.append(arr[:h, :w])
         ifd_off = ifd_off_next

@@ -90,3 +90,38 @@ def test_edit_georef_in_place():
         edit_georef(plain, geotransform=new)
     with _pt.raises(ValueError, match="north-up"):
         edit_georef(buf, geotransform=(0, 1, 0.1, 0, 0, -1))
+
+
+def test_cog_compressed_roundtrips():
+    # COMPRESS= creation options: lossless codecs exact, layout
+    # property (metadata before data) preserved, georef intact
+    import numpy as np
+
+    from gdal_spark.raster.cog import decode_cog, encode_cog
+    from gdal_spark.raster.tiff import read_georef
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (270, 300, 3), endpoint=False).astype(
+        np.uint8)
+    ov = base[::2, ::2].copy()
+    gt = (10.0, 1.0, 0.0, 20.0, 0.0, -1.0)
+    for comp in ("lzw", "deflate", "webp"):
+        buf = encode_cog([base, ov], geo=(gt, 32631), compression=comp)
+        lv = decode_cog(buf)
+        assert len(lv) == 2
+        assert np.array_equal(lv[0], base) and np.array_equal(lv[1], ov)
+        assert read_georef(buf) == (gt, 32631)
+
+
+def test_cog_jpeg_psnr():
+    import numpy as np
+
+    from gdal_spark.raster.cog import decode_cog, encode_cog
+
+    x, y = np.meshgrid(np.arange(300), np.arange(270))
+    sm = np.stack(
+        [np.abs(((x + y + p) % 510) - 255) for p in (0, 85, 170)],
+        axis=-1).astype(np.uint8)
+    lv = decode_cog(encode_cog([sm], compression="jpeg"))
+    mse = np.mean((lv[0].astype(np.float64) - sm) ** 2)
+    assert 10 * np.log10(255.0 ** 2 / mse) >= 45.0
