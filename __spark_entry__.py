@@ -5375,12 +5375,17 @@ def q_gtiff_codec_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tri_rgb = np.stack(
                     [np.abs(((xg + yg + int(i) + p) % 510) - 255)
                      for p in (0, 85, 170)], axis=-1).astype(np.uint8)
+                rgba = np.dstack(
+                    [arr, ((xg + yg + int(i) + 51) % 256).astype(
+                        np.uint8)])
                 for fmt, enc_arr, kw in (
                     ("webp_strips",
                      arr, dict(compression="webp", rows_per_strip=16)),
                     ("webp_tiled_mm",
                      arr, dict(compression="webp", tile=(48, 32),
                                bigtiff=True, big_endian=True)),
+                    ("webp_rgba_tiled",
+                     rgba, dict(compression="webp", tile=(64, 48))),
                     ("jpeg_rgb_tiled",
                      tri_rgb, dict(compression="jpeg", tile=(48, 32))),
                     ("jpeg_gray_strips",
@@ -5430,6 +5435,7 @@ SELECT e.image_id, f.fmt,
   TRUE AS psnr_ok
 FROM exact e
 CROSS JOIN (VALUES ('webp_strips'), ('webp_tiled_mm'),
+                   ('webp_rgba_tiled'),
                    ('jpeg_rgb_tiled'), ('jpeg_gray_strips')) AS f(fmt)
 """
 

@@ -41,6 +41,8 @@ T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS, T_PLANAR = (
     284,
 )
 T_PREDICTOR, T_SAMPLEFORMAT = 317, 339
+T_EXTRASAMPLES = 338  # 2 = unassociated alpha (the reference's
+# ALPHA=YES creation default, gtiffdataset_write.cpp)
 # tiled layout (TIFF 6.0 §15)
 T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_COUNTS = (
     322, 323, 324, 325,
@@ -487,7 +489,7 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    if c not in (1, 3):
+    if c not in (1, 3, 4):
         raise ValueError(f"tiff codec: unsupported channel count {c}")
     kind, bpp = arr.dtype.kind, arr.dtype.itemsize
     if kind not in _KIND_SF or bpp not in (1, 2, 4, 8) or (
@@ -502,8 +504,11 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
         if predictor != 1:
             raise ValueError(
                 f"tiff codec: {compression} takes no predictor")
-        if comp == C_WEBP and c != 3:
-            raise ValueError("tiff codec: webp compression needs 3 samples")
+        if comp == C_WEBP and c not in (3, 4):
+            raise ValueError(
+                "tiff codec: webp compression needs 3 or 4 samples")
+        if comp == C_JPEG and c == 4:
+            raise ValueError("tiff codec: jpeg chunks carry no alpha")
     if predictor == 2 and kind == "f":
         raise ValueError("tiff codec: predictor 2 is integer-only")
     if predictor == 3 and kind != "f":
@@ -520,7 +525,7 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
                     if c == 1 else encode_jpeg(block, quality))
         if comp == C_WEBP:
             from gdal_spark.raster.webp import encode_webp_lossless
-            return encode_webp_lossless(block)
+            return encode_webp_lossless(block)  # 3- or 4-channel
         rows = block.shape[0]
         flat = np.ascontiguousarray(block).reshape(rows, -1)
         if predictor == 2:
@@ -560,7 +565,7 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
 
     SHORT, LONG, LONG8 = 3, 4, 16
     off_typ = LONG8 if bigtiff else LONG
-    photo = 2 if c == 3 else 1
+    photo = 2 if c >= 3 else 1
     if comp == C_JPEG and c == 3:
         photo = 6  # the stream carries the YCbCr transform
     entries = [
@@ -574,6 +579,8 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
     ]
     if photo == 6:
         entries.append((T_YCBCR_SUBSAMPLING, SHORT, [1, 1]))
+    if c == 4:
+        entries.append((T_EXTRASAMPLES, SHORT, [2]))  # unassoc alpha
     if tile is not None:
         entries += [
             (T_TILE_WIDTH, LONG, [tile[0]]),
@@ -660,7 +667,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 img = decode_jpeg(blob)
             else:
                 from gdal_spark.raster.webp import decode_webp
-                img = decode_webp(blob)[:, :, :3]
+                img = decode_webp(blob)[:, :, :c]
             if img.ndim == 2:
                 img = img[:, :, None]
             if img.shape[0] < rows or img.shape[1] < cols or (

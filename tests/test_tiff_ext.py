@@ -190,7 +190,7 @@ def test_jpeg_chunks_gray_psnr():
 
 def test_codec_chunk_validation():
     g8 = np.zeros((16, 16), np.uint8)
-    with pytest.raises(ValueError, match="3 samples"):
+    with pytest.raises(ValueError, match="3 or 4 samples"):
         encode_tiff_ext(g8, compression="webp")
     with pytest.raises(ValueError, match="uint8-only"):
         encode_tiff_ext(g8.astype(np.uint16), compression="jpeg")
@@ -210,3 +210,26 @@ def test_gray_jpeg_stream_is_single_component():
     # SOF0 component count byte: 8 bytes into the SOF payload
     sof = blob.index(b"\xff\xc0")
     assert blob[sof + 9] == 1
+
+
+@pytest.mark.parametrize("kw", [dict(compression="deflate", predictor=2,
+                                     rows_per_strip=16),
+                                dict(compression="webp", tile=(48, 32)),
+                                dict(compression="lzw", big_endian=True,
+                                     bigtiff=True)])
+def test_rgba_roundtrip(kw):
+    # 4-sample chunky RGBA (ExtraSamples=2, the reference's ALPHA=YES
+    # default) — exact through classic kernels and VP8L chunks
+    a = RNG.integers(0, 256, (53, 37, 4), endpoint=False).astype(np.uint8)
+    out = decode_tiff(encode_tiff_ext(a, **kw))
+    assert out.shape == a.shape and np.array_equal(out, a)
+
+
+def test_rgba_u16_and_jpeg_rejection():
+    a16 = RNG.integers(0, 65536, (40, 30, 4), endpoint=False).astype(
+        np.uint16)
+    out = decode_tiff(encode_tiff_ext(a16, compression="lzw", predictor=2))
+    assert np.array_equal(out, a16)
+    with pytest.raises(ValueError, match="no alpha"):
+        encode_tiff_ext(np.zeros((16, 16, 4), np.uint8),
+                        compression="jpeg")
