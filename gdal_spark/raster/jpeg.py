@@ -198,26 +198,31 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                gray: bool = False) -> bytes:
+                gray: bool = False, restart_interval: int = 0) -> bytes:
     """uint8 (h, w, 3) RGB -> 3-component 4:4:4 stream; with
     ``gray=True``, uint8 (h, w) -> a single-component (luminance
     only) baseline stream, the shape the reference's 1-band JPEG
-    writes (frmts/jpeg/jpgdataset.cpp nBands==1 path)."""
+    writes (frmts/jpeg/jpgdataset.cpp nBands==1 path).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (T.81 §B.2.4.4/E.1.4 — the layout cameras'
+    MJPEG streams and error-resilient encoders produce)."""
     if gray:
         if arr.ndim != 2 or arr.dtype != np.uint8:
             raise ValueError("jpeg codec: gray mode takes uint8 (h, w)")
         return _encode_jpeg_planes(
             arr.astype(np.float64)[:, :, None] - 128.0,
-            (_quality_scale(_Q_LUMA, quality),))
+            (_quality_scale(_Q_LUMA, quality),), restart_interval)
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if arr.dtype != np.uint8 or arr.shape[2] != 3:
         raise ValueError("jpeg codec: uint8 RGB only")
     qt = (_quality_scale(_Q_LUMA, quality), _quality_scale(_Q_CHROMA, quality))
-    return _encode_jpeg_planes(_rgb_to_ycbcr(arr) - 128.0, qt)
+    return _encode_jpeg_planes(_rgb_to_ycbcr(arr) - 128.0, qt,
+                               restart_interval)
 
 
-def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple) -> bytes:
+def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple,
+                        restart_interval: int = 0) -> bytes:
     # ycc: (h, w, nc) centered float planes; nc == 1 (gray) or 3
     h, w, nc = ycc.shape
     pad_h = (-h) % 8
@@ -237,7 +242,15 @@ def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple) -> bytes:
     bw = _BitWriter()
     n_blocks = comp_coeffs[0].shape[0]
     prev_dc = [0] * nc
+    rst_n = 0
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align (pad 1s), then the raw marker — markers are
+            # never byte-stuffed (T.81 §B.1.1.2)
+            bw.flush()
+            bw.buf += bytes((0xFF, 0xD0 + rst_n))
+            rst_n = (rst_n + 1) & 7
+            prev_dc = [0] * nc
         for ci in range(nc):
             tsel = 0 if ci == 0 else 1
             dc_codes = _ENC_DC[tsel]
@@ -290,6 +303,8 @@ def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple) -> bytes:
     for tclass, tid, bits, vals in huff_pairs:
         body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for cid, tsel in ((1, 0x00), (2, 0x11), (3, 0x11))[:nc]:
         out += struct.pack("BB", cid, tsel)
@@ -368,6 +383,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps = []  # (cid, tq)
     scan_sel = {}  # cid -> (dc_tid, ac_tid)
     scan_order = []
+    restart_interval = 0
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg codec: marker expected")
@@ -404,6 +420,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[bpos + 17 : bpos + 17 + nvals])
                 htables[(tc_th >> 4, tc_th & 0xF)] = _build_decode_table(bits, vals)
                 bpos += 17 + nvals
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             for si in range(ns):
@@ -424,6 +442,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     br = _BitReader(data[pos:])
     prev_dc = {cid: 0 for cid, _ in comps}
     for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align, consume the RSTn marker, reset predictors
+            # (T.81 §E.2.4; markers are never stuffed so they survive
+            # the reader's up-front destuffing untouched)
+            br.bitpos = (br.bitpos + 7) & ~7
+            byte = br.bitpos // 8
+            if not (br.data[byte] == 0xFF
+                    and 0xD0 <= br.data[byte + 1] <= 0xD7):
+                raise ValueError("jpeg codec: missing restart marker")
+            br.bitpos += 16
+            prev_dc = {cid: 0 for cid, _ in comps}
         for cid in scan_order:
             dc_t = htables[(0, scan_sel[cid][0])]
             ac_t = htables[(1, scan_sel[cid][1])]

@@ -82,3 +82,33 @@ def test_nearblack_near_white():
     img[:, -2:] = 250
     m = nearblack_mask(img, near_dist=15, near_white=True)
     assert m[:, -2:].all() and not m[:, :4].any()
+
+
+def test_jpeg_restart_markers_bit_exact():
+    # DRI/RSTn (T.81 §B.2.4.4/E.2.4): restart layout must not change
+    # a single decoded pixel vs the plain stream, for color and gray,
+    # across interval edge cases (1 = marker between every MCU)
+    import numpy as np
+
+    from gdal_spark.raster.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(88), np.arange(72))
+    rgb = np.stack(
+        [np.abs(((x + y + p) % 510) - 255) for p in (0, 85, 170)],
+        axis=2).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(rgb))
+    for ri in (1, 3, 8, 99):
+        withr = decode_jpeg(encode_jpeg(rgb, restart_interval=ri))
+        assert np.array_equal(withr, plain)
+    g = np.abs(((x + y) % 510) - 255).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, gray=True, restart_interval=4)),
+        decode_jpeg(encode_jpeg(g, gray=True)))
+    # a clobbered marker is a loud error, not silent garbage
+    blob = bytearray(encode_jpeg(rgb, restart_interval=4))
+    idx = blob.find(b"\xff\xd0", 600)
+    blob[idx + 1] = 0x00
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        decode_jpeg(bytes(blob))
