@@ -3750,6 +3750,100 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_interlaced_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interlaced raster IO (round 5): PNG Adam7 (spec §8.2 seven-pass
+    grid; frmts/png/pngdataset.cpp reads interlaced via libpng) for
+    8-bit RGB and 16-bit gray, plus GIF 4-pass row interlace
+    (frmts/gif). Each variant encodes the pixel rule through REAL
+    interlaced bytes, decodes back, and per-band checksums match the
+    same closed form as the progressive-free layouts — interlacing is
+    a pure reordering, so outputs must be bit-identical."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 109)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.gif import decode_gif_rgb, encode_gif_rgb
+        from gdal_spark.raster.png import decode_png, encode_png
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                outs = {}
+                outs["png_adam7"] = decode_png(
+                    encode_png(arr, interlace=True))
+                u16 = arr[:, :, 0].astype(np.uint16) * 257
+                outs["png16_adam7"] = (
+                    decode_png(encode_png(u16, interlace=True)) >> 8
+                ).astype(np.uint8)[:, :, None]
+                outs["gif_ilace"] = decode_gif_rgb(
+                    encode_gif_rgb(arr, interlace=True))
+                for fmt, out in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_interlaced_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 109)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES ('png_adam7', 3), ('png16_adam7', 1),
+                        ('gif_ilace', 3)) AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, fb.fmt, fb.band,
+    (gx.x + gy.y + i.i + fb.phase) % 256 AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum
+FROM px GROUP BY image_id, fmt, band
+"""
+
+
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
     layout; g2clib compack/comunpack + enc_png/dec_png semantics):
@@ -12195,6 +12289,7 @@ _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
+    "interlaced_roundtrip",
     "geodesic_ellipsoid", "hdf5_roundtrip", "netcdf4_roundtrip",
     "db_scan", "surface_roundtrip", "rat",
     # judge-verified in r4's VERDICT spot-check, still no driver row
@@ -12335,6 +12430,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sozip_roundtrip": q_sozip_roundtrip,
         "osm_roundtrip": q_osm_roundtrip,
         "flat_raster_roundtrip": q_flat_raster_roundtrip,
+        "interlaced_roundtrip": q_interlaced_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -14586,6 +14682,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "sozip_roundtrip": _o_shp_roundtrip(),  # same output contract
         "osm_roundtrip": _o_shp_roundtrip(),  # same output contract
         "flat_raster_roundtrip": _o_flat_raster_roundtrip(),
+        "interlaced_roundtrip": _o_interlaced_roundtrip(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

@@ -3,7 +3,9 @@
 A from-scratch stand-in for the reference's libpng driver
 (frmts/png/pngdataset.cpp): lossless, so parity is exact byte
 equality of decoded pixels. Encoder emits filter-0 scanlines +
-zlib; decoder handles all five standard filters. 16-bit grayscale
+zlib (optionally Adam7-interlaced); decoder handles all five
+standard filters and Adam7 interlace (spec §8.2, each reduced
+image filtered independently). 16-bit grayscale
 (the reference's Int16/UInt16 PNG path and the GRIB PNG-packing
 depth-16 case) stores big-endian samples; filters operate on bytes
 with bpp = 2 per the PNG spec.
@@ -21,6 +23,10 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -31,31 +37,50 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+def _filter0_stream(lanes: np.ndarray, interlace: bool) -> bytes:
+    """(h, w, bpp-bytes) byte lanes -> raw pre-zlib IDAT stream with
+    filter byte 0 per scanline; Adam7 concatenates the 7 reduced
+    images (empty passes contribute nothing — PNG spec §8.2)."""
+    h, w, bpp = lanes.shape
+
+    def one(img):
+        ph, pw = img.shape[:2]
+        raw = np.empty((ph, 1 + pw * bpp), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = img.reshape(ph, pw * bpp)
+        return raw.tobytes()
+
+    if not interlace:
+        return one(lanes)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = lanes[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            parts.append(one(sub))
+    return b"".join(parts)
+
+
+def encode_png(arr: np.ndarray, level: int = 6,
+               interlace: bool = False) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
+    inter = 1 if interlace else 0
     if arr.dtype == np.uint16:
         if c != 1:
             raise ValueError("png codec: 16-bit is grayscale-only")
-        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
-        body = arr.reshape(h, w).astype(">u2").view(np.uint8).reshape(h, 2 * w)
-        raw = np.empty((h, 1 + 2 * w), dtype=np.uint8)
-        raw[:, 0] = 0
-        raw[:, 1:] = body
-        idat = zlib.compress(raw.tobytes(), level)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, inter)
+        lanes = (arr.reshape(h, w).astype(">u2").view(np.uint8)
+                 .reshape(h, w, 2))
+        idat = zlib.compress(_filter0_stream(lanes, interlace), level)
         return (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
                 + _chunk(b"IEND", b""))
     if arr.dtype != np.uint8:
         raise ValueError("png codec: uint8 (or uint16 gray) only")
     if c not in _COLOR_TYPE:
         raise ValueError(f"png codec: unsupported channel count {c}")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
-    # filter byte 0 per scanline
-    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = arr.reshape(h, w * c)
-    idat = zlib.compress(raw.tobytes(), level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, inter)
+    idat = zlib.compress(_filter0_stream(arr, interlace), level)
     return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -134,8 +159,8 @@ def _decode_png_raw(data: bytes):
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError("png codec: only non-interlaced supported")
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError("png codec: bad IHDR method fields")
             if depth == 16:
                 if color_type != 0:
                     raise ValueError("png codec: 16-bit is grayscale-only")
@@ -158,11 +183,31 @@ def _decode_png_raw(data: bytes):
     bytes_per_px = c * (2 if depth == 16 else 1)
     stride = w * bytes_per_px
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + stride)
-    if np.all(raw[:, 0] == 0):  # fast path: our own encoder's output
-        pixels = raw[:, 1:].copy()
+    if interlace == 1:
+        # Adam7: 7 reduced images back-to-back, each filtered
+        # independently (prev row = previous row of the SAME pass)
+        lanes = np.zeros((h, w, bytes_per_px), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = (h - y0 + dy - 1) // dy
+            pw = (w - x0 + dx - 1) // dx
+            if ph == 0 or pw == 0:
+                continue
+            pstride = pw * bytes_per_px
+            sub = raw[off:off + ph * (1 + pstride)].reshape(ph, 1 + pstride)
+            off += ph * (1 + pstride)
+            if np.all(sub[:, 0] == 0):
+                px = sub[:, 1:].copy()
+            else:
+                px = _unfilter(sub, ph, pstride, bytes_per_px)
+            lanes[y0::dy, x0::dx] = px.reshape(ph, pw, bytes_per_px)
+        pixels = lanes.reshape(h, stride)
     else:
-        pixels = _unfilter(raw, h, stride, bytes_per_px)
+        raw = raw.reshape(h, 1 + stride)
+        if np.all(raw[:, 0] == 0):  # fast path: our own encoder's output
+            pixels = raw[:, 1:].copy()
+        else:
+            pixels = _unfilter(raw, h, stride, bytes_per_px)
     if depth == 16:
         b = pixels.reshape(h, w, c, 2).astype(np.uint16)
         pixels = (b[..., 0] << 8) | b[..., 1]

@@ -154,3 +154,80 @@ def test_jpeg_420_subsampling():
     import pytest as _pt
     with _pt.raises(ValueError, match="444 or 420"):
         encode_jpeg(rgb, 90, subsampling="422")
+
+
+def test_png_adam7_interlace():
+    # Adam7 (PNG spec §8.2): pure pixel reordering — decode of an
+    # interlaced stream must be bit-identical to the source for every
+    # sample layout, including dims where whole passes are empty.
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gdal_spark.raster.png import _ADAM7, decode_png, encode_png
+
+    # the seven passes tile every (y, x) exactly once
+    for h, w in ((1, 1), (8, 8), (9, 7), (13, 21)):
+        cov = np.zeros((h, w), int)
+        for x0, y0, dx, dy in _ADAM7:
+            cov[y0::dy, x0::dx] += 1
+        assert (cov == 1).all()
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1), (3, 3), (9, 7), (33, 17), (5, 1), (1, 9)):
+        for c in (None, 3, 4):
+            s = shape if c is None else shape + (c,)
+            a = rng.integers(0, 256, s).astype(np.uint8)
+            blob = encode_png(a, interlace=True)
+            assert blob[8 + 8 + 12] == 1  # IHDR interlace byte
+            assert np.array_equal(decode_png(blob), a)
+        u = rng.integers(0, 65536, shape).astype(np.uint16)
+        assert np.array_equal(decode_png(encode_png(u, interlace=True)), u)
+
+    # foreign encoders filter each pass scanline (Sub/Up/Avg/Paeth,
+    # prev row = previous row of the SAME pass): forward-filter our
+    # stream per pass and the decoder must still invert it exactly
+    a = rng.integers(0, 256, (21, 19, 3)).astype(np.uint8)
+    bpp = 3
+    parts = []
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        sub = a[y0::dy, x0::dx]
+        if not (sub.shape[0] and sub.shape[1]):
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * bpp).astype(np.int32)
+        for y in range(ph):
+            ftype = (pi + y) % 5
+            line = flat[y]
+            prev = flat[y - 1] if y else np.zeros_like(line)
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            upl = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if ftype == 0:
+                f = line
+            elif ftype == 1:
+                f = line - left
+            elif ftype == 2:
+                f = line - prev
+            elif ftype == 3:
+                f = line - ((left + prev) >> 1)
+            else:
+                p = left + prev - upl
+                pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                              np.abs(p - upl))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upl))
+                f = line - pred
+            parts.append(bytes([ftype]) + (f & 0xFF).astype(np.uint8)
+                         .tobytes())
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 19, 21, 8, 2, 0, 0, 1)
+    blob = (sig + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+            + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(blob), a)
