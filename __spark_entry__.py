@@ -3844,6 +3844,125 @@ FROM px GROUP BY image_id, fmt, band
 """
 
 
+def q_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (round 5): SOF2 spectral-selection +
+    successive-approximation scans per T.81 Annex G — the layout
+    libjpeg's default progressive script emits and the reference's
+    JPEG driver (frmts/jpeg/jpgdataset.cpp) reads transparently.
+    Progressive is pure entropy reorganization of the SAME quantized
+    coefficients, so the proof obligations are exact: per-band
+    checksum of (progressive decode - baseline decode) == 0
+    bit-identically, the stream leads with SOF2 (0xC2) and carries
+    the full multi-scan script (10 scans color / 6 gray), and PSNR
+    vs the original pixel rule >= 40 dB (the BASELINE.json lossy
+    contract)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 113)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("variant", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("sof_marker", T2.IntegerType()),
+            T2.StructField("n_scans", T2.IntegerType()),
+            T2.StructField("diff_checksum", T2.IntegerType()),
+            T2.StructField("psnr_ok", T2.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.jpeg import (decode_jpeg, encode_jpeg,
+                                            encode_jpeg_progressive)
+
+        def psnr_ok(a, b):
+            mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+            return 1 if (mse == 0 or 10 * np.log10(255.0**2 / mse) >= 40.0) else 0
+
+        def sof_marker(blob):
+            import struct as _s
+
+            p = 2  # header segments all carry lengths until SOF
+            while p < len(blob) - 1:
+                m = blob[p + 1]
+                if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                    return m
+                (ln,) = _s.unpack_from(">H", blob, p + 2)
+                p += 2 + ln
+            return -1
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"]
+            ):
+                arr = np_image_pixels(int(i), int(w), int(h))
+                gray = arr[:, :, 0]
+                for variant, src, kw in (
+                    ("prog_rgb", arr, {}),
+                    ("prog_gray", gray, {"gray": True}),
+                ):
+                    blob = encode_jpeg_progressive(src, 95, **kw)
+                    prog = decode_jpeg(blob)
+                    base = decode_jpeg(encode_jpeg(src, 95, **kw))
+                    if prog.ndim == 2:
+                        prog = prog[:, :, None]
+                    if base.ndim == 2:
+                        base = base[:, :, None]
+                    ref = src if src.ndim == 3 else src[:, :, None]
+                    # markers never appear inside entropy data (0xFF is
+                    # zero-stuffed), so counting SOS bytes is exact
+                    n_scans = blob.count(b"\xff\xda")
+                    for b in range(prog.shape[2]):
+                        diff = (prog[:, :, b].astype(np.int32)
+                                - base[:, :, b].astype(np.int32))
+                        rows.append(
+                            {
+                                "image_id": img_id,
+                                "variant": variant,
+                                "band": b,
+                                "sof_marker": sof_marker(blob),
+                                "n_scans": n_scans,
+                                "diff_checksum": gdal_checksum(diff),
+                                "psnr_ok": psnr_ok(ref, prog),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_progressive_jpeg() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 113)",
+    )
+    return f"""
+WITH img AS ({img}),
+variants AS (
+  SELECT * FROM (VALUES ('prog_rgb', 3, 10), ('prog_gray', 1, 6))
+    AS v(variant, nb, n_scans)
+)
+SELECT i.image_id, v.variant, cast(b.band as int) AS band,
+  cast(194 as int) AS sof_marker,
+  cast(v.n_scans as int) AS n_scans,
+  cast(0 as int) AS diff_checksum,
+  cast(1 as int) AS psnr_ok
+FROM img i
+CROSS JOIN variants v
+JOIN range(0, 3) AS b(band) ON b.band < v.nb
+"""
+
+
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
     layout; g2clib compack/comunpack + enc_png/dec_png semantics):
@@ -12287,6 +12406,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
+    "progressive_jpeg",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -12431,6 +12551,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_roundtrip": q_osm_roundtrip,
         "flat_raster_roundtrip": q_flat_raster_roundtrip,
         "interlaced_roundtrip": q_interlaced_roundtrip,
+        "progressive_jpeg": q_progressive_jpeg,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -14683,6 +14804,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "osm_roundtrip": _o_shp_roundtrip(),  # same output contract
         "flat_raster_roundtrip": _o_flat_raster_roundtrip(),
         "interlaced_roundtrip": _o_interlaced_roundtrip(),
+        "progressive_jpeg": _o_progressive_jpeg(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

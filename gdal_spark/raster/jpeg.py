@@ -356,6 +356,219 @@ def _encode_jpeg_planes(ycc: np.ndarray, qt: tuple,
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G, Huffman mode)
+# ---------------------------------------------------------------------------
+
+# libjpeg-style default scan script (jcparam.c layout is public via the
+# T.81 scan-header grammar): spectral selection + successive
+# approximation.  Entries: (comp_indices, Ss, Se, Ah, Al).  The script
+# ends with Al=0 refinements on every band, so the decoded coefficients
+# are EXACTLY the baseline quantized coefficients — progressive vs
+# baseline output pixels are bit-identical.
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),   # DC first, interleaved
+    ((0,), 1, 5, 0, 2),        # AC Y low band, first
+    ((1,), 1, 63, 0, 1),       # AC Cb, first
+    ((2,), 1, 63, 0, 1),       # AC Cr, first
+    ((0,), 6, 63, 0, 2),       # AC Y high band, first
+    ((0, 1, 2), 0, 0, 1, 0),   # DC refinement
+    ((0,), 1, 63, 2, 1),       # AC Y refinement 2->1
+    ((1,), 1, 63, 1, 0),       # AC Cb refinement -> exact
+    ((2,), 1, 63, 1, 0),       # AC Cr refinement -> exact
+    ((0,), 1, 63, 1, 0),       # AC Y refinement -> exact
+)
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _emit_dc_first(bw, zzs, order, Al):
+    """Interleaved DC-first scan: codes (coef >> Al) diffs (arithmetic
+    shift, T.81 G.1.2.1) with the baseline DC Huffman tables."""
+    nc = 1 + max(ci for ci, _ in order)
+    prev = [0] * nc
+    for ci, bi in order:
+        codes = _ENC_DC[0 if ci == 0 else 1]
+        v = int(zzs[ci][bi, 0]) >> Al
+        diff = v - prev[ci]
+        prev[ci] = v
+        s, bits = _magnitude(diff)
+        code, length = codes[s]
+        bw.write(code, length)
+        if s:
+            bw.write(bits, s)
+
+
+def _emit_dc_refine(bw, zzs, order, Al):
+    for ci, bi in order:
+        bw.write((int(zzs[ci][bi, 0]) >> Al) & 1, 1)
+
+
+def _emit_ac_first(bw, zz_blocks, ac_codes, Ss, Se, Al):
+    """AC-first scan over one component (T.81 G.1.2.2): magnitudes are
+    sign-preserving truncations |v| >> Al.  EOB runs are flushed at
+    length 1 each (plain 0x00) so the standard Annex K tables — which
+    lack the EOBn (n>=1) symbols — stay sufficient; any decoder,
+    including ours, accepts runs of 1."""
+    for zz in zz_blocks:
+        run = 0
+        wrote = False
+        for k in range(Ss, Se + 1):
+            v = int(zz[k])
+            m = (abs(v) >> Al)
+            if m == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s, bits = _magnitude(m if v > 0 else -m)
+            code, length = ac_codes[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(bits, s)
+            run = 0
+            wrote = True
+        if run or not wrote:
+            code, length = ac_codes[0x00]  # EOB (run of 1)
+            bw.write(code, length)
+
+
+def _emit_ac_refine(bw, zz_blocks, ac_codes, Ss, Se, Al):
+    """AC refinement scan (T.81 G.1.2.3): newly-significant
+    coefficients are run-length coded over ZERO-HISTORY positions
+    only; already-significant ones contribute buffered correction
+    bits appended after the next symbol.  EOB runs again flushed at
+    length 1 (Annex K table constraint), carrying that block's
+    buffered bits."""
+    for zz in zz_blocks:
+        absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+        eob = 0  # index AFTER the last newly-significant coefficient
+        for j, m in enumerate(absv):
+            if m == 1:
+                eob = j + 1
+        run = 0
+        pend: list[int] = []
+        for j, m in enumerate(absv):
+            if m == 0:
+                run += 1
+                continue
+            # ZRL check at EVERY nonzero-magnitude position (correction
+            # or newly-significant) so the decoder's 16-zero walk reads
+            # the buffered bits at the positions it actually passes;
+            # never past the last new coefficient (folds into EOB).
+            while run > 15 and j < eob:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+                for b in pend:
+                    bw.write(b, 1)
+                pend = []
+            if m > 1:
+                pend.append(m & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this Al)
+            code, length = ac_codes[(run << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if int(zz[Ss + j]) > 0 else 0, 1)
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+            run = 0
+        if run or pend or eob == 0:
+            code, length = ac_codes[0x00]  # EOB (run of 1)
+            bw.write(code, length)
+            for b in pend:
+                bw.write(b, 1)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 90,
+                            gray: bool = False) -> bytes:
+    """Progressive (SOF2) JPEG: spectral selection + successive
+    approximation per T.81 Annex G, mirroring the layout libjpeg's
+    default progressive script produces (frmts/jpeg/jpgdataset.cpp
+    reads these via jpeg_consume_input multi-scan loops; GDAL's
+    JPEG driver exposes them identically to baseline).  Quantization
+    is byte-identical to :func:`encode_jpeg` at the same quality, so
+    decoded pixels are bit-identical to the baseline stream's —
+    progressive is pure entropy reorganization.  4:4:4 / grayscale
+    only (the same bound the baseline encoder had before round 4)."""
+    if gray:
+        if arr.ndim != 2 or arr.dtype != np.uint8:
+            raise ValueError("jpeg codec: gray mode takes uint8 (h, w)")
+        ycc = arr.astype(np.float64)[:, :, None] - 128.0
+        qt = (_quality_scale(_Q_LUMA, quality),)
+        script = _PROG_SCRIPT_GRAY
+    else:
+        if arr.ndim == 2:
+            arr = np.repeat(arr[:, :, None], 3, axis=2)
+        if arr.dtype != np.uint8 or arr.shape[2] != 3:
+            raise ValueError("jpeg codec: uint8 RGB only")
+        ycc = _rgb_to_ycbcr(arr) - 128.0
+        qt = (_quality_scale(_Q_LUMA, quality),
+              _quality_scale(_Q_CHROMA, quality))
+        script = _PROG_SCRIPT_COLOR
+    h, w, nc = ycc.shape
+    pad_h, pad_w = (-h) % 8, (-w) % 8
+    if pad_h or pad_w:
+        ycc = np.pad(ycc, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+    zzs = [_quant_zz(ycc[:, :, ci], qt[0] if ci == 0 else qt[1])
+           for ci in range(nc)]
+    nblocks = zzs[0].shape[0]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(qt):
+        zzq = q.reshape(-1)[_ZZ].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + zzq.tobytes()
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, samp, tq in ((1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1))[:nc]:
+        out += struct.pack("BBB", cid, samp, tq)
+    huff_pairs = (
+        (0, 0, _DC_L_BITS, _DC_L_VALS),
+        (1, 0, _AC_L_BITS, _AC_L_VALS),
+        (0, 1, _DC_C_BITS, _DC_C_VALS),
+        (1, 1, _AC_C_BITS, _AC_C_VALS),
+    )[: 2 * min(nc, 2)]
+    for tclass, tid, bits, vals in huff_pairs:
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    for comps, Ss, Se, Ah, Al in script:
+        bw = _BitWriter()
+        if Ss == 0:  # DC scan (interleaved over comps)
+            order = [(ci, bi) for bi in range(nblocks) for ci in comps]
+            if Ah == 0:
+                _emit_dc_first(bw, zzs, order, Al)
+            else:
+                _emit_dc_refine(bw, zzs, order, Al)
+        else:  # AC scan: exactly one component (T.81 G.1.1)
+            (ci,) = comps
+            ac_codes = _ENC_AC[0 if ci == 0 else 1]
+            if Ah == 0:
+                _emit_ac_first(bw, zzs[ci], ac_codes, Ss, Se, Al)
+            else:
+                _emit_ac_refine(bw, zzs[ci], ac_codes, Ss, Se, Al)
+        bw.flush()
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps),
+                                         len(comps))
+        for ci in comps:
+            tsel = 0x00 if ci == 0 else 0x11
+            out += struct.pack("BB", ci + 1, tsel)
+        out += struct.pack("BBB", Ss, Se, (Ah << 4) | Al)
+        out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -414,6 +627,146 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _comp_blocks(cid, comps, prog_geom, w, h):
+    """Non-interleaved block walk for one component (T.81 §A.2.2):
+    the grid is ceil(component samples / 8), NOT the interleave-padded
+    MCU grid; indices map into the interleaved storage stride."""
+    pmx, _pmy, hmax, vmax = prog_geom["mcus"]
+    hi, vi = next((c[2], c[3]) for c in comps if c[0] == cid)
+    cw = -(-(w * hi) // hmax)
+    ch = -(-(h * vi) // vmax)
+    bw_c = -(-cw // 8)
+    bh_c = -(-ch // 8)
+    stride = pmx * hi
+    return [by * stride + bx for by in range(bh_c) for bx in range(bw_c)]
+
+
+def _decode_prog_scan(entropy, scan_comps, Ss, Se, Ah, Al,
+                      comps, prog_geom, prog_coeffs, prog_dc_pred,
+                      htables, w, h):
+    """One progressive scan (T.81 Annex G.2): DC first/refine
+    (interleaved or single-component), AC first/refine with EOB runs
+    (single-component by construction, §G.1.1)."""
+    br = _BitReader(entropy)
+    pmx, pmy, hmax, vmax = prog_geom["mcus"]
+    if Ss == 0:  # DC scan
+        # block walk: interleaved MCU order when ns > 1, else the
+        # component's own grid
+        order = []
+        if len(scan_comps) > 1:
+            for mi in range(pmx * pmy):
+                my, mx = divmod(mi, pmx)
+                for cid, dct, _act in scan_comps:
+                    hi, vi = next((c[2], c[3]) for c in comps
+                                  if c[0] == cid)
+                    for v in range(vi):
+                        for u in range(hi):
+                            order.append(
+                                (cid, dct,
+                                 (my * vi + v) * pmx * hi + mx * hi + u))
+        else:
+            cid, dct, _act = scan_comps[0]
+            order = [(cid, dct, bi)
+                     for bi in _comp_blocks(cid, comps, prog_geom, w, h)]
+        if Ah == 0:
+            pred = {cid: 0 for cid, *_ in scan_comps}
+            for cid, dct, bi in order:
+                tbl = htables[(0, dct)]
+                s = _huff_decode(br, tbl)
+                diff = _extend(br.read_bits(s), s) if s else 0
+                pred[cid] += diff
+                prog_coeffs[cid][bi, 0] = pred[cid] << Al
+        else:
+            p1 = 1 << Al
+            for cid, _dct, bi in order:
+                if br.read_bits(1):
+                    prog_coeffs[cid][bi, 0] = int(
+                        prog_coeffs[cid][bi, 0]) | p1
+        return
+    # AC scan: exactly one component
+    (cid, _dct, act) = scan_comps[0]
+    tbl = htables[(1, act)]
+    blocks = _comp_blocks(cid, comps, prog_geom, w, h)
+    carr = prog_coeffs[cid]
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = -p1
+    if Ah == 0:  # AC first
+        for bi in blocks:
+            if eobrun:
+                eobrun -= 1
+                continue
+            zz = carr[bi]
+            k = Ss
+            while k <= Se:
+                rs = _huff_decode(br, tbl)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                k += r
+                zz[k] = _extend(br.read_bits(s), s) * p1
+                k += 1
+    else:  # AC refinement
+        for bi in blocks:
+            zz = carr[bi]
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _huff_decode(br, tbl)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg codec: bad refinement magnitude")
+                        newval = p1 if br.read_bits(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                    while k <= Se:
+                        c = int(zz[k])
+                        if c != 0:
+                            if br.read_bits(1) and (c & p1) == 0:
+                                zz[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= Se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    c = int(zz[k])
+                    if c != 0:
+                        if br.read_bits(1) and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def _scan_end(data: bytes, pos: int) -> int:
+    """First non-stuffed, non-RST marker at/after ``pos`` (the end of
+    an entropy-coded segment, T.81 §B.1.1.5)."""
+    p = pos
+    while True:
+        p = data.index(b"\xff", p)
+        m = data[p + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            p += 2
+            continue
+        return p
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg codec: bad SOI")
@@ -425,12 +778,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_sel = {}  # cid -> (dc_tid, ac_tid)
     scan_order = []
     restart_interval = 0
+    progressive = False
+    prog_coeffs: dict[int, np.ndarray] = {}
+    prog_geom: dict = {}
+    prog_dc_pred: dict[int, int] = {}
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("jpeg codec: marker expected")
         marker = data[pos + 1]
         pos += 2
-        if marker in (0xD8, 0xD9):
+        if marker == 0xD9:
+            break
+        if marker == 0xD8:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
@@ -445,7 +804,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 q[_ZZ] = tbl
                 qtables[pq_tq & 0xF] = q.reshape(8, 8).astype(np.float64)
                 bpos += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             for ci in range(nc):
                 cid, samp, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
@@ -467,14 +827,46 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
+            if not progressive:
+                for si in range(ns):
+                    cid, tsel = struct.unpack_from("BB", body, 1 + 2 * si)
+                    scan_sel[cid] = (tsel >> 4, tsel & 0xF)
+                    scan_order.append(cid)
+                pos += seglen
+                break
+            # progressive: decode this scan in place, then keep walking
+            if restart_interval:
+                raise ValueError(
+                    "jpeg codec: restart markers in progressive scans "
+                    "unsupported")
+            if not prog_geom:
+                hmax = max(c[2] for c in comps)
+                vmax = max(c[3] for c in comps)
+                pmx = -(-w // (8 * hmax))
+                pmy = -(-h // (8 * vmax))
+                prog_geom["mcus"] = (pmx, pmy, hmax, vmax)
+                for cid, _tq, hi, vi in comps:
+                    prog_coeffs[cid] = np.zeros(
+                        (pmx * hi * pmy * vi, 64), dtype=np.int64)
+                    prog_dc_pred[cid] = 0
+            scan_comps = []
             for si in range(ns):
                 cid, tsel = struct.unpack_from("BB", body, 1 + 2 * si)
-                scan_sel[cid] = (tsel >> 4, tsel & 0xF)
-                scan_order.append(cid)
-            pos += seglen
-            break
-        elif marker == 0xC2 or (0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)):
-            raise ValueError("jpeg codec: only baseline SOF0 supported")
+                scan_comps.append((cid, tsel >> 4, tsel & 0xF))
+            Ss, Se, ahal = struct.unpack_from("BBB", body, 1 + 2 * ns)
+            Ah, Al = ahal >> 4, ahal & 0xF
+            end = _scan_end(data, pos + seglen)
+            _decode_prog_scan(
+                data[pos + seglen : end], scan_comps, Ss, Se, Ah, Al,
+                comps, prog_geom, prog_coeffs, prog_dc_pred, htables,
+                w, h)
+            pos = end
+            continue
+        elif 0xC1 <= marker <= 0xCF and marker not in (0xC2, 0xC4, 0xC8,
+                                                       0xCC):
+            raise ValueError(
+                "jpeg codec: only baseline SOF0 / progressive SOF2 "
+                "supported")
         pos += seglen
 
     # MCU geometry from the sampling factors (T.81 §A.2.3): supports
@@ -487,12 +879,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coeffs = {}
     for cid, _tq, hi, vi in comps:
         geom[cid] = (hi, vi, mcus_x * hi)
-        coeffs[cid] = np.zeros((mcus_x * hi * mcus_y * vi, 64),
-                               dtype=np.float64)
+        coeffs[cid] = (prog_coeffs[cid].astype(np.float64)
+                       if progressive
+                       else np.zeros((mcus_x * hi * mcus_y * vi, 64),
+                                     dtype=np.float64))
 
-    br = _BitReader(data[pos:])
+    br = _BitReader(data[pos:]) if not progressive else None
     prev_dc = {cid: 0 for cid, *_ in comps}
-    for mi in range(mcus_x * mcus_y):
+    for mi in range(0 if progressive else mcus_x * mcus_y):
         if restart_interval and mi and mi % restart_interval == 0:
             # byte-align, consume the RSTn marker, reset predictors
             # (T.81 §E.2.4; markers are never stuffed so they survive

@@ -231,3 +231,89 @@ def test_png_adam7_interlace():
             + chunk(b"IDAT", zlib.compress(b"".join(parts)))
             + chunk(b"IEND", b""))
     assert np.array_equal(decode_png(blob), a)
+
+
+def test_jpeg_progressive_bit_identical_to_baseline():
+    # SOF2 progressive is pure entropy reorganization of the SAME
+    # quantized coefficients (T.81 Annex G; frmts/jpeg/jpgdataset.cpp
+    # decodes both transparently via libjpeg) — the decoded pixels
+    # must equal the baseline stream's bit for bit.
+    from gdal_spark.raster.jpeg import (decode_jpeg, encode_jpeg,
+                                        encode_jpeg_progressive)
+
+    rng = np.random.RandomState(11)
+    for h, w in [(20, 20), (17, 23), (8, 8), (64, 48), (1, 33)]:
+        rgb = np_image_pixels(3, w, h)
+        for q in (50, 90, 100):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(rgb, q)),
+                decode_jpeg(encode_jpeg_progressive(rgb, q)))
+        noisy = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(noisy, 90)),
+            decode_jpeg(encode_jpeg_progressive(noisy, 90)))
+        g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(g, 90, gray=True)),
+            decode_jpeg(encode_jpeg_progressive(g, 90, gray=True)))
+
+
+def test_jpeg_progressive_eob_and_zrl_paths():
+    # constant image = every AC band is one long EOB run; impulse =
+    # isolated coefficients exercising ZRL + refinement correction
+    # walks; checkerboard = dense high-frequency band
+    from gdal_spark.raster.jpeg import (decode_jpeg, encode_jpeg,
+                                        encode_jpeg_progressive)
+
+    flat = np.full((40, 40, 3), 200, np.uint8)
+    imp = np.zeros((48, 48, 3), np.uint8)
+    imp[7, 7] = 255
+    imp[40, 3, 1] = 200
+    cb1 = ((np.indices((32, 32)).sum(0) % 2) * 255).astype(np.uint8)
+    cb = np.stack([cb1, 255 - cb1, cb1], -1)
+    for arr in (flat, imp, cb):
+        for q in (10, 75, 100):
+            assert np.array_equal(
+                decode_jpeg(encode_jpeg(arr, q)),
+                decode_jpeg(encode_jpeg_progressive(arr, q)))
+
+
+def test_jpeg_progressive_stream_structure():
+    import struct as _s
+
+    from gdal_spark.raster.jpeg import encode_jpeg_progressive
+
+    rgb = np_image_pixels(5, 24, 16)
+    blob = encode_jpeg_progressive(rgb, 90)
+    assert b"\xff\xc2" in blob and b"\xff\xc0" not in blob[2:-2]
+    # libjpeg-style script: 10 scans for color, 6 for gray; every SOS
+    # carries a valid spectral band + successive-approximation header
+    def scans(b):
+        out, p = [], 2
+        while p < len(b) - 1:
+            if b[p] != 0xFF:
+                p += 1
+                continue
+            m = b[p + 1]
+            if m == 0xDA:
+                (ln,) = _s.unpack_from(">H", b, p + 2)
+                ns = b[p + 4]
+                ss, se, ahal = _s.unpack_from(
+                    "BBB", b, p + 5 + 2 * ns)
+                out.append((ns, ss, se, ahal >> 4, ahal & 15))
+                p += 2 + ln
+            elif m in (0xD8, 0xD9) or 0xD0 <= m <= 0xD7 or m == 0x00:
+                p += 2
+            else:
+                (ln,) = _s.unpack_from(">H", b, p + 2)
+                p += 2 + ln
+        return out
+
+    sc = scans(blob)
+    assert len(sc) == 10
+    assert sc[0] == (3, 0, 0, 0, 1)          # interleaved DC first
+    assert all(ns == 1 for ns, ss, *_ in sc if ss > 0)  # AC: 1 comp
+    assert any(ah > 0 for _, _, _, ah, _ in sc)         # refinements
+    g = scans(encode_jpeg_progressive(
+        np_image_pixels(5, 24, 16)[:, :, 0], 90, gray=True))
+    assert len(g) == 6
