@@ -3963,6 +3963,80 @@ JOIN range(0, 3) AS b(band) ON b.band < v.nb
 """
 
 
+def q_gdaltindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaltindex (apps/gdaltindex_lib.cpp): build the raster
+    tile-index layer — location + footprint envelope from the
+    geotransform corners (:1060-1126), representative pixel size
+    sqrt(extent_area/(w*h)) (:1128) with -min/max_pixel_size skips
+    (:1130-1144), FORMAT_AUTO src_srs AUTH:CODE (:1153-1161), and the
+    already-indexed-location skip (existingFilenames `continue`).
+    The fleet here is each image plus its externally-materialized
+    factor-4 overview file; even-id inputs are listed twice to
+    exercise the duplicate skip; max_pixel_size=3.99*RES0 retains
+    base rasters and only the 257x100 overviews (ceil-decimation
+    makes their pixel size 3.977*RES0, every other size is exactly
+    4*RES0 and skipped)."""
+    from gdal_spark.fixtures.georef import RES0
+    from gdal_spark.operators.tindex import build_tile_index
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 127)
+    ids = ids.unionByName(ids.where(F.col("i") % 2 == 0))  # dup listings
+    geo = build_images(spark, ids_df=ids, with_payload=False)
+    idx = build_tile_index(
+        geo,
+        min_pixel_size=RES0 * 0.9,
+        max_pixel_size=RES0 * 3.99,
+        overview_factors=(4,),
+    )
+    return idx.select(
+        "location", "src_srs",
+        F.col("rx").alias("rx"), F.col("ry").alias("ry"),
+        F.floor(F.col("xmin") * 1e3).cast("long").alias("x0_q3"),
+        F.floor(F.col("ymin") * 1e3).cast("long").alias("y0_q3"),
+        F.floor(F.col("xmax") * 1e3).cast("long").alias("x1_q3"),
+        F.floor(F.col("ymax") * 1e3).cast("long").alias("y1_q3"),
+        F.floor(F.col("res") * 1e4).cast("long").alias("res_q4"),
+    )
+
+
+def _o_gdaltindex() -> str:
+    from gdal_spark.fixtures.georef import RES0
+    from gdal_spark.tiles.tilemath import sql_double
+
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 127)",
+    )
+    return f"""
+WITH img AS ({img}),
+entries AS (
+  SELECT image_id || '.tif' AS location,
+    cast(w as bigint) AS rx, cast(h as bigint) AS ry,
+    xmin, ymin, xmax, ymax
+  FROM img
+  UNION ALL
+  SELECT image_id || '_ovr4.tif' AS location,
+    cast(ceil(w / 4.0) as bigint) AS rx,
+    cast(ceil(h / 4.0) as bigint) AS ry,
+    xmin, ymin, xmax, ymax
+  FROM img
+),
+sized AS (
+  SELECT *, sqrt((xmax - xmin) * (ymax - ymin) / rx / ry) AS res
+  FROM entries
+)
+SELECT location, 'EPSG:3857' AS src_srs, rx, ry,
+  cast(floor(xmin * 1000.0) as bigint) AS x0_q3,
+  cast(floor(ymin * 1000.0) as bigint) AS y0_q3,
+  cast(floor(xmax * 1000.0) as bigint) AS x1_q3,
+  cast(floor(ymax * 1000.0) as bigint) AS y1_q3,
+  cast(floor(res * 10000.0) as bigint) AS res_q4
+FROM sized
+WHERE res >= {sql_double(RES0 * 0.9)} AND res <= {sql_double(RES0 * 3.99)}
+"""
+
+
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
     layout; g2clib compack/comunpack + enc_png/dec_png semantics):
@@ -12406,7 +12480,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
-    "progressive_jpeg",
+    "progressive_jpeg", "gdaltindex",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -12552,6 +12626,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_raster_roundtrip": q_flat_raster_roundtrip,
         "interlaced_roundtrip": q_interlaced_roundtrip,
         "progressive_jpeg": q_progressive_jpeg,
+        "gdaltindex": q_gdaltindex,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -14805,6 +14880,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "flat_raster_roundtrip": _o_flat_raster_roundtrip(),
         "interlaced_roundtrip": _o_interlaced_roundtrip(),
         "progressive_jpeg": _o_progressive_jpeg(),
+        "gdaltindex": _o_gdaltindex(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
