@@ -4037,6 +4037,116 @@ WHERE res >= {sql_double(RES0 * 0.9)} AND res <= {sql_double(RES0 * 3.99)}
 """
 
 
+def q_retile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_retile.py dual: fixed-96px tile grid with 16px overlap
+    (tile_info count/offset/clip rules, gdal_retile.py:87-103,
+    :413-426) plus one pyramid level (createPyramidTile: 2x scale,
+    default nearest ReprojectImage — src = 2*dst+1, odd-size edge
+    pixels left at the unfilled 0; mosaic size int(size/2+0.5),
+    :214).  Each output tile is checksummed in OUTPUT-LOCAL
+    coordinates (band 0) — the same golden primitive every pixel
+    oracle rides."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    TW = TH = 96
+    OV = 16
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 131)
+    images = build_images(spark, ids_df=ids, with_payload=False)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("level", T2.IntegerType()),
+            T2.StructField("row", T2.IntegerType()),
+            T2.StructField("col", T2.IntegerType()),
+            T2.StructField("tile_w", T2.IntegerType()),
+            T2.StructField("tile_h", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.operators.retile import retile_image
+        from gdal_spark.raster.checksum import gdal_checksum
+
+        for pdf in batches:
+            recs = []
+            for i, w, h in zip(pdf["i"], pdf["w"], pdf["h"]):
+                i, w, h = int(i), int(w), int(h)
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                band0 = ((x + y + i) % 256).astype(np.uint8)
+                for lvl, row, col, _ox, _oy, cw, ch, tile in retile_image(
+                    band0, TW, TH, overlap=OV, levels=1
+                ):
+                    recs.append(
+                        {
+                            "i": i, "level": lvl, "row": row, "col": col,
+                            "tile_w": cw, "tile_h": ch,
+                            "checksum": gdal_checksum(tile),
+                            "vsum": int(tile.sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return images.select("i", "w", "h").mapInPandas(run, schema)
+
+
+def _o_retile() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 131)",
+    )
+    # per-level mosaic dims; level-1 pixel = src(2X+1, 2Y+1), else 0
+    return f"""
+WITH img AS ({img}),
+lv AS (
+  SELECT i.i, l.level,
+    CASE l.level WHEN 0 THEN i.w ELSE cast(floor(i.w / 2.0 + 0.5) as bigint)
+      END AS lw,
+    CASE l.level WHEN 0 THEN i.h ELSE cast(floor(i.h / 2.0 + 0.5) as bigint)
+      END AS lh,
+    i.w AS sw, i.h AS sh
+  FROM img i CROSS JOIN (VALUES (0), (1)) AS l(level)
+),
+grid AS (
+  SELECT lv.*, r.row, c.col,
+    (c.col - 1) * 80 AS ox, (r.row - 1) * 80 AS oy
+  FROM lv
+  JOIN range(1, 9) AS r(row)
+    ON r.row <= CASE WHEN lh > 96 THEN 1 + (lh - 96 + 79) // 80 ELSE 1 END
+  JOIN range(1, 9) AS c(col)
+    ON c.col <= CASE WHEN lw > 96 THEN 1 + (lw - 96 + 79) // 80 ELSE 1 END
+),
+tiles AS (
+  SELECT *, least(96, lw - ox) AS tw, least(96, lh - oy) AS th FROM grid
+),
+px AS (
+  SELECT t.*, gx.x, gy.y,
+    CASE WHEN t.level = 0 THEN ((t.ox + gx.x) + (t.oy + gy.y) + t.i) % 256
+         WHEN 2 * (t.ox + gx.x) + 1 < t.sw AND 2 * (t.oy + gy.y) + 1 < t.sh
+           THEN ((2 * (t.ox + gx.x) + 1) + (2 * (t.oy + gy.y) + 1) + t.i)
+                % 256
+         ELSE 0 END AS val
+  FROM tiles t
+  JOIN range(0, 96) AS gx(x) ON gx.x < t.tw
+  JOIN range(0, 96) AS gy(y) ON gy.y < t.th
+)
+SELECT i, cast(level as int) AS level, cast(row as int) AS row,
+  cast(col as int) AS col, cast(tw as int) AS tile_w,
+  cast(th as int) AS tile_h,
+  cast(sum(val % ({_PRIMES_SQL})[((y * tw + x) % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(sum(val) as bigint) AS vsum
+FROM px
+GROUP BY i, level, row, col, tw, th
+"""
+
+
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
     layout; g2clib compack/comunpack + enc_png/dec_png semantics):
@@ -12480,7 +12590,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
-    "progressive_jpeg", "gdaltindex",
+    "progressive_jpeg", "gdaltindex", "retile",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -12627,6 +12737,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interlaced_roundtrip": q_interlaced_roundtrip,
         "progressive_jpeg": q_progressive_jpeg,
         "gdaltindex": q_gdaltindex,
+        "retile": q_retile,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -14881,6 +14992,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "interlaced_roundtrip": _o_interlaced_roundtrip(),
         "progressive_jpeg": _o_progressive_jpeg(),
         "gdaltindex": _o_gdaltindex(),
+        "retile": _o_retile(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
