@@ -9843,6 +9843,46 @@ FROM outer_edges
 """
 
 
+def q_ogrtindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp):
+    the zones fleet sharded across 8 datasources (fid % 8), one index
+    feature per (file, layer) with location "<file>,<layer>" (:524)
+    and geometry = the layer's exact feature-envelope extent
+    (GetExtent(TRUE), :706-715) — computed distributed from the real
+    WKB bounds, shard-grouped with map-side combine."""
+    from gdal_spark.operators.tindex import build_vector_tile_index
+
+    zones = build_zones(spark, ids_df=_zone_ids(spark, sf_dir))
+    zones = zones.withColumn("shard", F.col("fid") % 8)
+    idx = build_vector_tile_index(
+        zones, "shard", location_fmt="zones_{}.gpkg,0"
+    )
+    return idx.select(
+        "location", "src_srs", "n_features",
+        F.floor(F.col("minx") * 1e6).cast("long").alias("minx_e6"),
+        F.floor(F.col("miny") * 1e6).cast("long").alias("miny_e6"),
+        F.floor(F.col("maxx") * 1e6).cast("long").alias("maxx_e6"),
+        F.floor(F.col("maxy") * 1e6).cast("long").alias("maxy_e6"),
+    )
+
+
+def _o_ogrtindex() -> str:
+    z = georef.sql_zones_cte("s_suppkey", "supplier")
+    return f"""
+WITH zn AS ({z}),
+outer_edges AS ({_zone_edges_cte('r')})
+SELECT 'zones_' || cast(e.fid % 8 as varchar) || '.gpkg,0' AS location,
+  'EPSG:4326' AS src_srs,
+  cast(count(DISTINCT e.fid) as bigint) AS n_features,
+  cast(floor(min(e.x1) * 1e6) as bigint) AS minx_e6,
+  cast(floor(min(e.y1) * 1e6) as bigint) AS miny_e6,
+  cast(floor(max(e.x1) * 1e6) as bigint) AS maxx_e6,
+  cast(floor(max(e.y1) * 1e6) as bigint) AS maxy_e6
+FROM outer_edges e
+GROUP BY e.fid % 8
+"""
+
+
 def q_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF APP1 write->read roundtrip through REAL JPEG bytes
     (gcore/gdalexif.cpp tag walk; frmts/jpeg/jpgdataset.cpp
@@ -12590,7 +12630,7 @@ def _with_shipping(fn: Callable) -> Callable:
 # never-sampled set first.
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
-    "progressive_jpeg", "gdaltindex", "retile",
+    "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -12738,6 +12778,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "progressive_jpeg": q_progressive_jpeg,
         "gdaltindex": q_gdaltindex,
         "retile": q_retile,
+        "ogrtindex": q_ogrtindex,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -14993,6 +15034,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "progressive_jpeg": _o_progressive_jpeg(),
         "gdaltindex": _o_gdaltindex(),
         "retile": _o_retile(),
+        "ogrtindex": _o_ogrtindex(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_tile_index"]
+__all__ = ["build_tile_index", "build_vector_tile_index"]
 
 
 def build_tile_index(
@@ -85,4 +85,75 @@ def build_tile_index(
         "location",
         F.lit("EPSG:3857").alias("src_srs"),
         "rx", "ry", "xmin", "ymin", "xmax", "ymax", "res",
+    )
+
+
+def build_vector_tile_index(
+    features: DataFrame,
+    shard_col: str,
+    *,
+    geom_col: str = "geometry",
+    location_fmt: str = "{}.gpkg,0",
+    src_srs: str = "EPSG:4326",
+) -> DataFrame:
+    """ogrtindex / `gdal vector index` (apps/gdalalg_vector_index.cpp):
+    one feature per (datasource, layer) whose geometry is the layer's
+    exact extent envelope (`GetExtent(..., TRUE)`, :706 →
+    `OGRPolygon oExtentGeom(sExtents)` :715) and whose location field
+    is ``"<filename>,<layer index>"`` (:524).
+
+    ``shard_col`` names the column assigning each feature to its
+    source datasource.  Scale shape: per-feature bounds come from one
+    Arrow-batched WKB pass (narrow), then a single partial-aggregated
+    min/max groupBy on the shard key — map-side combine reduces every
+    task to one row per shard before the exchange.
+    """
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [
+            T.StructField("_shard", T.StringType()),
+            T.StructField("minx", T.DoubleType()),
+            T.StructField("miny", T.DoubleType()),
+            T.StructField("maxx", T.DoubleType()),
+            T.StructField("maxy", T.DoubleType()),
+        ]
+    )
+
+    def bounds(batches):
+        import pandas as pd
+
+        from gdal_spark.geo.wkb import parse_wkb
+
+        for pdf in batches:
+            recs = []
+            for shard, wkb in zip(pdf["_shard"], pdf[geom_col]):
+                bx = parse_wkb(bytes(wkb)).bounds()
+                recs.append(
+                    {"_shard": shard, "minx": bx[0], "miny": bx[1],
+                     "maxx": bx[2], "maxy": bx[3]}
+                )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in part_schema.fields]
+            )
+
+    parts = features.select(
+        F.col(shard_col).cast("string").alias("_shard"), geom_col
+    ).mapInPandas(bounds, part_schema)
+    pre, post = location_fmt.split("{}")
+    return (
+        parts.groupBy("_shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.min("minx").alias("minx"),
+            F.min("miny").alias("miny"),
+            F.max("maxx").alias("maxx"),
+            F.max("maxy").alias("maxy"),
+        )
+        .select(
+            F.concat(F.lit(pre), F.col("_shard"), F.lit(post))
+            .alias("location"),
+            F.lit(src_srs).alias("src_srs"),
+            "n_features", "minx", "miny", "maxx", "maxy",
+        )
     )

@@ -53,3 +53,28 @@ def test_duplicate_locations_skipped(spark, geo):
     assert build_tile_index(twice).count() == 10
     kept = build_tile_index(twice, drop_duplicate_locations=False)
     assert kept.count() == 15
+
+
+def test_vector_tile_index(spark):
+    from gdal_spark.fixtures.zones import build_zones, zone_rings
+    from gdal_spark.operators.tindex import build_vector_tile_index
+
+    zones = build_zones(spark, n=12).withColumn("shard", F.col("fid") % 3)
+    rows = {
+        r["location"]: r
+        for r in build_vector_tile_index(
+            zones, "shard", location_fmt="z_{}.gpkg,0"
+        ).collect()
+    }
+    assert set(rows) == {"z_0.gpkg,0", "z_1.gpkg,0", "z_2.gpkg,0"}
+    # exact GetExtent(TRUE) envelope per shard from the real rings
+    import numpy as np
+
+    for shard in range(3):
+        pts = np.vstack(
+            [zone_rings(f)[0] for f in range(12) if f % 3 == shard]
+        )
+        r = rows[f"z_{shard}.gpkg,0"]
+        assert r["n_features"] == 4
+        assert abs(r["minx"] - pts[:, 0].min()) < 1e-12
+        assert abs(r["maxy"] - pts[:, 1].max()) < 1e-12
