@@ -22,6 +22,10 @@ gdalalg_raster_* step declarations):
   AST interpreter from operators/calc.py, bands bound A/B/C).
 - `scale --src-min --src-max [--dst-min --dst-max]`
   (gdalalg_raster_scale.cpp; GDAL +0.5-floor-clamp byte rounding).
+- `unscale [--scale S --offset O]` (gdalalg_raster_unscale.cpp via
+  gdal_translate -unscale: value*scale+offset, float output; the
+  reference reads S/O from band metadata, the catalog passes them
+  as arguments).
 - `set-type --datatype Byte|UInt16|Int16|Int32|Float64`
   (gdalalg_raster_set_type.cpp; integer targets use GDALCopyWords
   rounding: floor(v + 0.5) clamped).
@@ -153,6 +157,19 @@ def _compile_step(name: str, args: dict):
             return out
 
         return k_scale
+    if name == "unscale":
+        # gdalalg_raster_unscale.cpp (delegates to gdal_translate
+        # -unscale): value * scale + offset, float output.  Band
+        # scale/offset come from dataset metadata in the reference
+        # (GetScale/GetOffset); our parquet catalog carries them as
+        # step arguments.
+        sc = float(args.get("scale", 1.0))
+        off = float(args.get("offset", 0.0))
+
+        def k_unscale(arr):
+            return arr * sc + off
+
+        return k_unscale
     if name == "set-type":
         dtype = (args.get("datatype") or args["_positional"]).lower()
         if dtype in _INT_TYPES:

@@ -146,3 +146,15 @@ def test_driver_registry_modules_exist():
         assert os.path.exists(os.path.join(root, mod)), mod
     names = [n for n, *_ in DRIVERS]
     assert len(names) == len(set(names))
+
+
+def test_unscale_step(spark):
+    a = (np.arange(8 * 8) % 256).reshape(8, 8, 1).astype(np.uint8)
+    out = rp.run_raster_pipeline(
+        _images(spark, [a]),
+        "read ! unscale --scale 0.25 --offset -3.5 ! write",
+    ).collect()
+    want = a[:, :, 0].astype(np.float64) * 0.25 - 3.5
+    # the stats sink truncates to int64 per pixel before summing
+    assert out[0]["vsum"] == int(want.astype(np.int64).sum())
+    assert (out[0]["out_w"], out[0]["out_h"]) == (8, 8)
