@@ -9883,6 +9883,100 @@ GROUP BY e.fid % 8
 """
 
 
+def q_raster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gdal raster update` (apps/gdalalg_raster_update.cpp): warp a
+    source raster into the EXISTING destination in place — the dst
+    keeps its grid/georef and every uncovered pixel; the covered
+    window is rewritten through the warp sampler (GDALWarp into a
+    dataset opened for update, :205-230).  Here each image is the
+    destination (pixel rule through real georeferenced GTiff bytes)
+    and the source is a smaller raster offset by exactly (+5, +7)
+    pixels on the same grid carrying a different rule
+    ((2x+3y+i+17c) % 251) — integer alignment makes the near warp an
+    exact window replacement, clipped at the dst edge."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 137)
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import RES0, np_image_pixels
+        from gdal_spark.operators.update import raster_update
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.tiff import decode_tiff, encode_tiff
+
+        for pdf in batches:
+            recs = []
+            for i, w, h, xmin, ymax in zip(
+                pdf["i"], pdf["w"], pdf["h"], pdf["xmin"], pdf["ymax"]
+            ):
+                i, w, h = int(i), int(w), int(h)
+                gt = (float(xmin), RES0, 0.0, float(ymax), 0.0, -RES0)
+                dst = encode_tiff(np_image_pixels(i, w, h), geo=(gt, 3857))
+                sw, sh = w // 2 + 3, h // 2 + 5
+                sx = np.arange(sw, dtype=np.int64)[None, :]
+                sy = np.arange(sh, dtype=np.int64)[:, None]
+                src_arr = np.stack(
+                    [((2 * sx + 3 * sy + i + 17 * c) % 251).astype(np.uint8)
+                     * np.ones((sh, 1), np.uint8) for c in range(3)],
+                    axis=-1,
+                )
+                sgt = (float(xmin) + 5 * RES0, RES0, 0.0,
+                       float(ymax) - 7 * RES0, 0.0, -RES0)
+                src = encode_tiff(src_arr, geo=(sgt, 3857))
+                out = decode_tiff(raster_update(dst, src))
+                for b in range(3):
+                    recs.append(
+                        {
+                            "i": i, "band": b,
+                            "checksum": gdal_checksum(out[:, :, b]),
+                            "vsum": int(out[:, :, b].sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return geo.select("i", "w", "h", "xmin", "ymax").mapInPandas(run, schema)
+
+
+def _o_raster_update() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 137)",
+    )
+    return f"""
+WITH img AS ({img}),
+px AS (
+  SELECT i.i, b.band, gy.y * i.w + gx.x AS pidx,
+    CASE WHEN gx.x >= 5 AND gx.x < 5 + (i.w // 2 + 3)
+          AND gy.y >= 7 AND gy.y < 7 + (i.h // 2 + 5)
+      THEN (2 * (gx.x - 5) + 3 * (gy.y - 7) + i.i + 17 * b.band) % 251
+      ELSE (gx.x + gy.y + i.i
+            + CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END) % 256
+    END AS val
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN range(0, 3) AS b(band)
+)
+SELECT i, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(sum(val) as bigint) AS vsum
+FROM px GROUP BY i, band
+"""
+
+
 def q_jpeg_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF APP1 write->read roundtrip through REAL JPEG bytes
     (gcore/gdalexif.cpp tag walk; frmts/jpeg/jpgdataset.cpp
@@ -12631,6 +12725,7 @@ def _with_shipping(fn: Callable) -> Callable:
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
+    "raster_update",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -12779,6 +12874,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdaltindex": q_gdaltindex,
         "retile": q_retile,
         "ogrtindex": q_ogrtindex,
+        "raster_update": q_raster_update,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15035,6 +15131,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "gdaltindex": _o_gdaltindex(),
         "retile": _o_retile(),
         "ogrtindex": _o_ogrtindex(),
+        "raster_update": _o_raster_update(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
