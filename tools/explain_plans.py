@@ -98,6 +98,12 @@ def main() -> None:
         "surface_roundtrip (narrow WKB surface kernel, zero shuffle)": entry.q_surface_roundtrip,
         "rat (pixel histogram -> one value-key agg)": entry.q_rat,
         "jp2_roundtrip (narrow mapInPandas MQ/EBCOT codec kernel)": entry.q_jp2_roundtrip,
+        # round 5, second sweep
+        "gdaltindex (metadata-only Column math; one dedup exchange)": entry.q_gdaltindex,
+        "ogrtindex (WKB bounds pass -> map-side-combined shard agg)": entry.q_ogrtindex,
+        "retile (grid Column math + narrow tile kernel, zero shuffle)": entry.q_retile,
+        "raster_update (narrow in-place warp kernel, zero shuffle)": entry.q_raster_update,
+        "progressive_jpeg (narrow multi-scan codec kernel, zero shuffle)": entry.q_progressive_jpeg,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",
