@@ -4147,6 +4147,149 @@ GROUP BY i, level, row, col, tw, th
 """
 
 
+def q_raw_fleet2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-format batch 2 (round 5): PNM P5/P6 8- and 16-bit
+    (frmts/raw/pnmdataset.cpp big-endian-16 rule), KRO uint8/float32
+    (frmts/raw/krodataset.cpp), NOAA GTX vertical-datum grids
+    (frmts/raw/gtxdataset.cpp: south-up float32 rows, pixel-center
+    header -> half-pixel corner geotransform shift), and NOHRSC
+    SNODAS hdr+dat pairs (frmts/raw/snodasdataset.cpp int16 BE,
+    min/max-coordinate geotransform).  The pixel rule rides through
+    REAL bytes of each and the decoded checksums + parsed
+    geotransform origins match one closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 139)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h", "lon_c", "lat_c"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("x0_q6", T2.LongType()),
+            T2.StructField("y0_q6", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.rawformats import (
+            decode_gtx, decode_kro, decode_pnm, decode_snodas,
+            encode_gtx, encode_kro, encode_pnm, encode_snodas,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h, lon, lat in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"],
+                pdf["lon_c"], pdf["lat_c"]
+            ):
+                i, w, h = int(i), int(w), int(h)
+                lon, lat = float(lon), float(lat)
+                rgb = np_image_pixels(i, w, h)
+                g = rgb[:, :, 0]
+                outs = {}
+                outs["pnm_gray"] = (decode_pnm(encode_pnm(g))[:, :, None]
+                                    .astype(np.int64), 0, 0)
+                outs["pnm_rgb"] = (decode_pnm(encode_pnm(rgb))
+                                   .astype(np.int64), 0, 0)
+                outs["pnm16"] = (
+                    decode_pnm(encode_pnm(g.astype(np.uint16) * 257))
+                    [:, :, None].astype(np.int64), 0, 0)
+                outs["kro_rgb"] = (decode_kro(encode_kro(rgb))
+                                   .astype(np.int64), 0, 0)
+                outs["kro_f32"] = (
+                    (decode_kro(encode_kro(
+                        g.astype(np.float32) + 0.25)) * 4)
+                    .astype(np.int64), 0, 0)
+                garr, ggt = decode_gtx(encode_gtx(
+                    g.astype(np.float32) + 0.5,
+                    ymin=lat, xmin=lon, dy=0.25, dx=0.5))
+                outs["gtx"] = ((garr[:, :, None] * 2).astype(np.int64),
+                               _math.floor(ggt[0] * 1e6),
+                               _math.floor(ggt[3] * 1e6))
+                sarr, sgt, _nd = decode_snodas(*encode_snodas(
+                    (g.astype(np.int16) + 100),
+                    minx=lon, miny=lat - h * 0.01,
+                    maxx=lon + w * 0.01, maxy=lat))
+                outs["snodas"] = (sarr[:, :, None].astype(np.int64),
+                                  _math.floor(sgt[0] * 1e6),
+                                  _math.floor(sgt[3] * 1e6))
+                for fmt, (out, x0, y0) in outs.items():
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                                "x0_q6": x0, "y0_q6": y0,
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_raw_fleet2() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 139)",
+    )
+    return f"""
+WITH img AS ({img}),
+fmts AS (
+  SELECT * FROM (VALUES
+    ('pnm_gray', 1), ('pnm_rgb', 3), ('pnm16', 1),
+    ('kro_rgb', 3), ('kro_f32', 1), ('gtx', 1), ('snodas', 1)
+  ) AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, i.i, i.w, i.h, i.lon_c, i.lat_c, fb.fmt, fb.band,
+    CASE fb.fmt
+      WHEN 'pnm16' THEN ((gx.x + gy.y + i.i) % 256) * 257
+      WHEN 'kro_f32' THEN ((gx.x + gy.y + i.i) % 256) * 4 + 1
+      WHEN 'gtx' THEN ((gx.x + gy.y + i.i) % 256) * 2 + 1
+      WHEN 'snodas' THEN ((gx.x + gy.y + i.i) % 256) + 100
+      ELSE (gx.x + gy.y + i.i + fb.phase) % 256
+    END AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+)
+SELECT image_id, fmt, cast(band as int) AS band,
+  cast(sum(val % ({_PRIMES_SQL})[(pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  CASE fmt
+    WHEN 'gtx' THEN cast(floor((lon_c - 0.25) * 1e6) as bigint)
+    WHEN 'snodas' THEN cast(floor(lon_c * 1e6) as bigint)
+    ELSE 0 END AS x0_q6,
+  CASE fmt
+    WHEN 'gtx' THEN cast(floor((lat_c + 0.25 * (h - 1) + 0.125) * 1e6)
+                         as bigint)
+    WHEN 'snodas' THEN cast(floor(lat_c * 1e6) as bigint)
+    ELSE 0 END AS y0_q6
+FROM px
+GROUP BY image_id, fmt, band, lon_c, lat_c, h
+"""
+
+
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
     layout; g2clib compack/comunpack + enc_png/dec_png semantics):
@@ -12725,7 +12868,7 @@ def _with_shipping(fn: Callable) -> Callable:
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
-    "raster_update",
+    "raster_update", "raw_fleet2",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -12875,6 +13018,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retile": q_retile,
         "ogrtindex": q_ogrtindex,
         "raster_update": q_raster_update,
+        "raw_fleet2": q_raw_fleet2,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15132,6 +15276,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "retile": _o_retile(),
         "ogrtindex": _o_ogrtindex(),
         "raster_update": _o_raster_update(),
+        "raw_fleet2": _o_raw_fleet2(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

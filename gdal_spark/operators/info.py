@@ -188,6 +188,21 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("HF2", "raster", True, True, "hfz", "raster/hf2.py"),
     ("ERS", "raster", True, True, "ers", "raster/hdrpairs.py"),
     ("ILWIS", "raster", True, True, "mpr", "raster/hdrpairs.py"),
+    ("EHdr", "raster", True, True, "bil", "raster/hdrpairs.py"),
+    ("SAGA", "raster", True, True, "sdat", "raster/hdrpairs.py"),
+    ("PAux", "raster", True, True, "aux", "raster/hdrpairs.py"),
+    ("GXF", "raster", True, True, "gxf", "raster/gxf.py"),
+    ("ISIS3", "raster", True, True, "cub", "raster/isis3.py"),
+    ("LAN", "raster", True, True, "lan", "raster/lan.py"),
+    ("NTv2", "raster", True, True, "gsb", "raster/ntv2.py"),
+    ("PNM", "raster", True, True, "pnm", "raster/rawformats.py"),
+    ("KRO", "raster", True, True, "kro", "raster/rawformats.py"),
+    ("GTX", "raster", True, True, "gtx", "raster/rawformats.py"),
+    ("SNODAS", "raster", True, True, "hdr", "raster/rawformats.py"),
+    ("HDF5", "multidim", True, True, "h5", "sources/hdf5.py"),
+    ("netCDF-4", "multidim", True, True, "nc4", "sources/netcdf4.py"),
+    ("Arrow", "vector", True, True, "arrow", "sources/arrowipc.py"),
+    ("G711", "audio", True, True, "au", "raster/g711.py"),
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
     ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),

@@ -1,0 +1,226 @@
+"""Small raw-format codecs, batch 2 (round 5): PNM, KRO, GTX, SNODAS.
+
+Each re-derives one reference raw driver byte-for-byte:
+
+- PNM (frmts/raw/pnmdataset.cpp): binary P5 (gray) / P6 (RGB) only —
+  no ascii, no pbm (Identify, :122-143).  maxval < 256 -> Byte,
+  else UInt16 **big-endian** (:234-237); header tokens allow
+  ``#`` comments (:168-206); GDAL writes ``P{5,6}\\n<w> <h>\\n<max>\\n``
+  (:384-388).
+- KRO (frmts/raw/krodataset.cpp, spec at autopano.net): ``KRO\\x01``
+  magic then w, h, depth, ncomp as big-endian int32; depth 8/16/32 ->
+  Byte / UInt16 BE / Float32 BE, pixel-interleaved (:82-121).
+- GTX (frmts/raw/gtxdataset.cpp, NOAA vertical datum shift grids):
+  40-byte big-endian header (ymin, xmin, dy, dx as f64; nrows, ncols
+  as i32, :232-250), data float32 BE (legacy f64 auto-detected from
+  file size, :288-292) stored SOUTH-UP (the band reads with negative
+  line pitch from the last row, :301-306); the geotransform shifts
+  the pixel-CENTER origin to corners (:258-263).
+- SNODAS (frmts/raw/snodasdataset.cpp, NOHRSC): ``.hdr`` text of
+  ``key: value`` lines (Identify pins the "Format version: NOHRSC
+  GIS/RS raster file v1.1" first line, :229-236), separate data file
+  of int16 **big-endian** (:89), geotransform from min/max axis
+  coordinates divided by rows/cols (:455-463), "No data value" key.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "encode_pnm", "decode_pnm",
+    "encode_kro", "decode_kro",
+    "encode_gtx", "decode_gtx",
+    "encode_snodas", "decode_snodas",
+]
+
+
+# --- PNM --------------------------------------------------------------------
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """(h, w) or (h, w, 3) uint8/uint16 -> binary P5/P6 bytes (the
+    header layout PNMDataset::Create writes)."""
+    if arr.ndim == 2:
+        magic, nc = b"P5", 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        magic, nc = b"P6", 3
+    else:
+        raise ValueError("pnm: gray (h,w) or RGB (h,w,3) only")
+    if arr.dtype == np.uint8:
+        maxval, payload = 255, arr.tobytes()
+    elif arr.dtype == np.uint16:
+        maxval, payload = 65535, arr.astype(">u2").tobytes()
+    else:
+        raise ValueError("pnm: uint8/uint16 only")
+    h, w = arr.shape[:2]
+    del nc
+    return magic + b"\n%d %d\n%d\n" % (w, h, maxval) + payload
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    if len(data) < 10 or data[0:1] != b"P" or data[1:2] not in (b"5", b"6"):
+        raise ValueError("pnm: not a binary P5/P6 stream")
+    nc = 3 if data[1:2] == b"6" else 1
+    # token scan with '#' comment skip, mirroring the reference's walk
+    toks: list[int] = []
+    i = 2
+    cur = b""
+    while i < len(data) and len(toks) < 3:
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < len(data) - 1 and data[i] not in (10, 13):
+                i += 1
+        elif c.isspace():
+            if cur:
+                toks.append(int(cur))
+                cur = b""
+        else:
+            cur += c
+        i += 1
+    if len(toks) != 3:
+        raise ValueError("pnm: truncated header")
+    w, h, maxval = toks
+    if w < 1 or h < 1 or maxval < 1:
+        raise ValueError("pnm: bad header values")
+    dt = np.uint8 if maxval < 256 else np.dtype(">u2")
+    out = np.frombuffer(data, dtype=dt, offset=i,
+                        count=w * h * nc)
+    out = out.astype(np.uint8 if maxval < 256 else np.uint16)
+    return out.reshape(h, w) if nc == 1 else out.reshape(h, w, 3)
+
+
+# --- KRO --------------------------------------------------------------------
+
+_KRO_DT = {8: np.uint8, 16: np.dtype(">u2"), 32: np.dtype(">f4")}
+
+
+def encode_kro(arr: np.ndarray) -> bytes:
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    elif arr.dtype == np.float32:
+        depth = 32
+    else:
+        raise ValueError("kro: uint8/uint16/float32 only")
+    payload = arr.astype(_KRO_DT[depth]).tobytes()
+    return b"KRO\x01" + struct.pack(">iiii", w, h, depth, nc) + payload
+
+
+def decode_kro(data: bytes) -> np.ndarray:
+    if data[:4] != b"KRO\x01":
+        raise ValueError("kro: bad magic")
+    w, h, depth, nc = struct.unpack_from(">iiii", data, 4)
+    if depth not in _KRO_DT:
+        raise ValueError(f"kro: unhandled depth {depth}")
+    if w < 1 or h < 1 or nc < 1:
+        raise ValueError("kro: bad dimensions")
+    out = np.frombuffer(data, dtype=_KRO_DT[depth], offset=20,
+                        count=w * h * nc).reshape(h, w, nc)
+    native = {8: np.uint8, 16: np.uint16, 32: np.float32}[depth]
+    return np.ascontiguousarray(out).astype(native)
+
+
+# --- GTX --------------------------------------------------------------------
+
+def encode_gtx(arr: np.ndarray, ymin: float, xmin: float,
+               dy: float, dx: float) -> bytes:
+    """(h, w) float32 grid, TOP-DOWN in memory, (ymin, xmin) = center
+    of the SW corner cell; file stores rows south-first per the
+    format."""
+    if arr.ndim != 2 or arr.dtype != np.float32:
+        raise ValueError("gtx: float32 (h, w) only")
+    h, w = arr.shape
+    head = struct.pack(">ddddii", ymin, xmin, dy, dx, h, w)
+    return head + arr[::-1].astype(">f4").tobytes()
+
+
+def decode_gtx(data: bytes) -> tuple[np.ndarray, tuple]:
+    """-> (top-down float array, GDAL geotransform with the reference's
+    half-pixel corner shift)."""
+    if len(data) < 40:
+        raise ValueError("gtx: truncated header")
+    ymin, xmin, dy, dx, h, w = struct.unpack_from(">ddddii", data, 0)
+    if h < 1 or w < 1:
+        raise ValueError("gtx: bad dimensions")
+    n = w * h
+    if len(data) - 40 == 8 * n:
+        vals = np.frombuffer(data, dtype=">f8", offset=40, count=n)
+        vals = vals.astype(np.float64)
+    elif len(data) - 40 >= 4 * n:
+        vals = np.frombuffer(data, dtype=">f4", offset=40, count=n)
+        vals = vals.astype(np.float32)
+    else:
+        raise ValueError("gtx: payload shorter than header promises")
+    arr = vals.reshape(h, w)[::-1].copy()  # south-up file -> top-down
+    gt = (xmin - dx * 0.5, dx, 0.0,
+          ymin + dy * (h - 1) + dy * 0.5, 0.0, -dy)
+    return arr, gt
+
+
+# --- SNODAS -----------------------------------------------------------------
+
+_SNODAS_MAGIC = "Format version: NOHRSC GIS/RS raster file v1.1"
+
+
+def encode_snodas(arr: np.ndarray, minx: float, miny: float,
+                  maxx: float, maxy: float, nodata: int = -9999,
+                  description: str = "Snow water equivalent"
+                  ) -> tuple[bytes, bytes]:
+    """(h, w) int16 -> (dat bytes, hdr text bytes)."""
+    if arr.ndim != 2 or arr.dtype != np.int16:
+        raise ValueError("snodas: int16 (h, w) only")
+    h, w = arr.shape
+    hdr = "\n".join(
+        [
+            _SNODAS_MAGIC,
+            f"Description: {description}",
+            "Data units: Meters",
+            f"Number of columns: {w}",
+            f"Number of rows: {h}",
+            f"No data value: {nodata}",
+            f"Minimum x-axis coordinate: {minx!r}",
+            f"Maximum x-axis coordinate: {maxx!r}",
+            f"Minimum y-axis coordinate: {miny!r}",
+            f"Maximum y-axis coordinate: {maxy!r}",
+        ]
+    ) + "\n"
+    return arr.astype(">i2").tobytes(), hdr.encode("ascii")
+
+
+def decode_snodas(dat: bytes, hdr: bytes
+                  ) -> tuple[np.ndarray, tuple, float | None]:
+    """-> (int16 array, geotransform, nodata)."""
+    lines = hdr.decode("ascii", "replace").splitlines()
+    if not lines or not lines[0].strip().lower().startswith(
+            _SNODAS_MAGIC.lower()):
+        raise ValueError("snodas: missing NOHRSC v1.1 format line")
+    kv = {}
+    for ln in lines:
+        key, sep, val = ln.partition(":")
+        if sep:
+            kv[key.strip()] = val.strip()
+    try:
+        w = int(kv["Number of columns"])
+        h = int(kv["Number of rows"])
+    except KeyError as exc:
+        raise ValueError(f"snodas: missing header key {exc}") from exc
+    arr = np.frombuffer(dat, dtype=">i2", count=w * h).reshape(h, w)
+    gt = None
+    if all(k in kv for k in ("Minimum x-axis coordinate",
+                             "Maximum x-axis coordinate",
+                             "Minimum y-axis coordinate",
+                             "Maximum y-axis coordinate")):
+        minx = float(kv["Minimum x-axis coordinate"])
+        maxx = float(kv["Maximum x-axis coordinate"])
+        miny = float(kv["Minimum y-axis coordinate"])
+        maxy = float(kv["Maximum y-axis coordinate"])
+        gt = (minx, (maxx - minx) / w, 0.0, maxy, 0.0, -(maxy - miny) / h)
+    nodata = (float(kv["No data value"])
+              if "No data value" in kv else None)
+    return arr.astype(np.int16), gt, nodata

@@ -1,0 +1,87 @@
+"""PNM / KRO / GTX / SNODAS raw codecs (frmts/raw/*.cpp, round 5)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from gdal_spark.raster.rawformats import (
+    decode_gtx,
+    decode_kro,
+    decode_pnm,
+    decode_snodas,
+    encode_gtx,
+    encode_kro,
+    encode_pnm,
+    encode_snodas,
+)
+
+rng = np.random.RandomState(3)
+
+
+def test_pnm_roundtrips_and_header_rules():
+    g8 = rng.randint(0, 256, (13, 17)).astype(np.uint8)
+    rgb = rng.randint(0, 256, (13, 17, 3)).astype(np.uint8)
+    g16 = rng.randint(0, 65536, (9, 5)).astype(np.uint16)
+    assert np.array_equal(decode_pnm(encode_pnm(g8)), g8)
+    assert np.array_equal(decode_pnm(encode_pnm(rgb)), rgb)
+    # maxval >= 256 -> UInt16 big-endian (pnmdataset.cpp:234-237)
+    blob16 = encode_pnm(g16)
+    assert b"65535" in blob16[:20]
+    assert np.array_equal(decode_pnm(blob16), g16)
+    assert blob16[blob16.index(b"65535\n") + 6:][:2] == g16.astype(
+        ">u2"
+    ).tobytes()[:2]
+    # '#' comments are skipped in the token walk (:168-206)
+    blob = b"P5\n# a comment\n17 13\n255\n" + g8.tobytes()
+    assert np.array_equal(decode_pnm(blob), g8)
+    with pytest.raises(ValueError, match="P5/P6"):
+        decode_pnm(b"P1\n2 2\n0 1 1 0\n")  # ascii pbm rejected
+
+
+def test_kro_roundtrips_and_magic():
+    g8 = rng.randint(0, 256, (6, 7, 4)).astype(np.uint8)
+    u16 = rng.randint(0, 65536, (5, 4, 1)).astype(np.uint16)
+    f32 = rng.rand(7, 8, 2).astype(np.float32)
+    for a in (g8, u16, f32):
+        assert np.array_equal(decode_kro(encode_kro(a)), a)
+    blob = encode_kro(g8)
+    assert blob[:4] == b"KRO\x01"
+    assert struct.unpack_from(">iiii", blob, 4) == (7, 6, 8, 4)
+    with pytest.raises(ValueError, match="magic"):
+        decode_kro(b"KRO\x02" + blob[4:])
+    with pytest.raises(ValueError, match="depth"):
+        bad = bytearray(blob)
+        bad[12:16] = struct.pack(">i", 24)
+        decode_kro(bytes(bad))
+
+
+def test_gtx_south_up_and_corner_shift():
+    f = (rng.rand(11, 6) * 5).astype(np.float32)
+    blob = encode_gtx(f, ymin=40.0, xmin=-100.0, dy=0.25, dx=0.5)
+    back, gt = decode_gtx(blob)
+    assert np.array_equal(back, f) and back.dtype == np.float32
+    # header stores pixel CENTERS; GDAL shifts to corners
+    # (gtxdataset.cpp:258-263) and flips dy negative
+    assert gt == (-100.25, 0.5, 0.0, 40.0 + 0.25 * 10 + 0.125, 0.0, -0.25)
+    # file rows are south-first: first data row == last array row
+    first = np.frombuffer(blob, dtype=">f4", offset=40, count=6)
+    assert np.array_equal(first.astype(np.float32), f[-1])
+    # legacy float64 payloads auto-detect by size (:288-292)
+    legacy = blob[:40] + f[::-1].astype(">f8").tobytes()
+    b2, _ = decode_gtx(legacy)
+    assert b2.dtype == np.float64 and np.allclose(b2, f)
+
+
+def test_snodas_header_and_geotransform():
+    s = rng.randint(-30000, 30000, (8, 12)).astype(np.int16)
+    dat, hdr = encode_snodas(s, -112.5, 33.0, -100.5, 41.0)
+    assert hdr.startswith(b"Format version: NOHRSC GIS/RS raster file v1.1")
+    a2, gt2, nd = decode_snodas(dat, hdr)
+    assert np.array_equal(a2, s)
+    assert nd == -9999.0
+    assert gt2 == (-112.5, 1.0, 0.0, 41.0, 0.0, -1.0)
+    # int16 payload is big-endian (snodasdataset.cpp:89)
+    assert dat[:2] == s.astype(">i2").tobytes()[:2]
+    with pytest.raises(ValueError, match="NOHRSC"):
+        decode_snodas(dat, b"Format version: something else\n")
