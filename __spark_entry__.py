@@ -4147,6 +4147,76 @@ GROUP BY i, level, row, col, tw, th
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup + per-domain cap (the crawl half
+    of a training-data pipeline; C4/RefinedWeb-style).  Every document
+    gets a deterministic MESSY url — uppercase scheme/host, www.
+    prefix, default ports, utm tracking params, unsorted query,
+    fragment — shared by each 3-document group.  The engine
+    normalizes (RFC 3986 §6 conservative set), exact-dedups on the
+    canonical url keeping the lowest doc_id, extracts the
+    public-suffix-aware registrable domain (co.uk / com.au two-level
+    suffixes), and caps each domain at 3 documents.  The oracle
+    re-derives the EXPECTED canonical form from the generation rules
+    — an independent closed form, not a re-run of the normalizer."""
+    from gdal_spark.text.urls import url_dedup_domain_cap
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") - F.col("doc_id") % 3) / 3
+    g = g.cast("long")
+    url = F.concat(
+        F.when(g % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(g % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("ExAmple"), (g % 37).cast("string"), F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"),
+                    F.lit("com.au")),
+            (g % 4).cast("int") + 1,
+        ),
+        F.when(g % 2 == 0, F.lit(":80"))
+        .when(g % 7 == 0, F.lit(":8080")).otherwise(F.lit(":443")),
+        F.lit("/p/"), g.cast("string"),
+        F.lit("?utm_source=feed&b="), (g % 5).cast("string"),
+        F.lit("&a=1"),
+        F.when(g % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    kept = url_dedup_domain_cap(
+        docs.withColumn("url", url), max_per_domain=3
+    )
+    return kept.select("doc_id", "url_norm", "domain")
+
+
+def _o_url_dedup() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS g FROM documents
+),
+grp AS (
+  SELECT g, min(doc_id) AS doc_id FROM d GROUP BY g
+),
+urls AS (
+  SELECT doc_id,
+    (CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END)
+      || '://example' || cast(g % 37 as varchar) || '.'
+      || (CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          WHEN 2 THEN 'co.uk' ELSE 'com.au' END)
+      || (CASE WHEN g % 2 = 1 AND g % 7 = 0 THEN ':8080' ELSE '' END)
+      || '/p/' || cast(g as varchar)
+      || '?a=1&b=' || cast(g % 5 as varchar) AS url_norm,
+    'example' || cast(g % 37 as varchar) || '.'
+      || (CASE g % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+          WHEN 2 THEN 'co.uk' ELSE 'com.au' END) AS domain
+  FROM grp
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rd
+  FROM urls
+)
+SELECT doc_id, url_norm, domain FROM ranked WHERE rd <= 3
+"""
+
+
 def q_raw_fleet2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-format batch 2 (round 5): PNM P5/P6 8- and 16-bit
     (frmts/raw/pnmdataset.cpp big-endian-16 rule), KRO uint8/float32
@@ -12868,7 +12938,7 @@ def _with_shipping(fn: Callable) -> Callable:
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
-    "raster_update", "raw_fleet2",
+    "raster_update", "raw_fleet2", "url_dedup",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13019,6 +13089,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogrtindex": q_ogrtindex,
         "raster_update": q_raster_update,
         "raw_fleet2": q_raw_fleet2,
+        "url_dedup": q_url_dedup,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15277,6 +15348,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "ogrtindex": _o_ogrtindex(),
         "raster_update": _o_raster_update(),
         "raw_fleet2": _o_raw_fleet2(),
+        "url_dedup": _o_url_dedup(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
