@@ -4217,6 +4217,55 @@ SELECT doc_id, url_norm, domain FROM ranked WHERE rd <= 3
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-free train/val/test assignment: each
+    near-dup cluster (here the doc_id//4 fixture clusters) hashes as
+    ONE unit via the first 15 hex digits of md5(salt:key) scaled to
+    [0,1) — reshuffle-proof, RNG-free, and no cluster can straddle
+    train and test (the classic eval-contamination bug).  The oracle
+    recomputes the identical md5 in DuckDB (CLAUDE.md hex-to-int
+    portability rule), so the hash mirroring is bit-exact."""
+    from gdal_spark.text.splits import assign_splits
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.withColumn(
+        "cluster", (F.col("doc_id") - F.col("doc_id") % 4) / 4
+    ).withColumn("cluster", F.col("cluster").cast("long"))
+    out = assign_splits(
+        docs, "doc_id",
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+        cluster_col="cluster",
+    )
+    return out.select("doc_id", "cluster", "split")
+
+
+def _o_split_assign() -> str:
+    from gdal_spark.tiles.tilemath import sql_double
+
+    # cutoffs accumulate in Python float arithmetic on BOTH sides
+    # (0.9 + 0.05 is 0.9500000000000001 in binary — never bare SQL
+    # literals, per the quoted-double rule)
+    c1 = sql_double(0.9)
+    c2 = sql_double(0.9 + 0.05)
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id // 4 AS cluster FROM documents
+),
+h AS (
+  SELECT doc_id, cluster,
+    cast(cast('0x' || substr(md5('split-v1:' || cast(cluster as varchar)),
+                             1, 15) as bigint) as double)
+      / cast(1152921504606846976 as double) AS u
+  FROM d
+)
+SELECT doc_id, cluster,
+  CASE WHEN u < {c1} THEN 'train'
+       WHEN u < {c2} THEN 'val'
+       ELSE 'test' END AS split
+FROM h
+"""
+
+
 def q_raw_fleet2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-format batch 2 (round 5): PNM P5/P6 8- and 16-bit
     (frmts/raw/pnmdataset.cpp big-endian-16 rule), KRO uint8/float32
@@ -12938,7 +12987,7 @@ def _with_shipping(fn: Callable) -> Callable:
 _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
-    "raster_update", "raw_fleet2", "url_dedup",
+    "raster_update", "raw_fleet2", "url_dedup", "split_assign",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13090,6 +13139,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_update": q_raster_update,
         "raw_fleet2": q_raw_fleet2,
         "url_dedup": q_url_dedup,
+        "split_assign": q_split_assign,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15349,6 +15399,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "raster_update": _o_raster_update(),
         "raw_fleet2": _o_raw_fleet2(),
         "url_dedup": _o_url_dedup(),
+        "split_assign": _o_split_assign(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
