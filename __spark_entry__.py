@@ -4266,6 +4266,153 @@ FROM h
 """
 
 
+def q_jp2_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JP2 reduced-resolution decode (round 5): GDAL exposes one
+    overview per discarded DWT resolution
+    (frmts/openjpeg/openjpegdataset.cpp,
+    opj_set_decoded_resolution_factor) — only the retained
+    resolutions' packets are entropy-decoded.  Each image encodes
+    lossless (5/3, 2 levels) through the real T.800 codestream and
+    decodes at reduce 0 (bit-exact pixels) and reduce 1 (the level-1
+    LL plane).  The oracle rebuilds the 5/3 lifting (T.800 F.4:
+    d = odd - floor((e_l+e_r)/2), s = even + floor((d_l+d_r+2)/4),
+    whole-point symmetric extension) as integer SQL over the pixel
+    rule — an independent arithmetic twin of the wavelet, not a
+    re-run of the codec."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(
+        (F.col("i") % PALETTED_MOD == 149) & (F.col("i") % 5 != 4)
+    )
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "w", "h"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("reduce", T2.IntegerType()),
+            T2.StructField("ow", T2.IntegerType()),
+            T2.StructField("oh", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("vsum", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.jp2 import decode_j2k, encode_j2k
+
+        for pdf in batches:
+            recs = []
+            for i, w, h in zip(pdf["i"], pdf["w"], pdf["h"]):
+                i, w, h = int(i), int(w), int(h)
+                # 96x96 crop: EBCOT is a sequential bit-plane coder
+                # (same bound as jp2_roundtrip); the reduce semantics
+                # are size-independent
+                w, h = min(w, 96), min(h, 96)
+                g = np_image_pixels(i, w, h)[:, :, 0]
+                blob = encode_j2k(g, levels=2)
+                for r in (0, 1):
+                    out = decode_j2k(blob, reduce=r)
+                    recs.append(
+                        {
+                            "i": i, "reduce": r,
+                            "ow": out.shape[1], "oh": out.shape[0],
+                            "checksum": gdal_checksum(out),
+                            "vsum": int(out.sum(dtype="int64")),
+                        }
+                    )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_jp2_reduce() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 149 AND o_orderkey % 5 != 4)",
+    )
+    # v(x, y) = (x + y + i) % 256 — band 0 of the pixel rule;
+    # dims cropped to 96x96 exactly like the Spark side
+    return f"""
+WITH img0 AS ({img}),
+img AS (
+  SELECT * REPLACE (least(w, 96) AS w, least(h, 96) AS h) FROM img0
+),
+hd AS MATERIALIZED (  -- horizontal 5/3 detail: d = odd - floor((e_l+e_r)/2)
+  SELECT i.i, gu.u, gy.y,
+    ((2 * gu.u + 1) + gy.y + i.i) % 256
+      - cast(floor((((2 * gu.u + gy.y + i.i) % 256)
+                    + ((least(2 * gu.u + 2, 2 * ((i.w - 1) // 2))
+                       + gy.y + i.i) % 256)) / 2.0) as bigint) AS d
+  FROM img i
+  JOIN range(0, 256) AS gu(u) ON gu.u < i.w // 2
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+),
+hs AS MATERIALIZED (  -- horizontal smooth: s = even + floor((d_l+d_r+2)/4)
+  SELECT i.i, gt.t, gy.y,
+    (2 * gt.t + gy.y + i.i) % 256
+      + cast(floor((dl.d + dr.d + 2) / 4.0) as bigint) AS s
+  FROM img i
+  JOIN range(0, 256) AS gt(t) ON gt.t < (i.w + 1) // 2
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  JOIN hd dl ON dl.i = i.i AND dl.y = gy.y
+            AND dl.u = greatest(gt.t - 1, 0)
+  JOIN hd dr ON dr.i = i.i AND dr.y = gy.y
+            AND dr.u = least(gt.t, i.w // 2 - 1)
+),
+vd AS MATERIALIZED (  -- vertical detail over the smooth rows
+  SELECT s1.i, s1.t, gu.u,
+    s1.s - cast(floor((s0.s + s2.s) / 2.0) as bigint) AS d
+  FROM img i
+  JOIN range(0, 256) AS gu(u) ON gu.u < i.h // 2
+  JOIN range(0, 256) AS gt(t) ON gt.t < (i.w + 1) // 2
+  JOIN hs s1 ON s1.i = i.i AND s1.t = gt.t AND s1.y = 2 * gu.u + 1
+  JOIN hs s0 ON s0.i = i.i AND s0.t = gt.t AND s0.y = 2 * gu.u
+  JOIN hs s2 ON s2.i = i.i AND s2.t = gt.t
+            AND s2.y = least(2 * gu.u + 2, 2 * ((i.h - 1) // 2))
+),
+ll AS (  -- level-1 LL plane, clipped to byte range
+  SELECT i.i, gt.t AS x, gr.r AS y,
+    least(greatest(se.s
+      + cast(floor((dl.d + dr.d + 2) / 4.0) as bigint), 0), 255) AS val,
+    (i.w + 1) // 2 AS ow, (i.h + 1) // 2 AS oh
+  FROM img i
+  JOIN range(0, 256) AS gt(t) ON gt.t < (i.w + 1) // 2
+  JOIN range(0, 256) AS gr(r) ON gr.r < (i.h + 1) // 2
+  JOIN hs se ON se.i = i.i AND se.t = gt.t AND se.y = 2 * gr.r
+  JOIN vd dl ON dl.i = i.i AND dl.t = gt.t
+            AND dl.u = greatest(gr.r - 1, 0)
+  JOIN vd dr ON dr.i = i.i AND dr.t = gt.t
+            AND dr.u = least(gr.r, i.h // 2 - 1)
+),
+red1 AS (
+  SELECT i, cast(1 as int) AS reduce, cast(ow as int) AS ow,
+    cast(oh as int) AS oh,
+    cast(sum(val % ({_PRIMES_SQL})[((y * ow + x) % 11) + 1]) % 65536
+      as int) AS checksum,
+    cast(sum(val) as bigint) AS vsum
+  FROM ll GROUP BY i, ow, oh
+),
+red0 AS (
+  SELECT i.i, cast(0 as int) AS reduce, cast(i.w as int) AS ow,
+    cast(i.h as int) AS oh,
+    cast(sum(((gx.x + gy.y + i.i) % 256)
+      % ({_PRIMES_SQL})[((gy.y * i.w + gx.x) % 11) + 1]) % 65536
+      as int) AS checksum,
+    cast(sum((gx.x + gy.y + i.i) % 256) as bigint) AS vsum
+  FROM img i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  GROUP BY i.i, i.w, i.h
+)
+SELECT * FROM red0 UNION ALL SELECT * FROM red1
+"""
+
+
 def q_raw_fleet2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-format batch 2 (round 5): PNM P5/P6 8- and 16-bit
     (frmts/raw/pnmdataset.cpp big-endian-16 rule), KRO uint8/float32
@@ -12988,6 +13135,7 @@ _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
+    "jp2_reduce",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13140,6 +13288,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raw_fleet2": q_raw_fleet2,
         "url_dedup": q_url_dedup,
         "split_assign": q_split_assign,
+        "jp2_reduce": q_jp2_reduce,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15400,6 +15549,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "raw_fleet2": _o_raw_fleet2(),
         "url_dedup": _o_url_dedup(),
         "split_assign": _o_split_assign(),
+        "jp2_reduce": _o_jp2_reduce(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

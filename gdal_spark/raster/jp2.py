@@ -1276,9 +1276,16 @@ def encode_j2k(arr: np.ndarray, levels: int = 2, cb_exp: int = 6,
             + body + struct.pack(">H", _EOC))
 
 
-def decode_j2k(buf: bytes) -> np.ndarray:
+def decode_j2k(buf: bytes, reduce: int = 0) -> np.ndarray:
     """Decode a codestream produced by the subset above (loud errors
-    on features outside it)."""
+    on features outside it).
+
+    ``reduce`` discards the ``reduce`` highest resolutions and
+    returns the level-``reduce`` LL plane — GDAL's JP2 overview read
+    (frmts/openjpeg/openjpegdataset.cpp builds one overview per
+    discarded resolution; opj_set_decoded_resolution_factor): only
+    the packets of the retained resolutions are entropy-decoded, so
+    the work drops ~4x per level exactly like the reference."""
     buf = bytes(buf)
     if buf[:2] != struct.pack(">H", _SOC):
         raise ValueError("jp2: missing SOC")
@@ -1369,9 +1376,14 @@ def decode_j2k(buf: bytes) -> np.ndarray:
     body_end = pos + psot if psot else len(buf) - 2
     data = buf[body_start:body_end]
 
+    if not (0 <= reduce <= levels):
+        raise ValueError(
+            f"jp2: reduce must be 0..{levels} for this stream")
+    keep = levels - reduce  # retained resolutions: 0..keep
+
     out = [np.zeros((H, W), dtype=np.int64) for _ in range(ncomp)]
     p = 0
-    for r, bands in enumerate(layout):
+    for r, bands in enumerate(layout[: keep + 1]):
         base_bi = sum(len(b) for b in layout[:r])
         for c in range(ncomp):
             grids = [_cb_grid(bw, bh, cb) for (_bt, _x, _y, bw, bh) in bands]
@@ -1402,17 +1414,26 @@ def decode_j2k(buf: bytes) -> np.ndarray:
     shift = 0 if signed else 1 << (depth - 1)
     dtype = (np.int8 if depth <= 8 else np.int16) if signed else \
         (np.uint8 if depth <= 8 else np.uint16)
+    hk, wk = H, W
+    for _ in range(reduce):
+        hk, wk = (hk + 1) // 2, (wk + 1) // 2
+    lo = np.iinfo(dtype).min
+    hi = np.iinfo(dtype).max
     if qmus is None:
-        planes = [(_inv53_2d(o, levels) + shift).astype(dtype)
-                  for o in out]
+        # exact for reduce == 0; at reduce > 0 the LL low-pass can
+        # overshoot the nominal range on hard edges -> clip like the
+        # reference's overview read
+        planes = [
+            np.clip(_inv53_2d(o[:hk, :wk], keep) + shift, lo, hi)
+            .astype(dtype)
+            for o in out
+        ]
     else:
-        lo = np.iinfo(dtype).min
-        hi = np.iinfo(dtype).max
         planes = []
         for o in out:
-            deq = np.zeros(o.shape, dtype=np.float64)
+            deq = np.zeros((hk, wk), dtype=np.float64)
             bi = 0
-            for bands in layout:
+            for bands in layout[: keep + 1]:
                 for (bt, x0b, y0b, bw, bh) in bands:
                     if bw > 0 and bh > 0:
                         delta = _qstep(eps[bi], qmus[bi],
@@ -1423,7 +1444,8 @@ def decode_j2k(buf: bytes) -> np.ndarray:
                             q > 0, (q + 0.5) * delta,
                             np.where(q < 0, (q - 0.5) * delta, 0.0))
                     bi += 1
-            pix = _inv97_2d(deq, levels) + shift
+                # QCD indexes every subband of the FULL stream
+            pix = _inv97_2d(deq, keep) + shift
             planes.append(
                 np.clip(np.floor(pix + 0.5), lo, hi).astype(dtype))
     if ncomp == 1:
@@ -1513,14 +1535,15 @@ def read_jp2_georef(buf: bytes):
     return None
 
 
-def decode_jp2(buf: bytes) -> np.ndarray:
-    """Decode a JP2 file or a bare codestream."""
+def decode_jp2(buf: bytes, reduce: int = 0) -> np.ndarray:
+    """Decode a JP2 file or a bare codestream (``reduce`` = discarded
+    resolutions, the overview read — see decode_j2k)."""
     buf = bytes(buf)
     if buf[:2] == struct.pack(">H", _SOC):
-        return decode_j2k(buf)
+        return decode_j2k(buf, reduce=reduce)
     if buf[4:8] != b"jP  ":
         raise ValueError("jp2: not a JP2 file")
     for btype, start, end in _iter_boxes(buf):
         if btype == b"jp2c":
-            return decode_j2k(buf[start:end])
+            return decode_j2k(buf[start:end], reduce=reduce)
     raise ValueError("jp2: no jp2c codestream box")

@@ -348,3 +348,40 @@ def test_corruption_fuzz_terminates_cleanly():
         except Exception:
             pass  # clean refusal is fine; hanging is not
         buf[pos] = old
+
+
+def test_reduced_resolution_decode_matches_true_ll():
+    # reduce = GDAL's JP2 overview read (openjpegdataset.cpp,
+    # opj_set_decoded_resolution_factor): level-k LL plane only
+    from gdal_spark.raster.jp2 import _fwd53_2d, _inv53_2d
+
+    for h, w in [(32, 32), (33, 47), (20, 20), (257, 100)]:
+        a = RNG.integers(0, 256, (h, w)).astype(np.uint8)
+        blob = encode_j2k(a, levels=2)
+        assert np.array_equal(decode_j2k(blob, reduce=0), a)
+        cf = _fwd53_2d(a.astype(np.int64) - 128, 2)
+        for r in (1, 2):
+            hk, wk = h, w
+            for _ in range(r):
+                hk, wk = (hk + 1) // 2, (wk + 1) // 2
+            want = np.clip(
+                _inv53_2d(cf[:hk, :wk].copy(), 2 - r) + 128, 0, 255
+            ).astype(np.uint8)
+            got = decode_j2k(blob, reduce=r)
+            assert got.shape == (hk, wk)
+            assert np.array_equal(got, want)
+
+
+def test_reduced_resolution_lossy_and_guards():
+    a = RNG.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    blob = encode_j2k(a, levels=2, lossy=True)
+    g1 = decode_j2k(blob, reduce=1)
+    assert g1.shape == (20, 28, 3)
+    # the overview must still track the image content (smooth ramp)
+    ramp = np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))
+    lv = decode_j2k(encode_j2k(ramp, levels=2, lossy=True), reduce=1)
+    full = decode_j2k(encode_j2k(ramp, levels=2, lossy=True))
+    assert abs(float(lv.mean()) - float(full.mean())) < 3.0
+    with pytest.raises(ValueError, match="reduce"):
+        decode_j2k(encode_j2k(ramp, levels=2), reduce=3)
+    assert decode_jp2(encode_jp2(ramp, levels=2), reduce=1).shape == (32, 32)
