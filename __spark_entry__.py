@@ -4413,6 +4413,148 @@ SELECT * FROM red0 UNION ALL SELECT * FROM red1
 """
 
 
+def q_mrf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRF (Meta Raster Format, frmts/mrf/marfa_dataset.cpp): the
+    three-file layout — XML metadata, big-endian (offset,size) int64
+    tile index (net64, :2599; IdxOffset record order,
+    mrf_util.cpp:330), concatenated independently-compressed tile
+    payloads — rides the pixel rule four ways: PNG 3-band, NONE and
+    DEFLATE gray, and a SPARSE PNG variant where all-fill tiles are
+    never written ((0,0) idx records read back as fill, :2602-2607).
+    Decoded checksums, tile counts, written-tile counts and the
+    parsed BoundingBox all match closed forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    PX, PY = 48, 32
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 151)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h", "lon_c", "lat_c"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("n_tiles", T2.IntegerType()),
+            T2.StructField("n_written", T2.IntegerType()),
+            T2.StructField("x0_q6", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.mrf import (decode_mrf, encode_mrf,
+                                           mrf_tile_entries)
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h, lon, lat in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"],
+                pdf["lon_c"], pdf["lat_c"]
+            ):
+                i, w, h = int(i), int(w), int(h)
+                rgb = np_image_pixels(i, w, h)
+                g = rgb[:, :, 0]
+                tx = np.arange(w) // PX
+                ty = np.arange(h) // PY
+                odd = ((tx[None, :] + ty[:, None]) % 2 == 1)
+                sparse = np.where(odd, g, 0).astype(np.uint8)
+                bbox = (float(lon), float(lat) - 1.0,
+                        float(lon) + 1.0, float(lat))
+                variants = {
+                    "mrf_png": (rgb, "PNG", None),
+                    "mrf_none": (g, "NONE", None),
+                    "mrf_deflate": (g, "DEFLATE", None),
+                    "mrf_sparse": (sparse, "PNG", 0),
+                }
+                for fmt, (src, comp, skip) in variants.items():
+                    xml, idx, data = encode_mrf(
+                        src, page=(PX, PY), compression=comp,
+                        bbox=bbox, skip_uniform=skip)
+                    out, got_bbox = decode_mrf(xml, idx, data)
+                    ents = list(mrf_tile_entries(xml, idx))
+                    wrote = sum(1 for e in ents
+                                if (e[2], e[3]) != (0, 0))
+                    for b in range(out.shape[2]):
+                        rows.append(
+                            {
+                                "image_id": img_id, "fmt": fmt,
+                                "band": b,
+                                "checksum": gdal_checksum(out[:, :, b]),
+                                "n_tiles": len(ents),
+                                "n_written": wrote,
+                                "x0_q6": _math.floor(got_bbox[0] * 1e6),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_mrf_roundtrip() -> str:
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 151)",
+    )
+    return f"""
+WITH img AS ({img}),
+dims AS (
+  SELECT *,
+    (1 + (w - 1) // 48) AS pcx, (1 + (h - 1) // 32) AS pcy
+  FROM img
+),
+fmts AS (
+  SELECT * FROM (VALUES ('mrf_png', 3), ('mrf_none', 1),
+                        ('mrf_deflate', 1), ('mrf_sparse', 1))
+    AS f(fmt, nb)
+),
+bands AS (
+  SELECT f.fmt, f.nb, b.band,
+    CASE b.band WHEN 0 THEN 0 WHEN 1 THEN 85 ELSE 170 END AS phase
+  FROM fmts f JOIN range(0, 3) AS b(band) ON b.band < f.nb
+),
+px AS (
+  SELECT i.image_id, i.i, i.pcx, i.pcy, fb.fmt, fb.band,
+    CASE WHEN fb.fmt = 'mrf_sparse'
+          AND ((gx.x // 48) + (gy.y // 32)) % 2 = 0 THEN 0
+         ELSE (gx.x + gy.y + i.i + fb.phase) % 256 END AS val,
+    gy.y * i.w + gx.x AS pidx
+  FROM dims i
+  JOIN range(0, 512) AS gx(x) ON gx.x < i.w
+  JOIN range(0, 512) AS gy(y) ON gy.y < i.h
+  CROSS JOIN bands fb
+),
+written AS (  -- sparse: odd-parity tiles only
+  SELECT i.i,
+    cast(sum(CASE WHEN (t_x.tx + t_y.ty) % 2 = 1 THEN 1 ELSE 0 END)
+      as int) AS n_odd
+  FROM dims i
+  JOIN range(0, 16) AS t_x(tx) ON t_x.tx < i.pcx
+  JOIN range(0, 16) AS t_y(ty) ON t_y.ty < i.pcy
+  GROUP BY i.i
+)
+SELECT p.image_id, p.fmt, cast(p.band as int) AS band,
+  cast(sum(p.val % ({_PRIMES_SQL})[(p.pidx % 11) + 1]) % 65536 as int)
+    AS checksum,
+  cast(p.pcx * p.pcy as int) AS n_tiles,
+  CASE WHEN p.fmt = 'mrf_sparse' THEN w.n_odd
+       ELSE cast(p.pcx * p.pcy as int) END AS n_written,
+  cast(floor(d.lon_c * 1e6) as bigint) AS x0_q6
+FROM px p
+JOIN dims d ON d.i = p.i
+JOIN written w ON w.i = p.i
+GROUP BY p.image_id, p.i, p.fmt, p.band, p.pcx, p.pcy, w.n_odd, d.lon_c
+"""
+
+
 def q_raw_fleet2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-format batch 2 (round 5): PNM P5/P6 8- and 16-bit
     (frmts/raw/pnmdataset.cpp big-endian-16 rule), KRO uint8/float32
@@ -13135,7 +13277,7 @@ _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
-    "jp2_reduce",
+    "jp2_reduce", "mrf_roundtrip",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13289,6 +13431,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "split_assign": q_split_assign,
         "jp2_reduce": q_jp2_reduce,
+        "mrf_roundtrip": q_mrf_roundtrip,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15550,6 +15693,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "url_dedup": _o_url_dedup(),
         "split_assign": _o_split_assign(),
         "jp2_reduce": _o_jp2_reduce(),
+        "mrf_roundtrip": _o_mrf_roundtrip(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),
