@@ -4472,6 +4472,7 @@ def q_mrf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "mrf_png": (rgb, "PNG", None),
                     "mrf_none": (g, "NONE", None),
                     "mrf_deflate": (g, "DEFLATE", None),
+                    "mrf_lerc": (g, "LERC", None),
                     "mrf_sparse": (sparse, "PNG", 0),
                 }
                 for fmt, (src, comp, skip) in variants.items():
@@ -4513,7 +4514,8 @@ dims AS (
 ),
 fmts AS (
   SELECT * FROM (VALUES ('mrf_png', 3), ('mrf_none', 1),
-                        ('mrf_deflate', 1), ('mrf_sparse', 1))
+                        ('mrf_deflate', 1), ('mrf_lerc', 1),
+                        ('mrf_sparse', 1))
     AS f(fmt, nb)
 ),
 bands AS (

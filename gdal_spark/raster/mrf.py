@@ -34,7 +34,7 @@ import numpy as np
 
 __all__ = ["encode_mrf", "decode_mrf", "mrf_tile_entries"]
 
-_COMP = ("NONE", "PNG", "JPEG", "DEFLATE")
+_COMP = ("NONE", "PNG", "JPEG", "DEFLATE", "LERC")
 
 
 def _pcount(n: int, p: int) -> int:
@@ -103,6 +103,15 @@ def _encode_tile(tile: np.ndarray, compression: str) -> bytes:
         import zlib
 
         return zlib.compress(tile.tobytes())
+    if compression == "LERC":
+        # LERC1 is single-plane float; band-sequential planes, each
+        # exact for integer pixels at max_z_error=0.25 (LERC_band.cpp
+        # routes every dtype through the float CntZImage)
+        from gdal_spark.raster.lerc1 import encode_lerc1
+
+        return b"".join(
+            encode_lerc1(tile[:, :, c].astype(np.float64))
+            for c in range(tile.shape[2]))
     if compression == "PNG":
         from gdal_spark.raster.png import encode_png
 
@@ -121,6 +130,18 @@ def _decode_tile(payload: bytes, compression: str,
 
         return np.frombuffer(zlib.decompress(payload),
                              dtype=np.uint8).reshape(py, px, nc)
+    if compression == "LERC":
+        from gdal_spark.raster.lerc1 import decode_lerc1
+
+        planes = []
+        pos = 0
+        for _c in range(nc):
+            # each plane's length: re-decode sequentially (decode
+            # returns where it stopped via a length probe)
+            plane, _mask, used = _decode_lerc_plane(payload[pos:], py, px)
+            planes.append(plane)
+            pos += used
+        return np.stack(planes, axis=-1)
     if compression == "PNG":
         from gdal_spark.raster.png import decode_png
 
@@ -132,6 +153,19 @@ def _decode_tile(payload: bytes, compression: str,
     if out.ndim == 2:
         out = out[:, :, None]
     return out
+
+
+def _decode_lerc_plane(payload: bytes, py: int, px: int):
+    from gdal_spark.raster.lerc1 import decode_lerc1_sized
+
+    # planes are concatenated; the stream is self-sizing (header
+    # carries the cnt/z part byte counts), so the decoder reports the
+    # exact bytes consumed and the next plane starts right after
+    arr, _mask, used = decode_lerc1_sized(payload)
+    if arr.shape != (py, px):
+        raise ValueError("mrf: LERC plane dimension mismatch")
+    return (np.clip(np.floor(arr + 0.5), 0, 255).astype(np.uint8),
+            _mask, used)
 
 
 def _parse_meta(xml: bytes):

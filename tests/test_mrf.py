@@ -49,7 +49,7 @@ def test_bbox_and_guards():
     _out, bbox = decode_mrf(xml, idx, data)
     assert bbox == (1.25, 2.5, 3.75, 5.0)
     with pytest.raises(ValueError, match="compression"):
-        encode_mrf(g, compression="LERC")
+        encode_mrf(g, compression="LERC2")
     with pytest.raises(ValueError, match="index shorter"):
         decode_mrf(xml, idx[:8], data)
     with pytest.raises(ValueError, match="MRF_META"):
