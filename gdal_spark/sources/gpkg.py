@@ -28,7 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["write_gpkg", "read_gpkg", "gpkg_blob_to_wkb", "wkb_to_gpkg_blob"]
+__all__ = ["write_gpkg", "read_gpkg", "gpkg_blob_to_wkb",
+           "wkb_to_gpkg_blob", "write_gpkg_tiles", "read_gpkg_tiles",
+           "read_gpkg_tile_matrix"]
 
 
 def wkb_to_gpkg_blob(wkb: bytes, srs_id: int = 4326) -> bytes:
@@ -213,3 +215,181 @@ def read_gpkg(
             yield pd.DataFrame(out, columns=names)
 
     return rdf.mapInPandas(scan, schema)
+
+
+# --------------------------------------------------------------------------
+# GeoPackage raster tiles (the reference's GPKG raster half:
+# gdalgeopackagerasterband.cpp; table DDL ogrgeopackagedatasource.cpp
+# :5283-5311 — gpkg_tile_matrix_set + gpkg_tile_matrix + the tile
+# pyramid user table).  GPKG tile_row is TOP-DOWN (XYZ), unlike
+# MBTiles' TMS south-up rows.
+# --------------------------------------------------------------------------
+
+_TILES_SCHEMA = T.StructType(
+    [
+        T.StructField("tile_z", T.IntegerType()),
+        T.StructField("tile_x", T.IntegerType()),
+        T.StructField("tile_y", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def write_gpkg_tiles(
+    df: DataFrame,
+    path: str,
+    table: str = "tiles",
+    tile_size: int = 256,
+) -> None:
+    """Stream (tile_z, tile_x, tile_y XYZ, payload) rows into a
+    GeoPackage tile pyramid over the global web-mercator matrix set
+    (one gpkg_tile_matrix row per zoom actually present)."""
+    from gdal_spark.tiles import tilemath as tm
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+    cur.execute(
+        """CREATE TABLE gpkg_spatial_ref_sys (
+        srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY,
+        organization TEXT NOT NULL,
+        organization_coordsys_id INTEGER NOT NULL,
+        definition TEXT NOT NULL, description TEXT)"""
+    )
+    cur.execute(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES "
+        "('WGS 84 / Pseudo-Mercator', 3857, 'EPSG', 3857, "
+        "'PROJCS[...]', NULL)"
+    )
+    cur.execute(
+        """CREATE TABLE gpkg_contents (
+        table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+        identifier TEXT UNIQUE, description TEXT DEFAULT '',
+        last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+        max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+    )
+    cur.execute(
+        """CREATE TABLE gpkg_tile_matrix_set (
+        table_name TEXT NOT NULL PRIMARY KEY, srs_id INTEGER NOT NULL,
+        min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL,
+        max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)"""
+    )
+    cur.execute(
+        """CREATE TABLE gpkg_tile_matrix (
+        table_name TEXT NOT NULL, zoom_level INTEGER NOT NULL,
+        matrix_width INTEGER NOT NULL, matrix_height INTEGER NOT NULL,
+        tile_width INTEGER NOT NULL, tile_height INTEGER NOT NULL,
+        pixel_x_size DOUBLE NOT NULL, pixel_y_size DOUBLE NOT NULL,
+        CONSTRAINT pk_ttm PRIMARY KEY (table_name, zoom_level))"""
+    )
+    cur.execute(
+        f"""CREATE TABLE "{table}" (
+        id INTEGER PRIMARY KEY AUTOINCREMENT,
+        zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL,
+        tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL,
+        UNIQUE (zoom_level, tile_column, tile_row))"""
+    )
+    zooms: set[int] = set()
+    batch: list[tuple] = []
+    ext = [None, None, None, None]
+    for r in df.toLocalIterator():
+        z, x, y = int(r["tile_z"]), int(r["tile_x"]), int(r["tile_y"])
+        zooms.add(z)
+        # GPKG rows are top-down: tile_row == XYZ tile_y
+        batch.append((z, x, y, bytes(r["payload"])))
+        span = 2.0 * tm.ORIGIN / (1 << z)
+        bx0 = -tm.ORIGIN + x * span
+        by1 = tm.ORIGIN - y * span
+        vals = (bx0, by1 - span, bx0 + span, by1)
+        for k, v in enumerate(vals):
+            cmp_ = min if k < 2 else max
+            ext[k] = v if ext[k] is None else cmp_(ext[k], v)
+        if len(batch) >= 500:
+            cur.executemany(
+                f'INSERT INTO "{table}" (zoom_level, tile_column,'
+                " tile_row, tile_data) VALUES (?,?,?,?)", batch)
+            batch.clear()
+    if batch:
+        cur.executemany(
+            f'INSERT INTO "{table}" (zoom_level, tile_column,'
+            " tile_row, tile_data) VALUES (?,?,?,?)", batch)
+    cur.execute(
+        "INSERT INTO gpkg_tile_matrix_set VALUES (?,3857,?,?,?,?)",
+        (table, -tm.ORIGIN, -tm.ORIGIN, tm.ORIGIN, tm.ORIGIN),
+    )
+    for z in sorted(zooms):
+        res = tm.resolution(z, tile_size)
+        cur.execute(
+            "INSERT INTO gpkg_tile_matrix VALUES (?,?,?,?,?,?,?,?)",
+            (table, z, 1 << z, 1 << z, tile_size, tile_size, res, res),
+        )
+    cur.execute(
+        "INSERT INTO gpkg_contents VALUES "
+        "(?, 'tiles', ?, '', datetime('now'), ?, ?, ?, ?, 3857)",
+        (table, table, *ext),
+    )
+    con.commit()
+    con.close()
+
+
+def read_gpkg_tiles(
+    spark: SparkSession, path: str, table: str = "tiles",
+    n_partitions: int = 8,
+) -> DataFrame:
+    """Distributed GPKG tile scan: rowid-range-partitioned read-only
+    sqlite reads; rows are already top-down XYZ."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    lo, hi = con.execute(
+        f'SELECT min(id), max(id) FROM "{table}"').fetchone()
+    con.close()
+    if lo is None:
+        return spark.createDataFrame([], _TILES_SCHEMA)
+    step = max(1, (hi - lo + 1) // n_partitions + 1)
+    ranges = [
+        (lo + i * step, min(hi, lo + (i + 1) * step - 1))
+        for i in range(n_partitions)
+        if lo + i * step <= hi
+    ]
+    rdf = spark.createDataFrame(ranges, "r0 long, r1 long")
+
+    def scan(batches):
+        for pdf in batches:
+            recs = []
+            for r0, r1 in zip(pdf["r0"], pdf["r1"]):
+                c = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+                rows = c.execute(
+                    f"SELECT zoom_level, tile_column, tile_row,"
+                    f' tile_data FROM "{table}"'
+                    " WHERE id BETWEEN ? AND ?", (int(r0), int(r1)),
+                ).fetchall()
+                c.close()
+                for z, x, y, blob in rows:
+                    recs.append(
+                        {"tile_z": z, "tile_x": x, "tile_y": y,
+                         "payload": blob}
+                    )
+            yield pd.DataFrame(
+                recs, columns=[f.name for f in _TILES_SCHEMA.fields]
+            )
+
+    return rdf.mapInPandas(scan, _TILES_SCHEMA)
+
+
+def read_gpkg_tile_matrix(path: str, table: str = "tiles"):
+    """The per-zoom matrix metadata (width/height/tile size/pixel
+    size) + the matrix-set extent — what the reference sizes the
+    dataset from."""
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    ms = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_tile_matrix_set"
+        " WHERE table_name = ?", (table,),
+    ).fetchone()
+    rows = con.execute(
+        "SELECT zoom_level, matrix_width, matrix_height, tile_width,"
+        " tile_height, pixel_x_size, pixel_y_size FROM gpkg_tile_matrix"
+        " WHERE table_name = ? ORDER BY zoom_level", (table,),
+    ).fetchall()
+    con.close()
+    return ms, rows
