@@ -104,6 +104,11 @@ def main() -> None:
         "retile (grid Column math + narrow tile kernel, zero shuffle)": entry.q_retile,
         "raster_update (narrow in-place warp kernel, zero shuffle)": entry.q_raster_update,
         "progressive_jpeg (narrow multi-scan codec kernel, zero shuffle)": entry.q_progressive_jpeg,
+        "url_dedup (Column-math canonicalize -> url-key dedup -> domain-cap windows)": entry.q_url_dedup,
+        "split_assign (salted md5 Column math, zero shuffle)": entry.q_split_assign,
+        "jp2_reduce (resolution-pruned packet decode, narrow kernel)": entry.q_jp2_reduce,
+        "mrf_roundtrip (tile-indexed container kernel, zero shuffle)": entry.q_mrf_roundtrip,
+        "raw_fleet2 (seven-codec narrow kernel, zero shuffle)": entry.q_raw_fleet2,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",
