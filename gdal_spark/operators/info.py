@@ -204,6 +204,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("Arrow", "vector", True, True, "arrow", "sources/arrowipc.py"),
     ("G711", "audio", True, True, "au", "raster/g711.py"),
     ("MRF", "raster", True, True, "mrf", "raster/mrf.py"),
+    ("GTFS", "vector", True, True, "txt", "sources/gtfs.py"),
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
     ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),
