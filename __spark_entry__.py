@@ -1176,6 +1176,122 @@ FROM pts GROUP BY o
 """
 
 
+def q_jsonfg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC JSON-FG IO (ogr/ogrsf_frmts/jsonfg): image centers as
+    EPSG:3857 POINTs write a REAL JSON-FG collection — conformsTo
+    header, coordRefSys "[EPSG:3857]" CURIE, native-CRS "place",
+    feature "time" {"date": ...}, and the WGS84 "geometry" fallback
+    computed through the in-repo inverse Mercator (the reference's
+    poCTToWGS84_ path, ogrjsonfgwritelayer.cpp:300-380) — then a
+    distributed line scan reads both geometries back and the parsed
+    coordinates match the fixture closed forms (merc at q2, WGS84
+    fallback at e6 through the gudermannian)."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.jsonfg import read_jsonfg, write_jsonfg
+
+    geo = _images_geo(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 163)
+
+    def to_wkb(batches):
+        from gdal_spark.geo.wkb import wkb_point
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "t": pdf["t"],
+                    "geometry": [
+                        wkb_point(float(x), float(y))
+                        for x, y in zip(pdf["cx"], pdf["cy"])
+                    ],
+                }
+            )
+
+    src = geo.select(
+        "i", "cx", "cy",
+        F.concat(
+            F.lit("2026-"),
+            F.lpad(((F.col("i") % 12) + 1).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((F.col("i") % 28) + 1).cast("string"), 2, "0"),
+        ).alias("t"),
+    ).mapInPandas(
+        to_wkb,
+        T2.StructType(
+            [
+                T2.StructField("i", T2.LongType()),
+                T2.StructField("t", T2.StringType()),
+                T2.StructField("geometry", T2.BinaryType()),
+            ]
+        ),
+    )
+    path = _artifact_path(f"jsonfg_{os.path.basename(sf_dir)}") + ".json"
+    write_jsonfg(src, path, time_col="t", feature_type="centers",
+                 epsg=3857)
+    back = read_jsonfg(spark, path, "i long")
+    schema = T2.StructType(
+        [
+            T2.StructField("i", T2.LongType()),
+            T2.StructField("feature_type", T2.StringType()),
+            T2.StructField("time", T2.StringType()),
+            T2.StructField("px_q2", T2.LongType()),
+            T2.StructField("py_q2", T2.LongType()),
+            T2.StructField("lon_e6", T2.LongType()),
+            T2.StructField("lat_e6", T2.LongType()),
+        ]
+    )
+
+    def extract(batches):
+        import math as _math
+
+        from gdal_spark.geo.wkb import parse_wkb
+
+        for pdf in batches:
+            recs = []
+            for i, ft, t, place, gwkb in zip(
+                pdf["i"], pdf["feature_type"], pdf["time"],
+                pdf["place"], pdf["geometry"]
+            ):
+                p = parse_wkb(bytes(place)).parts[0][0]
+                g = parse_wkb(bytes(gwkb)).parts[0][0]
+                recs.append(
+                    {
+                        "i": int(i), "feature_type": ft, "time": t,
+                        "px_q2": _math.floor(p[0] * 100.0),
+                        "py_q2": _math.floor(p[1] * 100.0),
+                        "lon_e6": _math.floor(g[0] * 1e6),
+                        "lat_e6": _math.floor(g[1] * 1e6),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return back.mapInPandas(extract, schema)
+
+
+def _o_jsonfg() -> str:
+    from gdal_spark.tiles import tilemath as _tm
+
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 163)",
+    )
+    r = _tm.sql_double(6378137.0)
+    return f"""
+WITH img AS ({img})
+SELECT i, 'centers' AS feature_type,
+  '2026-' || lpad(cast((i % 12) + 1 as varchar), 2, '0') || '-'
+          || lpad(cast((i % 28) + 1 as varchar), 2, '0') AS time,
+  cast(floor(cx * 100.0) as bigint) AS px_q2,
+  cast(floor(cy * 100.0) as bigint) AS py_q2,
+  cast(floor(degrees(cx / {r}) * 1e6) as bigint) AS lon_e6,
+  cast(floor(degrees(2.0 * atan(exp(cy / {r})) - pi() / 2.0) * 1e6)
+    as bigint) AS lat_e6
+FROM img
+"""
+
+
 def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMTiles v3 archive IO (the reference's PMTiles driver; format
     per the published v3 spec): rendered PNG tiles cluster into one
@@ -13439,7 +13555,7 @@ _ROTATION_FIRST = [
     # new in round 5 (never driver-verified)
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
-    "jp2_reduce", "mrf_roundtrip", "gpkg_tiles", "gtfs",
+    "jp2_reduce", "mrf_roundtrip", "gpkg_tiles", "gtfs", "jsonfg",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13596,6 +13712,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrf_roundtrip": q_mrf_roundtrip,
         "gpkg_tiles": q_gpkg_tiles,
         "gtfs": q_gtfs,
+        "jsonfg": q_jsonfg,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15860,6 +15977,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "mrf_roundtrip": _o_mrf_roundtrip(),
         "gpkg_tiles": _o_mbtiles_roundtrip(),
         "gtfs": _o_gtfs(),
+        "jsonfg": _o_jsonfg(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

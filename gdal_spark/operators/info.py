@@ -205,6 +205,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("G711", "audio", True, True, "au", "raster/g711.py"),
     ("MRF", "raster", True, True, "mrf", "raster/mrf.py"),
     ("GTFS", "vector", True, True, "txt", "sources/gtfs.py"),
+    ("JSONFG", "vector", True, True, "json", "sources/jsonfg.py"),
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
     ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),
