@@ -1292,6 +1292,67 @@ FROM img
 """
 
 
+def q_esric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Esri Compact Cache V2 IO (frmts/esric/esric_dataset.cpp):
+    rendered PNG tiles stream into the conf.xml + L{lod}/R####C####
+    .bundle tree (64-byte checked header, 128x128 u64 index with
+    40-bit offsets / 24-bit sizes, Bundle::Init :127-133, tile
+    lookup :854-870), read back one task per bundle (the format's
+    parallel unit), decode, and the per-band GDAL checksums still
+    match the render closed form."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.esric import read_esric, write_esric
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    enc = render.encode_tiles(out, TILE_Z, fmt="png")
+    import shutil
+
+    root = _artifact_path(f"esric_{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    write_esric(enc, root, fmt="PNG")
+    back = read_esric(spark, root)
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.codecs import decode_image
+
+        for pdf in batches:
+            recs = []
+            for tx, ty, payload in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["payload"]
+            ):
+                arr = decode_image(bytes(payload), "png")
+                for band in range(arr.shape[2]):
+                    recs.append(
+                        {
+                            "tile_x": int(tx), "tile_y": int(ty),
+                            "band": band,
+                            "checksum": int(gdal_checksum(arr[:, :, band])),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["tile_x", "tile_y", "band", "checksum"]
+            )
+
+    return back.mapInPandas(decode, schema)
+
+
 def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMTiles v3 archive IO (the reference's PMTiles driver; format
     per the published v3 spec): rendered PNG tiles cluster into one
@@ -13556,6 +13617,7 @@ _ROTATION_FIRST = [
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
     "jp2_reduce", "mrf_roundtrip", "gpkg_tiles", "gtfs", "jsonfg",
+    "esric",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13713,6 +13775,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_tiles": q_gpkg_tiles,
         "gtfs": q_gtfs,
         "jsonfg": q_jsonfg,
+        "esric": q_esric,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -15978,6 +16041,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "gpkg_tiles": _o_mbtiles_roundtrip(),
         "gtfs": _o_gtfs(),
         "jsonfg": _o_jsonfg(),
+        "esric": _o_mbtiles_roundtrip(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

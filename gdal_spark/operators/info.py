@@ -206,6 +206,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("MRF", "raster", True, True, "mrf", "raster/mrf.py"),
     ("GTFS", "vector", True, True, "txt", "sources/gtfs.py"),
     ("JSONFG", "vector", True, True, "json", "sources/jsonfg.py"),
+    ("ESRIC", "raster", True, True, "bundle", "sources/esric.py"),
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
     ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),
