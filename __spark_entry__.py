@@ -4971,6 +4971,28 @@ def q_raw_fleet2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outs["snodas"] = (sarr[:, :, None].astype(np.int64),
                                   _math.floor(sgt[0] * 1e6),
                                   _math.floor(sgt[3] * 1e6))
+                from gdal_spark.raster.rawformats import (
+                    decode_ngsgeoid, decode_sigdem, encode_ngsgeoid,
+                    encode_sigdem,
+                )
+
+                darr, dgt, _crs = decode_sigdem(encode_sigdem(
+                    g.astype(np.float64), min_x=lon, max_y=lat,
+                    x_dim=0.5, y_dim=0.5))
+                outs["sigdem"] = (
+                    np.floor(darr + 0.5).astype(np.int64)[:, :, None],
+                    _math.floor(dgt[0] * 1e6),
+                    _math.floor(dgt[3] * 1e6))
+                # lat/2 keeps slat within the format's [-90, 90] gate
+                narr, ngt = decode_ngsgeoid(encode_ngsgeoid(
+                    g.astype(np.float32) + 0.5,
+                    slat=lat / 2 - h * 0.01, wlon=lon,
+                    dlat=0.01, dlon=0.01,
+                    little_endian=(i % 2 == 0)))
+                outs["ngsgeoid"] = (
+                    (narr[:, :, None] * 2).astype(np.int64),
+                    _math.floor(ngt[0] * 1e6),
+                    _math.floor(ngt[3] * 1e6))
                 for fmt, (out, x0, y0) in outs.items():
                     for b in range(out.shape[2]):
                         rows.append(
@@ -4997,7 +5019,8 @@ WITH img AS ({img}),
 fmts AS (
   SELECT * FROM (VALUES
     ('pnm_gray', 1), ('pnm_rgb', 3), ('pnm16', 1),
-    ('kro_rgb', 3), ('kro_f32', 1), ('gtx', 1), ('snodas', 1)
+    ('kro_rgb', 3), ('kro_f32', 1), ('gtx', 1), ('snodas', 1),
+    ('sigdem', 1), ('ngsgeoid', 1)
   ) AS f(fmt, nb)
 ),
 bands AS (
@@ -5011,6 +5034,7 @@ px AS (
       WHEN 'pnm16' THEN ((gx.x + gy.y + i.i) % 256) * 257
       WHEN 'kro_f32' THEN ((gx.x + gy.y + i.i) % 256) * 4 + 1
       WHEN 'gtx' THEN ((gx.x + gy.y + i.i) % 256) * 2 + 1
+      WHEN 'ngsgeoid' THEN ((gx.x + gy.y + i.i) % 256) * 2 + 1
       WHEN 'snodas' THEN ((gx.x + gy.y + i.i) % 256) + 100
       ELSE (gx.x + gy.y + i.i + fb.phase) % 256
     END AS val,
@@ -5026,11 +5050,15 @@ SELECT image_id, fmt, cast(band as int) AS band,
   CASE fmt
     WHEN 'gtx' THEN cast(floor((lon_c - 0.25) * 1e6) as bigint)
     WHEN 'snodas' THEN cast(floor(lon_c * 1e6) as bigint)
+    WHEN 'sigdem' THEN cast(floor(lon_c * 1e6) as bigint)
+    WHEN 'ngsgeoid' THEN cast(floor((lon_c - 0.005) * 1e6) as bigint)
     ELSE 0 END AS x0_q6,
   CASE fmt
     WHEN 'gtx' THEN cast(floor((lat_c + 0.25 * (h - 1) + 0.125) * 1e6)
                          as bigint)
     WHEN 'snodas' THEN cast(floor(lat_c * 1e6) as bigint)
+    WHEN 'sigdem' THEN cast(floor(lat_c * 1e6) as bigint)
+    WHEN 'ngsgeoid' THEN cast(floor((lat_c / 2 - 0.005) * 1e6) as bigint)
     ELSE 0 END AS y0_q6
 FROM px
 GROUP BY image_id, fmt, band, lon_c, lat_c, h

@@ -34,6 +34,8 @@ __all__ = [
     "encode_kro", "decode_kro",
     "encode_gtx", "decode_gtx",
     "encode_snodas", "decode_snodas",
+    "encode_sigdem", "decode_sigdem",
+    "encode_ngsgeoid", "decode_ngsgeoid",
 ]
 
 
@@ -224,3 +226,100 @@ def decode_snodas(dat: bytes, hdr: bytes
     nodata = (float(kv["No data value"])
               if "No data value" in kv else None)
     return arr.astype(np.int16), gt, nodata
+
+
+# --- SIGDEM -------------------------------------------------------------------
+
+_SIGDEM_NODATA = -0x80000000
+
+
+def encode_sigdem(arr: np.ndarray, min_x: float, max_y: float,
+                  x_dim: float = 1.0, y_dim: float = 1.0,
+                  scale_z: float = 1000.0, offset_z: float = 0.0,
+                  crs_id: int = 4326) -> bytes:
+    """(h, w) float grid -> SIGDEM bytes (frmts/sigdem/sigdemdataset:
+    132-byte BIG-endian header "SIGDEM" + version/csid +
+    offset/scale triplets + min/max + dims (Header::Write :464-488);
+    data int32 BE, value = round((z - offsetZ) * scaleFactorZ),
+    NO_DATA = 0x80000000 (:51); NaN cells write NO_DATA)."""
+    if arr.ndim != 2:
+        raise ValueError("sigdem: (h, w) only")
+    h, w = arr.shape
+    a = np.asarray(arr, dtype=np.float64)
+    finite = np.isfinite(a)
+    raw = np.where(
+        finite,
+        np.floor((a - offset_z) * scale_z + 0.5), _SIGDEM_NODATA
+    ).astype(np.int64)
+    if (np.abs(raw[finite]) >= 2**31).any():
+        raise ValueError("sigdem: scaled values overflow int32")
+    zmin = float(a[finite].min()) if finite.any() else 0.0
+    zmax = float(a[finite].max()) if finite.any() else 0.0
+    head = b"SIGDEM"
+    head += struct.pack(">hi", 1, crs_id)
+    head += struct.pack(">dddddd", 0.0, 1000.0, 0.0, 1000.0,
+                        offset_z, scale_z)
+    head += struct.pack(">dddddd", min_x, max_y - h * y_dim, zmin,
+                        min_x + w * x_dim, max_y, zmax)
+    head += struct.pack(">iidd", w, h, x_dim, y_dim)
+    return head + raw.astype(">i4").tobytes()
+
+
+def decode_sigdem(data: bytes):
+    """-> (float64 array with NaN nodata, geotransform, crs_id)."""
+    if data[:6] != b"SIGDEM":
+        raise ValueError("sigdem: bad magic")
+    _ver, crs_id = struct.unpack_from(">hi", data, 6)
+    (_ox, _sx, _oy, _sy, off_z, scale_z) = struct.unpack_from(
+        ">dddddd", data, 12)
+    (min_x, _min_y, _min_z, _max_x, max_y, _max_z) = struct.unpack_from(
+        ">dddddd", data, 60)
+    w, h, x_dim, y_dim = struct.unpack_from(">iidd", data, 108)
+    if w < 1 or h < 1:
+        raise ValueError("sigdem: bad dimensions")
+    raw = np.frombuffer(data, dtype=">i4", offset=132,
+                        count=w * h).astype(np.int64).reshape(h, w)
+    inv = 1.0 / scale_z if scale_z else 0.0
+    out = np.where(raw == _SIGDEM_NODATA, np.nan,
+                   raw * inv + off_z)
+    gt = (min_x, x_dim, 0.0, max_y, 0.0, -y_dim)
+    return out, gt, crs_id
+
+
+# --- NGSGEOID -----------------------------------------------------------------
+
+def encode_ngsgeoid(arr: np.ndarray, slat: float, wlon: float,
+                    dlat: float, dlon: float,
+                    little_endian: bool = True) -> bytes:
+    """(h, w) float32 TOP-DOWN -> NOAA .bin geoid bytes
+    (frmts/ngsgeoid: 44-byte header SLAT/WLON/DLAT/DLON f64 +
+    NLAT/NLON/IKIND=1 i32, endianness self-identified by IKIND;
+    float32 rows stored SOUTH-first, :100-103)."""
+    if arr.ndim != 2 or arr.dtype != np.float32:
+        raise ValueError("ngsgeoid: float32 (h, w) only")
+    h, w = arr.shape
+    e = "<" if little_endian else ">"
+    head = struct.pack(f"{e}ddddiii", slat, wlon, dlat, dlon, h, w, 1)
+    return head + arr[::-1].astype(f"{e}f4").tobytes()
+
+
+def decode_ngsgeoid(data: bytes):
+    """-> (float32 TOP-DOWN array, geotransform with the reference's
+    half-cell corner shift, ngsgeoiddataset.cpp:272-277)."""
+    if len(data) < 44:
+        raise ValueError("ngsgeoid: truncated header")
+    for e in ("<", ">"):
+        (ikind,) = struct.unpack_from(f"{e}i", data, 40)
+        if ikind == 1:
+            break
+    else:
+        raise ValueError("ngsgeoid: IKIND marker not found")
+    slat, wlon, dlat, dlon, nlat, nlon, _ik = struct.unpack_from(
+        f"{e}ddddiii", data, 0)
+    if nlat <= 0 or nlon <= 0 or dlat <= 1e-15 or dlon <= 1e-15:
+        raise ValueError("ngsgeoid: bad header values")
+    arr = np.frombuffer(data, dtype=f"{e}f4", offset=44,
+                        count=nlat * nlon).reshape(nlat, nlon)
+    gt = (wlon - dlon / 2, dlon, 0.0,
+          slat + nlat * dlat - dlat / 2, 0.0, -dlat)
+    return arr[::-1].astype(np.float32), gt

@@ -85,3 +85,42 @@ def test_snodas_header_and_geotransform():
     assert dat[:2] == s.astype(">i2").tobytes()[:2]
     with pytest.raises(ValueError, match="NOHRSC"):
         decode_snodas(dat, b"Format version: something else\n")
+
+
+def test_sigdem_roundtrip_and_header():
+    from gdal_spark.raster.rawformats import decode_sigdem, encode_sigdem
+
+    a = rng.randint(-2000, 8000, (14, 19)).astype(np.float64)
+    a[3, 4] = np.nan
+    blob = encode_sigdem(a, min_x=500.0, max_y=800.0, x_dim=2.0,
+                         y_dim=3.0)
+    assert blob[:6] == b"SIGDEM"
+    # header is BIG-endian; cols/rows at offsets 108/112
+    assert struct.unpack_from(">ii", blob, 108) == (19, 14)
+    out, gt, crs = decode_sigdem(blob)
+    m = np.isfinite(a)
+    assert np.allclose(out[m], a[m]) and np.isnan(out[3, 4])
+    assert gt == (500.0, 2.0, 0.0, 800.0, 0.0, -3.0) and crs == 4326
+    with pytest.raises(ValueError, match="magic"):
+        decode_sigdem(b"SIGDIM" + blob[6:])
+
+
+def test_ngsgeoid_both_endiannesses_and_gt():
+    from gdal_spark.raster.rawformats import (decode_ngsgeoid,
+                                              encode_ngsgeoid)
+
+    f = (rng.rand(9, 7) * 50).astype(np.float32)
+    for le in (True, False):
+        blob = encode_ngsgeoid(f, 30.0, -100.0, 0.25, 0.5,
+                               little_endian=le)
+        back, gt = decode_ngsgeoid(blob)
+        assert np.array_equal(back, f)
+        # pixel-center header -> half-cell corner shift (:272-277)
+        assert gt == (-100.25, 0.5, 0.0, 30.0 + 9 * 0.25 - 0.125,
+                      0.0, -0.25)
+        # rows stored south-first
+        e = "<" if le else ">"
+        first = np.frombuffer(blob, dtype=f"{e}f4", offset=44, count=7)
+        assert np.array_equal(first.astype(np.float32), f[-1])
+    with pytest.raises(ValueError, match="IKIND"):
+        decode_ngsgeoid(b"\0" * 60)
