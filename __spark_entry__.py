@@ -1353,6 +1353,65 @@ def q_esric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.mapInPandas(decode, schema)
 
 
+def q_kml_superoverlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KML SuperOverlay pyramid (frmts/kmlsuperoverlay): rendered
+    tiles write the {z}/{x}/{y}.kml + {y}.png tree — per-tile
+    Region/Lod gates, GroundOverlay LatLonBox in WGS84, child
+    NetworkLinks (kmlsuperoverlaydataset.cpp:283-365,430-445) —
+    through the executor-side tile-tree sink; a distributed
+    binaryFile scan parses every GroundOverlay back and the boxes
+    must equal the tile-bound closed forms (inverse Mercator at e6),
+    the href the sibling image, and the leaf level has no child
+    links."""
+    import shutil
+
+    from gdal_spark.operators.kmlsuperoverlay import (
+        read_kml_superoverlay,
+        write_kml_superoverlay,
+    )
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    enc = render.encode_tiles(out, TILE_Z, fmt="png")
+    root = _artifact_path(f"kmlso_{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    write_kml_superoverlay(enc, root)
+    back = read_kml_superoverlay(spark, root)
+    return back.select(
+        "tile_x", "tile_y", "href", "n_children",
+        F.floor(F.col("west") * 1e6).cast("long").alias("west_e6"),
+        F.floor(F.col("south") * 1e6).cast("long").alias("south_e6"),
+        F.floor(F.col("east") * 1e6).cast("long").alias("east_e6"),
+        F.floor(F.col("north") * 1e6).cast("long").alias("north_e6"),
+    )
+
+
+def _o_kml_superoverlay() -> str:
+    span = tm.sql_double(tm.resolution(TILE_Z) * 256)
+    org = tm.sql_double(tm.ORIGIN)
+    r = tm.sql_double(6378137.0)
+    return f"""{_render_win_ctes(f" AND o_orderkey % {5 * RENDER_MOD} = 0")}
+, tiles AS (SELECT DISTINCT tx, ty FROM win)
+SELECT cast(tx as int) AS tile_x, cast(ty as int) AS tile_y,
+  cast(ty as varchar) || '.png' AS href,
+  cast(0 as int) AS n_children,
+  cast(floor(degrees((({org} * -1) + tx * {span}) / {r}) * 1e6)
+    as bigint) AS west_e6,
+  cast(floor(degrees(2.0 * atan(exp(({org} - (ty + 1) * {span}) / {r}))
+    - pi() / 2.0) * 1e6) as bigint) AS south_e6,
+  cast(floor(degrees((({org} * -1) + (tx + 1) * {span}) / {r}) * 1e6)
+    as bigint) AS east_e6,
+  cast(floor(degrees(2.0 * atan(exp(({org} - ty * {span}) / {r}))
+    - pi() / 2.0) * 1e6) as bigint) AS north_e6
+FROM tiles
+"""
+
+
 def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMTiles v3 archive IO (the reference's PMTiles driver; format
     per the published v3 spec): rendered PNG tiles cluster into one
@@ -13645,7 +13704,7 @@ _ROTATION_FIRST = [
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
     "jp2_reduce", "mrf_roundtrip", "gpkg_tiles", "gtfs", "jsonfg",
-    "esric",
+    "esric", "kml_superoverlay",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13804,6 +13863,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gtfs": q_gtfs,
         "jsonfg": q_jsonfg,
         "esric": q_esric,
+        "kml_superoverlay": q_kml_superoverlay,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -16070,6 +16130,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "gtfs": _o_gtfs(),
         "jsonfg": _o_jsonfg(),
         "esric": _o_mbtiles_roundtrip(),
+        "kml_superoverlay": _o_kml_superoverlay(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

@@ -209,6 +209,8 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("GTFS", "vector", True, True, "txt", "sources/gtfs.py"),
     ("JSONFG", "vector", True, True, "json", "sources/jsonfg.py"),
     ("ESRIC", "raster", True, True, "bundle", "sources/esric.py"),
+    ("KMLSUPEROVERLAY", "raster", True, True, "kml",
+     "operators/kmlsuperoverlay.py"),
     ("BSB", "raster", True, True, "kap", "raster/bsb.py"),
     ("NITF", "raster", True, True, "ntf", "raster/nitf.py"),
     ("PCIDSK", "raster", True, True, "pix", "raster/pcidsk.py"),
