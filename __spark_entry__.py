@@ -1412,6 +1412,66 @@ FROM tiles
 """
 
 
+def q_stacta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STACTA tiled-asset item IO (frmts/stacta/stactadataset.cpp):
+    rendered PNG tiles stream into a {TileMatrixSet}/{TileMatrix}/
+    {TileRow}/{TileCol} tree plus an item.json with the embedded
+    WebMercatorQuad TileMatrixSet and per-zoom tile_matrix_links
+    limits (:735-890); the reader expands the asset template over
+    the limits and scans one task per tile; decoded checksums match
+    the render closed form."""
+    import pandas as pd
+    import shutil
+    from pyspark.sql import types as T2
+
+    from gdal_spark.sources.stacta import read_stacta, write_stacta
+
+    out = render.render_tiles(
+        _render_subset(spark, sf_dir).where(
+            F.col("i") % (5 * RENDER_MOD) == 0
+        ),
+        TILE_Z,
+        with_data=True,
+    ).where(F.col("n_px") > 0)
+    enc = render.encode_tiles(out, TILE_Z, fmt="png")
+    root = _artifact_path(f"stacta_{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    item = write_stacta(enc, root)
+    back = read_stacta(spark, item)
+    schema = T2.StructType(
+        [
+            T2.StructField("tile_x", T2.IntegerType()),
+            T2.StructField("tile_y", T2.IntegerType()),
+            T2.StructField("band", T2.IntegerType()),
+            T2.StructField("checksum", T2.IntegerType()),
+        ]
+    )
+
+    def decode(batches):
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.codecs import decode_image
+
+        for pdf in batches:
+            recs = []
+            for tx, ty, payload in zip(
+                pdf["tile_x"], pdf["tile_y"], pdf["payload"]
+            ):
+                arr = decode_image(bytes(payload), "png")
+                for band in range(arr.shape[2]):
+                    recs.append(
+                        {
+                            "tile_x": int(tx), "tile_y": int(ty),
+                            "band": band,
+                            "checksum": int(gdal_checksum(arr[:, :, band])),
+                        }
+                    )
+            yield pd.DataFrame(
+                recs, columns=["tile_x", "tile_y", "band", "checksum"]
+            )
+
+    return back.mapInPandas(decode, schema)
+
+
 def q_pmtiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMTiles v3 archive IO (the reference's PMTiles driver; format
     per the published v3 spec): rendered PNG tiles cluster into one
@@ -13704,7 +13764,7 @@ _ROTATION_FIRST = [
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
     "jp2_reduce", "mrf_roundtrip", "gpkg_tiles", "gtfs", "jsonfg",
-    "esric", "kml_superoverlay",
+    "esric", "kml_superoverlay", "stacta",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13864,6 +13924,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonfg": q_jsonfg,
         "esric": q_esric,
         "kml_superoverlay": q_kml_superoverlay,
+        "stacta": q_stacta,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -16131,6 +16192,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "jsonfg": _o_jsonfg(),
         "esric": _o_mbtiles_roundtrip(),
         "kml_superoverlay": _o_kml_superoverlay(),
+        "stacta": _o_mbtiles_roundtrip(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

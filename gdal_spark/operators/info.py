@@ -221,6 +221,7 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("netCDF", "multidim", True, True, "nc", "sources/netcdf.py"),
     ("VRT", "raster", True, True, "vrt", "sources/vrt.py"),
     ("STACIT", "raster", True, False, "json", "sources/stac.py"),
+    ("STACTA", "raster", True, True, "json", "sources/stacta.py"),
     ("WAV", "audio", True, True, "wav", "raster/wav.py"),
     ("FLAC", "audio", True, True, "flac", "raster/flac.py"),
     ("OggFLAC", "audio", True, True, "ogg", "raster/ogg.py"),
