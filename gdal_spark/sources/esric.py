@@ -70,8 +70,8 @@ def write_esric(
     conf.xml path."""
     from gdal_spark.tiles import tilemath as tm
 
-    zs = sorted(r["tile_z"] for r in
-                df.select("tile_z").distinct().collect())
+    zs = sorted(int(r["tile_z"]) for r in
+                df.select("tile_z").distinct().toLocalIterator())
     lods = "".join(
         f"<LODInfo><LevelID>{z}</LevelID>"
         f"<Scale>{1.0}</Scale>"

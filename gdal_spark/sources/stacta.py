@@ -62,7 +62,7 @@ def write_stacta(tiles: DataFrame, out_dir: str, fmt: str = "png",
     tree; returns the item.json path."""
     from gdal_spark.operators.render import write_tile_tree
 
-    limits_rows = (
+    limits_rows = list(
         tiles.groupBy("tile_z")
         .agg(
             F.min("tile_x").alias("min_tile_col"),
@@ -70,7 +70,7 @@ def write_stacta(tiles: DataFrame, out_dir: str, fmt: str = "png",
             F.min("tile_y").alias("min_tile_row"),
             F.max("tile_y").alias("max_tile_row"),
         )
-        .collect()
+        .toLocalIterator()  # one row per zoom — metadata-sized
     )
     limits = {
         str(r["tile_z"]): {
