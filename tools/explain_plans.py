@@ -109,6 +109,9 @@ def main() -> None:
         "jp2_reduce (resolution-pruned packet decode, narrow kernel)": entry.q_jp2_reduce,
         "mrf_roundtrip (tile-indexed container kernel, zero shuffle)": entry.q_mrf_roundtrip,
         "raw_fleet2 (seven-codec narrow kernel, zero shuffle)": entry.q_raw_fleet2,
+        "gtfs (CSV scans -> stop-join -> ONE trip groupBy with array_sort)": entry.q_gtfs,
+        "esric (bundle-granular distributed scan)": entry.q_esric,
+        "stacta (binaryFile tile scan filtered by limits)": entry.q_stacta,
     }
     out = [
         "# PLANS.md — physical plans of the flagship operators",
