@@ -5184,6 +5184,134 @@ GROUP BY image_id, fmt, band, lon_c, lat_c, h
 """
 
 
+def q_raw_fleet3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-format batch 3 (round 5): JDEM Japanese DEM text records
+    (frmts/jdem/jdemdataset.cpp — 1011-byte header, packed dddmmss
+    extent angles snapped to whole seconds, per-row 5-char 0.1-m
+    fields with 1-based row ids) and ACE2 headerless tiles
+    (frmts/raw/ace2dataset.cpp — georef entirely from the FILENAME,
+    fixed 180/1800/... grids, little-endian float32).  Decoded
+    checksums + parsed geotransform origins (including the JDEM
+    second-snapping) match closed forms."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
+    ids = _image_ids(spark, sf_dir).where(F.col("i") % PALETTED_MOD == 167)
+    geo = build_images(spark, ids_df=ids, with_payload=False).select(
+        "i", "image_id", "w", "h", "lon_c", "lat_c"
+    )
+    schema = T2.StructType(
+        [
+            T2.StructField("image_id", T2.StringType()),
+            T2.StructField("fmt", T2.StringType()),
+            T2.StructField("checksum", T2.IntegerType()),
+            T2.StructField("x0_q6", T2.LongType()),
+            T2.StructField("y0_q6", T2.LongType()),
+        ]
+    )
+
+    def run(batches):
+        import math as _math
+
+        import numpy as np
+
+        from gdal_spark.fixtures.georef import np_image_pixels
+        from gdal_spark.raster.checksum import gdal_checksum
+        from gdal_spark.raster.rawformats import (
+            decode_ace2, decode_jdem, encode_ace2, encode_jdem,
+        )
+
+        for pdf in batches:
+            rows = []
+            for i, img_id, w, h, lon, lat in zip(
+                pdf["i"], pdf["image_id"], pdf["w"], pdf["h"],
+                pdf["lon_c"], pdf["lat_c"]
+            ):
+                i = int(i)
+                jw, jh = min(int(w), 128), min(int(h), 128)
+                lon, lat = float(lon), float(lat)
+                g = np_image_pixels(i, jw, jh)[:, :, 0]
+                ll_lat = (lat + 85.0) / 2
+                ll_lon = (lon + 180.0) / 2
+                out, gt = decode_jdem(encode_jdem(
+                    g.astype(np.float64), ll_lat, ll_lon,
+                    ll_lat + jh * 0.001, ll_lon + jw * 0.001))
+                vals = np.floor(out.astype(np.float64) * 10 + 0.5)
+                rows.append(
+                    {
+                        "image_id": img_id, "fmt": "jdem",
+                        "checksum": gdal_checksum(vals.astype(np.int64)),
+                        "x0_q6": _math.floor(gt[0] * 1e6),
+                        "y0_q6": _math.floor(gt[3] * 1e6),
+                    }
+                )
+                x = np.arange(180, dtype=np.int64)[None, :]
+                y = np.arange(180, dtype=np.int64)[:, None]
+                a = (((x + y + i) % 256).astype(np.float32) + 0.25)
+                arr, agt = decode_ace2(encode_ace2(a), "30S120W_5M")
+                rows.append(
+                    {
+                        "image_id": img_id, "fmt": "ace2",
+                        "checksum": gdal_checksum(
+                            (arr * 4).astype(np.int64)),
+                        "x0_q6": _math.floor(agt[0] * 1e6),
+                        "y0_q6": _math.floor(agt[3] * 1e6),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return geo.mapInPandas(run, schema)
+
+
+def _o_raw_fleet3() -> str:
+    from gdal_spark.tiles.tilemath import sql_double
+
+    img = georef.sql_images_cte(
+        "o_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE o_orderkey % {PALETTED_MOD}"
+        " = 167)",
+    )
+    mm = sql_double(0.001)
+    # JDEM angles snap to whole seconds; mirror the decode's exact
+    # d + m/60 + s/3600 float op order
+    def snapped(expr: str) -> str:
+        st = f"cast(floor(({expr}) * 3600.0 + 0.5) as bigint)"
+        return (f"((({st}) // 3600) + ((({st}) // 60) % 60) / 60.0"
+                f" + (({st}) % 60) / 3600.0)")
+
+    ll_lon = "((i.lon_c + 180.0) / 2)"
+    ur_lat = f"((i.lat_c + 85.0) / 2 + least(i.h, 128) * {mm})"
+    ace_y0 = sql_double(-30.0 + 180 * (5.0 / 60))
+    return f"""
+WITH img AS ({img}),
+jd AS (
+  SELECT i.image_id, 'jdem' AS fmt,
+    cast(sum((((gx.x + gy.y + i.i) % 256) * 10)
+      % ({_PRIMES_SQL})[((gy.y * least(i.w, 128) + gx.x) % 11) + 1])
+      % 65536 as int) AS checksum,
+    cast(floor({snapped(ll_lon)} * 1e6) as bigint) AS x0_q6,
+    cast(floor({snapped(ur_lat)} * 1e6) as bigint) AS y0_q6
+  FROM img i
+  JOIN range(0, 128) AS gx(x) ON gx.x < least(i.w, 128)
+  JOIN range(0, 128) AS gy(y) ON gy.y < least(i.h, 128)
+  GROUP BY i.image_id, i.i, i.w, i.h, i.lon_c, i.lat_c
+),
+ace AS (
+  SELECT i.image_id, 'ace2' AS fmt,
+    cast(sum((((gx.x + gy.y + i.i) % 256) * 4 + 1)
+      % ({_PRIMES_SQL})[((gy.y * 180 + gx.x) % 11) + 1]) % 65536 as int)
+      AS checksum,
+    cast(-120000000 as bigint) AS x0_q6,
+    cast(floor({ace_y0} * 1e6) as bigint) AS y0_q6
+  FROM img i
+  CROSS JOIN range(0, 180) AS gx(x)
+  CROSS JOIN range(0, 180) AS gy(y)
+  GROUP BY i.image_id, i.i
+)
+SELECT * FROM jd UNION ALL SELECT * FROM ace
+"""
+
+
 def q_grib_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRIB2 packing templates (frmts/grib/gribcreatecopy.cpp writer
     layout; g2clib compack/comunpack + enc_png/dec_png semantics):
@@ -13764,7 +13892,7 @@ _ROTATION_FIRST = [
     "progressive_jpeg", "gdaltindex", "retile", "ogrtindex",
     "raster_update", "raw_fleet2", "url_dedup", "split_assign",
     "jp2_reduce", "mrf_roundtrip", "gpkg_tiles", "gtfs", "jsonfg",
-    "esric", "kml_superoverlay", "stacta",
+    "esric", "kml_superoverlay", "stacta", "raw_fleet3",
     "gtiff_codec_chunks", "cog_compressed",
     "gtiff_industrial", "jp2_roundtrip", "jp2_georef",
     "interlaced_roundtrip",
@@ -13925,6 +14053,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esric": q_esric,
         "kml_superoverlay": q_kml_superoverlay,
         "stacta": q_stacta,
+        "raw_fleet3": q_raw_fleet3,
         "ogr_sql_join": q_ogr_sql_join,
         "proj_laea": q_proj_laea,
         "st_transform_sql": q_st_transform_sql,
@@ -16193,6 +16322,7 @@ SELECT * FROM ({_o_shp_roundtrip()}) t WHERE t.eas_id % 3 <> 1
         "esric": _o_mbtiles_roundtrip(),
         "kml_superoverlay": _o_kml_superoverlay(),
         "stacta": _o_mbtiles_roundtrip(),
+        "raw_fleet3": _o_raw_fleet3(),
         "grib_roundtrip": _o_grib_roundtrip(),
         "vrt_lut": _o_vrt_lut(),
         "dted_roundtrip": _o_dted_roundtrip(),

@@ -201,6 +201,8 @@ DRIVERS: tuple[tuple[str, str, bool, bool, str, str], ...] = (
     ("SNODAS", "raster", True, True, "hdr", "raster/rawformats.py"),
     ("SIGDEM", "raster", True, True, "sigdem", "raster/rawformats.py"),
     ("NGSGEOID", "raster", True, True, "bin", "raster/rawformats.py"),
+    ("JDEM", "raster", True, True, "mem", "raster/rawformats.py"),
+    ("ACE2", "raster", True, True, "ACE2", "raster/rawformats.py"),
     ("HDF5", "multidim", True, True, "h5", "sources/hdf5.py"),
     ("netCDF-4", "multidim", True, True, "nc4", "sources/netcdf4.py"),
     ("Arrow", "vector", True, True, "arrow", "sources/arrowipc.py"),

@@ -36,6 +36,8 @@ __all__ = [
     "encode_snodas", "decode_snodas",
     "encode_sigdem", "decode_sigdem",
     "encode_ngsgeoid", "decode_ngsgeoid",
+    "encode_jdem", "decode_jdem",
+    "encode_ace2", "decode_ace2",
 ]
 
 
@@ -323,3 +325,141 @@ def decode_ngsgeoid(data: bytes):
     gt = (wlon - dlon / 2, dlon, 0.0,
           slat + nlat * dlat - dlat / 2, 0.0, -dlat)
     return arr[::-1].astype(np.float32), gt
+
+
+# --- JDEM ---------------------------------------------------------------------
+
+def _jdem_angle_str(deg: float) -> str:
+    """degrees -> packed dddmmss 7-char field (first-quadrant only)."""
+    total = int(round(deg * 3600))
+    d, rem = divmod(total, 3600)
+    m, s = divmod(rem, 60)
+    return f"{d * 10000 + m * 100 + s:07d}"
+
+
+def _jdem_angle(field: bytes) -> float:
+    n = int(field[:7])
+    return n // 10000 + (n // 100) % 100 / 60.0 + (n % 100) / 3600.0
+
+
+def encode_jdem(arr: np.ndarray, ll_lat: float, ll_lon: float,
+                ur_lat: float, ur_lon: float) -> bytes:
+    """(h, w) elevations in meters (0.1 m resolution) -> JDEM bytes
+    (frmts/jdem/jdemdataset.cpp: 1011-byte text header with
+    YYYYMMDD-ish dates at 11/15/19 and dddmmss extent angles at
+    29/36/43/50, width/height 3-char fields at 23/26; one text record
+    per row: row number 1-based at +6 (3 chars), 5-char 0.1-m values
+    from +9, record length w*5 + 9 + 2 (:112))."""
+    if arr.ndim != 2:
+        raise ValueError("jdem: (h, w) only")
+    h, w = arr.shape
+    if not (1 <= w <= 999 and 1 <= h <= 999):
+        raise ValueError("jdem: dimensions are 3-char fields (1..999)")
+    head = bytearray(b" " * 1011)
+    head[0:6] = b"000001"
+    for off in (11, 15, 19):
+        head[off : off + 4] = b"2026"
+    head[23:26] = b"%03d" % w
+    head[26:29] = b"%03d" % h
+    head[29:36] = _jdem_angle_str(ll_lat).encode()
+    head[36:43] = _jdem_angle_str(ll_lon).encode()
+    head[43:50] = _jdem_angle_str(ur_lat).encode()
+    head[50:57] = _jdem_angle_str(ur_lon).encode()
+    vals = np.floor(np.asarray(arr, dtype=np.float64) * 10 + 0.5)
+    if (vals < 0).any() or (vals > 99999).any():
+        raise ValueError("jdem: values out of the 5-char 0.1-m field")
+    out = bytearray(head)
+    for y in range(h):
+        rec = bytearray(b" " * (w * 5 + 9 + 2))
+        rec[0:6] = b"000001"
+        rec[6:9] = b"%03d" % (y + 1)
+        for x in range(w):
+            rec[9 + 5 * x : 14 + 5 * x] = b"%05d" % int(vals[y, x])
+        rec[-2:] = b"\r\n"
+        out += rec
+    return bytes(out)
+
+
+def decode_jdem(data: bytes):
+    """-> (float32 meters, geotransform) — row-number cross-checked
+    like the reference's IReadBlock (:74)."""
+    if len(data) < 1011:
+        raise ValueError("jdem: truncated header")
+    head = data[:1011]
+    if head[11:13] not in (b"19", b"20"):
+        raise ValueError("jdem: header date fields missing")
+    w = int(head[23:26])
+    h = int(head[26:29])
+    ll_lat = _jdem_angle(head[29:36])
+    ll_lon = _jdem_angle(head[36:43])
+    ur_lat = _jdem_angle(head[43:50])
+    ur_lon = _jdem_angle(head[50:57])
+    rec = w * 5 + 9 + 2
+    out = np.empty((h, w), dtype=np.float32)
+    for y in range(h):
+        row = data[1011 + rec * y : 1011 + rec * (y + 1)]
+        if len(row) < rec - 2:
+            raise ValueError("jdem: truncated record")
+        if int(row[6:9]) != y + 1:
+            raise ValueError(f"jdem: record {y} carries wrong row id")
+        txt = row[9 : 9 + 5 * w]
+        out[y] = np.frombuffer(txt, dtype="S5", count=w).astype(
+            np.int64) * np.float32(0.1)
+    gt = (ll_lon, (ur_lon - ll_lon) / w, 0.0,
+          ur_lat, 0.0, -(ur_lat - ll_lat) / h)
+    return out, gt
+
+
+# --- ACE2 ---------------------------------------------------------------------
+
+_ACE2_SIZES = {"_5M": 180, "_30S": 1800, "_9S": 6000, "_3S": 18000}
+
+
+def encode_ace2(arr: np.ndarray) -> bytes:
+    """(n, n) float32 (heights) or int16 (CONF/QUALITY/SOURCE
+    companions) -> raw little-endian ACE2 payload (the format is
+    headerless; georef lives in the FILENAME)."""
+    if arr.ndim != 2 or arr.shape[0] != arr.shape[1]:
+        raise ValueError("ace2: square (n, n) only")
+    if arr.dtype == np.float32:
+        return arr.astype("<f4").tobytes()
+    if arr.dtype == np.int16:
+        return arr.astype("<i2").tobytes()
+    raise ValueError("ace2: float32 or int16 only")
+
+
+def decode_ace2(data: bytes, basename: str):
+    """-> (array, geotransform).  ``basename`` like ``30S120W_5M``:
+    SW corner from chars 0-2 / 3-6 (ace2dataset.cpp:219-242), dtype
+    int16 for _CONF_/_QUALITY_/_SOURCE_ else float32 (:244-249),
+    grid size from the _5M/_30S/_9S/_3S token (:253-296), origin =
+    (swLon, swLat + n*pixel) (:324-329)."""
+    if len(basename) < 7:
+        raise ValueError("ace2: basename too short")
+    lat = int(basename[0:2])
+    ns = basename[2].upper()
+    lon = int(basename[3:6])
+    ew = basename[6].upper()
+    if ns not in "NS" or ew not in "EW":
+        raise ValueError("ace2: bad hemisphere letters")
+    if ns == "S":
+        lat = -lat
+    if ew == "W":
+        lon = -lon
+    int16 = any(t in basename for t in ("_CONF_", "_QUALITY_",
+                                        "_SOURCE_"))
+    dt = np.dtype("<i2") if int16 else np.dtype("<f4")
+    n = None
+    for tok, size in _ACE2_SIZES.items():
+        if tok in basename:
+            n = size
+    if n is None:
+        n = int((len(data) // dt.itemsize) ** 0.5)
+    if len(data) != n * n * dt.itemsize:
+        raise ValueError("ace2: size does not match the grid token")
+    arr = np.frombuffer(data, dtype=dt).reshape(n, n)
+    arr = arr.astype(np.int16 if int16 else np.float32)
+    px = {180: 5.0 / 60, 1800: 30.0 / 3600, 6000: 9.0 / 3600,
+          18000: 3.0 / 3600}[n]
+    gt = (float(lon), px, 0.0, lat + n * px, 0.0, -px)
+    return arr, gt

@@ -124,3 +124,39 @@ def test_ngsgeoid_both_endiannesses_and_gt():
         assert np.array_equal(first.astype(np.float32), f[-1])
     with pytest.raises(ValueError, match="IKIND"):
         decode_ngsgeoid(b"\0" * 60)
+
+
+def test_jdem_text_records_and_angle_snap():
+    from gdal_spark.raster.rawformats import decode_jdem, encode_jdem
+
+    a = (rng.randint(0, 30000, (20, 24)) / 10.0)
+    blob = encode_jdem(a, 35.5, 139.25, 36.0, 140.0)
+    assert len(blob) == 1011 + 20 * (24 * 5 + 11)
+    # header fields: dims at 23/26, packed dddmmss angles at 29..
+    assert blob[23:29] == b"024020"
+    assert blob[29:36] == b"0353000"  # 35.5 deg == 35d30m00s
+    out, gt = decode_jdem(blob)
+    assert np.allclose(out, a.astype(np.float32))
+    assert abs(gt[0] - 139.25) < 1e-9 and abs(gt[3] - 36.0) < 1e-9
+    # row-id cross-check is enforced (jdemdataset.cpp:74)
+    bad = bytearray(blob)
+    bad[1011 + 6 : 1011 + 9] = b"002"
+    with pytest.raises(ValueError, match="row id"):
+        decode_jdem(bytes(bad))
+
+
+def test_ace2_filename_georef():
+    from gdal_spark.raster.rawformats import decode_ace2, encode_ace2
+
+    f = rng.rand(180, 180).astype(np.float32) * 100
+    arr, gt = decode_ace2(encode_ace2(f), "30S120W_5M")
+    assert np.array_equal(arr, f)
+    assert gt == (-120.0, 5.0 / 60, 0.0, -30.0 + 180 * (5.0 / 60),
+                  0.0, -(5.0 / 60))
+    q = rng.randint(0, 100, (180, 180)).astype(np.int16)
+    arr2, gt2 = decode_ace2(encode_ace2(q), "45N015E_QUALITY_5M")
+    assert np.array_equal(arr2, q) and gt2[0] == 15.0
+    with pytest.raises(ValueError, match="hemisphere"):
+        decode_ace2(encode_ace2(f), "30X120W_5M")
+    with pytest.raises(ValueError, match="grid token"):
+        decode_ace2(encode_ace2(f)[:-8], "30S120W_5M")
